@@ -1,0 +1,116 @@
+"""Unit tests for the hard-semantics operators (SURVEY §7.4 watch list).
+
+These pin the behaviors that differ between pandas and naive Spark
+translations: weekday convention, np.where overwrite order + the
+07:00:00 edge, NaN/NULL propagation, explode row counts.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from zolo_spark.ops import nested, scalar, windows
+
+
+def test_weekday_monday_zero(spark):
+    # 2024-01-01 is a Monday; pandas dayofweek == 0.
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1),), (dt.datetime(2024, 1, 4),),  # Mon, Thu
+         (dt.datetime(2024, 1, 6),), (dt.datetime(2024, 1, 7),)],  # Sat, Sun
+        "ts timestamp",
+    )
+    got = [r[0] for r in df.select(scalar.day_of_week("ts")).collect()]
+    assert got == [0, 3, 5, 6]
+
+
+@pytest.mark.parametrize(
+    "dow,first,expect",
+    [
+        (3, "09:00:00", "San Rafael Thurs"),
+        (5, "09:00:00", "Danville Farmers Market"),
+        (6, "06:59:59", "Alameda Antique Faire"),
+        (6, "07:00:01", "San Rafael Sunday"),
+        # the 07:00:00-exact edge matches neither strict inequality
+        # (square_ETL.py:187-190) and falls through to 'other'
+        (6, "07:00:00", "other"),
+        (0, "09:00:00", "other"),
+        (4, "06:00:00", "other"),
+    ],
+)
+def test_market_classification(spark, dow, first, expect):
+    df = spark.createDataFrame([(dow, first)], "dow int, first_trans string")
+    got = df.select(
+        scalar.classify_market(F.col("dow"), F.col("first_trans"))
+    ).first()[0]
+    assert got == expect
+
+
+def test_null_propagation_in_total(spark):
+    # NaN shipping ⇒ NaN total (shopify_ETL.py:160) → NULL in Spark
+    df = spark.createDataFrame(
+        [(10.0, 2.5), (20.0, None)], "subtotal double, shipping double"
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            scalar.derive_total(F.col("subtotal"), F.col("shipping"))
+        ).collect()
+    ]
+    assert got == [12.5, None]
+
+
+def test_explode_row_counts(spark):
+    # N1: one document with k line items -> k rows; no-array docs drop
+    df = spark.createDataFrame(
+        [
+            Row(payment_id="p1", itemizations=[{"q": 1.0}, {"q": 2.0}]),
+            Row(payment_id="p2", itemizations=[{"q": 3.0}]),
+            Row(payment_id="p3", itemizations=None),
+        ]
+    )
+    out = nested.explode_line_items(df, "itemizations", ["payment_id"])
+    assert out.count() == 3
+    outer = nested.explode_line_items(df, "itemizations", ["payment_id"], outer=True)
+    assert outer.count() == 4  # p3 kept with NULL item
+
+
+def test_join_names_null_array(spark):
+    # N5+N3: NULL modifiers array -> NULL joined string, not ''
+    df = spark.createDataFrame(
+        [
+            Row(mods=[Row(name="oat"), Row(name="extra shot")]),
+            Row(mods=None),
+        ]
+    )
+    got = [r[0] for r in df.select(nested.join_names("mods")).collect()]
+    assert got == ["oat;extra shot", None]
+
+
+def test_group_min_transform(spark):
+    # W1: per-group min broadcast back onto every row
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("b", 7)], "k string, v int"
+    )
+    got = {
+        (r["k"], r["v"]): r["m"]
+        for r in df.select("k", "v", windows.group_min(F.col("v"), ["k"]).alias("m")).collect()
+    }
+    assert got == {("a", 3): 1, ("a", 1): 1, ("b", 7): 7}
+
+
+def test_cents_to_dollars(spark):
+    df = spark.createDataFrame([(1234,)], "cents long")
+    assert df.select(scalar.cents_to_dollars("cents")).first()[0] == 12.34
+
+
+def test_week_trunc_monday_start(spark):
+    # 2024-01-07 is a Sunday -> its ISO week starts Mon 2024-01-01
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 7, 23, 0),), (dt.datetime(2024, 1, 8, 0, 0),)],
+        "ts timestamp",
+    )
+    got = [r[0] for r in df.select(scalar.week_trunc("ts")).collect()]
+    assert got == [dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 8)]

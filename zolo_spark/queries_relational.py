@@ -1,7 +1,14 @@
 """Per-operator parity queries (SURVEY §2.2-2.7) on the testdata tables.
 
 Each query exercises one operator from the inventory with a DuckDB
-oracle. Names carry the SURVEY operator id (j1, a1, w2, ...).
+oracle; names carry the SURVEY operator id (j1, a1, w2, ...). Role
+mapping per FIXTURES.md §3: orders=fact header, lineitem=details,
+part=items dim, supplier→nation→region=filtering dim, events=intraday
+stream, documents/embeddings=phase-5 corpora.
+
+Float discipline: every float output is rounded identically in the
+Spark expression and the oracle SQL so the driver's value hash is
+deterministic across engines.
 """
 
 from __future__ import annotations
@@ -9,6 +16,609 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
 
 from .parity_queries import register
-from .warehouse import load_testdata
+from .warehouse import load_testdata, register_testdata
+from .ops import scalar, windows
 
-# Registered in subsequent build phases.
+
+def _t(spark: SparkSession, sf_dir: str, *names: str):
+    dfs = load_testdata(spark, sf_dir)
+    out = [dfs[n] for n in names]
+    return out[0] if len(out) == 1 else out
+
+
+def _dec(col, prec: int = 18, scale: int = 2):
+    """Money discipline: the inputs are 2-decimal quantities stored as
+    DOUBLE; products of them land exactly on .xx50 rounding ties where
+    Spark and DuckDB double-rounding disagree. Casting to DECIMAL makes
+    the arithmetic exact; round in decimal space, cast to double last
+    (see module docstring)."""
+    return col.cast(f"decimal({prec},{scale})")
+
+
+# ----------------------------------------------------------------- joins
+
+@register("j1_left_join_header_details", oracle="""
+SELECT o_orderkey, o_orderdate, l_linenumber, l_quantity
+FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+""")
+def j1(spark, sf_dir):
+    """J1: header ⟕ details equi-join (``arima_models.py:82-84``)."""
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey, "left")
+        .select("o_orderkey", "o_orderdate", "l_linenumber", "l_quantity")
+    )
+
+
+@register("j2_dim_join_text_cast", oracle="""
+SELECT l_orderkey, l_linenumber, p_name, p_retailprice
+FROM lineitem LEFT JOIN part
+  ON CAST(l_partkey AS VARCHAR) = CAST(p_partkey AS VARCHAR)
+""")
+def j2(spark, sf_dir):
+    """J2+P11: details ⟕ items dim with the reference's text cast on
+    the external id (``arima_models.py:100-101``). Dim is broadcast."""
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    return (
+        lineitem.join(
+            F.broadcast(part),
+            lineitem.l_partkey.cast("string") == part.p_partkey.cast("string"),
+            "left",
+        ).select("l_orderkey", "l_linenumber", "p_name", "p_retailprice")
+    )
+
+
+@register("j3_filtering_inner_join", oracle="""
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+""")
+def j3(spark, sf_dir):
+    """J3+P4: inner join to a filtered dim — the ``active = 1``
+    filtering join (``arima_models.py:87-90``)."""
+    supplier, nation, region = _t(spark, sf_dir, "supplier", "nation", "region")
+    return (
+        supplier
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+# ------------------------------------------------------------ aggregates
+
+@register("a1_multi_func_agg", oracle="""
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice), 2) AS dollars,
+       MIN(l_quantity) AS min_qty,
+       MIN(l_discount) AS min_disc
+FROM lineitem GROUP BY l_orderkey
+""")
+def a1(spark, sf_dir):
+    """A1: multi-function hash aggregate {sum, min, min}
+    (``square_ETL.py:203-209``)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_orderkey").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("dollars"),
+        F.min("l_quantity").alias("min_qty"),
+        F.min("l_discount").alias("min_disc"),
+    )
+
+
+@register("a2_agg_then_derive_null_prop", oracle="""
+WITH per_order AS (
+    SELECT o_orderkey,
+           MIN(l_tax) AS shipping_price,
+           ROUND(SUM(l_extendedprice), 2) AS subtotal
+    FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey
+)
+SELECT o_orderkey, shipping_price, subtotal,
+       ROUND(subtotal + shipping_price, 2) AS total_dollars
+FROM per_order
+""")
+def a2(spark, sf_dir):
+    """A2+P10: aggregate then derive total; orders with no line items
+    get NULL aggregates and the NULL propagates into the total —
+    the reference's NaN-shipping ⇒ NaN-total (``shopify_ETL.py:153-160``)."""
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    per_order = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(F.min("l_tax").alias("shipping_price"),
+             F.round(F.sum("l_extendedprice"), 2).alias("subtotal"))
+    )
+    return per_order.select(
+        "o_orderkey", "shipping_price", "subtotal",
+        F.round(scalar.derive_total(F.col("subtotal"), F.col("shipping_price")), 2)
+        .alias("total_dollars"),
+    )
+
+
+@register("a3_three_sum_agg", oracle="""
+SELECT l_orderkey, l_returnflag,
+       ROUND(SUM(l_quantity), 2) AS quantity,
+       ROUND(SUM(l_extendedprice), 2) AS price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(8,2))), 2) AS DOUBLE)
+           AS dollars
+FROM lineitem GROUP BY l_orderkey, l_returnflag
+""")
+def a3(spark, sf_dir):
+    """A3: {sum, sum, sum} aggregate (``quickbooks_ETL.py:186-194``).
+    ``dollars`` goes through exact DECIMAL (see :func:`_dec`)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_orderkey", "l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("quantity"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+        F.round(
+            F.sum(_dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"), 8)),
+            2,
+        ).cast("double").alias("dollars"),
+    )
+
+
+@register("a4_weekly_group_sum", oracle="""
+SELECT date_trunc('week', o_orderdate) AS week_date,
+       ROUND(SUM(o_totalprice), 2) AS weight
+FROM orders GROUP BY 1
+""")
+def a4(spark, sf_dir):
+    """A4+P12: weekly bucket + group sum (``arima_models.py:122-138``)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(scalar.week_trunc("o_orderdate").alias("week_date"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("weight"))
+    )
+
+
+@register("a5_reaggregate", oracle="""
+WITH weekly AS (
+    SELECT o_custkey, date_trunc('week', o_orderdate) AS week_date,
+           SUM(o_totalprice) AS weight
+    FROM orders GROUP BY 1, 2
+)
+SELECT o_custkey, ROUND(SUM(weight), 2) AS weight
+FROM weekly WHERE week_date < TIMESTAMP '2000-01-01'
+GROUP BY o_custkey
+""")
+def a5(spark, sf_dir):
+    """A5+P2: filter partial period then re-aggregate
+    (``arima_models.py:158-165``)."""
+    orders = _t(spark, sf_dir, "orders")
+    weekly = (
+        orders.groupBy("o_custkey", scalar.week_trunc("o_orderdate").alias("week_date"))
+        .agg(F.sum("o_totalprice").alias("weight"))
+    )
+    return (
+        weekly.filter(F.col("week_date") < F.lit("2000-01-01").cast("timestamp"))  # P2
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("weight"), 2).alias("weight"))
+    )
+
+
+# --------------------------------------------------------------- windows
+
+@register("w1_group_min_broadcast", oracle="""
+SELECT event_id, user_id,
+       MIN(ts) OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS first_trans
+FROM events
+""")
+def w1(spark, sf_dir):
+    """W1: per-(user, day) min timestamp broadcast to every row
+    (``square_ETL.py:182``)."""
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id", "user_id",
+        windows.group_min(F.col("ts"), ["user_id", F.to_date("ts")]).alias("first_trans"),
+    )
+
+
+@register("w2_group_count_filter", oracle="""
+SELECT o_orderkey, o_custkey, n_orders FROM (
+    SELECT o_orderkey, o_custkey,
+           COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+    FROM orders
+) WHERE n_orders > 5
+""")
+def w2(spark, sf_dir):
+    """W2+P3: history-length window count + threshold filter
+    (``arima_models.py:161-162``)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey", "o_custkey",
+            windows.group_count(["o_custkey"]).alias("n_orders"),
+        ).filter(F.col("n_orders") > 5)
+    )
+
+
+# ------------------------------------------------------ scalar operators
+
+@register("p2_comparison_filter", oracle="""
+SELECT l_orderkey, l_linenumber, l_shipdate
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+""")
+def p2(spark, sf_dir):
+    """P2: comparison filter (``arima_models.py:158``)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+    )
+
+
+@register("p6_fixed_tz_shift", oracle="""
+SELECT event_id, ts - INTERVAL 7 HOUR AS local_ts FROM events
+""")
+def p6(spark, sf_dir):
+    """P6: fixed −7h offset (``square_ETL.py:176``)."""
+    events = _t(spark, sf_dir, "events")
+    return events.select("event_id", scalar.shift_fixed_offset("ts").alias("local_ts"))
+
+
+@register("p7_date_time_extract", oracle="""
+SELECT event_id, strftime(ts, '%Y-%m-%d') AS d, strftime(ts, '%H:%M:%S') AS t
+FROM events
+""")
+def p7(spark, sf_dir):
+    """P7: date / time split (``square_ETL.py:177-178``). Both halves
+    are emitted as strings: Spark DATE and DuckDB DATE surface as
+    different pandas dtypes and would hash-mismatch in the driver."""
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+        scalar.extract_time("ts").alias("t"),
+    )
+
+
+@register("p8_weekday_monday0", oracle="""
+SELECT event_id, isodow(ts) - 1 AS dow FROM events
+""")
+def p8(spark, sf_dir):
+    """P8: pandas weekday convention Mon=0..Sun=6 (``square_ETL.py:181``)
+    — Spark ``weekday``, NOT ``dayofweek`` (Sun=1)."""
+    events = _t(spark, sf_dir, "events")
+    return events.select("event_id", scalar.day_of_week("ts").alias("dow"))
+
+
+@register("p9_market_classification", oracle="""
+WITH enriched AS (
+    SELECT event_id,
+           isodow(ts) - 1 AS dow,
+           strftime(MIN(ts) OVER (PARTITION BY user_id, CAST(ts AS DATE)),
+                    '%H:%M:%S') AS first_trans
+    FROM events
+)
+SELECT event_id,
+       CASE
+         WHEN dow = 6 AND first_trans > '07:00:00' THEN 'San Rafael Sunday'
+         WHEN dow = 6 AND first_trans < '07:00:00' THEN 'Alameda Antique Faire'
+         WHEN dow = 5 THEN 'Danville Farmers Market'
+         WHEN dow = 3 THEN 'San Rafael Thurs'
+         ELSE 'other'
+       END AS market
+FROM enriched
+""")
+def p9(spark, sf_dir):
+    """P9+W1+P8: the market-classification cascade with np.where
+    overwrite order and the 07:00:00-exact fallthrough
+    (``square_ETL.py:185-190``)."""
+    events = _t(spark, sf_dir, "events")
+    enriched = events.select(
+        "event_id",
+        scalar.day_of_week("ts").alias("dow"),
+        scalar.extract_time(
+            windows.group_min(F.col("ts"), ["user_id", F.to_date("ts")])
+        ).alias("first_trans"),
+    )
+    return enriched.select(
+        "event_id",
+        scalar.classify_market(F.col("dow"), F.col("first_trans")).alias("market"),
+    )
+
+
+@register("p10_arith_null_propagation", oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1 - l_discount AS DECIMAL(8,2)), 2) AS DOUBLE) AS net,
+       CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1 - NULLIF(l_discount, 0.0) AS DECIMAL(8,2)), 2)
+            AS DOUBLE) AS net_nullable
+FROM lineitem
+""")
+def p10(spark, sf_dir):
+    """P10+N3: column arithmetic with NULL propagation
+    (``shopify_ETL.py:151,160``); exact DECIMAL for the product."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    price = _dec(F.col("l_extendedprice"))
+    return lineitem.select(
+        "l_orderkey", "l_linenumber",
+        F.round(price * _dec(1 - F.col("l_discount"), 8), 2)
+        .cast("double").alias("net"),
+        F.round(price * _dec(1 - F.nullif("l_discount", F.lit(0.0)), 8), 2)
+        .cast("double").alias("net_nullable"),
+    )
+
+
+@register("p12_week_trunc", oracle="""
+SELECT DISTINCT date_trunc('week', l_shipdate) AS week_start FROM lineitem
+""")
+def p12(spark, sf_dir):
+    """P12: Monday-start week truncation (``arima_models.py:80``)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return lineitem.select(
+        scalar.week_trunc("l_shipdate").alias("week_start")
+    ).distinct()
+
+
+@register("p15_regexp_extract", oracle="""
+SELECT doc_id, regexp_extract(text, '([A-Za-z]+)', 1) AS first_word
+FROM documents
+""")
+def p15(spark, sf_dir):
+    """P15: regex extraction (``square_ETL.py:92`` batch-token analog)."""
+    documents = _t(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id", F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("first_word")
+    )
+
+
+# ---------------------------------------------------------------- set ops
+
+@register("u1_union_all", oracle="""
+SELECT c_custkey AS id, c_name AS name, 'customer' AS src FROM customer
+UNION ALL
+SELECT s_suppkey AS id, s_name AS name, 'supplier' AS src FROM supplier
+""")
+def u1(spark, sf_dir):
+    """U1: UNION ALL of identically-shaped branches
+    (``arima_models.py:126-137``)."""
+    customer, supplier = _t(spark, sf_dir, "customer", "supplier")
+    c = customer.select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name"),
+        F.lit("customer").alias("src"),
+    )
+    s = supplier.select(
+        F.col("s_suppkey").alias("id"), F.col("s_name").alias("name"),
+        F.lit("supplier").alias("src"),
+    )
+    return c.unionByName(s)
+
+
+@register("u5_distinct_sorted", oracle="""
+SELECT DISTINCT o_orderpriority FROM orders
+""")
+def u5(spark, sf_dir):
+    """U5: distinct key list (``arima_models.py:194``; order applied by
+    the consumer — the driver compare is order-insensitive)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select("o_orderpriority").distinct()
+
+
+@register("u6_cte_sql", oracle="""
+WITH spend AS (
+    SELECT o_custkey, SUM(o_totalprice) AS t
+    FROM orders GROUP BY o_custkey
+)
+SELECT c_mktsegment, ROUND(SUM(t), 2) AS total_spend
+FROM spend JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""")
+def u6(spark, sf_dir):
+    """U6: CTE / named subquery via the Spark SQL API
+    (``arima_models.py:77-120``)."""
+    register_testdata(spark, sf_dir)
+    return spark.sql("""
+        WITH spend AS (
+            SELECT o_custkey, SUM(o_totalprice) AS t
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c_mktsegment, ROUND(SUM(t), 2) AS total_spend
+        FROM spend JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """)
+
+
+# ------------------------------------------------- nested-data operators
+
+@register("n1_explode_array", oracle="""
+SELECT vec_id, ROUND(CAST(UNNEST(embedding) AS DOUBLE), 6) AS val
+FROM embeddings
+""")
+def n1(spark, sf_dir):
+    """N1: array → rows via built-in explode (``square_ETL.py:122-156``)."""
+    embeddings = _t(spark, sf_dir, "embeddings")
+    return (
+        embeddings.select("vec_id", F.explode("embedding").alias("e"))
+        .select("vec_id", F.round(F.col("e").cast("double"), 6).alias("val"))
+    )
+
+
+@register("n2_json_field_access", oracle="""
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+""")
+def n2(spark, sf_dir):
+    """N2: nested/semi-structured field access (``square_ETL.py:125``;
+    props is a JSON string column here)."""
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+@register("n4_array_filter", oracle="""
+SELECT vec_id, len(list_filter(embedding, x -> x > 0)) AS n_pos
+FROM embeddings
+""")
+def n4(spark, sf_dir):
+    """N4: array-of-element filter before use (``quickbooks_ETL.py:137``)."""
+    embeddings = _t(spark, sf_dir, "embeddings")
+    return embeddings.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+@register("n5_array_join", oracle="""
+SELECT doc_id, array_to_string(string_split(text, ' ')[1:3], ';') AS head3
+FROM documents
+""")
+def n5(spark, sf_dir):
+    """N5: join array elements to a delimited string
+    (``square_ETL.py:138``)."""
+    documents = _t(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 1, 3), ";").alias("head3"),
+    )
+
+
+@register("n6_units_normalization", oracle="""
+SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice / 100.0, 4) AS dollars
+FROM lineitem
+""")
+def n6(spark, sf_dir):
+    """N6: integer cents → dollars (``square_ETL.py:128``)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return lineitem.select(
+        "l_orderkey", "l_linenumber",
+        F.round(scalar.cents_to_dollars("l_extendedprice"), 4).alias("dollars"),
+    )
+
+
+# ---------------------------------------------- composite OLAP patterns
+
+@register("tpch_q1_pricing_summary", oracle="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(8,2))), 2) AS DOUBLE)
+           AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(8,2))
+                      * CAST(1 + l_tax AS DECIMAL(8,2))), 2) AS DOUBLE)
+           AS sum_charge,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 4) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 4) AS avg_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE)
+             / COUNT(*), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def tpch_q1(spark, sf_dir):
+    """TPC-H Q1 shape: the canonical multi-aggregate scan the engine's
+    A-family generalizes to. Money sums via exact DECIMAL; averages as
+    (exact decimal sum → double) / count so both engines divide the
+    same two numbers."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    price = _dec(F.col("l_extendedprice"))
+    one_minus_disc = _dec(1 - F.col("l_discount"), 8)
+    one_plus_tax = _dec(1 + F.col("l_tax"), 8)
+    n = F.count(F.lit(1))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(price * one_minus_disc), 2).cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum(price * one_minus_disc * one_plus_tax), 2).cast("double")
+            .alias("sum_charge"),
+            F.round(F.sum(_dec(F.col("l_quantity"))).cast("double") / n, 4)
+            .alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / n, 4).alias("avg_price"),
+            F.round(F.sum(_dec(F.col("l_discount"), 8)).cast("double") / n, 4)
+            .alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@register("topk_per_group", oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+) WHERE rn <= 3
+""")
+def topk(spark, sf_dir):
+    """Top-K per group via ranking window (deterministic tiebreak on the
+    key so both engines agree)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        ).filter(F.col("rn") <= 3)
+    )
+
+
+@register("sessionize_events", oracle="""
+WITH gaps AS (
+    SELECT event_id, user_id, ts,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+)
+SELECT event_id, user_id,
+       SUM(new_session) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+FROM gaps
+""")
+def sessionize(spark, sf_dir):
+    """Sessionization: lag-gap + running sum — the batch analog of
+    streaming session windows (engine extension; guide §Common OLAP)."""
+    events = _t(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w_lag = W.partitionBy("user_id").orderBy(*order)
+    w_run = w_lag.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = F.when(
+        F.col("ts").cast("long") - F.lag(F.col("ts")).over(w_lag).cast("long") > 1800,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        events.select("event_id", "user_id", "ts", gap.alias("new_session"))
+        .select(
+            "event_id", "user_id",
+            F.sum("new_session").over(w_run).alias("session_id"),
+        )
+    )
+
+
+@register("events_tumbling_window", oracle="""
+SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""")
+def tumbling(spark, sf_dir):
+    """30-minute tumbling event-time windows — batch twin of the
+    streaming intraday aggregation (README 'Quittin Time' use case)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n",
+                "total_value")
+    )
