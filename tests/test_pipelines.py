@@ -1,0 +1,171 @@
+"""Golden end-to-end ETL tests (SURVEY §5.2 layer 3).
+
+Fixture payloads → pipeline run → warehouse tables; asserts schemas,
+row counts (Σ line items), branch semantics (NULL tender/modifiers/
+shipping, pseudo-line filter), watermark commit, and the at-least-once
+duplicate behavior of a crash-rerun.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zolo_spark import schemas
+from zolo_spark.pipelines import (
+    qb_customers_etl, quickbooks_etl, shopify_etl, square_etl,
+)
+from zolo_spark.state import WatermarkStore
+from zolo_spark.warehouse import Warehouse
+
+from . import fixtures
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    w = Warehouse(spark, str(tmp_path / "wh"))
+    w.init()
+    return w
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return WatermarkStore(str(tmp_path / "config.yml"))
+
+
+def test_square_end_to_end(spark, wh, store):
+    payloads = fixtures.square_payments()
+    square_etl.run(spark, wh, store,
+                   lambda s, e: fixtures.square_fetcher(payloads))
+
+    details = wh.read("square_trans_details")
+    trans = wh.read("square_trans")
+
+    # explode row count = Σ itemizations
+    assert details.count() == sum(len(p["itemizations"]) for p in payloads)
+    # one header row per payment (group keys constant within payment)
+    assert trans.count() == len(payloads)
+    assert [f.name for f in trans.schema.fields] == \
+        [f.name for f in schemas.SQUARE_TRANS.fields]
+
+    # NULL-tender payments -> NULL cash fields
+    null_tender = {p["payment_id"] for p in payloads if p["tender"] is None}
+    got_null = {
+        r["payment_id"]
+        for r in trans.filter(F.col("tendered_cash").isNull()).collect()
+    }
+    assert got_null == null_tender
+
+    # whole-payment modifiers void when ANY itemization lacks modifiers
+    void = {p["payment_id"] for p in payloads
+            if any(i["modifiers"] is None for i in p["itemizations"])}
+    got_void = {
+        r["payment_id"]
+        for r in details.filter(F.col("modifiers").isNull()).collect()
+    }
+    assert got_void == void
+
+    # market classification present and within the closed label set
+    labels = {r["market"] for r in trans.select("market").distinct().collect()}
+    assert labels <= {"San Rafael Thurs", "Danville Farmers Market",
+                      "Alameda Antique Faire", "San Rafael Sunday", "other"}
+    # the fixtures include Sat-before-7, Sat-after-7 and Thursday rows
+    assert {"Alameda Antique Faire", "San Rafael Thurs"} <= labels
+
+    # watermark committed
+    assert store.get(square_etl.WATERMARK_KEY) != "1970-01-01T00:00:00"
+
+
+def test_square_at_least_once_rerun(spark, wh, store):
+    payloads = fixtures.square_payments(n=10)
+    fetcher = lambda s, e: fixtures.square_fetcher(payloads)  # noqa: E731
+    square_etl.run(spark, wh, store, fetcher)
+    n1 = wh.read("square_trans").count()
+    # crash-between-load-and-commit rerun == running the job again on
+    # the same window: appends duplicate (S10 at-least-once semantics)
+    square_etl.run(spark, wh, store, fetcher)
+    assert wh.read("square_trans").count() == 2 * n1
+
+
+def test_shopify_end_to_end(spark, wh, store):
+    payloads = fixtures.shopify_orders()
+    shopify_etl.run(
+        spark, wh, store,
+        lambda s, e: fixtures.count_page_fetchers(payloads, shopify_etl.PAGE_SIZE),
+    )
+    details = wh.read("shopify_trans_details")
+    trans = wh.read("shopify_trans")
+
+    assert details.count() == sum(len(p["line_items"]) for p in payloads)
+    assert trans.count() == len(payloads)
+
+    # empty shipping_lines -> NULL shipping_price -> NULL total_dollars
+    no_ship = {str(p["id"]) for p in payloads if not p["shipping_lines"]}
+    got = {r["order_id"] for r in
+           trans.filter(F.col("total_dollars").isNull()).collect()}
+    assert got == no_ship
+
+    # subtotal = Σ quantity*price per order (2-decimal exact)
+    p0 = payloads[0]
+    want = round(sum(int(i["quantity"]) * float(i["price"])
+                     for i in p0["line_items"]), 2)
+    got0 = trans.filter(F.col("order_id") == str(p0["id"])).first()["subtotal"]
+    assert round(got0, 2) == want
+
+
+def test_quickbooks_end_to_end(spark, wh, store):
+    payloads = fixtures.qb_invoices()
+    quickbooks_etl.run(
+        spark, wh, store,
+        lambda s, e: fixtures.start_position_fetchers(payloads, quickbooks_etl.PAGE_SIZE),
+    )
+    details = wh.read("qb_trans_details")
+    trans = wh.read("qb_trans")
+
+    # pseudo-lines (Id=None) filtered before explode (N4)
+    real_lines = sum(
+        len([ln for ln in p["Line"] if ln["Id"] is not None]) for p in payloads
+    )
+    assert details.count() == real_lines
+    assert trans.count() == len(payloads)
+
+    # absent Qty/UnitPrice -> NULL dollars (N3 propagation)
+    assert details.filter(
+        F.col("quantity").isNull() & F.col("dollars").isNull()
+    ).count() > 0
+
+
+def test_qb_customers_full_refresh(spark, wh, store):
+    payloads = fixtures.qb_customers()
+    qb_customers_etl.run(
+        spark, wh, store,
+        lambda: fixtures.start_position_fetchers(payloads, qb_customers_etl.PAGE_SIZE),
+    )
+    tbl = wh.read("qb_customers")
+    assert tbl.count() == len(payloads)
+    # S8 overwrite: a second run does NOT duplicate
+    qb_customers_etl.run(
+        spark, wh, store,
+        lambda: fixtures.start_position_fetchers(payloads, qb_customers_etl.PAGE_SIZE),
+    )
+    tbl = wh.read("qb_customers")  # re-read: overwrite replaced the files
+    assert tbl.count() == len(payloads)
+    row = tbl.filter(F.col("customer_id") == "cust_3").first()
+    assert row["city"] == "Oakland" and row["state"] == "CA"
+
+
+def test_pagination_shapes():
+    from zolo_spark.sources import paginate
+
+    # ceil semantics: 26 rows / page 25 -> 2 pages (reference round()
+    # bug would fetch 1)
+    payloads = list(range(26))
+    fc, fp = fixtures.start_position_fetchers(payloads, 25)
+    pages = list(paginate.paginate_start_position(fc, fp, 25))
+    assert [len(p) for p in pages] == [25, 1]
+
+    # batch-token regex (square_ETL.py:92)
+    assert paginate.extract_batch_token(
+        "<...?batch_token=abc123&begin_time=2024>"
+    ) == "abc123"
+    assert paginate.extract_batch_token(None) is None

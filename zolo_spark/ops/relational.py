@@ -38,30 +38,33 @@ def source_weekly(
     profiles: DataFrame,
     *,
     join_key: str,
-    item_key_details: str,
-    item_key_items,
+    item_key: str,
+    cast_item_key: bool = False,
     since: str,
 ) -> DataFrame:
     """One CTE of the weekly-demand query (``arima_models.py:77-91``):
     header ⟕ details on the transaction key (J1), ⟕ items on the
-    external product id (J2, with the reference's text cast P11),
-    inner-join to active profiles (J3), weekly bucket + weight derive.
+    external product id ``item_key`` (J2; ``cast_item_key`` applies the
+    reference's text cast P11 to the items-side id), inner-join to
+    active profiles (J3), weekly bucket + weight derive.
     """
-    active = profiles.filter(F.col("active") == 1)  # P4
+    active = profiles.filter(F.col("active") == 1).alias("prof")  # P4
+    det = details.alias("det")
+    it = items.alias("it")
+    items_key = F.col(f"it.{item_key}")
+    if cast_item_key:
+        items_key = items_key.cast("string")  # P11
     return (
-        header
+        header.alias("hdr")
         .filter(F.col("created_at") > F.lit(since))  # P4 pushdown
-        .join(details, join_key, "left")  # J1
-        .join(
-            F.broadcast(items),
-            details[item_key_details] == item_key_items,  # J2 (+P11 cast)
-            "left",
-        )
-        .join(F.broadcast(active), "profile_id", "inner")  # J3
+        .join(det, join_key, "left")  # J1
+        .join(F.broadcast(it), F.col(f"det.{item_key}") == items_key, "left")  # J2
+        .join(F.broadcast(active), F.col("it.profile_id") == F.col("prof.profile_id"),
+              "inner")  # J3
         .select(
-            F.col("profile_name"),
-            F.date_trunc("week", F.col("created_at")).alias("week_date"),  # P12
-            (F.col("weight") * F.col("quantity")).alias("total_weight"),  # P10
+            F.col("prof.profile_name").alias("profile_name"),
+            F.date_trunc("week", F.col("hdr.created_at")).alias("week_date"),  # P12
+            (F.col("it.weight") * F.col("det.quantity")).alias("total_weight"),  # P10
         )
     )
 
@@ -82,19 +85,16 @@ def weekly_demand(
     hard-coded ``'2017-10-1'`` — quirk register §2.10)."""
     sq = source_weekly(
         square_trans, square_trans_details, items, coffee_profiles,
-        join_key="payment_id", item_key_details="square_id",
-        item_key_items=F.col("square_id"), since=since,
+        join_key="payment_id", item_key="square_id", since=since,
     )
     sh = source_weekly(
         shopify_trans, shopify_trans_details, items, coffee_profiles,
-        join_key="order_id", item_key_details="shopify_id",
-        item_key_items=F.col("shopify_id").cast("string"),  # P11
+        join_key="order_id", item_key="shopify_id", cast_item_key=True,  # P11
         since=since,
     )
     qb = source_weekly(
         qb_trans, qb_trans_details, items, coffee_profiles,
-        join_key="payment_id", item_key_details="quickbooks_id",
-        item_key_items=F.col("quickbooks_id").cast("string"),  # P11
+        join_key="payment_id", item_key="quickbooks_id", cast_item_key=True,  # P11
         since=since,
     )
     return (

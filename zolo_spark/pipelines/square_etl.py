@@ -1,0 +1,119 @@
+"""Square payments ETL (reference ``bin/etl/square_ETL.py``).
+
+Raw payment payloads (nested: device struct, itemizations array,
+tender array) → ``square_trans_details`` + ``square_trans``.
+
+The pandas per-payment loop (``square_ETL.py:113-156``) becomes one
+lazy lineage: header projection → explode (N1) → scalar derives
+(P5-P9) → window (W1) → market classify (P9) → details projection
+(P1) + header aggregate (A1). Everything is JVM-side; no Python in
+the row path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import schemas
+from ..ops import nested, scalar, windows
+from ..sources.paginate import paginate_batch_token
+from ..state import WatermarkStore, extract_window
+from ..warehouse import Warehouse
+
+WATERMARK_KEY = "last_update_square"
+
+
+def extract(
+    spark: SparkSession,
+    fetch_page: Callable[[str | None], tuple[list, str | None]],
+) -> DataFrame:
+    """S1: paginated pull; pagination stays driver-side, payloads land
+    as an executor-side DataFrame with the explicit payload schema."""
+    payloads: list = []
+    for batch in paginate_batch_token(fetch_page):
+        payloads.extend(batch)
+    return spark.createDataFrame(payloads, schemas.RAW_SQUARE_PAYMENTS)
+
+
+def transform(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Payments → (square_trans_details, square_trans)."""
+    hdr = raw.select(
+        "payment_id",
+        scalar.shift_fixed_offset(scalar.parse_timestamp("created_at"))
+        .alias("created_at"),  # P5 + P6
+        F.col("device.name").alias("device_name"),  # N2
+        "itemizations",
+        # N2+N3: only tender[0] is inspected (quirk register); absent
+        # tender/fields => NULL, cents -> dollars (N6)
+        (F.try_element_at("tender", F.lit(1))["tendered_money"]["amount"] / 100.0)
+        .alias("tendered_cash"),
+        (F.try_element_at("tender", F.lit(1))["change_back_money"]["amount"] / 100.0)
+        .alias("returned_cash"),
+        # Reference quirk (square_ETL.py:137-140): the modifiers
+        # list-comp is wrapped in one try/except, so ANY itemization
+        # with NULL modifiers voids modifiers for the WHOLE payment.
+        F.exists("itemizations", lambda i: i["modifiers"].isNull())
+        .alias("mods_void"),
+    )
+
+    lines = nested.explode_line_items(
+        hdr, "itemizations",
+        ["payment_id", "created_at", "device_name",
+         "tendered_cash", "returned_cash", "mods_void"],
+    )  # N1
+
+    data = lines.select(
+        "payment_id", "created_at", "device_name",
+        "tendered_cash", "returned_cash",
+        F.col("item.quantity").alias("quantity"),
+        F.col("item.item_detail.item_variation_id").alias("square_id"),  # N2
+        (F.col("item.total_money.amount") / 100.0).alias("dollars"),  # N6
+        F.when(F.col("mods_void"), F.lit(None).cast("string"))
+        .otherwise(nested.join_names("item.modifiers")).alias("modifiers"),  # N5
+        F.col("item.item_variation_name").alias("variation_name"),
+    ).withColumns({
+        "date": scalar.extract_date("created_at"),  # P7
+        "time": scalar.extract_time("created_at"),
+        "DOW": scalar.day_of_week("created_at"),  # P8
+    }).withColumn(
+        "first_trans",
+        windows.group_min(F.col("time"), ["date", "device_name"]),  # W1
+    ).withColumn(
+        "market", scalar.classify_market(F.col("DOW"), F.col("first_trans"))  # P9
+    )
+
+    details = data.select(
+        "payment_id", "square_id",
+        F.col("quantity").cast("int").alias("quantity"),
+        "dollars", "modifiers", "variation_name",
+    )  # P1
+
+    trans = (
+        data.groupBy("payment_id", "created_at", "market")
+        .agg(
+            F.sum("dollars").alias("dollars"),
+            F.min("tendered_cash").alias("tendered_cash"),
+            F.min("returned_cash").alias("returned_cash"),
+        )  # A1
+        .select("payment_id", "created_at", "market",
+                "dollars", "tendered_cash", "returned_cash")
+    )
+    return details, trans
+
+
+def run(
+    spark: SparkSession,
+    warehouse: Warehouse,
+    store: WatermarkStore,
+    fetcher_factory: Callable[[str, str], Callable],
+) -> None:
+    """Full job (``square_ETL.py:40-56``): watermark window → extract →
+    transform → append loads → watermark commit (at-least-once)."""
+    start, end = extract_window(store, WATERMARK_KEY)
+    raw = extract(spark, fetcher_factory(start, end))
+    details, trans = transform(raw)
+    warehouse.append(details, "square_trans_details")  # S7
+    warehouse.append(trans, "square_trans")
+    store.commit(WATERMARK_KEY, end)  # S10

@@ -43,9 +43,29 @@ class Warehouse:
             self._write(empty, name, mode="overwrite")
 
     def read(self, table: str) -> DataFrame:
-        return self.spark.read.schema(schemas.WAREHOUSE_TABLES[table]).parquet(
-            self.path(table)
-        )
+        want = schemas.WAREHOUSE_TABLES[table]
+        df = self.spark.read.schema(want).parquet(self.path(table))
+        # hide the _dt partition-discovery column from consumers
+        return df.select([f.name for f in want.fields])
+
+    def read_between(self, table: str, start, end) -> DataFrame:
+        """Time-sliced read of a partitioned fact table. The predicate
+        is applied to the ``_dt`` partition column (directory pruning —
+        at 100 TB this is the difference between scanning a day and
+        scanning the table) AND to the row-level timestamp."""
+        want = schemas.WAREHOUSE_TABLES[table]
+        df = self.spark.read.schema(want).parquet(self.path(table))
+        part_col = _PARTITIONED.get(table)
+        if part_col is not None and "_dt" in df.columns:
+            df = df.filter(
+                (F.col("_dt") >= F.to_date(F.lit(start)))
+                & (F.col("_dt") <= F.to_date(F.lit(end)))
+            )
+        if part_col is not None:
+            df = df.filter(
+                (F.col(part_col) >= F.lit(start)) & (F.col(part_col) < F.lit(end))
+            )
+        return df.select([f.name for f in want.fields])
 
     def append(self, df: DataFrame, table: str) -> None:
         """S7: ``to_sql(..., if_exists='append')`` analog
