@@ -1,0 +1,137 @@
+"""Model-stage tests (SURVEY §5.2 layer 5): deterministic synthetic
+series with reproducible forecasts; schema + eligibility assertions.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from zolo_spark.models import grouped, harness, tsmodels
+
+
+# ------------------------------------------------------------ numpy layer
+
+def test_ses_recursion_exact():
+    y = np.array([10.0, 20.0, 30.0])
+    # l0=10; l1=.6*20+.4*10=16; l2=.6*30+.4*16=24.4
+    assert tsmodels.ses_forecast(y, 0.6) == pytest.approx(24.4)
+
+
+def test_ses_constant_series():
+    assert tsmodels.ses_forecast(np.full(20, 7.0), 0.6) == pytest.approx(7.0)
+
+
+def test_holt_linear_series_extrapolates():
+    y = np.arange(1.0, 21.0)  # perfect trend: next value is 21
+    assert tsmodels.holt_forecast(y) == pytest.approx(21.0, rel=1e-6)
+
+
+def test_arima_000_forecasts_mean():
+    y = np.array([4.0, 6.0, 4.0, 6.0, 4.0, 6.0, 4.0, 6.0])
+    pred, stderr = tsmodels.arima_forecast(y, (0, 0, 0))
+    assert pred == pytest.approx(5.0)
+    assert stderr == pytest.approx(1.0)
+
+
+def test_arima_010_random_walk():
+    y = np.cumsum(np.ones(12)) + 3  # +1 steps: forecast = last + mean diff
+    pred, _ = tsmodels.arima_forecast(y, (0, 1, 0))
+    assert pred == pytest.approx(y[-1] + 1.0)
+
+
+def test_arima_ar1_recovers_trendless_signal():
+    rng = np.random.default_rng(42)
+    y = np.zeros(200)
+    for i in range(1, 200):
+        y[i] = 0.8 * y[i - 1] + rng.normal(0, 0.1)
+    pred, stderr = tsmodels.arima_forecast(y, (1, 0, 0))
+    assert pred == pytest.approx(0.8 * y[-1], abs=0.15)
+    assert 0.05 < stderr < 0.2
+
+
+def test_arima_too_short_raises():
+    with pytest.raises(ValueError):
+        tsmodels.arima_forecast(np.array([1.0, 2.0]), (4, 1, 4))
+
+
+def test_walk_forward_split_75_25():
+    calls = []
+
+    def fn(h):
+        calls.append(len(h))
+        return h[-1]
+
+    y = np.arange(20.0)
+    mse = harness.walk_forward_mse(y, fn)
+    # split = int(20*0.75) = 15 -> 5 test points, history grows by 1
+    assert calls == [15, 16, 17, 18, 19]
+    assert mse == pytest.approx(1.0)  # naive forecast on +1 steps
+
+
+def test_grid_search_skips_failures_and_picks_best():
+    y = np.cumsum(np.ones(16))  # linear: d=1 models fit perfectly
+    cfg, mse = harness.arima_grid_search(y, range(0, 2), range(0, 2), range(0, 2))
+    assert cfg[1] == 1  # differencing wins on a trending series
+    assert mse < 1.0
+
+
+# ------------------------------------------------------- distributed layer
+
+@pytest.fixture(scope="module")
+def weekly(spark):
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    # 'steady' 30 weeks (eligible everywhere), 'short' 7 weeks
+    # (ARIMA-only: >5 but not >8/>10), plus a partial current week
+    for w in range(30):
+        rows.append(("steady", base + dt.timedelta(weeks=w), 100.0 + w))
+    for w in range(7):
+        rows.append(("short", base + dt.timedelta(weeks=w), 50.0))
+    rows.append(("steady", dt.datetime(2024, 9, 2), 1e6))  # partial week
+    return spark.createDataFrame(
+        rows, "profile_name string, week_date timestamp, weight double"
+    )
+
+
+FORECAST_START = dt.datetime(2024, 9, 1)
+
+
+def test_ses_job_schema_and_eligibility(spark, weekly):
+    out = grouped.ses_job(weekly, FORECAST_START)
+    rows = {r["profile_name"]: r for r in out.collect()}
+    assert set(rows) == {"steady"}  # 'short' fails >8 weeks
+    assert [f.name for f in out.schema.fields] == \
+        ["profile_name", "mse", "prediction", "forecast_start"]
+    r = rows["steady"]
+    assert r["forecast_start"] == FORECAST_START
+    # partial-week outlier excluded by P2: prediction stays near series
+    assert 100 <= r["prediction"] <= 140
+    assert r["mse"] > 0
+
+
+def test_holt_job_trend_following(spark, weekly):
+    out = grouped.holt_job(weekly, FORECAST_START)
+    r = {x["profile_name"]: x for x in out.collect()}["steady"]
+    # linear series 100..129 -> Holt extrapolates ~130
+    assert r["prediction"] == pytest.approx(130.0, abs=1.0)
+
+
+def test_arima_job_meta_schema(spark, weekly):
+    out = grouped.arima_job(
+        weekly, FORECAST_START, p_values=range(0, 2), q_values=range(0, 2)
+    )
+    rows = {r["profile_name"]: r for r in out.collect()}
+    # ARIMA threshold is >5 weeks: 'short' (7 weeks) is eligible too
+    assert set(rows) == {"steady", "short"}
+    assert [f.name for f in out.schema.fields] == [
+        "profile_name", "best_config", "mse", "prediction", "std_error",
+        "lower_bound", "upper_bound", "forecast_start",
+    ]
+    r = rows["steady"]
+    assert r["lower_bound"] <= r["prediction"] <= r["upper_bound"]
+    assert r["best_config"].startswith("(")
+    assert 120 <= r["prediction"] <= 140  # trending series, sane forecast

@@ -1,0 +1,132 @@
+"""Distributed per-key model fitting (M5-M6) via ``applyInPandas``.
+
+The reference loops over sorted distinct profiles on the driver
+(``arima_models.py:183-213``); here each product's series is fitted
+inside an Arrow grouped-map UDF so N products fit on N cores/executors.
+Output schemas match the model-output DDLs
+(``create_model_meta_table.py:19-29``, ``create_model_holt_table.py:19-25``).
+
+Pipeline shape per job (``arima_models.py:149-169``): filter the
+current partial week (P2) → eligibility threshold on history length
+(W2+P3; >5 ARIMA / >8 SES / >10 Holt weeks) → re-aggregate (A5) →
+groupBy(key).applyInPandas(fit).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..ops import windows
+from . import harness, tsmodels
+
+META_SCHEMA = (
+    "profile_name string, best_config string, mse double, "
+    "prediction double, std_error double"
+)
+HOLT_SCHEMA = "profile_name string, mse double, prediction double"
+
+
+def prepare_model_input(
+    weekly: DataFrame,
+    forecast_start: dt.datetime | str,
+    min_weeks: int,
+    key: str = "profile_name",
+) -> DataFrame:
+    """P2 + W2 + P3 + A5 (``arima_models.py:149-169``)."""
+    filtered = weekly.filter(F.col("week_date") < F.lit(forecast_start))  # P2
+    counted = filtered.withColumn(
+        "week_count", windows.group_count([key])  # W2
+    ).filter(F.col("week_count") > min_weeks)  # P3
+    return counted.groupBy(key, "week_date").agg(
+        F.sum("weight").alias("weight")  # A5 (helper col dropped — §2.10)
+    )
+
+
+def _series(pdf: pd.DataFrame) -> np.ndarray:
+    # U4 note: sort within the group, never globally
+    return pdf.sort_values("week_date")["weight"].to_numpy(dtype=float)
+
+
+def arima_job(
+    weekly: DataFrame,
+    forecast_start: dt.datetime | str,
+    min_weeks: int = 5,  # arima_models.py:162
+    p_values: range = range(0, 5),
+    d_values: range = range(0, 2),
+    q_values: range = range(0, 5),
+    key: str = "profile_name",
+) -> DataFrame:
+    """M4+M5+M6 → model_meta rows (``arima_models.py:172-220``)."""
+    model_input = prepare_model_input(weekly, forecast_start, min_weeks, key)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        y = _series(pdf)
+        name = pdf[key].iloc[0]
+        try:
+            best_cfg, mse = harness.arima_grid_search(y, p_values, d_values, q_values)
+            pred, stderr = tsmodels.arima_forecast(y, best_cfg)
+        except Exception:
+            return pd.DataFrame(
+                columns=["profile_name", "best_config", "mse",
+                         "prediction", "std_error"]
+            )
+        return pd.DataFrame([{
+            "profile_name": name,
+            "best_config": str(best_cfg),
+            "mse": mse,
+            "prediction": pred,
+            "std_error": stderr,
+        }])
+
+    meta = model_input.groupBy(key).applyInPandas(fit, schema=META_SCHEMA)
+    # M6: CI bounds (arima_models.py:216-217) + P13 literal
+    return meta.select(
+        "profile_name", "best_config", "mse", "prediction", "std_error",
+        (F.col("prediction") - 1.96 * F.col("std_error")).alias("lower_bound"),
+        (F.col("prediction") + 1.96 * F.col("std_error")).alias("upper_bound"),
+        F.lit(forecast_start).cast("timestamp").alias("forecast_start"),
+    )
+
+
+def _simple_job(
+    weekly: DataFrame,
+    forecast_start,
+    min_weeks: int,
+    forecast_fn,
+    key: str,
+) -> DataFrame:
+    model_input = prepare_model_input(weekly, forecast_start, min_weeks, key)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        y = _series(pdf)
+        mse = harness.walk_forward_mse(y, forecast_fn)
+        return pd.DataFrame([{
+            "profile_name": pdf[key].iloc[0],
+            "mse": mse,
+            "prediction": forecast_fn(y),
+        }])
+
+    out = model_input.groupBy(key).applyInPandas(fit, schema=HOLT_SCHEMA)
+    return out.select(
+        "profile_name", "mse", "prediction",
+        F.lit(forecast_start).cast("timestamp").alias("forecast_start"),  # P13
+    )
+
+
+def holt_job(weekly: DataFrame, forecast_start,
+             min_weeks: int = 10, key: str = "profile_name") -> DataFrame:
+    """M2+M5 → model_holt rows (``holt_model.py:176-199``; >10 weeks)."""
+    return _simple_job(weekly, forecast_start, min_weeks,
+                       tsmodels.holt_forecast, key)
+
+
+def ses_job(weekly: DataFrame, forecast_start,
+            min_weeks: int = 8, key: str = "profile_name") -> DataFrame:
+    """M3+M5 → model_simp_avg rows (``simp_avg_model.py:175-198``;
+    >8 weeks; fixed alpha=0.6 per ``lib.py:84``)."""
+    return _simple_job(weekly, forecast_start, min_weeks,
+                       lambda y: tsmodels.ses_forecast(y, 0.6), key)

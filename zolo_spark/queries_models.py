@@ -1,6 +1,107 @@
-"""Model-stage parity queries (SES/Holt/ARIMA via applyInPandas).
+"""Model-stage parity queries (SURVEY §2.8).
 
-Registered in build phase 4.
+``m_ses_fold`` carries a REAL DuckDB oracle: the SES recursion is a
+left fold, expressible relationally in both engines (sorted
+collect_list + ``aggregate`` in Spark, ``list(… ORDER BY …)`` +
+``list_reduce`` in DuckDB) — identical IEEE operation order, so the
+values hash-match bit-for-bit.
+
+The full ARIMA/Holt/SES jobs run the distributed ``applyInPandas``
+path; their outputs depend on the numpy fitting internals, which SQL
+cannot express, so the driver records the (weaker) rows-only check
+for them — the strong checks live in tests/test_models.py.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .models import grouped
+from .parity_queries import register
+from .warehouse import load_testdata
+
+_SES_LAMBDA = "(acc, x) -> 0.6*x + 0.4*acc"
+
+
+@register("m_ses_fixed_alpha_fold", oracle=f"""
+WITH weekly AS (
+    SELECT o_custkey, date_trunc('week', o_orderdate) AS week_date,
+           SUM(o_totalprice) AS weight
+    FROM orders GROUP BY 1, 2
+), series AS (
+    SELECT o_custkey, list(weight ORDER BY week_date) AS ys
+    FROM weekly GROUP BY o_custkey
+)
+SELECT o_custkey, ROUND(list_reduce(ys, {_SES_LAMBDA}), 4) AS ses_level
+FROM series WHERE len(ys) >= 2
+""")
+def m_ses_fold(spark, sf_dir):
+    """M3 core recursion (``lib.py:84-88``, fixed alpha=0.6) as a
+    relational fold — exact cross-engine oracle."""
+    orders = load_testdata(spark, sf_dir)["orders"]
+    weekly = (
+        orders.groupBy(
+            "o_custkey", F.date_trunc("week", "o_orderdate").alias("week_date")
+        ).agg(F.sum("o_totalprice").alias("weight"))
+    )
+    series = weekly.groupBy("o_custkey").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("week_date", "weight"))),
+            lambda s: s["weight"],
+        ).alias("ys")
+    )
+    return (
+        series.filter(F.size("ys") >= 2)
+        .select(
+            "o_custkey",
+            F.round(
+                F.expr(
+                    "aggregate(slice(ys, 2, size(ys)-1), "
+                    f"element_at(ys, 1), {_SES_LAMBDA})"
+                ),
+                4,
+            ).alias("ses_level"),
+        )
+    )
+
+
+def _weekly_brand_revenue(spark, sf_dir):
+    """Weekly revenue per part brand — the model jobs' input series
+    (25 brands ⇒ bounded fan-out at any tested SF)."""
+    t = load_testdata(spark, sf_dir)
+    lineitem, part = t["lineitem"], t["part"]
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("profile_name"),
+            F.date_trunc("week", "l_shipdate").alias("week_date"),
+        )
+        .agg(F.sum("l_extendedprice").alias("weight"))
+    )
+
+
+_FORECAST_START = "1999-01-01"
+
+
+@register("m_arima_weekly_forecast", oracle=None)  # rows-only: numpy fit
+def m_arima(spark, sf_dir):
+    """M1+M4+M5+M6: distributed ARIMA grid + forecast per brand
+    (grid reduced to p,q∈0..2 for gate runtime; full 0..4 default in
+    :func:`zolo_spark.models.grouped.arima_job`)."""
+    weekly = _weekly_brand_revenue(spark, sf_dir)
+    return grouped.arima_job(
+        weekly, _FORECAST_START,
+        p_values=range(0, 3), q_values=range(0, 3),
+    )
+
+
+@register("m_holt_weekly_forecast", oracle=None)  # rows-only: numpy fit
+def m_holt(spark, sf_dir):
+    """M2+M5: distributed Holt fit per brand (``holt_model.py``)."""
+    return grouped.holt_job(_weekly_brand_revenue(spark, sf_dir), _FORECAST_START)
+
+
+@register("m_ses_weekly_forecast", oracle=None)  # rows-only: numpy fit
+def m_ses(spark, sf_dir):
+    """M3+M5: distributed SES fit per brand (``simp_avg_model.py``)."""
+    return grouped.ses_job(_weekly_brand_revenue(spark, sf_dir), _FORECAST_START)
