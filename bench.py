@@ -35,9 +35,11 @@ def main() -> None:
     for name, spec in sorted(parity_queries.REGISTRY.items()):
         df = spec.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm (JIT, file listing)
+        spark.catalog.clearCache()  # warm run may have persisted intermediates
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({

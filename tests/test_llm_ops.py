@@ -1,0 +1,130 @@
+"""LLM-data operator tests with planted duplicates/neighbors —
+the testdata corpus has no exact dups, so behavior is exercised on
+synthetic docs/vectors where ground truth is known.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from zolo_spark.llm import dedup, multimodal, similarity, text
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near the river bend today"),  # near dup of 0
+    (3, "completely different content about spark query engines and columnar execution"),
+    (4, "THE QUICK BROWN FOX jumps over the lazy dog near the river bank today!"),  # case/punct dup of 0
+    (5, "short text"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_normalized(spark, docs):
+    out = dedup.exact_dedup(docs).collect()
+    groups = {r["keep_id"]: r["n_docs"] for r in out}
+    # 0,1,4 collapse (case/punct-insensitive); 2,3,5 stand alone
+    assert groups[0] == 3
+    assert groups[2] == 1 and groups[3] == 1 and groups[5] == 1
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = {(r["doc1"], r["doc2"]): r["jaccard"]
+             for r in dedup.minhash_lsh_dedup(docs).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # exact dup
+    assert (0, 2) in pairs and 0.7 <= pairs[(0, 2)] < 1.0  # near dup
+    assert all(3 not in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {(r["doc1"], r["doc2"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_exact_group(spark, docs):
+    out = {r["keep_id"]: r["n_docs"] for r in dedup.simhash_dedup(docs).collect()}
+    # simhash is case-sensitive on tokens; lowered tokens of 0,1 match;
+    # 4 differs only by trailing '!' token -> usually same signature too
+    assert out[0] >= 2
+
+
+def test_text_stats_fields(spark, docs):
+    row = {r["doc_id"]: r for r in text.text_stats(docs).collect()}
+    r0 = row[0]
+    assert r0["n_tokens_ws"] == 14
+    assert r0["fingerprint"] == row[1]["fingerprint"] == row[4]["fingerprint"]
+    assert r0["lang_guess"] == "en"
+    assert 0.0 <= r0["quality"] <= 1.0
+    assert row[5]["n_tokens_ws"] == 2
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(20, 16)).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    # 100: near-copy of vector 0 (tiny perturbation -> cosine ~0.999)
+    rows.append((100, (base[0] + 0.01 * rng.normal(size=16).astype("float32")).tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_near_dup_finds_planted_pair(spark, vectors):
+    pairs = {(r["id1"], r["id2"]) for r in
+             dedup.embedding_near_dup(vectors, threshold=0.95).collect()}
+    assert (0, 100) in pairs
+    assert len(pairs) == 1  # random vectors don't near-dup
+
+
+def test_brute_topk_exact(spark, vectors):
+    out = similarity.brute_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=3)
+    got = [(r["neighbor_id"], r["rank"]) for r in
+           out.orderBy("rank").collect()]
+    assert got[0] == (100, 1)  # planted near-copy is the top neighbor
+    assert len(got) == 3
+
+
+def test_ivf_matches_brute_top1(spark, vectors):
+    sample = np.stack(vectors.toPandas()["embedding"].to_numpy())
+    cents = similarity.train_centroids(sample, n_centroids=4)
+    index = similarity.ivf_index(vectors, cents)
+    out = similarity.ivf_topk(
+        index, vectors.filter(F.col("vec_id") == 0), cents, k=3, nprobe=2
+    ).orderBy("rank").collect()
+    # the near-identical vector lands in the same cell -> rank 1
+    assert out[0]["neighbor_id"] == 100
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthetic_media(spark, n=16)
+    feats = multimodal.extract_features(media, mode="fake")
+    rows = feats.collect()
+    assert len(rows) == 16
+    assert all(len(r["feat"]) == multimodal.N_FEATURES for r in rows)
+    # deterministic: same content -> same features across runs
+    again = {r["media_id"]: r["feat"] for r in
+             multimodal.extract_features(media, mode="fake").collect()}
+    assert all(again[r["media_id"]] == r["feat"] for r in rows)
+    # real mode fails loudly at the decode seam
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        multimodal.extract_features(media, mode="real").collect()
+
+
+def test_frame_sample(spark):
+    rows = [
+        (1, None, ("video/mp4", None, None, 3000)),
+        (2, None, ("image/png", 32, 32, None)),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.frame_sample(media, every_ms=1000).collect()
+    vid = sorted(r["frame_ms"] for r in out if r["media_id"] == 1)
+    img = [r["frame_ms"] for r in out if r["media_id"] == 2]
+    assert vid == [0, 1000, 2000, 3000]
+    assert img == [0]

@@ -1,0 +1,255 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale design (the point of these over naive pairwise):
+
+* Nothing ever joins on raw shingles without a document-frequency cap
+  — a hot shingle over N docs creates O(N²) candidate pairs.
+* MinHash narrows to LSH band-key collisions (band join keys are
+  md5 of ``r`` signature slots), then verifies candidates with exact
+  Jaccard — only candidate pairs pay the set-intersection cost.
+* Embedding near-dup buckets by coordinate-sign LSH before the
+  cosine check.
+* All hashes are md5-based strings: portable to the DuckDB oracle and
+  stable across engines/runs (no JVM hash seeds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import fingerprint
+
+N_MINHASH = 16
+BAND_SIZE = 4  # 4 bands x 4 rows
+
+
+def word_shingles(col, n: int = 3) -> Column:
+    """Distinct word n-grams of normalized text (positions where a
+    full n-gram fits; docs shorter than n words yield empty)."""
+    t = F.split(F.lower(col), " ")
+    idx = F.sequence(F.lit(0), F.size(t) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1)) for j in range(n)])
+    )
+    return F.when(F.size(t) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content fingerprint: one survivor (min id) per
+    fingerprint group, with the duplicate count."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 n: int = 3) -> DataFrame:
+    """(id, shingle) exploded distinct-shingle relation."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def minhash_signatures(shingles: DataFrame, k: int = N_MINHASH) -> DataFrame:
+    """MinHash signature per doc: slot i = lexicographic min of
+    ``md5(i || shingle)``. The md5-string min is a valid uniform
+    min-hash and is engine-portable (no murmur seeds)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.col("shingle")))).alias(f"sig{i}")
+        for i in range(k)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, k: int = N_MINHASH,
+                        band_size: int = BAND_SIZE) -> DataFrame:
+    """Docs colliding on ≥1 LSH band. Band key = md5(concat of the
+    band's signature slots); self-join on (band_id, key) with
+    doc1 < doc2; distinct pairs."""
+    bands = []
+    for b in range(0, k, band_size):
+        key = F.md5(F.concat(*[F.col(f"sig{i}") for i in range(b, b + band_size)]))
+        bands.append(F.struct(F.lit(b).alias("band_id"), key.alias("band_key")))
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*bands)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc1"), F.col("r.doc_id").alias("doc2"))
+        .distinct()
+    )
+
+
+def jaccard_verify(pairs: DataFrame, shingles: DataFrame,
+                   threshold: float = 0.7) -> DataFrame:
+    """Exact Jaccard on candidate pairs only: |A∩B| via shingle join,
+    |A∪B| = |A|+|B|-|A∩B|."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        pairs
+        .join(shingles.alias("s1"), F.col("doc1") == F.col("s1.doc_id"))
+        .join(
+            shingles.alias("s2"),
+            (F.col("doc2") == F.col("s2.doc_id"))
+            & (F.col("s1.shingle") == F.col("s2.shingle")),
+        )
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter
+        .join(sizes.alias("z1"), F.col("doc1") == F.col("z1.doc_id"))
+        .join(sizes.alias("z2"), F.col("doc2") == F.col("z2.doc_id"))
+        .select(
+            "doc1", "doc2",
+            F.round(
+                F.col("inter")
+                / (F.col("z1.sz") + F.col("z2.sz") - F.col("inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      threshold: float = 0.7) -> DataFrame:
+    """Full MinHash→LSH→verify near-dup pipeline.
+
+    The shingle relation feeds the signature build AND both sides of
+    the verification join; Spark replans common subtrees from scratch,
+    so it is persisted — at scale this is the materialized shingle
+    index every dedup pass reuses."""
+    sh = doc_shingles(df, text_col, id_col, n).persist()
+    pairs = lsh_candidate_pairs(minhash_signatures(sh))
+    return jaccard_verify(pairs, sh, threshold)
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 5,
+                        threshold: float = 0.5, max_df: int = 20) -> DataFrame:
+    """Inverted-index n-gram Jaccard: join docs through shared
+    shingles, capped at document frequency ≤ ``max_df`` (stop-shingle
+    removal — the O(N²) guard), then exact Jaccard."""
+    sh = doc_shingles(df, text_col, id_col, n).persist()
+    rare = (
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    sh_rare = sh.join(F.broadcast(rare), "shingle")
+    pairs = (
+        sh_rare.alias("a")
+        .join(
+            sh_rare.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    return jaccard_verify(pairs, sh, threshold)
+
+
+# ------------------------------------------------------------- simhash
+
+SIMHASH_BITS = 16  # 4 md5 hex chars; compact and oracle-portable
+
+
+def simhash(col, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over whitespace tokens: token hash = first 4 md5 hex
+    chars as int; signature bit b set iff Σ_tokens (±1 on bit b) > 0."""
+    t = F.split(F.lower(col), " ")
+    th = F.transform(
+        t, lambda x: F.conv(F.substring(F.md5(x), 1, 4), 16, 10).cast("long")
+    )
+    def _bit_contrib(b: int):
+        # 2-arg merge lambda (pyspark inspects arity; a default-arg
+        # third parameter would be misread as aggregate's finish fn)
+        def merge(acc, h):
+            return acc + (
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+            )
+        return F.aggregate(th, F.lit(0).cast("long"), merge)
+
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(_bit_contrib(b) > 0, F.lit(2**b)).otherwise(F.lit(0))
+    return sig
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Group docs by identical SimHash signature (Hamming distance 0;
+    near-dup banding over signature halves is the scale extension)."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), simhash(F.col(text_col)).alias("sig"))
+        .groupBy("sig")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ------------------------------------------- embedding cosine near-dup
+
+def sign_bucket(vec, dims: list[int]) -> Column:
+    """Coordinate-sign LSH key: concat of sign bits of the chosen
+    dims. Vectors within small angle agree on most coordinate signs."""
+    bits = [
+        F.when(F.element_at(vec, d + 1) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for d in dims
+    ]
+    return F.concat(*bits)
+
+
+def cosine(a, b) -> Column:
+    """Cosine in float64: widen BEFORE arithmetic (f32 accumulation
+    order is engine-specific; f64 over the same order is exact)."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(da, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(db, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def embedding_near_dup(df: DataFrame, vec_col: str = "embedding",
+                       id_col: str = "vec_id", threshold: float = 0.9,
+                       bucket_dims: tuple = (0, 1, 2, 3, 4, 5, 6, 7)) -> DataFrame:
+    """Near-dup vector pairs: sign-LSH bucket join then exact cosine.
+    Bucketing is recall<1 by design (the scale path); the brute-force
+    exact check lives in :mod:`zolo_spark.llm.similarity`."""
+    keyed = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
+        sign_bucket(F.col(vec_col), list(bucket_dims)).alias("bucket"),
+    )
+    return (
+        keyed.alias("a")
+        .join(
+            keyed.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("id1"), F.col("b.vid").alias("id2"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

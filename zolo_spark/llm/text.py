@@ -1,0 +1,122 @@
+"""Text-analysis operators: language ID, quality, tokens, fingerprint.
+
+All pure ``pyspark.sql.functions`` expressions — the hot path stays in
+whole-stage codegen; no Python touches a row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# BPE-ish pretokenizer: letter runs, digit runs, single non-space symbols
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# tiny per-language stopword panels for the n-gram/stopword heuristic;
+# scoring is array_contains-based so engines agree exactly
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "y", "los"],
+    "zh": ["de", "shi", "le"],
+}
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens of lowercased text."""
+    return F.split(F.lower(col), " ")
+
+
+def token_count_ws(col) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def token_count_bpe(col) -> Column:
+    """BPE-ish token count via the pretokenizer regex."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_REGEX), 0))
+
+
+def punct_ratio(col) -> Column:
+    """Punctuation chars / total chars (0 for empty text)."""
+    n_punct = F.size(F.regexp_extract_all(col, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    return n_punct / F.greatest(F.length(col), F.lit(1))
+
+
+def stopword_ratio(col, stopwords: list[str] | None = None) -> Column:
+    """English-stopword tokens / total tokens."""
+    sw = stopwords or ["the", "a", "and", "of", "to", "in", "is"]
+    t = tokens(col)
+    hits = F.size(F.filter(t, lambda x: x.isin(*sw)))
+    return hits / F.greatest(F.size(t), F.lit(1))
+
+
+def mean_token_len(col) -> Column:
+    t = tokens(col)
+    return F.aggregate(
+        t, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
+    ) / F.greatest(F.size(t), F.lit(1))
+
+
+def quality_score(col) -> Column:
+    """Composite heuristic quality in [0,1]: long enough, low punct,
+    sane stopword density. Weights are engine policy, not learned."""
+    length_ok = F.least(F.length(col).cast("double") / 200.0, F.lit(1.0))
+    low_punct = 1.0 - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
+    sw = stopword_ratio(col)
+    sw_ok = F.when((sw >= 0.05) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.3))
+    return F.round(0.4 * length_ok + 0.3 * low_punct + 0.3 * sw_ok, 4)
+
+
+def lang_scores(col) -> list[tuple[str, Column]]:
+    t = tokens(col)
+    out = []
+    for lang, words in LANG_STOPWORDS.items():
+        score = sum(
+            (F.array_contains(t, w).cast("int") for w in words), F.lit(0)
+        )
+        out.append((lang, score))
+    return out
+
+
+def lang_id(col) -> Column:
+    """Stopword-panel language guess; deterministic first-wins tie
+    order (the dict order of LANG_STOPWORDS)."""
+    scores = lang_scores(col)
+    best_score = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    for lang, score in reversed(scores):
+        expr = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalized(col) -> Column:
+    """Normalization for fingerprinting: lowercase, strip non-alnum
+    (keeping spaces), collapse whitespace."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def fingerprint(col) -> Column:
+    """Content fingerprint: md5 of normalized text (rolling-hash role;
+    md5 keeps it portable to the oracle engine)."""
+    return F.md5(normalized(col))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass document statistics table."""
+    c = F.col(text_col)
+    return df.select(
+        id_col,
+        F.length(c).alias("n_chars"),
+        token_count_ws(c).alias("n_tokens_ws"),
+        token_count_bpe(c).alias("n_tokens_bpe"),
+        F.round(punct_ratio(c), 4).alias("punct_ratio"),
+        F.round(stopword_ratio(c), 4).alias("stopword_ratio"),
+        F.round(mean_token_len(c), 4).alias("mean_token_len"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_guess"),
+        fingerprint(c).alias("fingerprint"),
+    )

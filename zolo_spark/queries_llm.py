@@ -1,6 +1,320 @@
-"""Beyond-parity LLM-data-pipeline queries (dedup, similarity, text).
+"""Beyond-parity LLM-data-pipeline queries (dedup, similarity, text,
+multimodal) over the ``documents`` / ``embeddings`` test tables.
 
-Registered in build phase 5.
+Every SQL-expressible operator carries a full DuckDB oracle built on
+the same portable primitives (md5 hashes, hex→int casts, list
+zip/transform/reduce folds, regexp_extract_all) so the driver's value
+hash matches bit-for-bit. The pandas-UDF-backed operators (IVF
+centroids, multimodal decode) are rows-only by necessity.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .llm import dedup, multimodal, similarity, text
+from .parity_queries import register
+from .warehouse import load_testdata
+
+# Shared SQL fragments -----------------------------------------------------
+
+_TOKENS = "string_split(lower(text), ' ')"
+_SHINGLES3 = f"""
+CASE WHEN len({_TOKENS}) >= 3 THEN
+  list_distinct(list_transform(range(1, len({_TOKENS}) - 1),
+    i -> {_TOKENS}[i] || ' ' || {_TOKENS}[i+1] || ' ' || {_TOKENS}[i+2]))
+ELSE [] END
+"""
+_SHINGLES5 = f"""
+CASE WHEN len({_TOKENS}) >= 5 THEN
+  list_distinct(list_transform(range(1, len({_TOKENS}) - 3),
+    i -> {_TOKENS}[i] || ' ' || {_TOKENS}[i+1] || ' ' || {_TOKENS}[i+2]
+         || ' ' || {_TOKENS}[i+3] || ' ' || {_TOKENS}[i+4]))
+ELSE [] END
+"""
+_NORMALIZED = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+_DOT64 = (
+    "list_reduce(list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]),"
+    " x -> x[1] * x[2]), (p, q) -> p + q)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _DOT64.format(a=a, b=b)
+    na = f"sqrt({_DOT64.format(a=a, b=a)})"
+    nb = f"sqrt({_DOT64.format(a=b, b=b)})"
+    return f"({dot}) / (({na}) * ({nb}))"
+
+
+def _t(spark, sf_dir, name):
+    return load_testdata(spark, sf_dir)[name]
+
+
+# ------------------------------------------------------------- text ops
+
+_SW = "['the', 'a', 'and', 'of', 'to', 'in', 'is']"
+_LANG_CASE = """
+CASE
+  WHEN s_en >= greatest(s_en, s_de, s_fr, s_es, s_zh) AND
+       greatest(s_en, s_de, s_fr, s_es, s_zh) > 0 THEN 'en'
+  WHEN s_de >= greatest(s_de, s_fr, s_es, s_zh) AND s_de > 0 THEN 'de'
+  WHEN s_fr >= greatest(s_fr, s_es, s_zh) AND s_fr > 0 THEN 'fr'
+  WHEN s_es >= greatest(s_es, s_zh) AND s_es > 0 THEN 'es'
+  WHEN s_zh > 0 THEN 'zh'
+  ELSE 'und'
+END
+"""
+
+
+@register("llm_text_stats", oracle=f"""
+WITH base AS (
+    SELECT doc_id, text, {_TOKENS} AS t,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
+           len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+    FROM documents
+), scored AS (
+    SELECT doc_id, text, t, n_bpe,
+           n_punct / greatest(length(text), 1) AS praw,
+           len(list_filter(t, x -> list_contains({_SW}, x)))
+               / greatest(len(t), 1) AS swraw,
+           list_sum(list_transform(t, x -> length(x)::DOUBLE))
+               / greatest(len(t), 1) AS mtl,
+           (list_contains(t,'the')::INT + list_contains(t,'and')::INT
+            + list_contains(t,'of')::INT) AS s_en,
+           (list_contains(t,'der')::INT + list_contains(t,'und')::INT
+            + list_contains(t,'die')::INT) AS s_de,
+           (list_contains(t,'le')::INT + list_contains(t,'et')::INT
+            + list_contains(t,'les')::INT) AS s_fr,
+           (list_contains(t,'el')::INT + list_contains(t,'y')::INT
+            + list_contains(t,'los')::INT) AS s_es,
+           (list_contains(t,'de')::INT + list_contains(t,'shi')::INT
+            + list_contains(t,'le')::INT) AS s_zh
+    FROM base
+)
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(t) AS n_tokens_ws,
+       n_bpe AS n_tokens_bpe,
+       round(praw, 4) AS punct_ratio,
+       round(swraw, 4) AS stopword_ratio,
+       round(mtl, 4) AS mean_token_len,
+       round(0.4 * least(length(text)::DOUBLE / 200.0, 1.0)
+             + 0.3 * (1.0 - least(praw * 5.0, 1.0))
+             + 0.3 * (CASE WHEN swraw >= 0.05 AND swraw <= 0.6
+                           THEN 1.0 ELSE 0.3 END), 4) AS quality,
+       {_LANG_CASE} AS lang_guess,
+       md5({_NORMALIZED}) AS fingerprint
+FROM scored
+""")
+def llm_text_stats(spark, sf_dir):
+    """Language-ID, quality, token counts, fingerprint — one pass,
+    pure built-in expressions (no UDF)."""
+    return text.text_stats(_t(spark, sf_dir, "documents"))
+
+
+@register("llm_exact_dedup", oracle=f"""
+SELECT md5({_NORMALIZED}) AS fp,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+""")
+def llm_exact_dedup(spark, sf_dir):
+    """Exact dedup by normalized-content fingerprint."""
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------ minhash/LSH
+
+_SIG_COLS = ",\n".join(
+    f"min(md5('{i}' || shingle)) AS sig{i}" for i in range(dedup.N_MINHASH)
+)
+_BAND_KEYS = ", ".join(
+    "md5(" + " || ".join(f"sig{i}" for i in range(b, b + dedup.BAND_SIZE)) + ")"
+    for b in range(0, dedup.N_MINHASH, dedup.BAND_SIZE)
+)
+
+_MINHASH_CTE = f"""
+shingled AS (
+    SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM documents
+), sigs AS (
+    SELECT doc_id, {_SIG_COLS}
+    FROM shingled GROUP BY doc_id
+)
+"""
+
+
+@register("llm_minhash_signatures", oracle=f"""
+WITH {_MINHASH_CTE}
+SELECT doc_id, sig0, sig5, sig15 FROM sigs
+""")
+def llm_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (16 portable md5 min-hashes per doc);
+    spot-check slots 0/5/15 against the oracle."""
+    sh = dedup.doc_shingles(_t(spark, sf_dir, "documents"))
+    return dedup.minhash_signatures(sh).select("doc_id", "sig0", "sig5", "sig15")
+
+
+@register("llm_minhash_lsh_dedup", oracle=f"""
+WITH {_MINHASH_CTE}
+, banded AS (
+    SELECT doc_id, unnest([{_BAND_KEYS}]) AS band_key,
+           unnest([0, 1, 2, 3]) AS band_id
+    FROM sigs
+), cand AS (
+    SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+    FROM banded l JOIN banded r
+      ON l.band_id = r.band_id AND l.band_key = r.band_key
+     AND l.doc_id < r.doc_id
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM shingled GROUP BY doc_id
+), inter AS (
+    SELECT c.doc1, c.doc2, COUNT(*) AS i
+    FROM cand c
+    JOIN shingled s1 ON s1.doc_id = c.doc1
+    JOIN shingled s2 ON s2.doc_id = c.doc2 AND s2.shingle = s1.shingle
+    GROUP BY c.doc1, c.doc2
+)
+SELECT doc1, doc2,
+       round(i / (z1.sz + z2.sz - i)::DOUBLE, 4) AS jaccard
+FROM inter
+JOIN sizes z1 ON z1.doc_id = doc1
+JOIN sizes z2 ON z2.doc_id = doc2
+WHERE round(i / (z1.sz + z2.sz - i)::DOUBLE, 4) >= 0.7
+""")
+def llm_minhash_lsh_dedup(spark, sf_dir):
+    """MinHash → 4×4 LSH bands → exact-Jaccard verification ≥ 0.7."""
+    return dedup.minhash_lsh_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register("llm_ngram_jaccard_pairs", oracle=f"""
+WITH shingled AS (
+    SELECT doc_id, unnest({_SHINGLES5}) AS shingle FROM documents
+), rare AS (
+    SELECT shingle FROM shingled GROUP BY shingle HAVING COUNT(*) <= 20
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+    FROM shingled a
+    JOIN rare USING (shingle)
+    JOIN shingled b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM shingled GROUP BY doc_id
+), inter AS (
+    SELECT c.doc1, c.doc2, COUNT(*) AS i
+    FROM cand c
+    JOIN shingled s1 ON s1.doc_id = c.doc1
+    JOIN shingled s2 ON s2.doc_id = c.doc2 AND s2.shingle = s1.shingle
+    GROUP BY c.doc1, c.doc2
+)
+SELECT doc1, doc2,
+       round(i / (z1.sz + z2.sz - i)::DOUBLE, 4) AS jaccard
+FROM inter
+JOIN sizes z1 ON z1.doc_id = doc1
+JOIN sizes z2 ON z2.doc_id = doc2
+WHERE round(i / (z1.sz + z2.sz - i)::DOUBLE, 4) >= 0.5
+""")
+def llm_ngram_jaccard(spark, sf_dir):
+    """5-gram Jaccard pairs through a df≤20-capped inverted index."""
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+_SIMHASH_BITS_SQL = " + ".join(
+    f"""(CASE WHEN list_sum(list_transform(th,
+        h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        THEN {2**b} ELSE 0 END)"""
+    for b in range(dedup.SIMHASH_BITS)
+)
+
+
+@register("llm_simhash_dedup", oracle=f"""
+WITH hashed AS (
+    SELECT doc_id,
+           list_transform({_TOKENS},
+             x -> ('0x' || substr(md5(x), 1, 4))::BIGINT) AS th
+    FROM documents
+), sigs AS (
+    SELECT doc_id, {_SIMHASH_BITS_SQL} AS sig FROM hashed
+)
+SELECT sig, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+FROM sigs GROUP BY sig
+""")
+def llm_simhash_dedup(spark, sf_dir):
+    """SimHash-16 signatures grouped at Hamming distance 0."""
+    return dedup.simhash_dedup(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------- embedding similarity
+
+_BUCKET_SQL = " || ".join(
+    f"(CASE WHEN embedding[{d + 1}] > 0 THEN '1' ELSE '0' END)"
+    for d in range(8)
+)
+
+
+@register("llm_embedding_near_dup", oracle=f"""
+WITH keyed AS (
+    SELECT vec_id AS vid, embedding AS v, {_BUCKET_SQL} AS bucket
+    FROM embeddings
+)
+SELECT a.vid AS id1, b.vid AS id2,
+       round({_cos_sql('a.v', 'b.v')}, 4) AS cos
+FROM keyed a JOIN keyed b
+  ON a.bucket = b.bucket AND a.vid < b.vid
+WHERE round({_cos_sql('a.v', 'b.v')}, 4) >= 0.9
+""")
+def llm_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via coordinate-sign LSH
+    buckets (8 sign bits) + exact f64 cosine ≥ 0.9."""
+    return dedup.embedding_near_dup(_t(spark, sf_dir, "embeddings"))
+
+
+@register("llm_sim_topk_cosine", oracle=f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+), scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round({_cos_sql('q.qv', 'e.embedding')}, 4) AS cos
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 10
+""")
+def llm_sim_topk(spark, sf_dir):
+    """Brute-force exact cosine top-10 for 5 query vectors — the ANN
+    correctness baseline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_topk(emb, emb.filter(F.col("vec_id") < 5))
+
+
+@register("llm_sim_ivf_topk", oracle=None)  # rows-only: pandas-UDF centroids
+def llm_sim_ivf(spark, sf_dir):
+    """IVF-flat approximate top-k: deterministic k-means centroids,
+    nprobe=3 of 8 cells (the 100 TB path — probes prune partitions)."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sample = np.stack(
+        emb.limit(2000).toPandas()["embedding"].to_numpy()
+    )
+    cents = similarity.train_centroids(sample, n_centroids=8)
+    index = similarity.ivf_index(emb, cents)
+    return similarity.ivf_topk(index, emb.filter(F.col("vec_id") < 5), cents)
+
+
+# ------------------------------------------------------------- multimodal
+
+@register("llm_multimodal_features", oracle=None)  # rows-only: stubbed decode
+def llm_multimodal(spark, sf_dir):
+    """Binary media column → Arrow-batched decode/feature plumbing
+    (deterministic fake decode; real codec slot documented)."""
+    media = multimodal.synthetic_media(spark, n=64)
+    feats = multimodal.extract_features(media, mode="fake")
+    return feats.select(
+        "media_id", "mime", "n_bytes", "sha",
+        F.round(F.element_at("feat", 1).cast("double"), 6).alias("f0"),
+    )
