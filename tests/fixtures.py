@@ -161,3 +161,13 @@ def start_position_fetchers(payloads: list[dict], page_size: int):
     def fetch_page(start_pos: int) -> list:
         return payloads[start_pos - 1: start_pos - 1 + page_size]
     return fetch_count, fetch_page
+
+
+def gen_page_fetcher(page: int, page_size: int) -> list[dict]:
+    """Executor-side fetcher for the paged_api DataSource tests:
+    deterministic synthetic 'API rows' derived from the page number."""
+    first = (page - 1) * page_size
+    return [
+        {"id": first + i, "name": f"row_{first + i}", "value": float((first + i) % 97)}
+        for i in range(page_size)
+    ]

@@ -1,0 +1,99 @@
+"""Streaming extension tests: the streaming windowed aggregation must
+equal the identical batch aggregation over the same files (the batch
+query IS the oracle), plus watermark/late-data and forecast checks.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from zolo_spark.streaming import intraday
+from zolo_spark.warehouse import load_testdata
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    """Events rows re-written as several parquet files so the file
+    stream sees multiple micro-batches (ts re-encoded to micros —
+    the raw testdata file is TIMESTAMP(NANOS) which streaming readers
+    reject the same way batch does)."""
+    out = str(tmp_path / "events_stream")
+    load_testdata(spark, SF_DIR)["events"].repartition(4).write.parquet(out)
+    return out
+
+
+def test_streaming_equals_batch(spark, events_dir):
+    stream = intraday.read_events_stream(spark, events_dir)
+    assert stream.isStreaming
+    q = intraday.run_to_memory(spark, stream, name="intraday_t1")
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT window_start, event_type, n_events, total_value "
+            "FROM intraday_t1"
+        ).collect()
+    finally:
+        q.stop()
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "30 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "total_value")
+    ).collect()
+
+    key = lambda r: (r["window_start"], r["event_type"])  # noqa: E731
+    got_m = {key(r): (r["n_events"], r["total_value"]) for r in got}
+    want_m = {key(r): (r["n_events"], r["total_value"]) for r in batch}
+    assert got_m == want_m
+
+
+def test_append_mode_checkpointed_sink(spark, events_dir, tmp_path):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = intraday.read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    q = intraday.run_to_parquet(spark, stream, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    closed = spark.read.parquet(out)
+    # append mode emits only watermark-closed windows; the final open
+    # windows stay in state, so closed ⊂ batch windows
+    assert closed.count() > 0
+    assert closed.select("event_type").distinct().count() >= 3
+
+    # restart from the checkpoint with no new files -> no duplicates
+    n1 = closed.count()
+    stream2 = intraday.read_events_stream(spark, events_dir)
+    q2 = intraday.run_to_parquet(spark, stream2, out, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert spark.read.parquet(out).count() == n1
+
+
+def test_quittin_time_forecast(spark, events_dir):
+    windows = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
+        .agg(F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "total_value")
+    )
+    out = {r["event_type"]: r["next_window_forecast"]
+           for r in intraday.quittin_time_forecast(spark, windows).collect()}
+    assert len(out) >= 3
+    totals = windows.groupBy("event_type").agg(
+        F.min("total_value").alias("lo"), F.max("total_value").alias("hi")
+    ).collect()
+    bounds = {r["event_type"]: (r["lo"], r["hi"]) for r in totals}
+    for k, v in out.items():
+        lo, hi = bounds[k]
+        assert lo <= v <= hi  # SES forecast is a convex combination
