@@ -24,10 +24,9 @@ N_MINHASH = 16
 BAND_SIZE = 4  # 4 bands x 4 rows
 
 
-def word_shingles(col, n: int = 3) -> Column:
-    """Distinct word n-grams of normalized text (positions where a
-    full n-gram fits; docs shorter than n words yield empty)."""
-    t = F.split(F.lower(col), " ")
+def shingles_from_tokens(t, n: int = 3) -> Column:
+    """Distinct word n-grams from a token-array column (positions
+    where a full n-gram fits; shorter docs yield empty)."""
     idx = F.sequence(F.lit(0), F.size(t) - n)
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1)) for j in range(n)])
@@ -35,6 +34,13 @@ def word_shingles(col, n: int = 3) -> Column:
     return F.when(F.size(t) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_shingles(col, n: int = 3) -> Column:
+    """Single-expression form; prefer :func:`doc_shingles`, which
+    projects the token array first — inlined here, the regex split
+    re-runs inside every per-gram lambda element."""
+    return shingles_from_tokens(F.split(F.lower(col), " "), n)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -49,10 +55,15 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                  n: int = 3) -> DataFrame:
-    """(id, shingle) exploded distinct-shingle relation."""
-    return df.select(
+    """(id, shingle) exploded distinct-shingle relation. Tokenization
+    is its own projection step so the split runs once per doc, not
+    once per gram."""
+    tokens = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+        F.split(F.lower(F.col(text_col)), " ").alias("t"),
+    )
+    return tokens.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("t"), n)).alias("shingle")
     )
 
 
@@ -170,13 +181,19 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 SIMHASH_BITS = 16  # 4 md5 hex chars; compact and oracle-portable
 
 
-def simhash(col, bits: int = SIMHASH_BITS) -> Column:
-    """SimHash over whitespace tokens: token hash = first 4 md5 hex
-    chars as int; signature bit b set iff Σ_tokens (±1 on bit b) > 0."""
+def token_hashes(col) -> Column:
+    """Per-token 16-bit hashes (first 4 md5 hex chars as int)."""
     t = F.split(F.lower(col), " ")
-    th = F.transform(
+    return F.transform(
         t, lambda x: F.conv(F.substring(F.md5(x), 1, 4), 16, 10).cast("long")
     )
+
+
+def simhash_from_hashes(th, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash signature from a precomputed token-hash array: bit b is
+    set iff Σ_tokens (±1 on bit b) > 0. Taking the hash array as input
+    lets callers materialize it once — the 16 bit-folds would
+    otherwise each recompute the md5 transform."""
     def _bit_contrib(b: int):
         # 2-arg merge lambda (pyspark inspects arity; a default-arg
         # third parameter would be misread as aggregate's finish fn)
@@ -193,12 +210,22 @@ def simhash(col, bits: int = SIMHASH_BITS) -> Column:
     return sig
 
 
+def simhash(col, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over whitespace tokens (single-expression form)."""
+    return simhash_from_hashes(token_hashes(col), bits)
+
+
 def simhash_dedup(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Group docs by identical SimHash signature (Hamming distance 0;
-    near-dup banding over signature halves is the scale extension)."""
+    near-dup banding over signature halves is the scale extension).
+    Token hashes are projected in their own step so the md5 transform
+    runs once, not once per bit-fold."""
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"), token_hashes(F.col(text_col)).alias("th")
+    )
     return (
-        df.select(F.col(id_col).alias("doc_id"), simhash(F.col(text_col)).alias("sig"))
+        hashed.select("doc_id", simhash_from_hashes(F.col("th")).alias("sig"))
         .groupBy("sig")
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
     )

@@ -18,7 +18,7 @@ import datetime as dt
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..ops import windows
 from . import harness, tsmodels
@@ -60,29 +60,55 @@ def arima_job(
     q_values: range = range(0, 5),
     key: str = "profile_name",
 ) -> DataFrame:
-    """M4+M5+M6 → model_meta rows (``arima_models.py:172-220``)."""
+    """M4+M5+M6 → model_meta rows (``arima_models.py:172-220``).
+
+    The grid search is parallelized as extra group keys (SURVEY M4
+    note): each (key, p, d, q) cell walk-forward-evaluates and fits
+    independently, so parallelism is #keys × #orders instead of #keys
+    — on a wide cluster the grid costs one cell's wall time. The best
+    cell per key is then picked relationally (min MSE; ties break to
+    the first order in grid sequence, matching the reference's
+    strictly-better update loop)."""
     model_input = prepare_model_input(weekly, forecast_start, min_weeks, key)
 
-    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+    spark = weekly.sparkSession
+    grid = spark.createDataFrame(
+        [(p, d, q) for p in p_values for d in d_values for q in q_values],
+        "p int, d int, q int",
+    )
+    cells = model_input.join(F.broadcast(grid))
+
+    def fit_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         y = _series(pdf)
-        name = pdf[key].iloc[0]
+        order = (int(pdf["p"].iloc[0]), int(pdf["d"].iloc[0]), int(pdf["q"].iloc[0]))
         try:
-            best_cfg, mse = harness.arima_grid_search(y, p_values, d_values, q_values)
-            pred, stderr = tsmodels.arima_forecast(y, best_cfg)
-        except Exception:
-            return pd.DataFrame(
-                columns=["profile_name", "best_config", "mse",
-                         "prediction", "std_error"]
+            mse = harness.walk_forward_mse(
+                y, lambda h: tsmodels.arima_forecast(h, order)[0]
             )
+            pred, stderr = tsmodels.arima_forecast(y, order)
+        except Exception:
+            # non-converging order: skipped, like lib.py:129-130
+            return pd.DataFrame(columns=[
+                "profile_name", "best_config", "mse", "prediction",
+                "std_error", "p", "d", "q",
+            ])
         return pd.DataFrame([{
-            "profile_name": name,
-            "best_config": str(best_cfg),
+            "profile_name": pdf[key].iloc[0],
+            "best_config": str(order),
             "mse": mse,
             "prediction": pred,
             "std_error": stderr,
+            "p": order[0], "d": order[1], "q": order[2],
         }])
 
-    meta = model_input.groupBy(key).applyInPandas(fit, schema=META_SCHEMA)
+    per_cell = cells.groupBy(key, "p", "d", "q").applyInPandas(
+        fit_cell, schema=META_SCHEMA + ", p int, d int, q int"
+    )
+    w = Window.partitionBy(key).orderBy("mse", "p", "d", "q")
+    meta = (
+        per_cell.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
     # M6: CI bounds (arima_models.py:216-217) + P13 literal
     return meta.select(
         "profile_name", "best_config", "mse", "prediction", "std_error",

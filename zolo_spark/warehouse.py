@@ -88,20 +88,55 @@ class Warehouse:
         writer.parquet(self.path(table))
 
 
+TESTDATA_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# (sf_dir, table) -> DataFrame. A DataFrame is just a plan; caching it
+# avoids re-reading parquet footers for every one of the ~45 registered
+# queries (10 tables x 45 queries of fixed-cost file listing otherwise).
+_testdata_cache: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    df = _testdata_cache.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events" and dict(df.dtypes)["ts"] == "bigint":
+            # events.ts is TIMESTAMP(NANOS) in parquet, surfaced as long
+            # nanos under spark.sql.legacy.parquet.nanosAsLong; convert
+            # to a timestamp truncated to micros (DuckDB's truncation).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        _testdata_cache[key] = df
+    return df
+
+
+class _LazyTables(dict):
+    """dict-like view that reads a table's plan on first access."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        super().__init__()
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __missing__(self, name: str) -> DataFrame:
+        if name not in TESTDATA_TABLES:
+            raise KeyError(name)
+        df = load_table(self._spark, self._sf_dir, name)
+        self[name] = df
+        return df
+
+    def items(self):
+        for n in TESTDATA_TABLES:
+            yield n, self[n]
+
+
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load the driver-provided synthetic tables (TESTDATA.md)."""
-    names = [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]
-    dfs = {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names}
-    # events.ts is TIMESTAMP(NANOS) in parquet, surfaced as long nanos
-    # under spark.sql.legacy.parquet.nanosAsLong; convert to a real
-    # timestamp truncated to micros (same truncation DuckDB applies).
-    ev = dfs["events"]
-    if dict(ev.dtypes)["ts"] == "bigint":
-        dfs["events"] = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return dfs
+    """Lazy view of the driver-provided synthetic tables (TESTDATA.md):
+    a table's parquet footer is read on first access only."""
+    return _LazyTables(spark, sf_dir)
 
 
 def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
