@@ -1,0 +1,148 @@
+"""Property-based tests (hypothesis) for the semantic traps
+(SURVEY §5.2 layer 4): NULL propagation, explode counts, market
+classification exhaustiveness, SES fold bounds, watermark round-trip.
+
+Hypothesis drives the INPUT GENERATION; each property runs Spark once
+per example list (batched into one DataFrame) to keep runtime sane.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import Row, functions as F
+
+from zolo_spark.llm import dedup
+from zolo_spark.models import tsmodels
+from zolo_spark.ops import nested, scalar
+from zolo_spark.state import WatermarkStore
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.floats(0, 1e6, allow_nan=False)),
+            st.one_of(st.none(), st.floats(0, 1e4, allow_nan=False)),
+        ),
+        min_size=1, max_size=30,
+    )
+)
+def test_total_null_iff_operand_null(spark, rows):
+    # P10+N3: total is NULL exactly when either operand is NULL
+    df = spark.createDataFrame(rows, "subtotal double, shipping double")
+    got = df.select(
+        "subtotal", "shipping",
+        scalar.derive_total(F.col("subtotal"), F.col("shipping")).alias("t"),
+    ).collect()
+    for r in got:
+        if r["subtotal"] is None or r["shipping"] is None:
+            assert r["t"] is None
+        else:
+            assert abs(r["t"] - (r["subtotal"] + r["shipping"])) < 1e-6
+
+
+@settings(**SETTINGS)
+@given(
+    payloads=st.lists(
+        st.lists(st.integers(0, 5), min_size=0, max_size=4), min_size=1, max_size=20
+    )
+)
+def test_explode_row_count_is_sum_of_k(spark, payloads):
+    # N1: exploded rows == Σ len(items); empty/None arrays emit none
+    rows = [
+        Row(pid=i, items=[{"q": float(v)} for v in items] if items else None)
+        for i, items in enumerate(payloads)
+    ]
+    # explicit schema: hypothesis can generate all-None item arrays,
+    # which break schema inference
+    df = spark.createDataFrame(
+        rows, "pid long, items array<struct<q: double>>"
+    )
+    out = nested.explode_line_items(df, "items", ["pid"])
+    assert out.count() == sum(len(p) for p in payloads)
+
+
+@settings(**SETTINGS)
+@given(
+    ts=st.lists(
+        st.datetimes(
+            min_value=dt.datetime(2020, 1, 1), max_value=dt.datetime(2025, 1, 1)
+        ),
+        min_size=1, max_size=40,
+    )
+)
+def test_market_classification_total_function(spark, ts):
+    # P9: every (dow, first_trans) lands in exactly one of 5 labels
+    df = spark.createDataFrame([(t,) for t in ts], "ts timestamp")
+    out = df.select(
+        scalar.classify_market(
+            scalar.day_of_week("ts"), scalar.extract_time("ts")
+        ).alias("m")
+    ).collect()
+    labels = {"San Rafael Thurs", "Danville Farmers Market",
+              "Alameda Antique Faire", "San Rafael Sunday", "other"}
+    assert all(r["m"] in labels for r in out)
+
+
+@settings(**SETTINGS)
+@given(
+    y=st.lists(st.floats(0.1, 1e4, allow_nan=False), min_size=2, max_size=50),
+    alpha=st.floats(0.05, 0.95),
+)
+def test_ses_forecast_within_series_bounds(y, alpha):
+    # SES level is a convex combination -> stays inside [min, max]
+    import numpy as np
+
+    pred = tsmodels.ses_forecast(np.array(y), alpha)
+    assert min(y) - 1e-9 <= pred <= max(y) + 1e-9
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("abc xyz"), min_size=1, max_size=40
+        ),
+        min_size=1, max_size=15, unique=True,
+    )
+)
+def test_exact_dedup_partitions_corpus(spark, texts):
+    # exact dedup groups partition the corpus: Σ n_docs == N
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = dedup.exact_dedup(df).collect()
+    assert sum(r["n_docs"] for r in out) == len(texts)
+    # identical normalized text ⇒ same group (plant one dup)
+    df2 = spark.createDataFrame(
+        [(0, "a b"), (1, "A b!"), (2, "c")], "doc_id long, text string"
+    )
+    groups = dedup.exact_dedup(df2).collect()
+    assert {r["n_docs"] for r in groups} == {2, 1}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    keys=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.text(alphabet="0123456789-:T", min_size=1, max_size=20),
+        min_size=1,
+    )
+)
+def test_watermark_store_round_trip(tmp_path_factory, keys):
+    # S10: commits persist and last-write-wins per key
+    p = tmp_path_factory.mktemp("wm") / "config.yml"
+    store = WatermarkStore(str(p))
+    for k, v in keys.items():
+        store.commit(k, v)
+    for k, v in keys.items():
+        assert store.get(k) == v
+    assert store.get("missing", "DEFAULT") == "DEFAULT"

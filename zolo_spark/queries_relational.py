@@ -622,3 +622,162 @@ def tumbling(spark, sf_dir):
         .select(F.col("w.start").alias("window_start"), "event_type", "n",
                 "total_value")
     )
+
+
+# ----------------------------- engine-completeness extensions (no
+# reference counterpart; the operators a full warehouse user expects)
+
+@register("j4_semi_join", oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+""")
+def j4(spark, sf_dir):
+    """Left-semi join (EXISTS): customers with any big order."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    big = orders.filter(F.col("o_totalprice") > 200000)
+    return (
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register("j5_anti_join", oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""")
+def j5(spark, sf_dir):
+    """Left-anti join (NOT EXISTS): customers with no orders."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register("a6_rollup", oracle="""
+SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""")
+def a6(spark, sf_dir):
+    """ROLLUP hierarchy totals (subtotal + grand-total rows)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@register("a7_cube", oracle="""
+SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+""")
+def a7(spark, sf_dir):
+    """CUBE: every grouping-set combination."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@register("a8_pivot", oracle="""
+SELECT l_returnflag,
+       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+FROM lineitem GROUP BY l_returnflag
+""")
+def a8(spark, sf_dir):
+    """Pivot with a fixed value list (long → wide)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    out = (
+        lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return out.select("l_returnflag", F.col("O"), F.col("F"))
+
+
+@register("a9_count_distinct", oracle="""
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_custs,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+""")
+def a9(spark, sf_dir):
+    """Exact distinct-count aggregate (the approx variant
+    approx_count_distinct is engine-native but HLL sketches are not
+    cross-engine comparable, so the gate pins the exact path)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("w3_running_sum_frame", oracle="""
+SELECT o_orderkey, o_custkey,
+       ROUND(SUM(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+FROM orders
+""")
+def w3(spark, sf_dir):
+    """Explicit window frame: per-customer running spend in event
+    order (sequential f64 adds over an identical order — exact)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register("w4_lead_lag", oracle="""
+SELECT o_orderkey, o_custkey,
+       LAG(o_orderkey) OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey) AS prev_order,
+       LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS next_order
+FROM orders
+""")
+def w4(spark, sf_dir):
+    """lead/lag navigation within ordered partitions."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+    )
+
+
+@register("u9_intersect_except", oracle="""
+SELECT o_custkey AS k, 'both' AS tag FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey, 'both' FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+(SELECT o_custkey, 'only_open' FROM orders WHERE o_orderstatus = 'O'
+ EXCEPT
+ SELECT o_custkey, 'only_open' FROM orders WHERE o_orderstatus = 'F')
+""")
+def u9(spark, sf_dir):
+    """INTERSECT / EXCEPT set semantics (distinct forms)."""
+    orders = _t(spark, sf_dir, "orders")
+    open_k = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    )
+    done_k = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    both = open_k.intersect(done_k).select("k", F.lit("both").alias("tag"))
+    # subtract == EXCEPT DISTINCT (exceptAll would keep multiplicity
+    # leftovers for keys present on both sides)
+    only_open = open_k.subtract(done_k).select(
+        "k", F.lit("only_open").alias("tag")
+    )
+    return both.unionByName(only_open)
