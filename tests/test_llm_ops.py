@@ -128,3 +128,52 @@ def test_frame_sample(spark):
     img = [r["frame_ms"] for r in out if r["media_id"] == 2]
     assert vid == [0, 1000, 2000, 3000]
     assert img == [0]
+
+
+def test_dup_clusters_chain(spark):
+    from zolo_spark.llm import corpus
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc1 long, doc2 long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in corpus.dup_clusters(pairs).collect()}
+    # chain 1-2-3 collapses to min id 1; separate pair keeps min 10
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_survivors(spark, docs):
+    from zolo_spark.llm import corpus, dedup as dd
+
+    pairs = dd.minhash_lsh_dedup(docs).select("doc1", "doc2")
+    survivors = {r["doc_id"] for r in
+                 corpus.dedup_survivors(docs, pairs).select("doc_id").collect()}
+    # docs 0,1,2,4 are one near-dup cluster -> keep 0; 3 and 5 unpaired
+    assert 0 in survivors and 3 in survivors and 5 in survivors
+    assert 1 not in survivors and 2 not in survivors and 4 not in survivors
+
+
+def test_hash_split_deterministic_and_partitioned(spark, docs):
+    from zolo_spark.llm import corpus
+
+    a = {r["doc_id"]: r["split"] for r in corpus.hash_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in corpus.hash_split(docs).collect()}
+    assert a == b  # rerun-stable
+    assert set(a.values()) <= {"train", "val", "test"}
+    # different salt -> different (eventually) assignment, same keys
+    c = {r["doc_id"]: r["split"]
+         for r in corpus.hash_split(docs, salt="v2").collect()}
+    assert set(c) == set(a)
+
+
+def test_build_vocab_rank(spark, docs):
+    from zolo_spark.llm import corpus
+
+    out = corpus.build_vocab(docs, top_k=5, min_df=2).collect()
+    assert len(out) <= 5
+    by_rank = {r["rank"]: r for r in out}
+    assert sorted(by_rank) == list(range(1, len(out) + 1))
+    # df is DOCUMENT frequency: 'brown' and 'the' tie at df=4 (docs
+    # 0,1,2,4), tiebreak is lexicographic
+    assert by_rank[1]["token"] == "brown" and by_rank[1]["df"] == 4
+    dfs = [by_rank[i]["df"] for i in sorted(by_rank)]
+    assert dfs == sorted(dfs, reverse=True)

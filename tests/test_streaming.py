@@ -97,3 +97,45 @@ def test_quittin_time_forecast(spark, events_dir):
     for k, v in out.items():
         lo, hi = bounds[k]
         assert lo <= v <= hi  # SES forecast is a convex combination
+
+
+def test_stateful_running_monitor(spark, events_dir):
+    from zolo_spark.streaming import stateful
+
+    stream = intraday.read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    q = (
+        stateful.running_monitor(stream)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("monitor_t")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # update mode emits one row per key per batch; the LAST row per
+        # key carries the final accumulated state
+        rows = spark.sql(
+            "SELECT * FROM monitor_t"
+        ).collect()
+    finally:
+        q.stop()
+
+    # final state per key: order rows as emitted (monotone n_events)
+    final = {}
+    for r in rows:
+        cur = final.get(r["event_type"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            final[r["event_type"]] = r
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("t"),
+             F.min("value").alias("lo"), F.max("value").alias("hi"))
+    ).collect()
+    want = {r["event_type"]: r for r in batch}
+
+    assert set(final) == set(want)
+    for k, r in final.items():
+        assert r["n_events"] == want[k]["n"]          # exact running count
+        assert abs(r["total_value"] - want[k]["t"]) < 0.05  # exact running sum
+        assert want[k]["lo"] <= r["level"] <= want[k]["hi"]  # EWMA within range

@@ -318,3 +318,86 @@ def llm_multimodal(spark, sf_dir):
         "media_id", "mime", "n_bytes", "sha",
         F.round(F.element_at("feat", 1).cast("double"), 6).alias("f0"),
     )
+
+
+# ------------------------------------------------------------ corpus ops
+
+from .llm import corpus  # noqa: E402
+
+
+@register("llm_hash_split", oracle="""
+SELECT doc_id,
+       CASE
+         WHEN ('0x' || substr(md5('split-v1' || doc_id::VARCHAR), 1, 4))::BIGINT
+              % 10000 < 8000 THEN 'train'
+         WHEN ('0x' || substr(md5('split-v1' || doc_id::VARCHAR), 1, 4))::BIGINT
+              % 10000 < 9000 THEN 'val'
+         ELSE 'test'
+       END AS split
+FROM documents
+""")
+def llm_hash_split(spark, sf_dir):
+    """Deterministic 80/10/10 split by salted md5 bucket — stable
+    under reruns/resharding/engines (what random() is not)."""
+    return corpus.hash_split(_t(spark, sf_dir, "documents")).select("doc_id", "split")
+
+
+@register("llm_vocab_topk", oracle=f"""
+WITH tokens AS (
+    SELECT unnest(list_distinct({_TOKENS})) AS token FROM documents
+), dfreq AS (
+    SELECT token, COUNT(*) AS df FROM tokens
+    WHERE token <> '' GROUP BY token HAVING COUNT(*) >= 2
+)
+SELECT token, df, rank FROM (
+    SELECT token, df,
+           ROW_NUMBER() OVER (ORDER BY df DESC, token) AS rank
+    FROM dfreq
+) WHERE rank <= 100
+""")
+def llm_vocab_topk(spark, sf_dir):
+    """Document-frequency-ranked vocabulary (top 100, min_df 2)."""
+    return corpus.build_vocab(_t(spark, sf_dir, "documents"), top_k=100)
+
+
+@register("llm_dup_clusters", oracle=f"""
+WITH RECURSIVE {_MINHASH_CTE}
+, banded AS (
+    SELECT doc_id, unnest([{_BAND_KEYS}]) AS band_key,
+           unnest([0, 1, 2, 3]) AS band_id
+    FROM sigs
+), cand AS (
+    SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+    FROM banded l JOIN banded r
+      ON l.band_id = r.band_id AND l.band_key = r.band_key
+     AND l.doc_id < r.doc_id
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM shingled GROUP BY doc_id
+), inter AS (
+    SELECT c.doc1, c.doc2, COUNT(*) AS i
+    FROM cand c
+    JOIN shingled s1 ON s1.doc_id = c.doc1
+    JOIN shingled s2 ON s2.doc_id = c.doc2 AND s2.shingle = s1.shingle
+    GROUP BY c.doc1, c.doc2
+), pairs AS (
+    SELECT doc1, doc2 FROM inter
+    JOIN sizes z1 ON z1.doc_id = doc1
+    JOIN sizes z2 ON z2.doc_id = doc2
+    WHERE round(i / (z1.sz + z2.sz - i)::DOUBLE, 4) >= 0.7
+), edges AS (
+    SELECT doc1 AS a, doc2 AS b FROM pairs
+    UNION
+    SELECT doc2, doc1 FROM pairs
+), reach AS (
+    SELECT a AS doc_id, a AS r FROM edges
+    UNION
+    SELECT reach.doc_id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+)
+SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+""")
+def llm_dup_clusters(spark, sf_dir):
+    """Connected components over MinHash-LSH near-dup pairs:
+    iterative min-label propagation in Spark vs a recursive-CTE
+    transitive closure in the oracle — same fixpoint."""
+    pairs = dedup.minhash_lsh_dedup(_t(spark, sf_dir, "documents"))
+    return corpus.dup_clusters(pairs.select("doc1", "doc2"))
