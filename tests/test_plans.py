@@ -1,0 +1,102 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+(pushdown, pruned scans, broadcasts, partial aggregation, bucketed
+co-location) asserted from .explain output so perf regressions fail
+loudly, not silently.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from zolo_spark import parity_queries
+
+from .conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def n_shuffles(plan: str) -> int:
+    """Shuffle exchanges only (BroadcastExchange is not a shuffle)."""
+    return len(re.findall(r"(?<!Broadcast)Exchange \(", plan))
+
+
+def q(spark, name):
+    return parity_queries.REGISTRY[name].fn(spark, SF_DIR)
+
+
+def test_filter_pushed_to_scan(spark):
+    p = plan_of(q(spark, "p2_comparison_filter"))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in p
+
+
+def test_flagship_scan_pruned_and_broadcast(spark):
+    p = plan_of(q(spark, "flagship_weekly_demand"))
+    # status IN + date bound reach the orders scan
+    assert "In(o_orderstatus, [F,O,P])" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    # only the 3 needed orders columns are read
+    assert "ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_orderdate:timestamp_ntz>" in p
+    # dims go broadcast; the single shuffle is the final aggregate
+    assert "BroadcastHashJoin" in p
+    assert n_shuffles(p) == 1
+
+
+def test_q1_column_pruning_and_partial_agg(spark):
+    p = plan_of(q(spark, "tpch_q1_pricing_summary"))
+    # 7 of 11 lineitem columns read
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double,l_returnflag:string,l_linestatus:string,l_shipdate" in p
+    # map-side partial aggregation: two HashAggregates around one exchange
+    assert p.count("HashAggregate") >= 2
+    assert n_shuffles(p) == 1
+
+
+def test_window_transform_has_no_sort(spark):
+    # W1/W2 are unbounded-frame aggregates: hash partition, no
+    # ORDER-induced sort requirement beyond Spark's window exec
+    p = plan_of(q(spark, "w2_group_count_filter"))
+    assert "Window" in p
+    assert n_shuffles(p) == 1
+
+
+def test_semi_anti_join_strategies(spark):
+    p = plan_of(q(spark, "j4_semi_join"))
+    assert "LeftSemi" in p
+    p = plan_of(q(spark, "j5_anti_join"))
+    assert "LeftAnti" in p
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing demo (the co-located fact-fact join at 100 TB): both
+    sides bucketed by the join key ⇒ sort-merge join with NO exchange."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+         .sortBy("o_orderkey").saveAsTable("orders_b"))
+        (lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey")
+         .sortBy("l_orderkey").saveAsTable("lineitem_b"))
+        joined = spark.table("orders_b").join(
+            spark.table("lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        p = plan_of(joined)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p  # co-located: zero shuffle
+        assert joined.count() > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
