@@ -169,3 +169,15 @@ def test_pagination_shapes():
         "<...?batch_token=abc123&begin_time=2024>"
     ) == "abc123"
     assert paginate.extract_batch_token(None) is None
+
+
+def test_square_idempotent_rerun(spark, wh, store):
+    payloads = fixtures.square_payments(n=10)
+    fetcher = lambda s, e: fixtures.square_fetcher(payloads)  # noqa: E731
+    square_etl.run(spark, wh, store, fetcher, idempotent=True)
+    n1 = wh.read("square_trans").count()
+    d1 = wh.read("square_trans_details").count()
+    # same window again: already-loaded payment_ids anti-joined away
+    square_etl.run(spark, wh, store, fetcher, idempotent=True)
+    assert wh.read("square_trans").count() == n1
+    assert wh.read("square_trans_details").count() == d1

@@ -94,3 +94,41 @@ def test_weekly_demand_since_filters(spark, loaded_wh):
     all_rows = weekly_demand(*args, since="2017-10-01").count()
     none_rows = weekly_demand(*args, since="2099-01-01").count()
     assert all_rows > 0 and none_rows == 0
+
+
+def test_model_jobs_end_to_end(spark, loaded_wh, tmp_path):
+    import datetime as dt
+
+    from zolo_spark.pipelines import model_jobs
+    from zolo_spark.state import WatermarkStore
+
+    store = WatermarkStore(str(tmp_path / "model_config.yml"))
+    fs = dt.datetime(2024, 2, 5)
+    # default thresholds (>5/>8/>10 weeks) would exclude the 4-5-week
+    # fixture corpus entirely — faithful to the reference, but here
+    # min_weeks is lowered so the jobs demonstrably produce forecasts
+    model_jobs.run_holt(spark, loaded_wh, store, forecast_start=fs, min_weeks=2)
+    model_jobs.run_simp_avg(spark, loaded_wh, store, forecast_start=fs, min_weeks=2)
+    model_jobs.run_arima(spark, loaded_wh, store, forecast_start=fs, min_weeks=2)
+
+    holt = loaded_wh.read("model_holt").collect()
+    ses = loaded_wh.read("model_simp_avg").collect()
+    meta = loaded_wh.read("model_meta").collect()
+
+    for rows in (holt, ses, meta):
+        assert len(rows) > 0
+        for r in rows:
+            assert r["forecast_start"] == fs
+            assert r["mse"] is None or r["mse"] >= 0
+    for r in meta:
+        assert r["lower_bound"] <= r["prediction"] <= r["upper_bound"]
+
+    # default thresholds on the short corpus -> no eligible profiles
+    # (reference behavior): re-run with defaults appends nothing
+    n = len(holt)
+    model_jobs.run_holt(spark, loaded_wh, store, forecast_start=fs)
+    assert len(loaded_wh.read("model_holt").collect()) == n
+    # separate per-job watermark keys all committed
+    assert store.get(model_jobs.ARIMA_KEY) == fs.isoformat()
+    assert store.get(model_jobs.HOLT_KEY) == fs.isoformat()
+    assert store.get(model_jobs.SES_KEY) == fs.isoformat()

@@ -108,12 +108,19 @@ def run(
     warehouse: Warehouse,
     store: WatermarkStore,
     fetcher_factory: Callable[[str, str], Callable],
+    idempotent: bool = False,
 ) -> None:
     """Full job (``square_ETL.py:40-56``): watermark window → extract →
-    transform → append loads → watermark commit (at-least-once)."""
+    transform → append loads → watermark commit.
+
+    Default semantics are the reference's at-least-once (a crash
+    between load and watermark commit duplicates the window on rerun);
+    ``idempotent=True`` anti-joins already-loaded payment_ids first
+    (exactly-once on rerun, S10 upgrade)."""
     start, end = extract_window(store, WATERMARK_KEY)
     raw = extract(spark, fetcher_factory(start, end))
     details, trans = transform(raw)
-    warehouse.append(details, "square_trans_details")  # S7
-    warehouse.append(trans, "square_trans")
+    key = ["payment_id"] if idempotent else None
+    warehouse.append(details, "square_trans_details", dedupe_on=key)  # S7
+    warehouse.append(trans, "square_trans", dedupe_on=key)
     store.commit(WATERMARK_KEY, end)  # S10

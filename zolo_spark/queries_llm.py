@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .llm import dedup, multimodal, similarity, text
-from .parity_queries import register
+from .parity_queries import REGISTRY, register
 from .warehouse import load_testdata
 
 # Shared SQL fragments -----------------------------------------------------
@@ -401,3 +401,17 @@ def llm_dup_clusters(spark, sf_dir):
     transitive closure in the oracle — same fixpoint."""
     pairs = dedup.minhash_lsh_dedup(_t(spark, sf_dir, "documents"))
     return corpus.dup_clusters(pairs.select("doc1", "doc2"))
+
+
+_STATS_ORACLE = REGISTRY["llm_text_stats"].oracle
+
+
+@register("llm_quality_filter", oracle=f"""
+SELECT doc_id, quality, n_tokens_ws FROM ({_STATS_ORACLE})
+WHERE quality >= 0.5 AND n_tokens_ws >= 5 AND punct_ratio <= 0.3
+""")
+def llm_quality_filter(spark, sf_dir):
+    """Pre-training corpus gate: threshold filter over text_stats
+    (quality >= 0.5, >= 5 tokens, punct <= 0.3)."""
+    stats = text.text_stats(_t(spark, sf_dir, "documents"))
+    return corpus.quality_filter(stats).select("doc_id", "quality", "n_tokens_ws")

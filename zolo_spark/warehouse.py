@@ -67,9 +67,22 @@ class Warehouse:
             )
         return df.select([f.name for f in want.fields])
 
-    def append(self, df: DataFrame, table: str) -> None:
+    def append(self, df: DataFrame, table: str,
+               dedupe_on: list[str] | None = None) -> None:
         """S7: ``to_sql(..., if_exists='append')`` analog
-        (``square_ETL.py:232-233``)."""
+        (``square_ETL.py:232-233``).
+
+        ``dedupe_on``: natural-key columns for idempotent append — new
+        rows whose key already exists in the table are anti-joined
+        away, upgrading the reference's at-least-once watermark
+        semantics (S10) to effectively-once on rerun. Default off for
+        behavioral fidelity."""
+        if dedupe_on:
+            try:
+                existing = self.read(table).select(*dedupe_on).distinct()
+                df = df.join(existing, dedupe_on, "left_anti")
+            except Exception:
+                pass  # table missing/empty: plain append
         self._write(df, table, mode="append")
 
     def overwrite(self, df: DataFrame, table: str) -> None:
