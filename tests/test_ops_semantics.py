@@ -114,3 +114,83 @@ def test_week_trunc_monday_start(spark):
     )
     got = [r[0] for r in df.select(scalar.week_trunc("ts")).collect()]
     assert got == [dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 8)]
+
+
+def test_asof_join_no_preceding_right(spark):
+    from zolo_spark.ops import temporal
+
+    left = spark.createDataFrame(
+        [(1, "u", dt.datetime(2024, 1, 1, 10)),
+         (2, "u", dt.datetime(2024, 1, 1, 12)),
+         (3, "v", dt.datetime(2024, 1, 1, 9))],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", dt.datetime(2024, 1, 1, 11), 5.0),
+         ("u", dt.datetime(2024, 1, 1, 8), 1.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = {r["id"]: r["v_r"] for r in temporal.asof_join(
+        left, right, on="ts", by="k", value_cols=["v"]
+    ).collect()}
+    assert out == {1: 1.0, 2: 5.0, 3: None}  # 3: key v has no right rows
+
+
+def test_asof_join_equal_timestamp_inclusive(spark):
+    from zolo_spark.ops import temporal
+
+    left = spark.createDataFrame(
+        [(1, "u", dt.datetime(2024, 1, 1, 10))], "id long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", dt.datetime(2024, 1, 1, 10), 9.0)], "k string, ts timestamp, v double"
+    )
+    out = temporal.asof_join(left, right, on="ts", by="k", value_cols=["v"]).first()
+    assert out["v_r"] == 9.0  # backward-INCLUSIVE at equal ts
+
+
+def test_range_join_equals_theta_join(spark):
+    from zolo_spark.ops import temporal
+
+    import random
+    rng = random.Random(5)
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, f"k{rng.randint(0, 2)}", base + dt.timedelta(minutes=rng.randint(0, 500)))
+         for i in range(40)],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(f"k{rng.randint(0, 2)}", base + dt.timedelta(minutes=rng.randint(0, 500)))
+         for _ in range(40)],
+        "user_id string, ts timestamp",
+    )
+    got = {(r["event_id"], r["ts_r"]) for r in temporal.range_join(
+        left, right, on="ts", by="user_id", window_seconds=1800
+    ).collect()}
+    # ground truth: direct theta join
+    from pyspark.sql import functions as FF
+    lr = left.alias("l").join(
+        right.alias("r"),
+        (FF.col("l.user_id") == FF.col("r.user_id"))
+        & (FF.col("r.ts") <= FF.col("l.ts"))
+        & (FF.col("r.ts") >= FF.col("l.ts") - FF.expr("INTERVAL 1800 SECONDS")),
+    ).select(FF.col("l.event_id"), FF.col("r.ts").alias("ts_r")).distinct()
+    want = {(r["event_id"], r["ts_r"]) for r in lr.collect()}
+    assert got == want
+
+
+def test_salted_join_equals_plain_join(spark):
+    from zolo_spark.ops.skew import salted_join
+
+    # 90% of big rows share one hot key
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"k{i}") for i in range(200)], "id long, k string"
+    )
+    small = spark.createDataFrame(
+        [("hot", 1.0)] + [(f"k{i * 10}", float(i)) for i in range(20)],
+        "k string, v double",
+    )
+    got = {(r["id"], r["v"]) for r in salted_join(big, small, "k", n_salts=4).collect()}
+    want = {(r["id"], r["v"]) for r in big.join(small, "k").collect()}
+    assert got == want

@@ -781,3 +781,53 @@ def u9(spark, sf_dir):
         "k", F.lit("only_open").alias("tag")
     )
     return both.unionByName(only_open)
+
+
+# ------------------------- temporal joins (Spark-lacking operators,
+# composed from DataFrame ops; DuckDB has native forms for the oracle)
+
+from .ops import temporal  # noqa: E402
+
+
+@register("asof_join_backward", oracle="""
+SELECT l.event_id, l.user_id, r.value AS value_r
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""")
+def asof_q(spark, sf_dir):
+    """As-of join: each click gets the most recent preceding purchase
+    value per user — union-and-carry composition vs DuckDB's native
+    ASOF JOIN."""
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    out = temporal.asof_join(
+        clicks, purchases.select("user_id", "ts", "value"),
+        on="ts", by="user_id", value_cols=["value"],
+    )
+    return out.select("event_id", "user_id", "value_r")
+
+
+@register("range_join_bucketed", oracle="""
+SELECT l.event_id, r.ts AS ts_r
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 30 MINUTE
+""")
+def range_q(spark, sf_dir):
+    """Range join: purchases within 30 min before each click —
+    time-bucketed candidate join + exact filter vs DuckDB's direct
+    inequality join."""
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    out = temporal.range_join(
+        clicks, purchases, on="ts", by="user_id", window_seconds=1800
+    )
+    return out.select("event_id", F.col("ts_r"))
