@@ -831,3 +831,83 @@ def range_q(spark, sf_dir):
         clicks, purchases, on="ts", by="user_id", window_seconds=1800
     )
     return out.select("event_id", F.col("ts_r"))
+
+
+@register("p16_string_functions", oracle="""
+SELECT doc_id,
+       upper(source) AS up, lower(source) AS lo,
+       trim(concat(' ', source, ' ')) AS trimmed,
+       substr(source, 1, 3) AS pre,
+       replace(source, 'src', 'origin_') AS repl,
+       lpad(CAST(doc_id AS VARCHAR), 6, '0') AS padded,
+       concat_ws('|', source, lang) AS joined,
+       length(source) AS n
+FROM documents
+""")
+def p16(spark, sf_dir):
+    """String-function battery (portable semantics pinned across
+    engines: case, trim, substr, replace, pad, concat)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("source").alias("up"), F.lower("source").alias("lo"),
+        F.trim(F.concat(F.lit(" "), F.col("source"), F.lit(" "))).alias("trimmed"),
+        F.substring("source", 1, 3).alias("pre"),
+        F.replace(F.col("source"), F.lit("src"), F.lit("origin_")).alias("repl"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("padded"),
+        F.concat_ws("|", "source", "lang").alias("joined"),
+        F.length("source").alias("n"),
+    )
+
+
+@register("p17_null_handling", oracle="""
+SELECT l_orderkey, l_linenumber,
+       coalesce(NULLIF(l_discount, 0.0), -1.0) AS disc_or_flag,
+       CASE WHEN l_tax IS NULL THEN 'null' ELSE 'set' END AS tax_state,
+       ifnull(NULLIF(l_returnflag, 'N'), 'neutral') AS flag
+FROM lineitem
+""")
+def p17(spark, sf_dir):
+    """NULL-handling battery: nullif / coalesce / ifnull / IS NULL."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.coalesce(F.nullif("l_discount", F.lit(0.0)), F.lit(-1.0))
+        .alias("disc_or_flag"),
+        F.when(F.col("l_tax").isNull(), F.lit("null")).otherwise(F.lit("set"))
+        .alias("tax_state"),
+        F.ifnull(F.nullif("l_returnflag", F.lit("N")), F.lit("neutral"))
+        .alias("flag"),
+    )
+
+
+@register("n7_from_json_struct", oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod
+FROM events
+""")
+def n7(spark, sf_dir):
+    """Schema-on-read JSON parsing: from_json into a typed struct
+    (vs N2's path extraction)."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        F.from_json("props", "k int").alias("p"),
+    )
+    return parsed.select(
+        "event_id", F.col("p.k").alias("k"), (F.col("p.k") % 10).alias("k_mod")
+    )
+
+
+@register("a10_approx_aggregates", oracle=None)  # sketches are engine-specific
+def a10(spark, sf_dir):
+    """Approximate aggregates (HLL distinct, quantile sketch) — native
+    Spark sketches; rows-only gate (cross-engine sketch values differ
+    by design; exactness is pinned by a9_count_distinct)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_custs"),
+        F.percentile_approx("o_totalprice", 0.5).alias("approx_median"),
+        F.percentile_approx("o_totalprice", [0.25, 0.75]).alias("approx_iqr"),
+    )
