@@ -139,3 +139,46 @@ def test_stateful_running_monitor(spark, events_dir):
         assert r["n_events"] == want[k]["n"]          # exact running count
         assert abs(r["total_value"] - want[k]["t"]) < 0.05  # exact running sum
         assert want[k]["lo"] <= r["level"] <= want[k]["hi"]  # EWMA within range
+
+
+def test_session_window_stream_equals_batch_sessionize(spark, events_dir):
+    """Streaming session_window must produce the same sessions as the
+    batch lag-gap cumsum sessionization (same 30-min gap rule)."""
+    stream = intraday.read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    q = (
+        intraday.session_windows(stream)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("sessions_t")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events "
+            "FROM sessions_t GROUP BY user_id"
+        ).collect()
+    finally:
+        q.stop()
+
+    # batch ground truth: lag-gap sessionization per user
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(events_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800, 1
+    ).otherwise(0)
+    sess = ev.select("user_id", "ts", "event_id", gap.alias("g")).select(
+        "user_id",
+        F.sum("g").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_id"),
+    )
+    want = {
+        (r["user_id"]): (r["n_sessions"], r["n_events"])
+        for r in sess.groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n_sessions"),
+             F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    got_m = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in got}
+    assert got_m == want

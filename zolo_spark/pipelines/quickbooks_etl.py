@@ -7,6 +7,7 @@ optionally-absent SalesItemLineDetail members) → ``qb_trans_details``
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -16,6 +17,8 @@ from ..ops import nested, scalar
 from ..sources.paginate import paginate_start_position
 from ..state import WatermarkStore, extract_window
 from ..warehouse import Warehouse
+
+logger = logging.getLogger(__name__)
 
 WATERMARK_KEY = "last_update_quickbooks"
 PAGE_SIZE = 25  # quickbooks_ETL.py:104-108
@@ -86,6 +89,8 @@ def run(
     start, end = extract_window(store, WATERMARK_KEY)
     fetch_count, fetch_page = fetchers_factory(start, end)
     details, trans = transform(extract(spark, fetch_count, fetch_page))
+    logger.info("date_range for this ETL (UTC): %s - %s", start, end)
     warehouse.append(details, "qb_trans_details")  # S7
     warehouse.append(trans, "qb_trans")
+    logger.info("Loaded qb_trans_details and qb_trans")
     store.commit(WATERMARK_KEY, end)  # S10

@@ -6,6 +6,7 @@ shipping_lines array) → ``shopify_trans_details`` + ``shopify_trans``.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -15,6 +16,8 @@ from ..ops import nested, scalar
 from ..sources.paginate import paginate_count_pages
 from ..state import WatermarkStore, extract_window
 from ..warehouse import Warehouse
+
+logger = logging.getLogger(__name__)
 
 WATERMARK_KEY = "last_update_shopify"
 PAGE_SIZE = 50  # shopify_ETL.py:82-85
@@ -86,6 +89,10 @@ def run(
     start, end = extract_window(store, WATERMARK_KEY)
     fetch_count, fetch_page = fetchers_factory(start, end)
     details, trans = transform(extract(spark, fetch_count, fetch_page))
+    logger.info("date_range for this ETL (UTC): %s - %s", start, end)
     warehouse.append(details, "shopify_trans_details")  # S7
     warehouse.append(trans, "shopify_trans")
+    # correct table names in the log (reference logs square names here,
+    # shopify_ETL.py:204-205 — quirk register §2.10)
+    logger.info("Loaded shopify_trans_details and shopify_trans")
     store.commit(WATERMARK_KEY, end)  # S10

@@ -12,6 +12,7 @@ the row path.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -21,6 +22,8 @@ from ..ops import nested, scalar, windows
 from ..sources.paginate import paginate_batch_token
 from ..state import WatermarkStore, extract_window
 from ..warehouse import Warehouse
+
+logger = logging.getLogger(__name__)
 
 WATERMARK_KEY = "last_update_square"
 
@@ -121,6 +124,8 @@ def run(
     raw = extract(spark, fetcher_factory(start, end))
     details, trans = transform(raw)
     key = ["payment_id"] if idempotent else None
+    logger.info("date_range for this ETL (UTC): %s - %s", start, end)
     warehouse.append(details, "square_trans_details", dedupe_on=key)  # S7
     warehouse.append(trans, "square_trans", dedupe_on=key)
+    logger.info("Loaded square_trans_details and square_trans")
     store.commit(WATERMARK_KEY, end)  # S10

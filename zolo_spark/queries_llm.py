@@ -415,3 +415,27 @@ def llm_quality_filter(spark, sf_dir):
     (quality >= 0.5, >= 5 tokens, punct <= 0.3)."""
     stats = text.text_stats(_t(spark, sf_dir, "documents"))
     return corpus.quality_filter(stats).select("doc_id", "quality", "n_tokens_ws")
+
+
+@register("llm_embedding_stats", oracle=f"""
+SELECT label,
+       COUNT(*) AS n,
+       ROUND(AVG(sqrt({_DOT64.format(a='embedding', b='embedding')})), 4)
+           AS avg_norm,
+       ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS avg_dim0
+FROM embeddings GROUP BY label
+""")
+def llm_embedding_stats(spark, sf_dir):
+    """Per-label embedding analytics: count, mean L2 norm, mean of
+    the first coordinate (f64-widened folds both engines)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(norm), 4).alias("avg_norm"),
+        F.round(F.avg(F.element_at("embedding", 1).cast("double")), 6)
+        .alias("avg_dim0"),
+    )

@@ -81,6 +81,25 @@ def quittin_time_forecast(spark: SparkSession, windows_df: DataFrame,
     )
 
 
+def session_windows(events: DataFrame,
+                    gap: str = "30 minutes",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Native streaming sessionization: events within ``gap`` of each
+    other per user merge into one session window (the streaming twin
+    of the batch lag-cumsum sessionize query). State is bounded by the
+    watermark."""
+    return (
+        events
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("session_value"))
+        .select(F.col("s.start").alias("session_start"),
+                F.col("s.end").alias("session_end"),
+                "user_id", "n_events", "session_value")
+    )
+
+
 def run_to_memory(spark: SparkSession, events: DataFrame,
                   name: str = "intraday") -> "StreamingQuery":
     """Drive the windowed aggregation into an in-memory sink (tests /
