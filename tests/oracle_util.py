@@ -20,8 +20,12 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
+            import numpy as np
+
             df[c] = df[c].apply(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
+                lambda v: tuple(v)
+                if isinstance(v, (list, tuple, np.ndarray))
+                else v
             )
     return df.sort_values(by=list(df.columns), ignore_index=True)
 

@@ -909,5 +909,6 @@ def a10(spark, sf_dir):
     return orders.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey").alias("approx_custs"),
         F.percentile_approx("o_totalprice", 0.5).alias("approx_median"),
-        F.percentile_approx("o_totalprice", [0.25, 0.75]).alias("approx_iqr"),
+        F.percentile_approx("o_totalprice", 0.25).alias("approx_q25"),
+        F.percentile_approx("o_totalprice", 0.75).alias("approx_q75"),
     )
