@@ -194,3 +194,60 @@ def test_salted_join_equals_plain_join(spark):
     got = {(r["id"], r["v"]) for r in salted_join(big, small, "k", n_salts=4).collect()}
     want = {(r["id"], r["v"]) for r in big.join(small, "k").collect()}
     assert got == want
+
+
+def test_merge_upsert(spark):
+    from zolo_spark.ops.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, name string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 25.0), (4, "d", 40.0)], "id long, name string, v double"
+    )
+    got = {r["id"]: (r["name"], r["v"]) for r in
+           merge_upsert(target, updates, ["id"]).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 25.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_scd2_apply(spark):
+    from zolo_spark.ops.merge import scd2_apply
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 6, 1)
+    dim = spark.createDataFrame(
+        [("c1", "Oakland", t0, None, True),
+         ("c2", "Berkeley", t0, None, True)],
+        "customer_id string, city string, valid_from timestamp, "
+        "valid_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [("c1", "Alameda"),   # changed -> close + new version
+         ("c2", "Berkeley")], # unchanged -> untouched
+        "customer_id string, city string",
+    )
+    out = scd2_apply(dim, updates, "customer_id", t1, ["city"]).collect()
+    rows = {(r["customer_id"], r["is_current"]): r for r in out}
+    assert len(out) == 3
+    closed = rows[("c1", False)]
+    assert closed["city"] == "Oakland" and closed["valid_to"] == t1
+    new = rows[("c1", True)]
+    assert new["city"] == "Alameda" and new["valid_from"] == t1 and new["valid_to"] is None
+    assert rows[("c2", True)]["valid_to"] is None  # untouched
+
+
+def test_scd2_null_safe_comparison(spark):
+    from zolo_spark.ops.merge import scd2_apply
+
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1)
+    dim = spark.createDataFrame(
+        [("c1", None, t0, None, True)],
+        "customer_id string, city string, valid_from timestamp, "
+        "valid_to timestamp, is_current boolean",
+    )
+    # NULL -> NULL is NOT a change (eqNullSafe)
+    same = spark.createDataFrame([("c1", None)], "customer_id string, city string")
+    assert scd2_apply(dim, same, "customer_id", t1, ["city"]).count() == 1
+    # NULL -> value IS a change
+    upd = spark.createDataFrame([("c1", "Oakland")], "customer_id string, city string")
+    assert scd2_apply(dim, upd, "customer_id", t1, ["city"]).count() == 2
