@@ -912,3 +912,85 @@ def a10(spark, sf_dir):
         F.percentile_approx("o_totalprice", 0.25).alias("approx_q25"),
         F.percentile_approx("o_totalprice", 0.75).alias("approx_q75"),
     )
+
+
+@register("a11_grouping_sets", oracle="""
+SELECT o_orderstatus, o_orderpriority, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""")
+def a11(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form rollup/cube sugar)."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """)
+
+
+@register("a12_exact_percentiles", oracle="""
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       ROUND(MIN(o_totalprice), 2) AS lo,
+       ROUND(MAX(o_totalprice), 2) AS hi
+FROM orders GROUP BY o_orderstatus
+""")
+def a12(spark, sf_dir):
+    """Exact interpolated percentiles (both engines: linear
+    interpolation over the sorted values)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@register("p18_date_functions", oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2m,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS qtr,
+       date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+       year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d
+FROM orders
+""")
+def p18(spark, sf_dir):
+    """Date-function battery: add_months (end-of-month clamped),
+    last_day, quarter truncation, datediff, Y/M/D extraction — all
+    emitted as strings/ints (cross-engine DATE dtype rule)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.add_months("o_orderdate", 2), "yyyy-MM-dd").alias("plus2m"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd").alias("qtr"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .alias("days_since"),
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+    )
+
+
+@register("u10_unpivot_stack", oracle="""
+SELECT o_orderkey, metric, ROUND(value, 2) AS value FROM (
+    SELECT o_orderkey, 'total' AS metric, o_totalprice AS value FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders
+)
+""")
+def u10(spark, sf_dir):
+    """Unpivot (wide → long) via stack — the inverse of a8_pivot."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.selectExpr(
+        "o_orderkey",
+        "stack(2, 'total', o_totalprice, 'custkey', CAST(o_custkey AS DOUBLE)) "
+        "AS (metric, value)",
+    ).select("o_orderkey", "metric", F.round("value", 2).alias("value"))
