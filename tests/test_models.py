@@ -72,6 +72,52 @@ def test_walk_forward_split_75_25():
     assert mse == pytest.approx(1.0)  # naive forecast on +1 steps
 
 
+def test_arima_walk_forward_batched_equals_sequential():
+    """The batched prefix-OLS path must reproduce the sequential
+    refit-per-step path bit-for-bit (modulo fp noise) over the whole
+    reference grid, including the raises-on-short-series contract."""
+    rng = np.random.default_rng(42)
+    for n in (18, 41, 97):
+        y = np.abs(rng.normal(100, 20, size=n)).cumsum() / 50 + rng.normal(0, 5, n)
+        for order in [(p, d, q) for p in range(5) for d in range(2) for q in range(5)]:
+            try:
+                seq = (
+                    harness.walk_forward_mse(
+                        y, lambda h, o=order: tsmodels.arima_forecast(h, o)[0]
+                    ),
+                ) + tsmodels.arima_forecast(y, order)
+            except ValueError:
+                seq = None
+            try:
+                bat = tsmodels.arima_walk_forward(y, order)
+            except ValueError:
+                bat = None
+            assert (seq is None) == (bat is None), (n, order)
+            if seq is not None:
+                for a, b in zip(seq, bat):
+                    if abs(a) > 1e15 and abs(b) > 1e15:
+                        # numerically singular prefix Gram: both paths
+                        # emit (different) astronomical garbage; such a
+                        # cell can never win the min-MSE grid pick
+                        continue
+                    assert a == pytest.approx(b, rel=1e-6, abs=1e-9), (n, order)
+
+
+def test_holt_ses_walk_forward_batched_equals_sequential():
+    rng = np.random.default_rng(3)
+    for n in (6, 13, 41, 97):
+        y = np.abs(rng.normal(100, 20, size=n)).cumsum() / 50 + rng.normal(0, 5, n)
+        mse_s = harness.walk_forward_mse(y, tsmodels.holt_forecast)
+        mse_b, pred_b = tsmodels.holt_walk_forward(y)
+        assert mse_b == pytest.approx(mse_s, rel=1e-9), n
+        assert pred_b == pytest.approx(tsmodels.holt_forecast(y), rel=1e-9), n
+
+        mse_s = harness.walk_forward_mse(y, lambda h: tsmodels.ses_forecast(h, 0.6))
+        mse_b, pred_b = tsmodels.ses_walk_forward(y, 0.6)
+        assert mse_b == pytest.approx(mse_s, rel=1e-9), n
+        assert pred_b == pytest.approx(tsmodels.ses_forecast(y, 0.6), rel=1e-9), n
+
+
 def test_grid_search_skips_failures_and_picks_best():
     y = np.cumsum(np.ones(16))  # linear: d=1 models fit perfectly
     cfg, mse = harness.arima_grid_search(y, range(0, 2), range(0, 2), range(0, 2))

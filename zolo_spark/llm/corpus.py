@@ -27,19 +27,23 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .persist()
     )
+    # round 0 fused into initialization: label(u) = min(u, min neighbor)
+    # — one groupBy instead of a distinct + a full propagation round
     labels = (
-        edges.select(F.col("a").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
+        edges.groupBy(F.col("a").alias("doc_id"))
+        .agg(F.min("b").alias("nbr_min"))
+        .select("doc_id", F.least("doc_id", "nbr_min").alias("cluster_id"))
         .persist()
     )
+    persisted = labels
     for _ in range(max_iter):
-        # neighbor minimum, then keep the smaller of (own, neighbor-min)
         neighbor_min = (
             edges.join(labels, edges.b == labels.doc_id)
             .groupBy(F.col("a").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # carry the convergence flag in the row instead of re-joining
+        # the old labels afterwards: one join per round, not two
         updated = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
@@ -48,18 +52,14 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                     F.col("cluster_id"),
                     F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
+                (F.col("nbr_min") < F.col("cluster_id")).alias("_changed"),
             )
             .persist()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = updated
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        persisted.unpersist()
+        persisted = updated
+        labels = updated.drop("_changed")
         if changed == 0:
             break
     edges.unpersist()

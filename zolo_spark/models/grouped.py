@@ -18,10 +18,10 @@ import datetime as dt
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..ops import windows
-from . import harness, tsmodels
+from . import tsmodels
 
 META_SCHEMA = (
     "profile_name string, best_config string, mse double, "
@@ -62,53 +62,43 @@ def arima_job(
 ) -> DataFrame:
     """M4+M5+M6 → model_meta rows (``arima_models.py:172-220``).
 
-    The grid search is parallelized as extra group keys (SURVEY M4
-    note): each (key, p, d, q) cell walk-forward-evaluates and fits
-    independently, so parallelism is #keys × #orders instead of #keys
-    — on a wide cluster the grid costs one cell's wall time. The best
-    cell per key is then picked relationally (min MSE; ties break to
-    the first order in grid sequence, matching the reference's
-    strictly-better update loop)."""
+    One group per key; the (p,d,q) grid runs inside the UDF with the
+    batched prefix-OLS walk-forward (``tsmodels.arima_walk_forward``),
+    keeping the reference's strictly-better update order — first order
+    in grid sequence wins MSE ties (``lib.py:121-128``). With the
+    batched solver a key's whole 50-order grid costs ~0.3 s of numpy,
+    so key-level granularity beats fanning the grid out as extra group
+    keys: 50x less shuffled input and no per-cell Arrow overhead,
+    while a wide cluster still parallelizes across keys. (For very few
+    keys on a very wide cluster, re-adding grid keys is a one-line
+    change — the per-order fits are independent.)"""
     model_input = prepare_model_input(weekly, forecast_start, min_weeks, key)
+    orders = [(p, d, q) for p in p_values for d in d_values for q in q_values]
 
-    spark = weekly.sparkSession
-    grid = spark.createDataFrame(
-        [(p, d, q) for p in p_values for d in d_values for q in q_values],
-        "p int, d int, q int",
-    )
-    cells = model_input.join(F.broadcast(grid))
-
-    def fit_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+    def fit_key(pdf: pd.DataFrame) -> pd.DataFrame:
         y = _series(pdf)
-        order = (int(pdf["p"].iloc[0]), int(pdf["d"].iloc[0]), int(pdf["q"].iloc[0]))
-        try:
-            mse = harness.walk_forward_mse(
-                y, lambda h: tsmodels.arima_forecast(h, order)[0]
-            )
-            pred, stderr = tsmodels.arima_forecast(y, order)
-        except Exception:
-            # non-converging order: skipped, like lib.py:129-130
+        best = None  # (mse, order, pred, stderr)
+        for order in orders:
+            try:
+                mse, pred, stderr = tsmodels.arima_walk_forward(y, order)
+            except Exception:
+                continue  # non-converging order: skipped, lib.py:129-130
+            if best is None or mse < best[0]:
+                best = (mse, order, pred, stderr)
+        if best is None:
             return pd.DataFrame(columns=[
-                "profile_name", "best_config", "mse", "prediction",
-                "std_error", "p", "d", "q",
+                "profile_name", "best_config", "mse", "prediction", "std_error",
             ])
+        mse, order, pred, stderr = best
         return pd.DataFrame([{
             "profile_name": pdf[key].iloc[0],
             "best_config": str(order),
             "mse": mse,
             "prediction": pred,
             "std_error": stderr,
-            "p": order[0], "d": order[1], "q": order[2],
         }])
 
-    per_cell = cells.groupBy(key, "p", "d", "q").applyInPandas(
-        fit_cell, schema=META_SCHEMA + ", p int, d int, q int"
-    )
-    w = Window.partitionBy(key).orderBy("mse", "p", "d", "q")
-    meta = (
-        per_cell.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-    )
+    meta = model_input.groupBy(key).applyInPandas(fit_key, schema=META_SCHEMA)
     # M6: CI bounds (arima_models.py:216-217) + P13 literal
     return meta.select(
         "profile_name", "best_config", "mse", "prediction", "std_error",
@@ -122,18 +112,19 @@ def _simple_job(
     weekly: DataFrame,
     forecast_start,
     min_weeks: int,
-    forecast_fn,
+    walk_forward_fn,
     key: str,
 ) -> DataFrame:
+    """``walk_forward_fn(y) -> (mse, prediction)`` — the batched
+    one-pass walk-forward (tested equal to the refit-per-step loop)."""
     model_input = prepare_model_input(weekly, forecast_start, min_weeks, key)
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        y = _series(pdf)
-        mse = harness.walk_forward_mse(y, forecast_fn)
+        mse, pred = walk_forward_fn(_series(pdf))
         return pd.DataFrame([{
             "profile_name": pdf[key].iloc[0],
             "mse": mse,
-            "prediction": forecast_fn(y),
+            "prediction": pred,
         }])
 
     out = model_input.groupBy(key).applyInPandas(fit, schema=HOLT_SCHEMA)
@@ -147,7 +138,7 @@ def holt_job(weekly: DataFrame, forecast_start,
              min_weeks: int = 10, key: str = "profile_name") -> DataFrame:
     """M2+M5 → model_holt rows (``holt_model.py:176-199``; >10 weeks)."""
     return _simple_job(weekly, forecast_start, min_weeks,
-                       tsmodels.holt_forecast, key)
+                       tsmodels.holt_walk_forward, key)
 
 
 def ses_job(weekly: DataFrame, forecast_start,
@@ -155,4 +146,4 @@ def ses_job(weekly: DataFrame, forecast_start,
     """M3+M5 → model_simp_avg rows (``simp_avg_model.py:175-198``;
     >8 weeks; fixed alpha=0.6 per ``lib.py:84``)."""
     return _simple_job(weekly, forecast_start, min_weeks,
-                       lambda y: tsmodels.ses_forecast(y, 0.6), key)
+                       lambda y: tsmodels.ses_walk_forward(y, 0.6), key)
