@@ -181,3 +181,41 @@ def test_square_idempotent_rerun(spark, wh, store):
     square_etl.run(spark, wh, store, fetcher, idempotent=True)
     assert wh.read("square_trans").count() == n1
     assert wh.read("square_trans_details").count() == d1
+
+
+def test_bucketed_warehouse_join_is_shuffle_free(spark, tmp_path, store):
+    """Warehouse(bucketed=True): the square header⟕details join (the
+    J1 shape every model extract runs) plans with ZERO shuffle
+    exchanges — both facts are pre-hashed into the same bucket layout
+    at rest, so at 100 TB the join moves no bytes over the network."""
+    import contextlib
+    import io
+    import re as _re
+
+    w = Warehouse(spark, str(tmp_path / "whb"), bucketed=True, buckets=4)
+    w.init(["square_trans", "square_trans_details"])
+    payloads = fixtures.square_payments()
+    square_etl.run(spark, w, store,
+                   lambda s, e: fixtures.square_fetcher(payloads))
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = w.read("square_trans").join(
+            w.read("square_trans_details"), "payment_id")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert not _re.search(r"(?<!Broadcast)Exchange \(", plan)
+        assert joined.count() == sum(len(p["itemizations"]) for p in payloads)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+
+    # plain parquet mode on the same data needs 2 shuffles for the join
+    w2 = Warehouse(spark, str(tmp_path / "whp"))
+    w2.init(["square_trans", "square_trans_details"])
+    square_etl.run(spark, w2, WatermarkStore(str(tmp_path / "c2.yml")),
+                   lambda s, e: fixtures.square_fetcher(payloads))
+    assert w2.read("square_trans").count() == w.read("square_trans").count()

@@ -100,3 +100,35 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_runtime_bloom_filter_prunes_fact_fact_join(spark):
+    """Spark 4's runtime bloom-filter join pruning fires on the engine's
+    fact-fact shape (selective header filter ⨝ big details table). The
+    default thresholds (10 GB application-side scan) are correct for
+    deployment and simply never trigger at test SF, so this test lowers
+    them to prove the shape qualifies: the selective side's keys get
+    bloom_filter_agg'd and the probe scan is guarded by
+    BloomFilterMightContain — at 100 TB that skips most lineitem
+    row groups before the shuffle."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderstatus") == "P"
+        )
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        j = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+             .groupBy("o_orderstatus").count())
+        p = plan_of(j)
+        assert "bloom_filter_agg" in p
+        assert "BloomFilterMightContain" in p or "might_contain" in p
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

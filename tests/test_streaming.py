@@ -182,3 +182,39 @@ def test_session_window_stream_equals_batch_sessionize(spark, events_dir):
     }
     got_m = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in got}
     assert got_m == want
+
+
+def test_rate_source_drives_intraday_windows(spark):
+    """The rate-source transport plugs into the same windowed agg as
+    the file/Kafka transports (schema-compatible) and produces rows."""
+    from zolo_spark.streaming import sources
+
+    events = sources.rate_events_stream(spark, rows_per_second=500)
+    assert [f.name for f in events.schema.fields] == \
+        [f.name for f in intraday.EVENTS_SCHEMA.fields]
+    q = (intraday.intraday_windows(events, window="2 seconds",
+                                   slide="1 second", watermark="0 seconds")
+         .writeStream.outputMode("complete")
+         .format("memory").queryName("rate_demo").start())
+    try:
+        import time
+        deadline = time.time() + 30
+        got = 0
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = spark.table("rate_demo").count()
+            if got > 0:
+                break
+            time.sleep(0.5)
+        assert got > 0
+        types = {r["event_type"] for r in spark.table("rate_demo").collect()}
+        assert types <= {f"type_{i}" for i in range(4)}
+    finally:
+        q.stop()
+
+
+def test_kafka_source_raises_actionable_error_without_connector(spark):
+    from zolo_spark.streaming import sources
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        sources.kafka_events_stream(spark, "localhost:9092", "events")

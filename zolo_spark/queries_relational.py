@@ -994,3 +994,39 @@ def u10(spark, sf_dir):
         "stack(2, 'total', o_totalprice, 'custkey', CAST(o_custkey AS DOUBLE)) "
         "AS (metric, value)",
     ).select("o_orderkey", "metric", F.round("value", 2).alias("value"))
+
+
+@register("n8_map_ops", oracle="""
+SELECT l_orderkey, l_linenumber, key, ROUND(value * 2, 2) AS value
+FROM (
+    SELECT l_orderkey, l_linenumber, 'qty' AS key, l_quantity AS value
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'disc', l_discount FROM lineitem
+)
+WHERE value > 0
+""")
+def n8(spark, sf_dir):
+    """Map-typed column surface: create_map → map_concat →
+    map_filter (drop zero-valued entries) → transform_values →
+    explode(map_entries) back to long form. All JVM-side map
+    expressions inside whole-stage codegen; the oracle expresses the
+    same relation as a UNION ALL unpivot."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = F.map_concat(
+        F.create_map(
+            F.lit("qty"), F.col("l_quantity"),
+            F.lit("price"), F.col("l_extendedprice"),
+        ),
+        F.create_map(F.lit("disc"), F.col("l_discount")),
+    )
+    positive = F.map_filter(m, lambda k, v: v > 0)
+    doubled = F.transform_values(positive, lambda k, v: F.round(v * 2, 2))
+    return (
+        li.select("l_orderkey", "l_linenumber",
+                  F.explode(F.map_entries(doubled)).alias("e"))
+        .select("l_orderkey", "l_linenumber",
+                F.col("e.key").alias("key"), F.col("e.value").alias("value"))
+    )

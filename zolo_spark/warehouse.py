@@ -6,12 +6,18 @@ a root directory, with explicit schemas from :mod:`zolo_spark.schemas`.
 
 Scale posture: fact tables are written partitioned by ``created_at``
 date so a 100 TB deployment gets partition pruning on the time
-predicates every downstream query carries (SURVEY §7.5).
+predicates every downstream query carries (SURVEY §7.5). With
+``bucketed=True`` the header/detail fact pairs are additionally
+bucketed on their join key, making the header⟕details join (J1, the
+biggest fact-fact join in every model extract) shuffle-free: both
+sides arrive pre-hashed into the same bucket layout, so a 100 TB join
+moves zero bytes over the network.
 """
 
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -24,27 +30,67 @@ _PARTITIONED = {
     "qb_trans": "created_at",
 }
 
+# Header/detail pairs bucket on the key their J1 join uses, so the
+# join is co-located at rest (zero-shuffle sort-merge join).
+_BUCKETED = {
+    "square_trans": "payment_id",
+    "square_trans_details": "payment_id",
+    "shopify_trans": "order_id",
+    "shopify_trans_details": "order_id",
+    "qb_trans": "payment_id",
+    "qb_trans_details": "payment_id",
+}
+
 
 class Warehouse:
-    """Parquet-backed warehouse rooted at ``root``."""
+    """Parquet-backed warehouse rooted at ``root``.
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``bucketed=True`` stores the fact tables as catalog tables (bucket
+    layout lives in catalog metadata, not parquet) bucketed per
+    ``_BUCKETED``; data files still land under ``root``. ``buckets``
+    sizes the layout — pick ``expected_table_bytes / 256 MB`` at
+    deploy scale (e.g. ~4096 for a 1 TB details table)."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 bucketed: bool = False, buckets: int = 8):
         self.spark = spark
         self.root = root
+        self.bucketed = bucketed
+        self.buckets = buckets
+        # catalog namespace derived from the root path: two warehouses
+        # in one session never collide
+        self._db = "zolo_wh_" + re.sub(r"[^a-z0-9]+", "_", root.lower()).strip("_")
+        if bucketed:
+            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {self._db}")
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
+
+    def _qualified(self, table: str) -> str:
+        return f"{self._db}.{table}"
+
+    def _is_bucketed(self, table: str) -> bool:
+        return self.bucketed and table in _BUCKETED
 
     def init(self, tables: list[str] | None = None) -> None:
         """Create empty tables with their DDL schemas (reference S9:
         drop-and-recreate, ``create_square_tables.py:16-38`` etc.)."""
         for name in tables or list(schemas.WAREHOUSE_TABLES):
+            if self._is_bucketed(name):
+                self.spark.sql(
+                    f"DROP TABLE IF EXISTS {self._qualified(name)}"
+                )
             empty = self.spark.createDataFrame([], schemas.WAREHOUSE_TABLES[name])
             self._write(empty, name, mode="overwrite")
 
     def read(self, table: str) -> DataFrame:
         want = schemas.WAREHOUSE_TABLES[table]
-        df = self.spark.read.schema(want).parquet(self.path(table))
+        if self._is_bucketed(table):
+            # catalog read: keeps the bucket spec, so downstream joins
+            # on the bucket key plan with zero exchanges
+            df = self.spark.table(self._qualified(table))
+        else:
+            df = self.spark.read.schema(want).parquet(self.path(table))
         # hide the _dt partition-discovery column from consumers
         return df.select([f.name for f in want.fields])
 
@@ -54,7 +100,10 @@ class Warehouse:
         at 100 TB this is the difference between scanning a day and
         scanning the table) AND to the row-level timestamp."""
         want = schemas.WAREHOUSE_TABLES[table]
-        df = self.spark.read.schema(want).parquet(self.path(table))
+        if self._is_bucketed(table):
+            df = self.spark.table(self._qualified(table))
+        else:
+            df = self.spark.read.schema(want).parquet(self.path(table))
         part_col = _PARTITIONED.get(table)
         if part_col is not None and "_dt" in df.columns:
             df = df.filter(
@@ -93,12 +142,19 @@ class Warehouse:
     def _write(self, df: DataFrame, table: str, mode: str) -> None:
         want = schemas.WAREHOUSE_TABLES[table]
         df = df.select([F.col(f.name).cast(f.dataType) for f in want.fields])
-        writer = df.write.mode(mode)
         part_col = _PARTITIONED.get(table)
         if part_col is not None and part_col in df.columns:
             df = df.withColumn("_dt", F.to_date(F.col(part_col)))
-            writer = df.write.mode(mode).partitionBy("_dt")
-        writer.parquet(self.path(table))
+        writer = df.write.mode(mode)
+        if "_dt" in df.columns:
+            writer = writer.partitionBy("_dt")
+        if self._is_bucketed(table):
+            key = _BUCKETED[table]
+            (writer.bucketBy(self.buckets, key).sortBy(key)
+             .option("path", self.path(table))
+             .saveAsTable(self._qualified(table)))
+        else:
+            writer.parquet(self.path(table))
 
 
 TESTDATA_TABLES = [
