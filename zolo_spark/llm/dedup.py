@@ -23,6 +23,15 @@ from .text import fingerprint
 N_MINHASH = 16
 BAND_SIZE = 4  # 4 bands x 4 rows
 
+# Universal-hash minhash: ONE md5 per shingle (32-bit base hash h),
+# then slot i = min((A[i]*h + B[i]) % P). Integer math is exact and
+# engine-portable, and replaces 16 md5 calls per shingle row with one.
+# A[i] < 2^30 and h < 2^32 keep A*h+B < 2^62 — no int64 overflow
+# (ANSI mode throws on overflow, so this bound is load-bearing).
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+MINHASH_A = [((i * 2654435761) % (1 << 30)) | 1 for i in range(N_MINHASH)]
+MINHASH_B = [(i * 2246822519) % (1 << 30) for i in range(N_MINHASH)]
+
 
 def shingles_from_tokens(t, n: int = 3) -> Column:
     """Distinct word n-grams from a token-array column (positions
@@ -68,14 +77,21 @@ def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def minhash_signatures(shingles: DataFrame, k: int = N_MINHASH) -> DataFrame:
-    """MinHash signature per doc: slot i = lexicographic min of
-    ``md5(i || shingle)``. The md5-string min is a valid uniform
-    min-hash and is engine-portable (no murmur seeds)."""
+    """MinHash signature per doc: slot i = min of the universal hash
+    ``(A[i]*h + B[i]) % P`` where ``h`` is the first 32 bits of
+    ``md5(shingle)``. One md5 per shingle row (not ``k``), and the
+    groupBy shuffles 16 longs instead of 16 hex strings; md5-derived
+    ``h`` is engine-portable (no murmur seeds)."""
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    hashed = shingles.select("doc_id", h.alias("_h"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(str(i)), F.col("shingle")))).alias(f"sig{i}")
+        F.min(
+            (F.lit(MINHASH_A[i]) * F.col("_h") + F.lit(MINHASH_B[i]))
+            % F.lit(MINHASH_PRIME)
+        ).alias(f"sig{i}")
         for i in range(k)
     ]
-    return shingles.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(sigs: DataFrame, k: int = N_MINHASH,
@@ -85,7 +101,10 @@ def lsh_candidate_pairs(sigs: DataFrame, k: int = N_MINHASH,
     doc1 < doc2; distinct pairs."""
     bands = []
     for b in range(0, k, band_size):
-        key = F.md5(F.concat(*[F.col(f"sig{i}") for i in range(b, b + band_size)]))
+        # '-' separator disambiguates concatenated int signatures
+        # (md5 of "12-345" vs "123-45"); concat_ws formats bigints
+        # identically in Spark and DuckDB.
+        key = F.md5(F.concat_ws("-", *[F.col(f"sig{i}") for i in range(b, b + band_size)]))
         bands.append(F.struct(F.lit(b).alias("band_id"), key.alias("band_key")))
     banded = sigs.select(
         "doc_id", F.explode(F.array(*bands)).alias("band")
@@ -106,29 +125,32 @@ def lsh_candidate_pairs(sigs: DataFrame, k: int = N_MINHASH,
 
 def jaccard_verify(pairs: DataFrame, shingles: DataFrame,
                    threshold: float = 0.7) -> DataFrame:
-    """Exact Jaccard on candidate pairs only: |A∩B| via shingle join,
-    |A∪B| = |A|+|B|-|A∩B|."""
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        pairs
-        .join(shingles.alias("s1"), F.col("doc1") == F.col("s1.doc_id"))
-        .join(
-            shingles.alias("s2"),
-            (F.col("doc2") == F.col("s2.doc_id"))
-            & (F.col("s1.shingle") == F.col("s2.shingle")),
-        )
-        .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    """Exact Jaccard on candidate pairs only: |A∩B| via per-doc
+    shingle-set arrays + ``array_intersect``, |A∪B| = |A|+|B|-|A∩B|.
+
+    Two narrow doc_id-keyed joins instead of a (pairs × shingles)
+    explode-join: the old path shuffled |pairs|·avg_shingles rows
+    through a (doc2, shingle) key; this one shuffles |pairs| rows
+    carrying the set arrays, and the intersection runs JVM-side per
+    row. Counts are integers, so the jaccard value is bit-identical
+    to the exploded form (and to the DuckDB oracle's join-count)."""
+    sets = shingles.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh"))
+    s1 = sets.select(F.col("doc_id").alias("_d1"), F.col("sh").alias("_sh1"))
+    s2 = sets.select(F.col("doc_id").alias("_d2"), F.col("sh").alias("_sh2"))
     return (
-        inter
-        .join(sizes.alias("z1"), F.col("doc1") == F.col("z1.doc_id"))
-        .join(sizes.alias("z2"), F.col("doc2") == F.col("z2.doc_id"))
+        pairs
+        .join(s1, F.col("doc1") == F.col("_d1"))
+        .join(s2, F.col("doc2") == F.col("_d2"))
+        .select(
+            "doc1", "doc2",
+            F.size(F.array_intersect("_sh1", "_sh2")).alias("_i"),
+            F.size("_sh1").alias("_z1"), F.size("_sh2").alias("_z2"),
+        )
         .select(
             "doc1", "doc2",
             F.round(
-                F.col("inter")
-                / (F.col("z1.sz") + F.col("z2.sz") - F.col("inter")).cast("double"),
+                F.col("_i")
+                / (F.col("_z1") + F.col("_z2") - F.col("_i")).cast("double"),
                 4,
             ).alias("jaccard"),
         )
@@ -263,9 +285,24 @@ def embedding_near_dup(df: DataFrame, vec_col: str = "embedding",
     """Near-dup vector pairs: sign-LSH bucket join then exact cosine.
     Bucketing is recall<1 by design (the scale path); the brute-force
     exact check lives in :mod:`zolo_spark.llm.similarity`."""
+    # Precompute the f64 copy and the norm ONCE per vector and persist:
+    # CollapseProject would otherwise inline the sqrt-aggregate into
+    # every pair row (single-use alias), paying 3 array folds per pair
+    # instead of 1. The persisted frame is the "normalized index" a
+    # 100 TB deployment would materialize anyway. The per-pair formula
+    # dot/(na*nb) evaluates the exact expression trees the inline form
+    # did, so results are bit-identical (oracle unchanged).
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     keyed = df.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
+        F.col(id_col).alias("vid"),
+        dv.alias("v"),
+        F.sqrt(F.aggregate(F.transform(dv, lambda x: x * x),
+                           F.lit(0.0), lambda acc, x: acc + x)).alias("nrm"),
         sign_bucket(F.col(vec_col), list(bucket_dims)).alias("bucket"),
+    ).persist()
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
     )
     return (
         keyed.alias("a")
@@ -276,7 +313,7 @@ def embedding_near_dup(df: DataFrame, vec_col: str = "embedding",
         )
         .select(
             F.col("a.vid").alias("id1"), F.col("b.vid").alias("id2"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos"),
+            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

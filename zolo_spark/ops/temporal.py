@@ -71,7 +71,10 @@ def range_join(
     width = bucket_seconds or window_seconds
     n_back = math.ceil(window_seconds / width)
 
-    l_b = left.withColumn("_lb", F.floor(F.col(on).cast("long") / width))
+    # cast through "timestamp" so TIMESTAMP_NTZ inputs (micros parquet)
+    # work too — NTZ→long is not a legal cast, NTZ→timestamp→long is.
+    epoch = F.col(on).cast("timestamp").cast("long")
+    l_b = left.withColumn("_lb", F.floor(epoch / width))
     # each left bucket probes itself and the n_back preceding buckets
     l_b = l_b.withColumn(
         "_bucket", F.explode(F.sequence(F.col("_lb") - n_back, F.col("_lb")))
@@ -79,7 +82,7 @@ def range_join(
     r_b = right.select(
         F.col(by).alias("_rby"),
         F.col(on).alias(f"{on}{suffix}"),
-        F.floor(F.col(on).cast("long") / width).alias("_bucket"),
+        F.floor(F.col(on).cast("timestamp").cast("long") / width).alias("_bucket"),
     )
     joined = l_b.join(
         r_b,

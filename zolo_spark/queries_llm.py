@@ -127,20 +127,27 @@ def llm_exact_dedup(spark, sf_dir):
 
 # ------------------------------------------------------------ minhash/LSH
 
+# Mirrors dedup.minhash_signatures: h = first 32 md5 bits,
+# slot i = min((A[i]*h + B[i]) % P). Same integers, exact parity.
 _SIG_COLS = ",\n".join(
-    f"min(md5('{i}' || shingle)) AS sig{i}" for i in range(dedup.N_MINHASH)
+    f"min(({dedup.MINHASH_A[i]} * h + {dedup.MINHASH_B[i]}) % {dedup.MINHASH_PRIME})"
+    f" AS sig{i}"
+    for i in range(dedup.N_MINHASH)
 )
 _BAND_KEYS = ", ".join(
-    "md5(" + " || ".join(f"sig{i}" for i in range(b, b + dedup.BAND_SIZE)) + ")"
+    "md5(concat_ws('-', " + ", ".join(f"sig{i}" for i in range(b, b + dedup.BAND_SIZE)) + "))"
     for b in range(0, dedup.N_MINHASH, dedup.BAND_SIZE)
 )
 
 _MINHASH_CTE = f"""
 shingled AS (
     SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM documents
+), hashed AS (
+    SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+    FROM shingled
 ), sigs AS (
     SELECT doc_id, {_SIG_COLS}
-    FROM shingled GROUP BY doc_id
+    FROM hashed GROUP BY doc_id
 )
 """
 

@@ -173,11 +173,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = _testdata_cache.get(key)
     if df is None:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if name == "events" and dict(df.dtypes)["ts"] == "bigint":
-            # events.ts is TIMESTAMP(NANOS) in parquet, surfaced as long
-            # nanos under spark.sql.legacy.parquet.nanosAsLong; convert
-            # to a timestamp truncated to micros (DuckDB's truncation).
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if name == "events":
+            ts_type = dict(df.dtypes)["ts"]
+            if ts_type == "bigint":
+                # events.ts is TIMESTAMP(NANOS) in parquet, surfaced as
+                # long nanos under spark.sql.legacy.parquet.nanosAsLong;
+                # convert to a timestamp truncated to micros (DuckDB's
+                # truncation).
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            elif ts_type == "timestamp_ntz":
+                # micros-encoded parquet (isAdjustedToUTC=false) reads
+                # as TIMESTAMP_NTZ; session tz is pinned UTC, so the
+                # cast is value-preserving and keeps every downstream
+                # operator on one timestamp type.
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         _testdata_cache[key] = df
     return df
 
