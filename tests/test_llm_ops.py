@@ -42,6 +42,33 @@ def test_minhash_lsh_finds_near_dup(spark, docs):
     assert all(3 not in p for p in pairs)  # unrelated doc never pairs
 
 
+def test_incremental_dedup_equals_full_restricted(spark, docs):
+    """Batch-vs-index incremental dedup == full-corpus LSH pairs
+    restricted to pairs touching the batch (docs 3..5 arrive late)."""
+    corpus = docs.filter(F.col("doc_id") < 3)
+    batch = docs.filter(F.col("doc_id") >= 3)
+    index = dedup.build_dedup_index(corpus)
+    incr = {(r["doc1"], r["doc2"]): r["jaccard"]
+            for r in dedup.incremental_minhash_dedup(batch, index).collect()}
+    full = {(r["doc1"], r["doc2"]): r["jaccard"]
+            for r in dedup.minhash_lsh_dedup(docs).collect()
+            if r["doc1"] >= 3 or r["doc2"] >= 3}
+    assert incr == full
+
+
+def test_incremental_dedup_finds_cross_batch_dup(spark, docs):
+    """A new doc that duplicates an indexed doc is caught (0↔1 exact
+    dup split across index and batch)."""
+    corpus = docs.filter(F.col("doc_id").isin([0, 3]))
+    batch = docs.filter(F.col("doc_id").isin([1, 2, 5]))
+    index = dedup.build_dedup_index(corpus)
+    pairs = {(r["doc1"], r["doc2"]): r["jaccard"]
+             for r in dedup.incremental_minhash_dedup(batch, index).collect()}
+    assert pairs[(0, 1)] == 1.0          # batch doc dups an indexed doc
+    assert (0, 2) in pairs               # near dup across the boundary
+    assert all(3 not in p and 5 not in p for p in pairs)
+
+
 def test_ngram_jaccard_pairs(spark, docs):
     pairs = {(r["doc1"], r["doc2"]): r["jaccard"]
              for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}

@@ -94,21 +94,26 @@ def minhash_signatures(shingles: DataFrame, k: int = N_MINHASH) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sigs: DataFrame, k: int = N_MINHASH,
-                        band_size: int = BAND_SIZE) -> DataFrame:
-    """Docs colliding on ≥1 LSH band. Band key = md5(concat of the
-    band's signature slots); self-join on (band_id, key) with
-    doc1 < doc2; distinct pairs."""
+def banded_keys(sigs: DataFrame, k: int = N_MINHASH,
+                band_size: int = BAND_SIZE) -> DataFrame:
+    """(doc_id, band_id, band_key) — one row per LSH band. Band key =
+    md5 of the band's signature slots joined with '-' (disambiguates
+    concatenated ints; concat_ws formats bigints identically in Spark
+    and DuckDB)."""
     bands = []
     for b in range(0, k, band_size):
-        # '-' separator disambiguates concatenated int signatures
-        # (md5 of "12-345" vs "123-45"); concat_ws formats bigints
-        # identically in Spark and DuckDB.
         key = F.md5(F.concat_ws("-", *[F.col(f"sig{i}") for i in range(b, b + band_size)]))
         bands.append(F.struct(F.lit(b).alias("band_id"), key.alias("band_key")))
-    banded = sigs.select(
+    return sigs.select(
         "doc_id", F.explode(F.array(*bands)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
+
+
+def lsh_candidate_pairs(sigs: DataFrame, k: int = N_MINHASH,
+                        band_size: int = BAND_SIZE) -> DataFrame:
+    """Docs colliding on ≥1 LSH band: band self-join with
+    doc1 < doc2; distinct pairs."""
+    banded = banded_keys(sigs, k, band_size)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -135,6 +140,14 @@ def jaccard_verify(pairs: DataFrame, shingles: DataFrame,
     row. Counts are integers, so the jaccard value is bit-identical
     to the exploded form (and to the DuckDB oracle's join-count)."""
     sets = shingles.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh"))
+    return jaccard_on_sets(pairs, sets, threshold)
+
+
+def jaccard_on_sets(pairs: DataFrame, sets: DataFrame,
+                    threshold: float = 0.7) -> DataFrame:
+    """Exact Jaccard for candidate pairs given a (doc_id, sh) shingle-
+    set relation — the verify kernel shared by the batch and
+    incremental dedup paths."""
     s1 = sets.select(F.col("doc_id").alias("_d1"), F.col("sh").alias("_sh1"))
     s2 = sets.select(F.col("doc_id").alias("_d2"), F.col("sh").alias("_sh2"))
     return (
@@ -170,6 +183,48 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
     sh = doc_shingles(df, text_col, id_col, n).persist()
     pairs = lsh_candidate_pairs(minhash_signatures(sh))
     return jaccard_verify(pairs, sh, threshold)
+
+
+def build_dedup_index(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Materialized dedup index: (doc_id, sh, sig0..sig15). At 100 TB
+    this is the persisted table an ingest pipeline maintains — new
+    batches dedup against it without re-shingling the corpus."""
+    sh = doc_shingles(df, text_col, id_col, n)
+    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh"))
+    return minhash_signatures(sh).join(sets, "doc_id")
+
+
+def incremental_minhash_dedup(new_df: DataFrame, index: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id", n: int = 3,
+                              threshold: float = 0.7) -> DataFrame:
+    """Near-dup pairs INVOLVING the new batch: new×index and new×new
+    band collisions, Jaccard-verified — never index×index.
+
+    Equivalent to running :func:`minhash_lsh_dedup` over
+    (corpus ∪ batch) and keeping the pairs that touch the batch, but
+    the work is O(batch bands + collisions): the corpus side is a
+    band-key join against the materialized index, not a rescan. Pairs
+    are oriented doc1 < doc2 like the batch path."""
+    new_idx = build_dedup_index(new_df, text_col, id_col, n).persist()
+    all_idx = index.unionByName(new_idx)
+    nb = banded_keys(new_idx.drop("sh")).alias("l")
+    ab = banded_keys(all_idx.drop("sh")).alias("r")
+    cand = (
+        nb.join(
+            ab,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") != F.col("r.doc_id")),
+        )
+        .select(
+            F.least("l.doc_id", "r.doc_id").alias("doc1"),
+            F.greatest("l.doc_id", "r.doc_id").alias("doc2"),
+        )
+        .distinct()
+    )
+    return jaccard_on_sets(cand, all_idx.select("doc_id", "sh"), threshold)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

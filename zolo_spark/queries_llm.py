@@ -195,6 +195,49 @@ def llm_minhash_lsh_dedup(spark, sf_dir):
     return dedup.minhash_lsh_dedup(_t(spark, sf_dir, "documents"))
 
 
+_INCR_SPLIT = 400  # docs >= split form the "new batch" at any sf
+
+
+@register("llm_incremental_dedup", oracle=f"""
+WITH {_MINHASH_CTE}
+, banded AS (
+    SELECT doc_id, unnest([{_BAND_KEYS}]) AS band_key,
+           unnest([0, 1, 2, 3]) AS band_id
+    FROM sigs
+), cand AS (
+    SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+    FROM banded l JOIN banded r
+      ON l.band_id = r.band_id AND l.band_key = r.band_key
+     AND l.doc_id < r.doc_id
+    WHERE l.doc_id >= {_INCR_SPLIT} OR r.doc_id >= {_INCR_SPLIT}
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM shingled GROUP BY doc_id
+), inter AS (
+    SELECT c.doc1, c.doc2, COUNT(*) AS i
+    FROM cand c
+    JOIN shingled s1 ON s1.doc_id = c.doc1
+    JOIN shingled s2 ON s2.doc_id = c.doc2 AND s2.shingle = s1.shingle
+    GROUP BY c.doc1, c.doc2
+)
+SELECT doc1, doc2,
+       round(i / (z1.sz + z2.sz - i)::DOUBLE, 4) AS jaccard
+FROM inter
+JOIN sizes z1 ON z1.doc_id = doc1
+JOIN sizes z2 ON z2.doc_id = doc2
+WHERE round(i / (z1.sz + z2.sz - i)::DOUBLE, 4) >= 0.7
+""")
+def llm_incremental_dedup(spark, sf_dir):
+    """Ingest-path dedup: docs >= {split} arrive as a new batch and
+    dedup against the materialized index of docs < {split} — band-key
+    join new→index, never index×index. Oracle = full-corpus LSH
+    restricted to pairs touching the batch (provably the same set)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < _INCR_SPLIT)
+    batch = docs.filter(F.col("doc_id") >= _INCR_SPLIT)
+    index = dedup.build_dedup_index(corpus)
+    return dedup.incremental_minhash_dedup(batch, index)
+
+
 @register("llm_ngram_jaccard_pairs", oracle=f"""
 WITH shingled AS (
     SELECT doc_id, unnest({_SHINGLES5}) AS shingle FROM documents
