@@ -87,6 +87,38 @@ def test_square_at_least_once_rerun(spark, wh, store):
     assert wh.read("square_trans").count() == 2 * n1
 
 
+def test_compact_preserves_rows_and_reduces_files(spark, wh, store):
+    """Many tiny appends → compact → same rows/values, fewer files,
+    partition layout (_dt dirs) preserved."""
+    payloads = fixtures.square_payments(n=12)
+    fetcher = lambda s, e: fixtures.square_fetcher(payloads)  # noqa: E731
+    for _ in range(4):  # accrete small files
+        square_etl.run(spark, wh, store, fetcher)
+    before_rows = wh.read("square_trans_details").count()
+    before_sum = wh.read("square_trans_details").agg(
+        F.round(F.sum("dollars"), 2)).collect()[0][0]
+    files_before, files_after = wh.compact("square_trans_details")
+    assert files_after < files_before
+    assert wh.read("square_trans_details").count() == before_rows
+    assert wh.read("square_trans_details").agg(
+        F.round(F.sum("dollars"), 2)).collect()[0][0] == before_sum
+    # partition pruning still works after the rewrite
+    assert wh.read_between(
+        "square_trans_details", "2018-01-01", "2030-01-01"
+    ).count() == before_rows
+
+
+def test_compact_unpartitioned_table(spark, wh):
+    for i in range(3):
+        wh.append(
+            spark.createDataFrame(
+                [(f"p{i}", "v", i, "sq", "qb", "sh", "cat", "whole", 12.0, 1)],
+                schemas.WAREHOUSE_TABLES["items"]),
+            "items")
+    files_before, files_after = wh.compact("items")
+    assert files_after <= files_before and wh.read("items").count() == 3
+
+
 def test_shopify_end_to_end(spark, wh, store):
     payloads = fixtures.shopify_orders()
     shopify_etl.run(

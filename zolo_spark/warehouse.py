@@ -16,8 +16,10 @@ moves zero bytes over the network.
 
 from __future__ import annotations
 
+import math
 import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -133,6 +135,57 @@ class Warehouse:
             except Exception:
                 pass  # table missing/empty: plain append
         self._write(df, table, mode="append")
+
+    def file_stats(self, table: str) -> tuple[int, int]:
+        """(parquet file count, total bytes) under the table path —
+        the small-files health metric compaction acts on."""
+        files = total = 0
+        for dirpath, _dirs, fnames in os.walk(self.path(table)):
+            for fn in fnames:
+                if fn.endswith(".parquet"):
+                    files += 1
+                    total += os.path.getsize(os.path.join(dirpath, fn))
+        return files, total
+
+    def compact(self, table: str,
+                target_file_bytes: int = 128 * 1024 * 1024) -> tuple[int, int]:
+        """Rewrite a path-based table into right-sized files and
+        return (files_before, files_after).
+
+        Long-running ingest (many small `append` batches, streaming
+        micro-batches) accretes files far smaller than a scan task
+        wants; at 100 TB the file-listing + task-per-file overhead
+        dominates scans. Partitioned tables are rewritten with one
+        shuffle keyed on ``_dt`` (one writer task per date →
+        per-date consolidation); unpartitioned tables repartition to
+        ``ceil(bytes / target)``. The rewrite lands in a temp dir and
+        is swapped in with directory renames — on an object store a
+        deployment would swap a catalog pointer / manifest instead.
+        """
+        if self._is_bucketed(table):
+            raise ValueError(
+                "bucketed tables carry their layout in the catalog; "
+                "compact via INSERT OVERWRITE to preserve the bucket spec"
+            )
+        files_before, total = self.file_stats(table)
+        want = schemas.WAREHOUSE_TABLES[table]
+        df = self.read(table)
+        df = df.select([F.col(f.name).cast(f.dataType) for f in want.fields])
+        part_col = _PARTITIONED.get(table)
+        tmp = self.path(table) + "__compacting"
+        if part_col is not None and part_col in df.columns:
+            df = df.withColumn("_dt", F.to_date(F.col(part_col)))
+            (df.repartition(F.col("_dt"))
+               .write.mode("overwrite").partitionBy("_dt").parquet(tmp))
+        else:
+            n = max(1, math.ceil(total / target_file_bytes))
+            df.repartition(n).write.mode("overwrite").parquet(tmp)
+        live, trash = self.path(table), self.path(table) + "__old"
+        shutil.rmtree(trash, ignore_errors=True)
+        os.rename(live, trash)
+        os.rename(tmp, live)
+        shutil.rmtree(trash)
+        return files_before, self.file_stats(table)[0]
 
     def overwrite(self, df: DataFrame, table: str) -> None:
         """S8: ``to_sql(..., if_exists='replace')`` analog
