@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..ops.partitioning import fan_out
 from .text import fingerprint
 
 N_MINHASH = 16
@@ -56,7 +57,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Exact dedup by content fingerprint: one survivor (min id) per
     fingerprint group, with the duplicate count."""
     return (
-        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        fan_out(df).select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
         .groupBy("fp")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
     )
@@ -67,7 +68,7 @@ def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """(id, shingle) exploded distinct-shingle relation. Tokenization
     is its own projection step so the split runs once per doc, not
     once per gram."""
-    tokens = df.select(
+    tokens = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.split(F.lower(F.col(text_col)), " ").alias("t"),
     )
@@ -298,7 +299,7 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
     near-dup banding over signature halves is the scale extension).
     Token hashes are projected in their own step so the md5 transform
     runs once, not once per bit-fold."""
-    hashed = df.select(
+    hashed = fan_out(df).select(
         F.col(id_col).alias("doc_id"), token_hashes(F.col(text_col)).alias("th")
     )
     return (
@@ -348,7 +349,7 @@ def embedding_near_dup(df: DataFrame, vec_col: str = "embedding",
     # dot/(na*nb) evaluates the exact expression trees the inline form
     # did, so results are bit-identical (oracle unchanged).
     dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    keyed = df.select(
+    keyed = fan_out(df).select(
         F.col(id_col).alias("vid"),
         dv.alias("v"),
         F.sqrt(F.aggregate(F.transform(dv, lambda x: x * x),

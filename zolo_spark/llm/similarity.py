@@ -17,6 +17,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
+from ..ops.partitioning import fan_out
 from .dedup import cosine
 
 
@@ -31,7 +32,7 @@ def brute_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     scored = (

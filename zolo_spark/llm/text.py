@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..ops.partitioning import fan_out
+
 # BPE-ish pretokenizer: letter runs, digit runs, single non-space symbols
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
@@ -108,7 +110,7 @@ def fingerprint(col) -> Column:
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass document statistics table."""
     c = F.col(text_col)
-    return df.select(
+    return fan_out(df).select(
         id_col,
         F.length(c).alias("n_chars"),
         token_count_ws(c).alias("n_tokens_ws"),
