@@ -21,9 +21,19 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     are already transitive-ish). Driver only checks the convergence
     counter; labels never leave the cluster.
     """
+    # both orientations from ONE pass over pairs: a union of two
+    # selects would evaluate the (possibly expensive, e.g. full LSH)
+    # upstream lineage twice
     edges = (
-        pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
-        .unionByName(pairs.select(F.col("doc2").alias("a"), F.col("doc1").alias("b")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc1").alias("a"), F.col("doc2").alias("b")),
+                    F.struct(F.col("doc2").alias("a"), F.col("doc1").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
         .persist()
     )
