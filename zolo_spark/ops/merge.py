@@ -45,7 +45,9 @@ def scd2_apply(dim: DataFrame, updates: DataFrame, key: str,
 
     # inner join: only keys present in the update batch can change
     joined = cur.alias("cur").join(updates.alias("upd"), key, "inner")
-    changed_keys = joined.filter(cmp_cond).select(F.col(key)).distinct()
+    # persisted: referenced by three branches below (closed/unchanged/
+    # new_versions) — without it the compare-join runs three times
+    changed_keys = joined.filter(cmp_cond).select(F.col(key)).distinct().persist()
 
     closed = (
         cur.join(changed_keys, key, "left_semi")

@@ -1014,7 +1014,11 @@ def n8(spark, sf_dir):
     explode(map_entries) back to long form. All JVM-side map
     expressions inside whole-stage codegen; the oracle expresses the
     same relation as a UNION ALL unpivot."""
-    li = _t(spark, sf_dir, "lineitem")
+    from .ops.partitioning import fan_out
+
+    # map HOFs are interpreted (outside codegen): per-row cost is high
+    # enough that a single-row-group file must be fanned out first
+    li = fan_out(_t(spark, sf_dir, "lineitem"))
     m = F.map_concat(
         F.create_map(
             F.lit("qty"), F.col("l_quantity"),
