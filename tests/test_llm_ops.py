@@ -83,6 +83,14 @@ def test_simhash_exact_group(spark, docs):
     assert out[0] >= 2
 
 
+def test_simhash_neardup_pigeonhole(spark, docs):
+    pairs = {(r["doc1"], r["doc2"]): r["hamming"]
+             for r in dedup.simhash_neardup(docs).collect()}
+    assert pairs[(0, 1)] == 0                    # exact dup: distance 0
+    assert all(h <= 2 for h in pairs.values())   # verify bound holds
+    assert all(3 not in p for p in pairs)        # unrelated doc excluded
+
+
 def test_text_stats_fields(spark, docs):
     row = {r["doc_id"]: r for r in text.text_stats(docs).collect()}
     r0 = row[0]

@@ -293,6 +293,71 @@ def simhash(col, bits: int = SIMHASH_BITS) -> Column:
     return simhash_from_hashes(token_hashes(col), bits)
 
 
+def simhash_chunks(bits: int = SIMHASH_BITS,
+                   max_hamming: int = 2) -> list[tuple[int, int]]:
+    """(start_bit, length) spans splitting a ``bits``-wide signature
+    into ``max_hamming + 1`` chunks — pigeonhole: two signatures
+    within Hamming ≤ ``max_hamming`` agree exactly on ≥1 chunk."""
+    n = max_hamming + 1
+    base, extra = divmod(bits, n)
+    out, start = [], 0
+    for i in range(n):
+        ln = base + (1 if i < extra else 0)
+        out.append((start, ln))
+        start += ln
+    return out
+
+
+def simhash_neardup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", bits: int = SIMHASH_BITS,
+                    max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs at Hamming distance ≤ ``max_hamming``:
+    pigeonhole-banded candidate join (exact match on ≥1 signature
+    chunk) then exact ``bit_count(xor)`` verify — the banding bounds
+    candidates the way LSH bands do for MinHash. Candidate volume ~
+    N²·(k+1)/2^chunk_bits: with the oracle-portable 16-bit signature
+    the chunks are 5-6 bits (collision-heavy); a 100 TB deployment
+    widens to a 64-bit signature (~21-bit chunks) — same algorithm,
+    same int64 arithmetic on both engines."""
+    hashed = fan_out(df).select(
+        F.col(id_col).alias("doc_id"), token_hashes(F.col(text_col)).alias("th")
+    )
+    sigs = hashed.select(
+        "doc_id", simhash_from_hashes(F.col("th"), bits).alias("sig")
+    )
+    chunks = [
+        F.struct(
+            F.lit(i).alias("chunk_id"),
+            F.shiftright("sig", start).bitwiseAND(F.lit((1 << ln) - 1)).alias("chunk_val"),
+        )
+        for i, (start, ln) in enumerate(simhash_chunks(bits, max_hamming))
+    ]
+    banded = sigs.select(
+        "doc_id", "sig", F.explode(F.array(*chunks)).alias("c")
+    ).select("doc_id", "sig", "c.chunk_id", "c.chunk_val")
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.chunk_id") == F.col("r.chunk_id"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc1"), F.col("r.doc_id").alias("doc2"),
+            F.col("l.sig").alias("_s1"), F.col("r.sig").alias("_s2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc1", "doc2",
+            F.bit_count(F.col("_s1").bitwiseXOR(F.col("_s2"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_dedup(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Group docs by identical SimHash signature (Hamming distance 0;

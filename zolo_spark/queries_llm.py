@@ -294,6 +294,42 @@ def llm_simhash_dedup(spark, sf_dir):
     return dedup.simhash_dedup(_t(spark, sf_dir, "documents"))
 
 
+_SH_CHUNKS = dedup.simhash_chunks()  # bits=16, max_hamming=2
+_SH_CHUNK_VALS = ", ".join(
+    f"(sig >> {start}) & {(1 << ln) - 1}" for start, ln in _SH_CHUNKS
+)
+_SH_CHUNK_IDS = ", ".join(str(i) for i in range(len(_SH_CHUNKS)))
+
+
+@register("llm_simhash_neardup", oracle=f"""
+WITH hashed AS (
+    SELECT doc_id,
+           list_transform({_TOKENS},
+             x -> ('0x' || substr(md5(x), 1, 4))::BIGINT) AS th
+    FROM documents
+), sigs AS (
+    SELECT doc_id, {_SIMHASH_BITS_SQL} AS sig FROM hashed
+), banded AS (
+    SELECT doc_id, sig,
+           unnest([{_SH_CHUNK_VALS}]) AS chunk_val,
+           unnest([{_SH_CHUNK_IDS}]) AS chunk_id
+    FROM sigs
+), cand AS (
+    SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2,
+                    l.sig AS s1, r.sig AS s2
+    FROM banded l JOIN banded r
+      ON l.chunk_id = r.chunk_id AND l.chunk_val = r.chunk_val
+     AND l.doc_id < r.doc_id
+)
+SELECT doc1, doc2, bit_count(xor(s1, s2)) AS hamming
+FROM cand WHERE bit_count(xor(s1, s2)) <= 2
+""")
+def llm_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup at Hamming ≤ 2 via pigeonhole chunk banding
+    (3 chunks of the 16-bit signature) + exact popcount verify."""
+    return dedup.simhash_neardup(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------- embedding similarity
 
 _BUCKET_SQL = " || ".join(
