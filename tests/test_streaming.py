@@ -218,3 +218,44 @@ def test_kafka_source_raises_actionable_error_without_connector(spark):
 
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         sources.kafka_events_stream(spark, "localhost:9092", "events")
+
+
+def test_streaming_exact_dedup_first_seen_wins(spark, tmp_path):
+    """Stream of docs with planted dups → exactly one survivor per
+    content fingerprint, matching the batch exact_dedup group set."""
+    from zolo_spark.llm import dedup as batch_dedup
+    from zolo_spark.streaming import dedup as sdedup
+
+    rows = [
+        (0, "2024-01-01 10:00:00", "the quick brown fox"),
+        (1, "2024-01-01 10:00:30", "THE QUICK BROWN FOX!"),   # dup of 0 (normalized)
+        (2, "2024-01-01 10:01:00", "completely different doc"),
+        (3, "2024-01-01 10:01:30", "the quick brown fox"),    # dup of 0
+        (4, "2024-01-01 10:02:00", "a third unique document"),
+    ]
+    src = str(tmp_path / "docs_stream")
+    batch = spark.createDataFrame(
+        rows, "doc_id long, ts string, text string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch.repartition(1).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        sdedup.streaming_exact_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("sdedup_t").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.sql("SELECT fp, COUNT(*) AS n FROM sdedup_t GROUP BY fp")
+    assert got.filter(F.col("n") > 1).count() == 0  # one survivor per fp
+    want_fps = {r["fp"] for r in
+                batch.select(batch_dedup.fingerprint(F.col("text")).alias("fp"))
+                .distinct().collect()}
+    assert {r["fp"] for r in got.collect()} == want_fps
