@@ -132,3 +132,15 @@ def test_runtime_bloom_filter_prunes_fact_fact_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_fan_out_widens_narrow_never_narrows_wide(spark):
+    from zolo_spark.ops.partitioning import fan_out
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    assert fan_out(narrow).rdd.getNumPartitions() == target
+
+    wide = spark.range(1000).repartition(target * 2)
+    # already wider than target: returned untouched (same plan object)
+    assert fan_out(wide) is wide
