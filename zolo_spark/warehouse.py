@@ -225,6 +225,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark), sf_dir, name)
     df = _testdata_cache.get(key)
     if df is None:
+        if name == "events":
+            # events.parquet carries a TIMESTAMP(NANOS) column, which
+            # Spark's parquet reader rejects unless nanosAsLong is on.
+            # The conf is runtime-settable, and callers (the driver's
+            # verify harness in particular) hand us sessions that were
+            # NOT built by zolo_spark.session.get_spark, so set it here
+            # at the single read choke point rather than relying on
+            # builder-time configuration.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if name == "events":
             ts_type = dict(df.dtypes)["ts"]
