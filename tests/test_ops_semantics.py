@@ -236,6 +236,53 @@ def test_scd2_apply(spark):
     assert rows[("c2", True)]["valid_to"] is None  # untouched
 
 
+def test_scd2_new_key_inserted(spark):
+    """A business key present only in `updates` gets an initial open
+    version — not silently dropped (it has no current row to compare
+    against, so the change-detection join never sees it)."""
+    from zolo_spark.ops.merge import scd2_apply
+
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1)
+    dim = spark.createDataFrame(
+        [("c1", "Oakland", t0, None, True)],
+        "customer_id string, city string, valid_from timestamp, "
+        "valid_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [("c1", "Oakland"),   # unchanged
+         ("c9", "Fremont")],  # brand-new key
+        "customer_id string, city string",
+    )
+    out = scd2_apply(dim, updates, "customer_id", t1, ["city"]).collect()
+    rows = {(r["customer_id"], r["is_current"]): r for r in out}
+    assert len(out) == 2
+    new = rows[("c9", True)]
+    assert new["city"] == "Fremont"
+    assert new["valid_from"] == t1 and new["valid_to"] is None
+    assert rows[("c1", True)]["valid_from"] == t0  # untouched
+
+
+def test_salted_join_left_and_anti(spark):
+    """Big-side-preserving hows match the plain join; right/full raise."""
+    import pytest as _pytest
+    from zolo_spark.ops.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 3 else f"k{i}") for i in range(30)], "id long, k string"
+    )
+    small = spark.createDataFrame(
+        [("hot", 1.0), ("k0", 2.0), ("nomatch", 9.0)], "k string, v double"
+    )
+    for how in ("left", "left_anti"):
+        got = {tuple(r) for r in salted_join(big, small, "k", n_salts=4, how=how)
+               .select("id").collect()}
+        want = {tuple(r) for r in big.join(small, "k", how).select("id").collect()}
+        assert got == want, how
+    for how in ("right", "full", "full_outer"):
+        with _pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, "k", how=how)
+
+
 def test_scd2_null_safe_comparison(spark):
     from zolo_spark.ops.merge import scd2_apply
 

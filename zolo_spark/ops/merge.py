@@ -34,7 +34,9 @@ def scd2_apply(dim: DataFrame, updates: DataFrame, key: str,
     ``valid_to``, ``is_current``); ``updates`` carries (``key``,
     tracked attributes). Rows whose tracked attributes changed get
     their current version closed at ``effective_ts`` and a new open
-    version appended; unchanged and absent keys pass through.
+    version appended; unchanged and absent keys pass through; keys
+    present only in ``updates`` are inserted as initial open versions
+    (``valid_from = effective_ts``).
     """
     cur = dim.filter(F.col("is_current"))
     hist = dim.filter(~F.col("is_current"))
@@ -61,4 +63,14 @@ def scd2_apply(dim: DataFrame, updates: DataFrame, key: str,
         .withColumn("valid_to", F.lit(None).cast("timestamp"))
         .withColumn("is_current", F.lit(True))
     )
-    return hist.unionByName(unchanged).unionByName(closed).unionByName(new_versions)
+    # brand-new business keys: no current version exists yet, so the
+    # inner compare-join above never sees them — insert them as the
+    # initial open version rather than silently dropping new entities
+    inserts = (
+        updates.join(cur.select(key), key, "left_anti")
+        .withColumn("valid_from", F.lit(effective_ts).cast("timestamp"))
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+    )
+    return (hist.unionByName(unchanged).unionByName(closed)
+            .unionByName(new_versions).unionByName(inserts))

@@ -9,12 +9,21 @@ hot-customer / null-key problem) or when AQE can't see the skew
 ``salted_join``: the big side gets a uniform salt in [0, n); the
 small side is exploded n ways so every (key, salt) pair exists; the
 join key becomes (key, salt), spreading one hot key over n reducers.
-Result is exactly the plain join's output.
+For big-side-preserving joins (inner / left / left_semi / left_anti)
+the result is exactly the plain join's output; right/full outer would
+emit each unmatched small-side row once per salt, so they are
+rejected rather than silently wrong.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+# joins where every output row is driven by the (un-exploded) big side,
+# so the n_salts-way explosion of the small side can't duplicate output
+_SAFE_HOW = {"inner", "left", "leftouter", "left_outer",
+             "left_semi", "leftsemi", "semi",
+             "left_anti", "leftanti", "anti"}
 
 
 def salted_join(
@@ -25,7 +34,17 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join ``big ⋈ small`` on ``key`` with the hot-key shuffle
-    spread over ``n_salts`` partitions per key."""
+    spread over ``n_salts`` partitions per key.
+
+    ``how`` must be big-side-preserving (inner/left/semi/anti):
+    unmatched small-side rows exist ``n_salts`` times after the
+    explosion, so right/full outer joins would duplicate them.
+    """
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SAFE_HOW}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}: "
+            "right/full outer would emit unmatched small-side rows once per salt"
+        )
     salted_big = big.withColumn(
         "_salt", (F.rand(seed=7) * n_salts).cast("int")
     )

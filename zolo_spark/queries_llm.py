@@ -384,8 +384,13 @@ def llm_sim_ivf(spark, sf_dir):
     import numpy as np
 
     emb = _t(spark, sf_dir, "embeddings")
+    # training sample: order by a key hash rather than limit() — limit
+    # takes an arbitrary file-order prefix (one shard's neighborhood),
+    # while the hash order is a deterministic uniform draw over the
+    # whole corpus. TakeOrdered top-k, not a full sort.
     sample = np.stack(
-        emb.limit(2000).toPandas()["embedding"].to_numpy()
+        emb.orderBy(F.xxhash64("vec_id"))
+        .limit(2000).toPandas()["embedding"].to_numpy()
     )
     cents = similarity.train_centroids(sample, n_centroids=8)
     index = similarity.ivf_index(emb, cents)

@@ -22,6 +22,7 @@ import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.errors import AnalysisException
 
 from . import schemas
 
@@ -132,8 +133,12 @@ class Warehouse:
             try:
                 existing = self.read(table).select(*dedupe_on).distinct()
                 df = df.join(existing, dedupe_on, "left_anti")
-            except Exception:
-                pass  # table missing/empty: plain append
+            except AnalysisException:
+                # first write: table path doesn't exist yet → plain
+                # append. Anything else (corrupt footer, executor
+                # failure) must propagate — silently skipping the
+                # anti-join would disable idempotency without signal.
+                pass
         self._write(df, table, mode="append")
 
     def file_stats(self, table: str) -> tuple[int, int]:
