@@ -176,6 +176,62 @@ def test_dup_clusters_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_dup_clusters_clique_converges_fast(spark):
+    """Clique-shaped dup graphs (the near-dup normal case) must
+    converge in ≤2 propagation rounds — the bound that makes
+    label-prop the right default at 100 TB."""
+    from zolo_spark.llm import corpus
+
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(8) for j in range(i + 1, 8)]
+        + [(20 + i, 20 + j) for i in range(5) for j in range(i + 1, 5)],
+        "doc1 long, doc2 long",
+    )
+    stats: dict = {}
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in corpus.dup_clusters(pairs, stats=stats).collect()}
+    assert got == {**{i: 0 for i in range(8)}, **{20 + i: 20 for i in range(5)}}
+    assert stats["converged"] and stats["rounds"] <= 2
+
+
+def test_dup_clusters_star_matches_labelprop(spark):
+    """large-star/small-star ≡ label propagation on a mixed graph,
+    in O(log n) rounds (chain of 40 → ≤7 rounds, not 40)."""
+    import random
+
+    from zolo_spark.llm import corpus
+
+    random.seed(5)
+    rnd = [(random.randrange(0, 40), random.randrange(0, 40))
+           for _ in range(60)]
+    pairs_py = ([(a, b) for a, b in rnd if a != b]
+                + [(100 + i, 100 + i + 1) for i in range(40)])
+    pairs = spark.createDataFrame(pairs_py, "doc1 long, doc2 long")
+    lab = {r["doc_id"]: r["cluster_id"]
+           for r in corpus.dup_clusters(pairs, max_iter=100).collect()}
+    stats: dict = {}
+    star = {r["doc_id"]: r["cluster_id"]
+            for r in corpus.dup_clusters_star(pairs, stats=stats).collect()}
+    assert star == lab
+    assert stats["converged"] and stats["star_rounds"] <= 7
+
+
+def test_dup_clusters_deep_chain_falls_back_to_star(spark):
+    """A chain longer than max_iter must NOT return half-propagated
+    labels — label-prop detects non-convergence and reruns via the
+    star algorithm."""
+    from zolo_spark.llm import corpus
+
+    chain = [(i, i + 1) for i in range(100, 130)]
+    stats: dict = {}
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in corpus.dup_clusters(
+               spark.createDataFrame(chain, "doc1 long, doc2 long"),
+               max_iter=4, stats=stats).collect()}
+    assert got == {i: 100 for i in range(100, 131)}
+    assert "star_rounds" in stats  # fallback actually engaged
+
+
 def test_dedup_survivors(spark, docs):
     from zolo_spark.llm import corpus, dedup as dd
 

@@ -11,15 +11,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def dup_clusters(pairs: DataFrame, max_iter: int = 20,
+                 stats: dict | None = None) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id)
     with cluster_id = min doc id reachable.
 
     Iterative min-label propagation on the undirected edge list; each
     round is one groupBy shuffle, converging in O(cluster diameter)
     rounds (near-dup clusters are shallow in practice — pairs lists
-    are already transitive-ish). Driver only checks the convergence
-    counter; labels never leave the cluster.
+    are already transitive-ish). If the graph turns out chain-shaped
+    and label propagation has NOT converged after ``max_iter`` rounds,
+    the computation falls back to :func:`dup_clusters_star`
+    (O(log n) rounds) instead of returning wrong labels silently.
+
+    ``stats`` (optional dict) is filled with ``rounds`` (propagation
+    rounds run, excluding the fused init) and ``converged``.
     """
     # both orientations from ONE pass over pairs: a union of two
     # selects would evaluate the (possibly expensive, e.g. full LSH)
@@ -46,6 +52,8 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .persist()
     )
     persisted = labels
+    converged = False
+    rounds = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.b == labels.doc_id)
@@ -54,6 +62,12 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         # carry the convergence flag in the row instead of re-joining
         # the old labels afterwards: one join per round, not two
+        # localCheckpoint (not plain persist): each round's plan nests
+        # every previous round's joins, so without lineage truncation
+        # Catalyst's plan grows superlinearly and the driver OOMs after
+        # a few dozen rounds. Eager checkpoint = one job per round,
+        # which the convergence count needs anyway. (On a cluster with
+        # lossy executors, set a checkpoint dir and use checkpoint().)
         updated = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
@@ -64,16 +78,174 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 ).alias("cluster_id"),
                 (F.col("nbr_min") < F.col("cluster_id")).alias("_changed"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = updated.filter(F.col("_changed")).limit(1).count()
+        rounds += 1
         persisted.unpersist()
         persisted = updated
         labels = updated.drop("_changed")
         if changed == 0:
+            converged = True
             break
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
+    if not converged:
+        # deep (chain-shaped) component: O(diameter) propagation won't
+        # finish in any reasonable round budget — hand the edge list to
+        # the O(log n)-round star algorithm rather than return labels
+        # that silently stopped mid-propagation
+        persisted.unpersist()
+        out = dup_clusters_star(pairs, stats=stats)
+        edges.unpersist()
+        return out
     edges.unpersist()
     return labels
+
+
+def dup_clusters_star(pairs: DataFrame, max_iter: int = 40,
+                      stats: dict | None = None) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    → (doc_id, cluster_id), cluster_id = component min.
+
+    Each iteration runs two groupBy+join shuffles and *halves* tree
+    depth, so convergence is O(log n) rounds regardless of component
+    shape — the 100 TB path for chain-shaped duplicate graphs where
+    min-label propagation's O(diameter) rounds would be unbounded.
+
+    * large-star: every node's strictly-larger neighbors re-attach to
+      its current minimum (incl. itself).
+    * small-star: every node and its smaller-or-equal neighbors
+      attach to that minimum.
+
+    Both steps preserve connectivity; the fixed point is a star per
+    component centered on its min id.
+    """
+
+    def sym(e: DataFrame) -> DataFrame:
+        # undirected view: both orientations, no self-loops (the star
+        # steps emit directed a→min edges, so re-symmetrize between)
+        return (
+            e.select(
+                F.explode(
+                    F.array(
+                        F.struct("a", "b"),
+                        F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                    )
+                ).alias("e")
+            )
+            .select("e.a", "e.b")
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def node_min(e: DataFrame) -> DataFrame:
+        # m(u) = min over {u} ∪ N(u); e must carry both orientations
+        return (
+            e.groupBy("a")
+            .agg(F.min("b").alias("_mb"))
+            .select(
+                F.col("a").alias("u"),
+                F.least(F.col("a"), F.col("_mb")).alias("m"),
+            )
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        m = node_min(e)
+        return (
+            e.filter(F.col("b") > F.col("a"))
+            .join(m, F.col("a") == F.col("u"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        m = node_min(e)
+        attach = (
+            e.filter(F.col("b") < F.col("a"))
+            .join(m, F.col("a") == F.col("u"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        self_edge = m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        return attach.unionByName(self_edge).distinct()
+
+    # undirected edge list, both orientations, no self-loops
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc1").alias("a"), F.col("doc2").alias("b")),
+                    F.struct(F.col("doc2").alias("a"), F.col("doc1").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    rounds = 0
+    converged = False
+    prev_sig = None
+    cur = edges
+    for _ in range(max_iter):
+        grown = large_star(sym(cur)) if cur is not edges else large_star(cur)
+        # localCheckpoint truncates the per-round plan growth (see
+        # dup_clusters) — star rounds double the nesting via sym()
+        nxt = (small_star(sym(grown))
+               .filter(F.col("a") != F.col("b")).localCheckpoint())
+        # convergence: edge multiset fixed point, checked with one
+        # aggregate (count + order-insensitive hash sum) — no
+        # driver-side edge materialization
+        sig = tuple(
+            nxt.agg(
+                F.count(F.lit(1)),
+                # order-insensitive multiset signature; decimal(38,0)
+                # sum cannot overflow under ANSI the way long does
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")),
+            ).first()
+        )
+        rounds += 1
+        if cur is not edges:
+            cur.unpersist()
+        cur = nxt
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if stats is not None:
+        stats["star_rounds"] = rounds
+        stats["converged"] = converged
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters_star did not converge in {max_iter} rounds"
+        )
+    # fixed point: every non-min node carries exactly one edge to its
+    # component min; min nodes appear only on the b side
+    labels = (
+        cur.groupBy(F.col("a").alias("doc_id"))
+        .agg(F.min("b").alias("cluster_id"))
+        .select(
+            "doc_id",
+            F.least(F.col("doc_id"), F.col("cluster_id")).alias("cluster_id"),
+        )
+    )
+    # component-min nodes label themselves
+    mins = (
+        labels.select(F.col("cluster_id").alias("doc_id"))
+        .distinct()
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    out = labels.unionByName(mins)
+    if cur is not edges:
+        out = out.persist()
+        out.count()  # materialize before releasing lineage inputs
+        cur.unpersist()
+    edges.unpersist()
+    return out
 
 
 def dedup_survivors(df: DataFrame, pairs: DataFrame,

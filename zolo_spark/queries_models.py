@@ -65,6 +65,69 @@ def m_ses_fold(spark, sf_dir):
     )
 
 
+@register("m_holt_fixed_fold", oracle="""
+WITH RECURSIVE weekly AS (
+    SELECT o_custkey, date_trunc('week', o_orderdate) AS week_date,
+           SUM(o_totalprice) AS weight
+    FROM orders GROUP BY 1, 2
+), series AS (
+    SELECT o_custkey, list(weight ORDER BY week_date) AS ys, COUNT(*) AS n
+    FROM weekly GROUP BY o_custkey HAVING COUNT(*) >= 3
+), step(o_custkey, t, l, b, n, ys) AS (
+    SELECT o_custkey, 1, ys[1], ys[2] - ys[1], n, ys FROM series
+    UNION ALL
+    SELECT o_custkey, t + 1,
+           0.6*ys[t+1] + 0.4*(l + b),
+           0.12*(ys[t+1] - l) + 0.88*b,
+           n, ys
+    FROM step WHERE t < n
+)
+SELECT o_custkey, ROUND(l, 4) AS holt_level, ROUND(b, 4) AS holt_trend
+FROM step WHERE t = n
+""")
+def m_holt_fold(spark, sf_dir):
+    """M2 core recursion (``holt_model.py`` walk-forward step, fixed
+    alpha=0.6 / beta=0.2) as a relational fold — exact cross-engine
+    value-hash oracle for the Holt path (the full job's grid search is
+    numpy and rows-only checked).
+
+    The trend update is written in its expanded form
+    ``b' = alpha*beta*(x - l) + (1 - alpha*beta)*b`` — algebraically
+    equal to ``beta*(l' - l) + (1-beta)*b`` but free of any reference
+    to the other field's new value: DuckDB 1.0's ``list_reduce``
+    mis-evaluates struct fields that recompute a sibling field (the
+    sibling's acc reference resolves half-updated), so the oracle uses
+    a recursive CTE and both engines use the decoupled update, keeping
+    IEEE operation order identical → bit-equal folds.
+    """
+    orders = load_testdata(spark, sf_dir)["orders"]
+    weekly = (
+        orders.groupBy(
+            "o_custkey", F.date_trunc("week", "o_orderdate").alias("week_date")
+        ).agg(F.sum("o_totalprice").alias("weight"))
+    )
+    series = weekly.groupBy("o_custkey").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("week_date", "weight"))),
+            lambda s: s["weight"],
+        ).alias("ys")
+    )
+    return (
+        series.filter(F.size("ys") >= 3)
+        .withColumn("hb", F.expr(
+            "aggregate(slice(ys, 2, size(ys)-1), "
+            "named_struct('l', element_at(ys,1), "
+            "             'b', element_at(ys,2)-element_at(ys,1)), "
+            "(acc, x) -> named_struct('l', 0.6d*x + 0.4d*(acc.l+acc.b), "
+            "                         'b', 0.12d*(x-acc.l) + 0.88d*acc.b))"))
+        .select(
+            "o_custkey",
+            F.round("hb.l", 4).alias("holt_level"),
+            F.round("hb.b", 4).alias("holt_trend"),
+        )
+    )
+
+
 def _weekly_brand_revenue(spark, sf_dir):
     """Weekly revenue per part brand — the model jobs' input series
     (25 brands ⇒ bounded fan-out at any tested SF)."""

@@ -120,7 +120,8 @@ class Warehouse:
         return df.select([f.name for f in want.fields])
 
     def append(self, df: DataFrame, table: str,
-               dedupe_on: list[str] | None = None) -> None:
+               dedupe_on: list[str] | None = None,
+               jdbc_url: str | None = None) -> None:
         """S7: ``to_sql(..., if_exists='append')`` analog
         (``square_ETL.py:232-233``).
 
@@ -128,18 +129,30 @@ class Warehouse:
         rows whose key already exists in the table are anti-joined
         away, upgrading the reference's at-least-once watermark
         semantics (S10) to effectively-once on rerun. Default off for
-        behavioral fidelity."""
+        behavioral fidelity.
+
+        ``jdbc_url``: route the sink to an external RDBMS over JDBC
+        instead of the managed parquet path — the reference's
+        ``to_sql`` wrote to a SQL database, and this is the literal
+        analog (S7/S8 mapping, SURVEY §2.1). The dedupe read then also
+        goes through JDBC so idempotency holds against the actual
+        destination table."""
         if dedupe_on:
             try:
-                existing = self.read(table).select(*dedupe_on).distinct()
+                src = (self.read_jdbc(jdbc_url, table) if jdbc_url
+                       else self.read(table))
+                existing = src.select(*dedupe_on).distinct()
                 df = df.join(existing, dedupe_on, "left_anti")
             except AnalysisException:
-                # first write: table path doesn't exist yet → plain
+                # first write: table/path doesn't exist yet → plain
                 # append. Anything else (corrupt footer, executor
                 # failure) must propagate — silently skipping the
                 # anti-join would disable idempotency without signal.
                 pass
-        self._write(df, table, mode="append")
+        if jdbc_url is not None:
+            self._write_jdbc(df, table, "append", jdbc_url)
+        else:
+            self._write(df, table, mode="append")
 
     def file_stats(self, table: str) -> tuple[int, int]:
         """(parquet file count, total bytes) under the table path —
@@ -192,10 +205,46 @@ class Warehouse:
         shutil.rmtree(trash)
         return files_before, self.file_stats(table)[0]
 
-    def overwrite(self, df: DataFrame, table: str) -> None:
+    def overwrite(self, df: DataFrame, table: str,
+                  jdbc_url: str | None = None) -> None:
         """S8: ``to_sql(..., if_exists='replace')`` analog
-        (``qb_customers_ETL.py:190``)."""
-        self._write(df, table, mode="overwrite")
+        (``qb_customers_ETL.py:190``). ``jdbc_url`` routes to an
+        external RDBMS (see :meth:`append`)."""
+        if jdbc_url is not None:
+            self._write_jdbc(df, table, "overwrite", jdbc_url)
+        else:
+            self._write(df, table, mode="overwrite")
+
+    def read_jdbc(self, jdbc_url: str, table: str) -> DataFrame:
+        """Read a warehouse table back from a JDBC destination.
+
+        Raises ``AnalysisException`` if the table does not exist
+        (normalized from the driver's SQLException so callers can
+        treat 'missing table' uniformly across sinks). At scale,
+        prefer ``partitionColumn``/``numPartitions`` bounds via
+        ``spark.read.jdbc`` directly — a plain JDBC read is one
+        executor task per table."""
+        try:
+            return self.spark.read.format("jdbc").options(
+                url=jdbc_url, dbtable=table
+            ).load()
+        except Exception as exc:  # driver-specific SQLException classes
+            msg = str(exc)
+            if ("does not exist" in msg or "not found" in msg
+                    or "42X05" in msg or "42S02" in msg):
+                raise AnalysisException(
+                    f"[TABLE_OR_VIEW_NOT_FOUND] JDBC table {table} "
+                    f"does not exist at {jdbc_url}"
+                ) from exc
+            raise
+
+    def _write_jdbc(self, df: DataFrame, table: str, mode: str,
+                    jdbc_url: str) -> None:
+        want = schemas.WAREHOUSE_TABLES[table]
+        df = df.select([F.col(f.name).cast(f.dataType) for f in want.fields])
+        (df.write.mode(mode)
+         .option("truncate", "true")  # overwrite: keep DDL, replace rows
+         .format("jdbc").options(url=jdbc_url, dbtable=table).save())
 
     def _write(self, df: DataFrame, table: str, mode: str) -> None:
         want = schemas.WAREHOUSE_TABLES[table]
