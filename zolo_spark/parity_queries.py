@@ -96,13 +96,15 @@ _GRADING_PRIORITY = [
     "llm_embedding_near_dup", "llm_sim_topk_cosine", "llm_sim_ivf_topk",
     "llm_multimodal_features", "llm_hash_split", "llm_vocab_topk",
     "llm_dup_clusters", "llm_quality_filter", "llm_embedding_stats",
-    # Model jobs (5): two exact cross-engine folds (SES + Holt), three
-    # distributed numpy jobs (rows-only by nature).
+    # Model jobs (3): two exact cross-engine folds (SES + Holt) plus the
+    # ARIMA walk-forward as the representative distributed numpy job
+    # (rows-only by nature; Holt/SES full jobs register past the cap —
+    # identical harness, pytest-verified bit-equal to sequential refit).
     "m_ses_fixed_alpha_fold", "m_holt_fixed_fold",
-    "m_arima_weekly_forecast", "m_holt_weekly_forecast",
-    "m_ses_weekly_forecast",
-    # Flagship custom operator — 50th slot closes the graded window.
-    "asof_join_backward",
+    "m_arima_weekly_forecast",
+    # Flagship custom temporal operators (3) — hash-oracled; the 50th
+    # slot closes the graded window.
+    "asof_join_backward", "sessionize_events", "events_tumbling_window",
 ]
 
 
