@@ -137,6 +137,37 @@ def test_ivf_matches_brute_top1(spark, vectors):
     assert out[0]["neighbor_id"] == 100
 
 
+def test_ivf_recall_on_testdata(spark):
+    """Recall gate on the real embeddings table (VERDICT r1 item 4):
+    nprobe=3 of 8 cells keeps useful recall on a structure-free random
+    corpus (the worst case for IVF), and probing ALL cells is exactly
+    brute force — cells partition the corpus, so nprobe=C degrades to
+    the exact scan."""
+    from .conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 20)
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.brute_topk(emb, qs, k=10).collect()}
+
+    sample = np.stack(
+        emb.orderBy(F.xxhash64("vec_id")).limit(2000)
+        .toPandas()["embedding"].to_numpy()
+    )
+    cents = similarity.train_centroids(sample, n_centroids=8)
+    index = similarity.ivf_index(emb, cents).persist()
+    try:
+        approx = {(r["query_id"], r["neighbor_id"]) for r in
+                  similarity.ivf_topk(index, qs, cents, k=10, nprobe=3).collect()}
+        assert len(brute & approx) / len(brute) >= 0.5
+
+        exact = {(r["query_id"], r["neighbor_id"]) for r in
+                 similarity.ivf_topk(index, qs, cents, k=10, nprobe=8).collect()}
+        assert exact == brute
+    finally:
+        index.unpersist()
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synthetic_media(spark, n=16)
     feats = multimodal.extract_features(media, mode="fake")

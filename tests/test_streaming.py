@@ -259,3 +259,35 @@ def test_streaming_exact_dedup_first_seen_wins(spark, tmp_path):
                 batch.select(batch_dedup.fingerprint(F.col("text")).alias("fp"))
                 .distinct().collect()}
     assert {r["fp"] for r in got.collect()} == want_fps
+
+
+def test_stream_stream_attribution_join_equals_batch(spark, events_dir):
+    """Stream-stream interval join (click→purchase attribution): the
+    streaming inner join over the finite file stream must emit exactly
+    the rows of the same join run as one batch query."""
+    from zolo_spark.streaming import joins
+
+    # The file replay is NOT event-time ordered (repartition(4) shards
+    # arbitrarily), so a short watermark would legitimately drop
+    # late-arriving matches; a data-span watermark makes the finite
+    # replay lossless and the batch join an exact oracle.
+    stream = intraday.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = (
+        joins.attribution_join(stream, watermark="400 days")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("attrib_t").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT purchase_id, click_id FROM attrib_t"
+        ).collect()
+    finally:
+        q.stop()
+
+    batch = joins.attribution_join(spark.read.parquet(events_dir)).collect()
+    got_set = {(r["purchase_id"], r["click_id"]) for r in got}
+    want_set = {(r["purchase_id"], r["click_id"]) for r in batch}
+    assert len(got) == len(got_set)  # no duplicate emissions
+    assert got_set == want_set
+    assert len(want_set) > 0  # the horizon actually matches something

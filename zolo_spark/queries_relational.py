@@ -1034,3 +1034,25 @@ def n8(spark, sf_dir):
         .select("l_orderkey", "l_linenumber",
                 F.col("e.key").alias("key"), F.col("e.value").alias("value"))
     )
+
+
+@register("attribution_interval_join", oracle="""
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       p.ts       AS purchase_ts,
+       round(p.value, 2) AS purchase_value,
+       c.event_id AS click_id,
+       c.ts       AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""")
+def attribution_q(spark, sf_dir):
+    """Click→purchase attribution interval join — the BATCH run of the
+    stream-stream join in streaming/joins.py (one definition, two
+    execution modes; tests/test_streaming.py proves stream ≡ batch,
+    this gate proves batch ≡ SQL oracle)."""
+    from .streaming import joins
+
+    return joins.attribution_join(_t(spark, sf_dir, "events"))
