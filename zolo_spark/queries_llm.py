@@ -69,7 +69,7 @@ END
 """
 
 
-@register("llm_text_stats", oracle=f"""
+_TEXT_STATS_ORACLE = f"""
 WITH base AS (
     SELECT doc_id, text, {_TOKENS} AS t,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
@@ -108,7 +108,10 @@ SELECT doc_id,
        {_LANG_CASE} AS lang_guess,
        md5({_NORMALIZED}) AS fingerprint
 FROM scored
-""")
+"""
+
+
+@register("llm_text_stats", oracle=_TEXT_STATS_ORACLE)
 def llm_text_stats(spark, sf_dir):
     """Language-ID, quality, token counts, fingerprint — one pass,
     pure built-in expressions (no UDF)."""
@@ -529,4 +532,36 @@ def llm_embedding_stats(spark, sf_dir):
         F.round(F.avg(norm), 4).alias("avg_norm"),
         F.round(F.avg(F.element_at("embedding", 1).cast("double")), 6)
         .alias("avg_dim0"),
+    )
+
+
+# ------------------------------------------------------------- corpus report
+
+@register("llm_corpus_report", oracle=f"""
+WITH stats AS ({_TEXT_STATS_ORACLE})
+SELECT lang_guess,
+       count(*) AS n_docs,
+       round(CAST(sum(CAST(quality AS DECIMAL(10,4))) AS DOUBLE)
+             / count(*), 4) AS mean_quality,
+       round(CAST(sum(n_tokens_ws) AS DOUBLE) / count(*), 2) AS mean_tokens,
+       count(*) - count(DISTINCT fingerprint) AS n_exact_dup_docs
+FROM stats
+GROUP BY lang_guess
+""")
+def llm_corpus_report(spark, sf_dir):
+    """Corpus health report — the rollup a training-data pipeline
+    publishes per ingest batch: per-language volume, mean quality,
+    mean length, exact-dup counts. One pass over text_stats then a
+    5-group aggregate; means go through exact integer/DECIMAL sums so
+    both engines divide the same two numbers (double summation order
+    would differ)."""
+    stats = text.text_stats(_t(spark, sf_dir, "documents"))
+    n = F.count(F.lit(1))
+    return stats.groupBy("lang_guess").agg(
+        n.alias("n_docs"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(10,4)")).cast("double") / n, 4
+        ).alias("mean_quality"),
+        F.round(F.sum("n_tokens_ws").cast("double") / n, 2).alias("mean_tokens"),
+        (n - F.count_distinct(F.col("fingerprint"))).alias("n_exact_dup_docs"),
     )

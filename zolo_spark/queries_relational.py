@@ -1056,3 +1056,74 @@ def attribution_q(spark, sf_dir):
     from .streaming import joins
 
     return joins.attribution_join(_t(spark, sf_dir, "events"))
+
+
+@register("tpch_q3_shipping_priority", oracle="""
+SELECT l_orderkey,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(18,8))), 2)
+            AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-15'
+  AND l_shipdate  > TIMESTAMP '1997-06-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+""")
+def tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape (o_orderpriority stands in for the testdata's
+    missing o_shippriority): segment-filtered customer ⋈ orders ⋈
+    lineitem with date pruning on both fact filters. Both filters push
+    to the scans; the segment dim side shrinks 5× before the join, so
+    AQE picks broadcast at small SF and shuffle-hash at scale."""
+    cust, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1997-06-15").cast("timestamp")
+    revenue = F.sum(
+        _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"), 8)
+    )
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders.filter(F.col("o_orderdate") < cutoff),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.filter(F.col("l_shipdate") > cutoff),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register("tpch_q6_forecast_revenue", oracle="""
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,8))), 2)
+            AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-filter-aggregate — the whole query is
+    one codegen stage over pushed-down predicates; at 100 TB it is
+    I/O-bound and embarrassingly parallel (no shuffle at all until the
+    single-row final sum)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(_dec(F.col("l_extendedprice")) * _dec(F.col("l_discount"), 8)),
+                2,
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
