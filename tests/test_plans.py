@@ -144,3 +144,28 @@ def test_fan_out_widens_narrow_never_narrows_wide(spark):
     wide = spark.range(1000).repartition(target * 2)
     # already wider than target: returned untouched (same plan object)
     assert fan_out(wide) is wide
+
+
+def test_q3_pushdown_prune_broadcast(spark):
+    p = plan_of(q(spark, "tpch_q3_shipping_priority"))
+    # every filter reaches its own scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+    assert "LessThan(o_orderdate" in p
+    assert "GreaterThan(l_shipdate" in p
+    # column pruning: customer read shrinks to the 2 needed columns
+    assert "ReadSchema: struct<c_custkey:bigint,c_mktsegment:string>" in p
+    # filtered dims broadcast; the only shuffle is the final aggregate
+    assert "BroadcastHashJoin" in p
+    assert n_shuffles(p) == 1
+
+
+def test_q6_single_stage_scan_agg(spark):
+    p = plan_of(q(spark, "tpch_q6_forecast_revenue"))
+    # all four predicates pushed to the parquet scan
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_shipdate" in p
+    assert "GreaterThanOrEqual(l_discount,0.05)" in p
+    assert "LessThan(l_quantity,24" in p
+    # partial agg map-side, one exchange to the single final row
+    assert p.count("HashAggregate") >= 2
+    assert n_shuffles(p) == 1
