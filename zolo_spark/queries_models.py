@@ -168,3 +168,94 @@ def m_holt(spark, sf_dir):
 def m_ses(spark, sf_dir):
     """M3+M5: distributed SES fit per brand (``simp_avg_model.py``)."""
     return grouped.ses_job(_weekly_brand_revenue(spark, sf_dir), _FORECAST_START)
+
+
+@register("m_ar1_ols_fold", oracle="""
+WITH weekly AS (
+    SELECT o_custkey, date_trunc('week', o_orderdate) AS week_date,
+           SUM(o_totalprice) AS weight
+    FROM orders GROUP BY 1, 2
+), series AS (
+    SELECT o_custkey, list(weight ORDER BY week_date) AS ys, COUNT(*) AS n
+    FROM weekly GROUP BY o_custkey HAVING COUNT(*) >= 3
+), pairs AS (
+    SELECT o_custkey, n, ys,
+           ys[1:n-1] AS xs, ys[2:n] AS yn,
+           (n - 1)::DOUBLE AS m
+    FROM series
+), sums AS (
+    SELECT o_custkey, n, ys, m,
+           list_reduce(xs, (p, q) -> p + q) AS sx,
+           list_reduce(yn, (p, q) -> p + q) AS sy,
+           list_reduce(list_transform(list_zip(xs, yn), z -> z[1] * z[2]),
+                       (p, q) -> p + q) AS sxy,
+           list_reduce(list_transform(xs, x -> x * x),
+                       (p, q) -> p + q) AS sxx
+    FROM pairs
+)
+SELECT o_custkey,
+       ROUND((m*sxy - sx*sy) / (m*sxx - sx*sx), 6) AS ar1_coef,
+       ROUND(((sy - ((m*sxy - sx*sy) / (m*sxx - sx*sx)) * sx) / m)
+             + ((m*sxy - sx*sy) / (m*sxx - sx*sx)) * ys[n], 4)
+           AS next_forecast
+FROM sums
+WHERE abs(m*sxx - sx*sx) > 1e-6
+""")
+def m_ar1_fold(spark, sf_dir):
+    """AR(1)-with-intercept one-step forecast via closed-form OLS —
+    the exact cross-engine check for the model family's REGRESSION
+    path (the ARIMA job's AR fit is this same normal-equation solve,
+    batched in numpy: models/tsmodels.py). SES/Holt folds cover the
+    smoothing recursions; this covers the lag-regression.
+
+    Every sum is a left fold over the week-sorted series (four
+    INDEPENDENT scalar folds — a multi-field struct fold would hit
+    the DuckDB list_reduce sibling-update quirk documented on
+    m_holt_fixed_fold), so both engines add the same doubles in the
+    same order and the OLS inputs are bit-equal; the closed-form
+    arithmetic on them is then deterministic double math.
+    """
+    orders = load_testdata(spark, sf_dir)["orders"]
+    weekly = (
+        orders.groupBy(
+            "o_custkey", F.date_trunc("week", "o_orderdate").alias("week_date")
+        ).agg(F.sum("o_totalprice").alias("weight"))
+    )
+    series = (
+        weekly.groupBy("o_custkey").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("week_date", "weight"))),
+                lambda s: s["weight"],
+            ).alias("ys")
+        )
+        .filter(F.size("ys") >= 3)
+        .withColumn("n", F.size("ys"))
+    )
+    fold = "aggregate({xs}, 0d, (p, x) -> p + x)"
+    sums = (
+        series
+        .withColumn("m", (F.col("n") - 1).cast("double"))
+        .withColumn("xs", F.expr("slice(ys, 1, n-1)"))
+        .withColumn("yn", F.expr("slice(ys, 2, n-1)"))
+        .withColumn("sx", F.expr(fold.format(xs="xs")))
+        .withColumn("sy", F.expr(fold.format(xs="yn")))
+        .withColumn("sxy", F.expr(fold.format(
+            xs="zip_with(xs, yn, (a, b) -> a * b)")))
+        .withColumn("sxx", F.expr(fold.format(
+            xs="transform(xs, x -> x * x)")))
+    )
+    coef = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - coef * F.col("sx")) / F.col("m")
+    return (
+        sums.filter(
+            F.abs(F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")) > 1e-6
+        )
+        .select(
+            "o_custkey",
+            F.round(coef, 6).alias("ar1_coef"),
+            F.round(intercept + coef * F.element_at("ys", F.col("n")), 4)
+            .alias("next_forecast"),
+        )
+    )
