@@ -291,3 +291,68 @@ def test_stream_stream_attribution_join_equals_batch(spark, events_dir):
     assert len(got) == len(got_set)  # no duplicate emissions
     assert got_set == want_set
     assert len(want_set) > 0  # the horizon actually matches something
+
+
+def test_streaming_scd2_checkpoint_resume_equals_batch(spark, tmp_path):
+    """foreachBatch SCD2 ingest: batch 1 seeds the dimension, a
+    checkpoint-resumed restart applies ONLY the new file, and the
+    final dimension equals sequential batch scd2_apply of the same
+    two change sets."""
+    from zolo_spark.ops.merge import scd2_apply
+    from zolo_spark.streaming import cdc
+
+    src = str(tmp_path / "changes")
+    dim_path = str(tmp_path / "dim_users")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp, city string, tier string"
+
+    batch_a = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "vienna", "gold"),
+         (2, "2024-01-01 10:05:00", "graz", "silver")],
+        "user_id long, ts string, city string, tier string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch_b = spark.createDataFrame(
+        [(1, "2024-01-02 09:00:00", "linz", "gold"),      # tracked change
+         (2, "2024-01-02 09:10:00", "graz", "silver"),    # unchanged
+         (3, "2024-01-02 09:20:00", "salzburg", "gold")], # new key
+        "user_id long, ts string, city string, tier string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = cdc.scd2_sink(stream, dim_path, ckpt,
+                          key="user_id", tracked_cols=["city", "tier"])
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    batch_a.coalesce(1).write.mode("append").parquet(src)
+    run_stream()
+    assert spark.read.parquet(dim_path).count() == 2
+
+    batch_b.coalesce(1).write.mode("append").parquet(src)
+    run_stream()  # checkpoint resume: only the new file is applied
+
+    got = {
+        (r["user_id"], r["city"], r["is_current"],
+         r["valid_from"], r["valid_to"])
+        for r in spark.read.parquet(dim_path).collect()
+    }
+
+    dim = cdc._empty_dim(batch_a, "ts")
+    for b in (batch_a, batch_b):
+        eff = b.agg(F.max("ts")).first()[0]
+        dim = scd2_apply(dim, b.drop("ts"), "user_id", eff, ["city", "tier"])
+    want = {
+        (r["user_id"], r["city"], r["is_current"],
+         r["valid_from"], r["valid_to"])
+        for r in dim.collect()
+    }
+    assert got == want
+    # shape: user 1 has a closed + an open version; 2 one open; 3 one open
+    cur = [r for r in got if r[2]]
+    assert len(cur) == 3 and len(got) == 4
