@@ -298,3 +298,17 @@ def test_scd2_null_safe_comparison(spark):
     # NULL -> value IS a change
     upd = spark.createDataFrame([("c1", "Oakland")], "customer_id string, city string")
     assert scd2_apply(dim, upd, "customer_id", t1, ["city"]).count() == 2
+
+
+def test_skew_profile_finds_planted_hot_key(spark):
+    from zolo_spark.ops.skew import skew_profile
+
+    rows = [(99,)] * 60 + [(i,) for i in range(40)]  # key 99: 60% share
+    df = spark.createDataFrame(rows, "k long")
+    out = skew_profile(df, "k", k=3).collect()
+    assert out[0]["k"] == 99 and out[0]["cnt"] == 60
+    assert abs(out[0]["share"] - 0.6) < 1e-9
+    # mean frequency = 100/41 keys; hot key is ~24.6x the mean
+    assert abs(out[0]["ratio_to_mean"] - round(60 / (100 / 41), 4)) < 1e-9
+    # remaining slots: count-1 keys in ascending key order (tie pinned)
+    assert [r["k"] for r in out[1:]] == [0, 1]

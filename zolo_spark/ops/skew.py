@@ -53,3 +53,34 @@ def salted_join(
     )
     out = salted_big.join(salted_small, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def skew_profile(df: DataFrame, key: str, k: int = 20) -> DataFrame:
+    """Hot-key diagnosis: the ``k`` heaviest values of ``key`` with
+    their counts, corpus share, and ratio to the mean key frequency —
+    the measurement that decides between a plain shuffle join,
+    :func:`salted_join`, or dropping a pathological key outright.
+
+    Shape at scale: one map-side-combined groupBy over the fact, a
+    single-row total broadcast back over the (distinct-key-sized)
+    counts, then a distributed TakeOrdered top-k — no global sort, no
+    windows, nothing driver-side.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("_n_keys")
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            key, "cnt",
+            F.round(F.col("cnt") / F.col("_total").cast("double"), 6)
+            .alias("share"),
+            F.round(
+                F.col("cnt")
+                / (F.col("_total").cast("double") / F.col("_n_keys")), 4
+            ).alias("ratio_to_mean"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col(key))
+        .limit(k)
+    )

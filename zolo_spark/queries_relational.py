@@ -1127,3 +1127,25 @@ def tpch_q6(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register("skew_hot_keys", oracle="""
+WITH counts AS (
+    SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+), tot AS (
+    SELECT sum(cnt) AS total, count(*) AS n_keys FROM counts
+)
+SELECT user_id, cnt,
+       round(cnt / total::DOUBLE, 6) AS share,
+       round(cnt / (total::DOUBLE / n_keys), 4) AS ratio_to_mean
+FROM counts, tot
+ORDER BY cnt DESC, user_id
+LIMIT 20
+""")
+def skew_hot_keys(spark, sf_dir):
+    """Hot-key profile of events.user_id (ops/skew.skew_profile) —
+    counts and shares are exact integers divided identically in both
+    engines; top-20 tie order pinned by (cnt desc, key asc)."""
+    from .ops.skew import skew_profile
+
+    return skew_profile(_t(spark, sf_dir, "events"), "user_id", k=20)
