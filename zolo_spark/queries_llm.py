@@ -565,3 +565,34 @@ def llm_corpus_report(spark, sf_dir):
         F.round(F.sum("n_tokens_ws").cast("double") / n, 2).alias("mean_tokens"),
         (n - F.count_distinct(F.col("fingerprint"))).alias("n_exact_dup_docs"),
     )
+
+
+@register("llm_token_histogram", oracle=f"""
+WITH toks AS (
+    SELECT len({_TOKENS}) AS n FROM documents
+)
+SELECT least(CAST(floor(n / 50.0) AS BIGINT), 10) AS bucket,
+       count(*) AS n_docs,
+       min(n) AS min_tokens, max(n) AS max_tokens
+FROM toks GROUP BY 1
+""")
+def llm_token_histogram(spark, sf_dir):
+    """Token-count distribution in 50-token buckets (tail clamped at
+    bucket 10) — the length histogram every training-data report
+    leads with. Integer bucket arithmetic, so both engines bin
+    identically; one map-side-combined aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    n = F.size(F.split(F.lower(F.col("text")), " "))
+    return (
+        docs.select(
+            F.least(F.floor(n / 50).cast("bigint"), F.lit(10).cast("bigint"))
+            .alias("bucket"),
+            n.alias("n"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n").alias("min_tokens"),
+            F.max("n").alias("max_tokens"),
+        )
+    )
