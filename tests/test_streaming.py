@@ -293,6 +293,79 @@ def test_stream_stream_attribution_join_equals_batch(spark, events_dir):
     assert len(want_set) > 0  # the horizon actually matches something
 
 
+def test_stream_stream_left_outer_attribution_join(spark, events_dir, tmp_path):
+    """Left-outer stream-stream join: unattributed purchases emit
+    null-extended rows, but ONLY once the watermark passes their
+    eviction point. Staged: batch 1 delivers all real events in ONE
+    trigger (a single file — nothing is late within a micro-batch, so
+    the short watermark drops no matches); batch 2 is a far-future
+    flush row pushed through BOTH sides, advancing the global
+    watermark past every purchase's horizon so the unmatched tail
+    flushes."""
+    from zolo_spark.streaming import joins
+
+    batch_events = spark.read.parquet(events_dir)
+    max_ts = batch_events.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    one_file_dir = str(tmp_path / "events_one_file")
+    batch_events.coalesce(1).write.parquet(one_file_dir)
+    events_dir = one_file_dir
+
+    stream = intraday.read_events_stream(spark, events_dir)
+    q = (
+        joins.attribution_join(stream, watermark="1 hour", how="left_outer")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("attrib_outer_t").start()
+    )
+    try:
+        q.processAllAvailable()
+        # Batch 1's own watermark (max_ts - 1h) already evicts OLDER
+        # unmatched purchases — that's the semantics, not a bug. But
+        # a purchase inside the final watermark hour has no eviction
+        # point passed yet, so it must NOT have emitted an outer row.
+        before = spark.sql(
+            "SELECT purchase_ts FROM attrib_outer_t "
+            "WHERE click_id IS NULL").collect()
+        wm_cutoff = max_ts - __import__("datetime").timedelta(hours=1)
+        assert all(r["purchase_ts"] < wm_cutoff for r in before)
+        n_before_flush = len(before)
+
+        # Flush: one click + one purchase 30 days out (both sides'
+        # watermark columns must advance — the global watermark is
+        # the MIN over the two withWatermark nodes).
+        flush = (
+            batch_events.limit(1)
+            .withColumn("ts", F.lit(max_ts + __import__("datetime").timedelta(days=30)))
+            .withColumn("user_id", F.lit(-999).cast("long"))
+        )
+        (flush.withColumn("event_id", F.lit(-1).cast("long"))
+              .withColumn("event_type", F.lit("click"))
+         .unionByName(
+             flush.withColumn("event_id", F.lit(-2).cast("long"))
+                  .withColumn("event_type", F.lit("purchase")))
+         .write.mode("append").parquet(events_dir))
+        q.processAllAvailable()
+
+        got = spark.sql(
+            "SELECT purchase_id, click_id FROM attrib_outer_t "
+            "WHERE purchase_id != -2").collect()
+    finally:
+        q.stop()
+
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in joins.attribution_join(batch_events, how="left_outer").collect()
+    }
+    got_set = {(r["purchase_id"], r["click_id"]) for r in got}
+    assert len(got) == len(got_set)      # each purchase emits at most once per click
+    assert got_set == want               # matched AND null-extended rows agree
+    n_outer_total = sum(1 for _, c in got_set if c is None)
+    assert n_before_flush < n_outer_total    # the flush released a held tail
+    assert any(c is None for _, c in want)   # the outer path is actually exercised
+    # every purchase is accounted for exactly once in the outer result's keys
+    n_purchases = batch_events.filter(F.col("event_type") == "purchase").count()
+    assert len({p for p, _ in want}) == n_purchases
+
+
 def test_streaming_scd2_checkpoint_resume_equals_batch(spark, tmp_path):
     """foreachBatch SCD2 ingest: batch 1 seeds the dimension, a
     checkpoint-resumed restart applies ONLY the new file, and the

@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame, functions as F
 
 def attribution_join(events: DataFrame,
                      horizon: str = "30 minutes",
-                     watermark: str = "1 hour") -> DataFrame:
+                     watermark: str = "1 hour",
+                     how: str = "inner") -> DataFrame:
     """Join each purchase to the clicks by the same user in the
     preceding ``horizon`` (click.ts <= purchase.ts <= click.ts +
     horizon).
@@ -34,7 +35,21 @@ def attribution_join(events: DataFrame,
     expression. State per side is bounded by ``watermark`` +
     ``horizon`` — the interval condition is what makes eviction
     possible, so keep it in sync with the business horizon.
+
+    ``how='left_outer'`` keeps unattributed purchases: a purchase
+    with no click in its window emits once with NULL click columns,
+    but only after the watermark passes ``purchase_ts`` (no earlier
+    emission is possible — a matching click could still arrive).
+    Until fresh events advance the watermark past that point, the
+    unmatched row sits in the state store; finite replays must
+    therefore push a watermark-advancing row through BOTH sides to
+    flush the tail (see tests/test_streaming.py).
     """
+    if how not in ("inner", "left_outer", "leftouter", "left"):
+        raise ValueError(
+            f"attribution_join supports inner/left_outer, got {how!r}: "
+            "right/full outer would make the CLICK side the preserved "
+            "one, which inverts the attribution question")
     clicks = (
         events.filter(F.col("event_type") == "click")
         .select(
@@ -61,7 +76,7 @@ def attribution_join(events: DataFrame,
             "click_ts <= purchase_ts AND "
             f"purchase_ts <= click_ts + interval {horizon}"
         ),
-        "inner",
+        how,
     ).select(
         F.col("p_user_id").alias("user_id"),
         "purchase_id", "purchase_ts",
