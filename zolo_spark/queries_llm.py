@@ -380,22 +380,54 @@ def llm_sim_topk(spark, sf_dir):
     return similarity.brute_topk(emb, emb.filter(F.col("vec_id") < 5))
 
 
-@register("llm_sim_ivf_topk", oracle=None)  # rows-only: pandas-UDF centroids
+@register("llm_sim_ivf_topk", oracle=f"""
+WITH cents AS (
+    SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+), corpus_assign AS (
+    SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.cid AS cell
+    FROM embeddings e CROSS JOIN cents c
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid) = 1
+), q_assign AS (
+    SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid AS cell
+    FROM embeddings q CROSS JOIN cents c
+    WHERE q.vec_id < 5
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY {_cos_sql('q.embedding', 'c.cvec')} DESC, c.cid) <= 3
+), scored AS (
+    SELECT query_id, neighbor_id,
+           round({_cos_sql('qv', 'cv')}, 4) AS cos
+    FROM corpus_assign JOIN q_assign USING (cell)
+    WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 10
+""")
 def llm_sim_ivf(spark, sf_dir):
-    """IVF-flat approximate top-k: deterministic k-means centroids,
-    nprobe=3 of 8 cells (the 100 TB path — probes prune partitions)."""
+    """IVF-flat approximate top-k, nprobe=3 of 8 cells (the 100 TB
+    path — probes prune partitions).
+
+    The codebook here is a deterministic seeded one — the (normalized)
+    embeddings of the 8 lowest vec_ids — so the full
+    assign→probe→top-k machinery is value-oracled in DuckDB; IVF
+    treats the codebook as an offline-trained input either way.
+    The k-means training path (:func:`similarity.train_centroids`)
+    stays the production recipe and keeps its own pytest gates
+    (recall@10 and nprobe=C ≡ brute-force equivalence)."""
     import numpy as np
 
     emb = _t(spark, sf_dir, "embeddings")
-    # training sample: order by a key hash rather than limit() — limit
-    # takes an arbitrary file-order prefix (one shard's neighborhood),
-    # while the hash order is a deterministic uniform draw over the
-    # whole corpus. TakeOrdered top-k, not a full sort.
-    sample = np.stack(
-        emb.orderBy(F.xxhash64("vec_id"))
-        .limit(2000).toPandas()["embedding"].to_numpy()
-    )
-    cents = similarity.train_centroids(sample, n_centroids=8)
+    # 8-row bounded collect: the codebook, not the corpus.
+    cents = np.stack([
+        r[0]
+        for r in emb.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id").select("embedding").collect()
+    ]).astype(float)
     index = similarity.ivf_index(emb, cents)
     return similarity.ivf_topk(index, emb.filter(F.col("vec_id") < 5), cents)
 

@@ -591,8 +591,12 @@ def sessionize(spark, sf_dir):
     order = [F.col("ts"), F.col("event_id")]
     w_lag = W.partitionBy("user_id").orderBy(*order)
     w_run = w_lag.rowsBetween(W.unboundedPreceding, W.currentRow)
+    # Compare at microsecond resolution: cast("long") truncates to whole
+    # seconds, which mis-sessionizes gaps whose sub-second remainder
+    # straddles exactly 1800 s (DuckDB's INTERVAL compare is micros).
     gap = F.when(
-        F.col("ts").cast("long") - F.lag(F.col("ts")).over(w_lag).cast("long") > 1800,
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w_lag))
+        > 1_800_000_000,
         F.lit(1),
     ).otherwise(F.lit(0))
     return (
@@ -1056,6 +1060,32 @@ def attribution_q(spark, sf_dir):
     from .streaming import joins
 
     return joins.attribution_join(_t(spark, sf_dir, "events"))
+
+
+@register("attribution_left_outer", oracle="""
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       p.ts       AS purchase_ts,
+       round(p.value, 2) AS purchase_value,
+       c.event_id AS click_id,
+       c.ts       AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""")
+def attribution_left_outer_q(spark, sf_dir):
+    """Left-outer attribution: unattributed purchases survive with
+    NULL click columns — the BATCH run of the watermark-gated
+    left-outer stream-stream join (streaming/joins.py:40,
+    ``how='left_outer'``). tests/test_streaming.py proves
+    stream ≡ batch for the outer variant; this gate proves
+    batch ≡ SQL oracle."""
+    from .streaming import joins
+
+    return joins.attribution_join(
+        _t(spark, sf_dir, "events"), how="left_outer"
+    )
 
 
 @register("tpch_q3_shipping_priority", oracle="""
