@@ -178,9 +178,64 @@ def test_multimodal_plumbing(spark):
     again = {r["media_id"]: r["feat"] for r in
              multimodal.extract_features(media, mode="fake").collect()}
     assert all(again[r["media_id"]] == r["feat"] for r in rows)
-    # real mode fails loudly at the decode seam
-    with pytest.raises(Exception, match="NotImplementedError|codecs"):
-        multimodal.extract_features(media, mode="real").collect()
+    # real mode decodes the genuine PNG bytes: width/height features
+    # must match the metadata the encoder wrote
+    real = multimodal.extract_features(media, mode="real").collect()
+    assert len(real) == 16
+    for r in real:
+        w, h = 32 + r["media_id"] % 8, 32 + r["media_id"] % 4
+        assert (int(r["feat"][0]), int(r["feat"][1])) == (w, h)
+    # non-PNG media still fails loudly at the codec seam
+    jpeg = spark.createDataFrame(
+        [(99, bytearray(b"\xff\xd8\xff"), ("image/jpeg", 1, 1, None))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.extract_features(jpeg, mode="real").collect()
+
+
+def test_png_round_trip_all_filters():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # height 11 > 2 full filter cycles; odd width exercises edge cols
+    px = rng.integers(0, 256, size=(11, 13), dtype=np.uint8)
+    data = multimodal.png_encode(px)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    img = multimodal.png_decode(data)
+    assert (img["width"], img["height"], img["bit_depth"]) == (13, 11, 8)
+    assert (img["pixels"] == px).all()
+
+
+def test_png_decode_rejects_corruption():
+    import numpy as np
+
+    px = np.zeros((4, 4), dtype=np.uint8)
+    data = bytearray(multimodal.png_encode(px))
+    with pytest.raises(ValueError, match="signature"):
+        multimodal.png_decode(b"GIF89a" + bytes(data))
+    flipped = bytearray(data)
+    flipped[40] ^= 0xFF  # inside IDAT body -> CRC must catch it
+    with pytest.raises(ValueError, match="CRC|truncated"):
+        multimodal.png_decode(bytes(flipped))
+    with pytest.raises(ValueError, match="truncated|missing"):
+        multimodal.png_decode(bytes(data[:20]))
+
+
+def test_image_stats_matches_closed_form(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(12)], "doc_id long"
+    )
+    stats = {r["media_id"]: r for r in
+             multimodal.image_stats(multimodal.documents_png(docs)).collect()}
+    for i in range(12):
+        w, h = 8 + i % 9, 8 + i % 5
+        ps = [(i * 7 + j * 13) % 256 for j in range(w * h)]
+        r = stats[i]
+        assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
+        assert r["mean_px"] == sum(ps) / len(ps)
+        assert (r["min_px"], r["max_px"]) == (min(ps), max(ps))
+        assert r["checksum"] == sum(j * p for j, p in enumerate(ps)) % 9973
 
 
 def test_frame_sample(spark):

@@ -434,15 +434,37 @@ def llm_sim_ivf(spark, sf_dir):
 
 # ------------------------------------------------------------- multimodal
 
-@register("llm_multimodal_features", oracle=None)  # rows-only: stubbed decode
+@register("llm_multimodal_features", oracle="""
+WITH dims AS (
+    SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h FROM documents
+), px AS (
+    SELECT doc_id, w, h,
+           list_transform(range(0, (w*h)::INT),
+                          j -> (doc_id*7 + j*13) % 256) AS ps
+    FROM dims
+)
+SELECT doc_id AS media_id,
+       w AS width, h AS height, w*h AS n_pixels,
+       round(list_sum(ps)::DOUBLE / (w*h), 4) AS mean_px,
+       list_aggregate(ps, 'min') AS min_px,
+       list_aggregate(ps, 'max') AS max_px,
+       list_sum(list_transform(range(0, (w*h)::INT),
+                j -> j * ((doc_id*7 + j*13) % 256))) % 9973 AS checksum
+FROM px
+""")
 def llm_multimodal(spark, sf_dir):
-    """Binary media column → Arrow-batched decode/feature plumbing
-    (deterministic fake decode; real codec slot documented)."""
-    media = multimodal.synthetic_media(spark, n=64)
-    feats = multimodal.extract_features(media, mode="fake")
-    return feats.select(
-        "media_id", "mime", "n_bytes", "sha",
-        F.round(F.element_at("feat", 1).cast("double"), 6).alias("f0"),
+    """Binary media column → REAL PNG decode via Arrow-batched
+    ``mapInPandas``: each document becomes a genuine grayscale PNG
+    (CRC'd chunks, zlib IDAT, all five scanline filters), the decoder
+    reconstructs the pixels, and the emitted statistics are exact
+    integer math — so the whole encode→container→decode path is
+    value-oracled against the closed-form pixel function."""
+    media = multimodal.documents_png(_t(spark, sf_dir, "documents"))
+    stats = multimodal.image_stats(media)
+    return stats.select(
+        "media_id", "width", "height", "n_pixels",
+        F.round("mean_px", 4).alias("mean_px"),
+        "min_px", "max_px", "checksum",
     )
 
 
