@@ -103,6 +103,23 @@ def test_arima_walk_forward_batched_equals_sequential():
                     assert a == pytest.approx(b, rel=1e-6, abs=1e-9), (n, order)
 
 
+def test_ar1_hr_fold_twin_matches_arima_forecast():
+    """``ar1_hr_forecast`` (the sequential-fold kernel behind the
+    oracle-gated ``m_arima_fixed_fold`` query) must agree with the
+    numpy ``arima_forecast(y, (1,0,0))`` path — this pin is what makes
+    the fixed-fold query a value gate on the ARIMA machinery, and
+    transitively (via the batched≡sequential test above) on
+    ``arima_walk_forward``."""
+    rng = np.random.default_rng(11)
+    for n in (4, 9, 24, 80):
+        y = np.abs(rng.normal(100, 20, size=n)).cumsum() + rng.normal(0, 5, n)
+        assert tsmodels.ar1_hr_forecast(y) == pytest.approx(
+            tsmodels.arima_forecast(y, (1, 0, 0))[0], rel=1e-9
+        ), n
+    with pytest.raises(ValueError):
+        tsmodels.ar1_hr_forecast(np.array([1.0, 2.0, 3.0]))
+
+
 def test_holt_ses_walk_forward_batched_equals_sequential():
     rng = np.random.default_rng(3)
     for n in (6, 13, 41, 97):

@@ -169,6 +169,35 @@ def holt_walk_forward(
     return mse, float(best_fc[-1])
 
 
+def ar1_hr_forecast(y: np.ndarray) -> float:
+    """Sequential-fold twin of ``arima_forecast(y, (1, 0, 0))``.
+
+    Same Hannan–Rissanen estimate — center by the mean, regress z_t on
+    z_{t-1}, forecast ``mu + coef * (z_n - mu)`` — but every sum is an
+    explicit left fold over Python floats, so a SQL engine folding the
+    same series in the same order produces bit-identical doubles
+    (numpy's BLAS dot / pairwise mean use different summation trees).
+    Used by the oracle-gated fixed-order fold query; pytest pins it to
+    ``arima_forecast`` within float tolerance, which transitively
+    value-gates the batched solver's AR path.
+    """
+    n = len(y)
+    if n < 4:  # same eligibility bound as arima_forecast for (1,0,0)
+        raise ValueError("series too short for order (1, 0, 0)")
+    s = 0.0
+    for v in y:
+        s += float(v)
+    mu = s / n
+    sxy = 0.0
+    sxx = 0.0
+    for t in range(1, n):
+        zl = float(y[t - 1]) - mu
+        sxy += zl * (float(y[t]) - mu)
+        sxx += zl * zl
+    coef = sxy / sxx if sxx != 0.0 else 0.0
+    return mu + coef * (float(y[n - 1]) - mu)
+
+
 def arima_forecast(
     y: np.ndarray, order: tuple[int, int, int]
 ) -> tuple[float, float]:

@@ -170,6 +170,106 @@ def m_ses(spark, sf_dir):
     return grouped.ses_job(_weekly_brand_revenue(spark, sf_dir), _FORECAST_START)
 
 
+_FIXED_FOLD_START = "1997-12-01"  # Monday
+_FIXED_FOLD_END = "1998-05-18"    # Monday → 22-24 full weeks per brand
+
+
+@register("m_arima_fixed_fold", oracle=f"""
+WITH weekly AS (
+    SELECT p_brand AS profile_name,
+           date_trunc('week', l_shipdate) AS week_date,
+           SUM(l_extendedprice) AS weight
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '{_FIXED_FOLD_START}'
+      AND l_shipdate <  TIMESTAMP '{_FIXED_FOLD_END}'
+    GROUP BY 1, 2
+), series AS (
+    SELECT profile_name, list(weight ORDER BY week_date) AS ys,
+           count(*)::INT AS n
+    FROM weekly GROUP BY 1 HAVING count(*) > 5
+), hs AS (
+    SELECT profile_name, ys, n, floor(0.75 * n)::INT AS split,
+           unnest(range(floor(0.75 * n)::BIGINT, n + 1))::INT AS h
+    FROM series
+), centered AS (
+    SELECT *, list_reduce(ys[1:h], (p, q) -> p + q) / h AS mu FROM hs
+), fit AS (
+    SELECT *,
+        list_reduce(list_transform(range(2, h + 1),
+            t -> (ys[t-1] - mu) * (ys[t] - mu)), (p, q) -> p + q) AS sxy,
+        list_reduce(list_transform(range(2, h + 1),
+            t -> (ys[t-1] - mu) * (ys[t-1] - mu)), (p, q) -> p + q) AS sxx
+    FROM centered
+), preds AS (
+    SELECT *, mu + (CASE WHEN sxx = 0 THEN 0 ELSE sxy / sxx END)
+                 * (ys[h] - mu) AS pred
+    FROM fit
+), scored AS (
+    SELECT profile_name, n, split, h, pred,
+           CASE WHEN h < n THEN (ys[h+1] - pred) * (ys[h+1] - pred) END AS err
+    FROM preds
+), agg AS (
+    SELECT profile_name,
+           list_reduce(list(err ORDER BY h) FILTER (WHERE err IS NOT NULL),
+                       (p, q) -> p + q)
+               / (any_value(n) - any_value(split)) AS mse,
+           max(CASE WHEN h = n THEN pred END) AS prediction
+    FROM scored GROUP BY profile_name
+)
+SELECT profile_name,
+       round(sqrt(mse), 2) AS rmse,
+       round(prediction, 2) AS prediction,
+       TIMESTAMP '{_FIXED_FOLD_END}' AS forecast_start
+FROM agg
+""")
+def m_arima_fixed_fold(spark, sf_dir):
+    """Fixed-order ARIMA(1,0,0) walk-forward through the REAL
+    distributed machinery — ``prepare_model_input`` (P2+W2+P3+A5) →
+    ``applyInPandas`` → ``harness.walk_forward_mse`` 75/25 refit loop —
+    with a full DuckDB value oracle.
+
+    The per-prefix fit is :func:`tsmodels.ar1_hr_forecast`, the
+    sequential-fold twin of ``arima_forecast(y, (1,0,0))`` (pytest pins
+    them equal to float tolerance), so the walk-forward harness itself
+    is value-gated, not just row-counted. The window is bounded to
+    Monday-aligned weeks so each brand's test split stays < 8 points,
+    where ``np.mean`` is bit-equal to the oracle's sequential fold.
+    RMSE (not MSE) is reported: errors are ~1e5-scale, so RMSE keeps
+    the engine-noise-to-rounding margin comfortable at round(…, 2).
+    """
+    t = load_testdata(spark, sf_dir)
+    lineitem, part = t["lineitem"], t["part"]
+    weekly = (
+        lineitem
+        .filter(
+            (F.col("l_shipdate") >= F.lit(_FIXED_FOLD_START))
+            & (F.col("l_shipdate") < F.lit(_FIXED_FOLD_END))
+        )
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("profile_name"),
+            F.date_trunc("week", "l_shipdate").alias("week_date"),
+        )
+        .agg(F.sum("l_extendedprice").alias("weight"))
+    )
+    from .models import harness, tsmodels
+
+    out = grouped._simple_job(
+        weekly, _FIXED_FOLD_END, min_weeks=5,
+        walk_forward_fn=lambda y: (
+            harness.walk_forward_mse(y, tsmodels.ar1_hr_forecast),
+            tsmodels.ar1_hr_forecast(y),
+        ),
+        key="profile_name",
+    )
+    return out.select(
+        "profile_name",
+        F.round(F.sqrt("mse"), 2).alias("rmse"),
+        F.round("prediction", 2).alias("prediction"),
+        "forecast_start",
+    )
+
+
 @register("m_ar1_ols_fold", oracle="""
 WITH weekly AS (
     SELECT o_custkey, date_trunc('week', o_orderdate) AS week_date,
