@@ -9,10 +9,18 @@ Each query is materialized with the ``noop`` sink so the full plan
 (including all projected columns) executes without sink I/O skewing
 the numbers. The first run's numbers on this machine establish
 BASELINE (BASELINE.md): no published reference numbers exist.
+
+``--sf N`` (e.g. ``python bench.py --sf 1``) runs a scale-rehearsal
+instead: the driver's read-only sf0.1 tables are replicated
+key-shifted to sf N under ``.benchdata/sfN`` (cached across runs) and
+the JSON line is ALSO written to ``BENCH_sf{{N}}.json`` so scale
+regressions — not just sf0.1 — are tracked round-over-round. The
+plain no-flag invocation is byte-identical to the driver contract.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import re
@@ -24,11 +32,38 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from zolo_spark import parity_queries  # noqa: E402
 from zolo_spark.session import get_spark  # noqa: E402
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _scale_dir(sf: float) -> str:
+    """Repo-local replica of the testdata at scale ``sf`` (built once)."""
+    tag = f"{sf:g}"
+    out = os.path.join(REPO, ".benchdata", f"sf{tag}")
+    if not os.path.exists(os.path.join(out, "lineitem.parquet")):
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from gen_sf import generate
+
+        k = round(sf / 0.1)
+        if k < 1:
+            raise SystemExit(f"--sf must be >= 0.1 (got {sf})")
+        print(f"generating sf{tag} ({k}x sf0.1) under {out}...",
+              file=sys.stderr)
+        generate(out, k)
+    return out
+
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=None,
+                    help="scale-rehearsal factor (multiples of 0.1)")
+    args = ap.parse_args()
+
+    if args.sf is not None:
+        sf_dir, sf = _scale_dir(args.sf), args.sf
+    else:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        m = re.search(r"sf([0-9.]+)", sf_dir)
+        sf = float(m.group(1)) if m else -1.0
     spark = get_spark("zolo_spark_bench")
 
     timings: dict[str, float] = {}
@@ -42,13 +77,19 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    line = json.dumps({
         "metric": "zolo_spark query suite wall time",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    })
+    if args.sf is not None:
+        out_path = os.path.join(REPO, f"BENCH_sf{sf:g}.json")
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+        print(f"wrote {out_path}", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

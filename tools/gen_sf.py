@@ -33,17 +33,14 @@ FACTS = [
 DIMS = ["region", "nation", "customer", "supplier", "part"]
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--out", default="/tmp/sf1")
-    args = ap.parse_args()
-    os.makedirs(args.out, exist_ok=True)
+def generate(out: str, k: int = 10) -> None:
+    """Materialize a K-replica scale-up of sf0.1 into ``out``."""
+    os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
 
     for t in DIMS:
         con.sql(
-            f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{args.out}/{t}.parquet' (FORMAT PARQUET)"
+            f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{out}/{t}.parquet' (FORMAT PARQUET)"
         )
         print(f"{t}: copied")
 
@@ -53,11 +50,19 @@ def main() -> None:
             f"{c} + r.i * {stride} AS {c}" if c in shift_cols else c for c in cols
         )
         con.sql(
-            f"COPY (SELECT {sel} FROM '{SRC}/{t}.parquet', range({args.k}) r(i)) "
-            f"TO '{args.out}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 500000)"
+            f"COPY (SELECT {sel} FROM '{SRC}/{t}.parquet', range({k}) r(i)) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 500000)"
         )
-        n = con.sql(f"SELECT count(*) FROM '{args.out}/{t}.parquet'").fetchone()[0]
+        n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--out", default="/tmp/sf1")
+    args = ap.parse_args()
+    generate(args.out, args.k)
 
 
 if __name__ == "__main__":

@@ -74,37 +74,45 @@ from . import queries_models  # noqa: E402,F401
 # flagship custom operators — exactly 50 — with the beyond-parity extras
 # after the cap (they remain registered, benched, and pytest-oracled).
 # --------------------------------------------------------------------------
+# Round-3 rotation: every oracled query must own a green CORRECTNESS
+# row in r1∪r2∪r3, so the 12 never-yet-graded oracled queries take the
+# slots of 12 twice-green §2 singletons (rotated out, still registered
+# + benched + pytest-oracled): p15, u5, n5, n6, p2, p12, a1, a3, a5,
+# j2, n4, u1 — each green in BOTH r1 and r2 with code unchanged.
 _GRADING_PRIORITY = [
-    # SURVEY §2 core (27): flagship + joins + aggs + windows + projections
-    # + set ops + nested — one entry per §2 operator family.
+    # SURVEY §2 core representatives (15).
     "flagship_weekly_demand",
-    "j1_left_join_header_details", "j2_dim_join_text_cast",
-    "j3_filtering_inner_join",
-    "a1_multi_func_agg", "a2_agg_then_derive_null_prop",
-    "a3_three_sum_agg", "a4_weekly_group_sum", "a5_reaggregate",
+    "j1_left_join_header_details", "j3_filtering_inner_join",
+    "a2_agg_then_derive_null_prop", "a4_weekly_group_sum",
     "w1_group_min_broadcast", "w2_group_count_filter",
-    "p2_comparison_filter", "p6_fixed_tz_shift", "p7_date_time_extract",
+    "p6_fixed_tz_shift", "p7_date_time_extract",
     "p8_weekday_monday0", "p9_market_classification",
-    "p10_arith_null_propagation", "p12_week_trunc", "p15_regexp_extract",
-    "u1_union_all", "u5_distinct_sorted", "u6_cte_sql",
-    "n1_explode_array", "n2_json_field_access", "n4_array_filter",
-    "n5_array_join", "n6_units_normalization",
-    # LLM-data-pipeline family (17).
+    "p10_arith_null_propagation", "u6_cte_sql",
+    "n1_explode_array", "n2_json_field_access",
+    # Never-graded §2-adjacent relational operators rotated in (4).
+    "n7_from_json_struct", "n8_map_ops",
+    "tpch_q3_shipping_priority", "tpch_q6_forecast_revenue",
+    # LLM-data-pipeline family (19; corpus report + token histogram
+    # rotate in, IVF + multimodal now carry full value oracles).
     "llm_text_stats", "llm_exact_dedup", "llm_minhash_signatures",
     "llm_minhash_lsh_dedup", "llm_incremental_dedup",
     "llm_ngram_jaccard_pairs", "llm_simhash_dedup", "llm_simhash_neardup",
     "llm_embedding_near_dup", "llm_sim_topk_cosine", "llm_sim_ivf_topk",
     "llm_multimodal_features", "llm_hash_split", "llm_vocab_topk",
     "llm_dup_clusters", "llm_quality_filter", "llm_embedding_stats",
-    # Model jobs (3): two exact cross-engine folds (SES + Holt) plus the
-    # ARIMA walk-forward as the representative distributed numpy job
+    "llm_corpus_report", "llm_token_histogram",
+    # Model jobs (5): three exact cross-engine folds (SES, Holt, AR1),
+    # the oracle-gated fixed-order ARIMA walk-forward, and the full
+    # ARIMA grid job as the representative distributed numpy job
     # (rows-only by nature; Holt/SES full jobs register past the cap —
     # identical harness, pytest-verified bit-equal to sequential refit).
-    "m_ses_fixed_alpha_fold", "m_holt_fixed_fold",
-    "m_arima_weekly_forecast",
-    # Flagship custom temporal operators (3) — hash-oracled; the 50th
+    "m_ses_fixed_alpha_fold", "m_holt_fixed_fold", "m_ar1_ols_fold",
+    "m_arima_fixed_fold", "m_arima_weekly_forecast",
+    # Custom temporal / scale operators (7) — hash-oracled; the 50th
     # slot closes the graded window.
     "asof_join_backward", "sessionize_events", "events_tumbling_window",
+    "attribution_interval_join", "attribution_left_outer",
+    "range_join_bucketed", "skew_hot_keys",
 ]
 
 
