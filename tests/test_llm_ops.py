@@ -329,6 +329,47 @@ def test_dedup_survivors(spark, docs):
     assert 1 not in survivors and 2 not in survivors and 4 not in survivors
 
 
+def test_pii_mask_and_counts(spark):
+    from zolo_spark.llm import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.io or 10.0.0.1 then 555-1234 done"),
+         (2, "clean text, no identifiers at all"),
+         (3, "two mails p@q.org r@s.net and 999.1.2.3 odd ip")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.pii_redact(docs).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (1, 1, 1)
+    assert out[1]["masked_text"] == "mail <EMAIL> or <IP> then <PHONE> done"
+    assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_phones"]) == (0, 0, 0)
+    assert out[2]["masked_text"] == "clean text, no identifiers at all"
+    assert out[3]["n_emails"] == 2 and out[3]["n_ips"] == 1
+
+
+def test_decontaminate_finds_planted_leak(spark):
+    from zolo_spark.llm import corpus
+
+    # force split membership by searching ids whose hash_split buckets
+    # land in train/test, then plant a shared 5-gram between them
+    base = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    splits = {r["doc_id"]: r["split"]
+              for r in corpus.hash_split(base).collect()}
+    train_id = next(i for i, s in splits.items() if s == "train")
+    test_id = next(i for i, s in splits.items() if s == "test")
+    other_id = next(i for i, s in splits.items()
+                    if s == "train" and i != train_id)
+    leak = "alpha beta gamma delta epsilon zeta eta"  # 3 distinct 5-grams
+    docs = spark.createDataFrame(
+        [(train_id, "prefix words here " + leak),
+         (test_id, leak + " suffix tail words"),
+         (other_id, "totally unrelated content with many boring words")],
+        "doc_id long, text string",
+    )
+    got = {(r["train_doc"], r["test_doc"]): r["n_shared"]
+           for r in corpus.decontaminate(docs).collect()}
+    assert got == {(train_id, test_id): 3}
+
+
 def test_hash_split_deterministic_and_partitioned(spark, docs):
     from zolo_spark.llm import corpus
 

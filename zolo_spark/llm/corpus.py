@@ -311,3 +311,49 @@ def quality_filter(stats: DataFrame, min_quality: float = 0.5,
         & (F.col("n_tokens_ws") >= min_tokens)
         & (F.col("punct_ratio") <= max_punct_ratio)
     )
+
+
+def decontaminate(df: DataFrame, n: int = 5, min_shared: int = 2,
+                  max_df: int = 20, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Train/eval contamination pairs by shared n-gram shingles.
+
+    The decontamination step every training pipeline runs before
+    releasing a split: any train document sharing ≥ ``min_shared``
+    distinct ``n``-gram shingles with a test document is a
+    contamination pair. Scale shape mirrors the n-gram Jaccard op:
+    corpus-wide document frequency caps the inverted index (shingles
+    in > ``max_df`` docs are boilerplate, not leakage evidence), so
+    the shingle join is |rare index| × |rare index|, never all-pairs —
+    at 100 TB the hot-shingle blowup is the thing that kills this job.
+
+    Returns (train_doc, test_doc, n_shared) sorted semantics-free;
+    split assignment is :func:`hash_split`'s deterministic bucketing.
+    """
+    from .dedup import doc_shingles
+
+    split = hash_split(df, id_col=id_col)
+    sh = doc_shingles(split, text_col, id_col, n).join(
+        split.select(id_col, "split"), id_col
+    )
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    sh = sh.join(rare, "shingle")
+    train = (
+        sh.filter(F.col("split") == "train")
+        .select(F.col(id_col).alias("train_doc"), "shingle")
+    )
+    test = (
+        sh.filter(F.col("split") == "test")
+        .select(F.col(id_col).alias("test_doc"), "shingle")
+    )
+    return (
+        train.join(test, "shingle")
+        .groupBy("train_doc", "test_doc")
+        .agg(F.countDistinct("shingle").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -122,3 +122,47 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         lang_id(c).alias("lang_guess"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+# ------------------------------------------------------------ PII ops
+
+# Patterns restricted to the syntax subset Java regex and RE2 treat
+# identically (no alternation, no lookaround): masking is therefore
+# engine-portable and oracle-able.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+def pii_counts(col) -> list[tuple[str, Column]]:
+    """(name, count) per PII class — count BEFORE masking."""
+    return [
+        ("n_emails", F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL), 0))),
+        ("n_ips", F.size(F.regexp_extract_all(col, F.lit(PII_IPV4), 0))),
+        ("n_phones", F.size(F.regexp_extract_all(col, F.lit(PII_PHONE), 0))),
+    ]
+
+
+def mask_pii(col) -> Column:
+    """Redact emails → <EMAIL>, IPv4s → <IP>, phones → <PHONE>.
+
+    Order matters and is fixed: emails first (their local part may
+    embed digits), then IPs (dotted digits would otherwise be eaten by
+    a later numeric pass), then phones. A training pipeline runs this
+    before tokenization; everything is whole-stage-codegen
+    ``regexp_replace``, no Python in the row path."""
+    c = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    c = F.regexp_replace(c, PII_IPV4, "<IP>")
+    c = F.regexp_replace(c, PII_PHONE, "<PHONE>")
+    return c
+
+
+def pii_redact(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-doc PII counts + the redacted text."""
+    c = F.col(text_col)
+    return fan_out(df).select(
+        id_col,
+        *[cnt.alias(name) for name, cnt in pii_counts(c)],
+        mask_pii(c).alias("masked_text"),
+    )

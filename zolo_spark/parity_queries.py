@@ -75,25 +75,27 @@ from . import queries_models  # noqa: E402,F401
 # after the cap (they remain registered, benched, and pytest-oracled).
 # --------------------------------------------------------------------------
 # Round-3 rotation: every oracled query must own a green CORRECTNESS
-# row in r1∪r2∪r3, so the 12 never-yet-graded oracled queries take the
-# slots of 12 twice-green §2 singletons (rotated out, still registered
-# + benched + pytest-oracled): p15, u5, n5, n6, p2, p12, a1, a3, a5,
-# j2, n4, u1 — each green in BOTH r1 and r2 with code unchanged.
+# row in r1∪r2∪r3, so the 16 slots freed by twice-green §2 singletons
+# (p15, u5, n5, n6, p2, p12, a1, a3, a5, j2, n4, u1, a2, a4, p10, n1 —
+# each green in BOTH r1 and r2 with code unchanged; rotated out but
+# still registered + benched + pytest-oracled) carry the 12
+# never-yet-graded oracled queries plus the 4 new round-3 oracled
+# operators (SES/Holt walk-forward gates, PII redaction,
+# decontamination).
 _GRADING_PRIORITY = [
-    # SURVEY §2 core representatives (15).
+    # SURVEY §2 core representatives (11).
     "flagship_weekly_demand",
     "j1_left_join_header_details", "j3_filtering_inner_join",
-    "a2_agg_then_derive_null_prop", "a4_weekly_group_sum",
     "w1_group_min_broadcast", "w2_group_count_filter",
     "p6_fixed_tz_shift", "p7_date_time_extract",
     "p8_weekday_monday0", "p9_market_classification",
-    "p10_arith_null_propagation", "u6_cte_sql",
-    "n1_explode_array", "n2_json_field_access",
+    "u6_cte_sql", "n2_json_field_access",
     # Never-graded §2-adjacent relational operators rotated in (4).
     "n7_from_json_struct", "n8_map_ops",
     "tpch_q3_shipping_priority", "tpch_q6_forecast_revenue",
-    # LLM-data-pipeline family (19; corpus report + token histogram
-    # rotate in, IVF + multimodal now carry full value oracles).
+    # LLM-data-pipeline family (21; corpus report + token histogram
+    # rotate in, IVF + multimodal now carry full value oracles, PII
+    # redaction + decontamination are new this round).
     "llm_text_stats", "llm_exact_dedup", "llm_minhash_signatures",
     "llm_minhash_lsh_dedup", "llm_incremental_dedup",
     "llm_ngram_jaccard_pairs", "llm_simhash_dedup", "llm_simhash_neardup",
@@ -101,13 +103,15 @@ _GRADING_PRIORITY = [
     "llm_multimodal_features", "llm_hash_split", "llm_vocab_topk",
     "llm_dup_clusters", "llm_quality_filter", "llm_embedding_stats",
     "llm_corpus_report", "llm_token_histogram",
-    # Model jobs (5): three exact cross-engine folds (SES, Holt, AR1),
-    # the oracle-gated fixed-order ARIMA walk-forward, and the full
+    "llm_pii_redact", "llm_decontaminate",
+    # Model jobs (7): three exact cross-engine folds (SES, Holt, AR1),
+    # the oracle-gated fixed-order ARIMA walk-forward, oracle-gated
+    # bounded-window runs of the REAL ses_job/holt_job, and the full
     # ARIMA grid job as the representative distributed numpy job
-    # (rows-only by nature; Holt/SES full jobs register past the cap —
-    # identical harness, pytest-verified bit-equal to sequential refit).
+    # (rows-only by nature).
     "m_ses_fixed_alpha_fold", "m_holt_fixed_fold", "m_ar1_ols_fold",
-    "m_arima_fixed_fold", "m_arima_weekly_forecast",
+    "m_arima_fixed_fold", "m_ses_walk_forward", "m_holt_walk_forward",
+    "m_arima_weekly_forecast",
     # Custom temporal / scale operators (7) — hash-oracled; the 50th
     # slot closes the graded window.
     "asof_join_backward", "sessionize_events", "events_tumbling_window",

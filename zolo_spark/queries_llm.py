@@ -468,9 +468,100 @@ def llm_multimodal(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------ PII ops
+
+from .llm.text import PII_EMAIL, PII_IPV4, PII_PHONE  # noqa: E402
+
+# Deterministic synthetic contact block (the test corpus carries no
+# real PII, so each doc is salted with one email + IP + phone derived
+# from doc_id — making every count non-trivial and the masking
+# verifiable end-to-end).
+_CONTACT_SPARK = (
+    "concat(text, ' Contact user', cast(doc_id as string), "
+    "'@example.com or call 555-', "
+    "lpad(cast((doc_id*37) % 10000 as string), 4, '0'), "
+    "' from 10.', cast(doc_id % 256 as string), "
+    "'.0.', cast((doc_id*3) % 256 as string), ' now.')"
+)
+_CONTACT_DUCK = (
+    "text || ' Contact user' || doc_id || '@example.com or call 555-' || "
+    "lpad(((doc_id*37) % 10000)::VARCHAR, 4, '0') || "
+    "' from 10.' || (doc_id % 256)::VARCHAR || "
+    "'.0.' || ((doc_id*3) % 256)::VARCHAR || ' now.'"
+)
+
+
+@register("llm_pii_redact", oracle=f"""
+WITH salted AS (
+    SELECT doc_id, {_CONTACT_DUCK} AS t FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(t, '{PII_IPV4}')) AS n_ips,
+       len(regexp_extract_all(t, '{PII_PHONE}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '{PII_EMAIL}', '<EMAIL>', 'g'),
+           '{PII_IPV4}', '<IP>', 'g'),
+           '{PII_PHONE}', '<PHONE>', 'g')) AS masked_md5
+FROM salted
+""")
+def llm_pii_redact(spark, sf_dir):
+    """PII redaction — the pre-tokenization masking pass of a
+    training-data pipeline: count + mask emails/IPv4s/phones with
+    engine-portable regexes (no alternation/lookaround, so Java regex
+    and RE2 agree match-for-match). All whole-stage-codegen
+    ``regexp_replace``; the md5 of the masked text proves byte-exact
+    redaction against the oracle."""
+    from .llm import text as T
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_CONTACT_SPARK).alias("text")
+    )
+    out = T.pii_redact(docs)
+    return out.select(
+        "doc_id", "n_emails", "n_ips", "n_phones",
+        F.md5("masked_text").alias("masked_md5"),
+    )
+
+
 # ------------------------------------------------------------ corpus ops
 
 from .llm import corpus  # noqa: E402
+
+
+@register("llm_decontaminate", oracle=f"""
+WITH docs AS (
+    SELECT doc_id, {_SHINGLES5} AS sh,
+           CASE
+             WHEN ('0x' || substr(md5('split-v1' || doc_id::VARCHAR), 1, 4))::BIGINT
+                  % 10000 < 8000 THEN 'train'
+             WHEN ('0x' || substr(md5('split-v1' || doc_id::VARCHAR), 1, 4))::BIGINT
+                  % 10000 < 9000 THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+), sh AS (
+    SELECT doc_id, split, unnest(sh) AS shingle FROM docs
+), rare AS (
+    SELECT shingle FROM sh GROUP BY shingle
+    HAVING count(DISTINCT doc_id) <= 20
+), shr AS (
+    SELECT sh.doc_id, sh.split, sh.shingle FROM sh JOIN rare USING (shingle)
+)
+SELECT tr.doc_id AS train_doc, te.doc_id AS test_doc,
+       count(DISTINCT shingle) AS n_shared
+FROM (SELECT * FROM shr WHERE split = 'train') tr
+JOIN (SELECT * FROM shr WHERE split = 'test') te USING (shingle)
+GROUP BY 1, 2 HAVING count(DISTINCT shingle) >= 2
+""")
+def llm_decontaminate(spark, sf_dir):
+    """Train/test decontamination by shared 5-gram shingles — the
+    release gate a training pipeline runs so eval data never leaks
+    into train. Rare-shingle inverted index (df ≤ 20 cap kills the
+    boilerplate-shingle blowup), train×test band join only — never
+    train×train — so the asymmetry scales like the incremental-dedup
+    ingest path."""
+    return corpus.decontaminate(_t(spark, sf_dir, "documents"))
 
 
 @register("llm_hash_split", oracle="""

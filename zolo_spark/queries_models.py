@@ -173,9 +173,11 @@ def m_ses(spark, sf_dir):
 _FIXED_FOLD_START = "1997-12-01"  # Monday
 _FIXED_FOLD_END = "1998-05-18"    # Monday → 22-24 full weeks per brand
 
-
-@register("m_arima_fixed_fold", oracle=f"""
-WITH weekly AS (
+# Shared oracle fragment: the bounded weekly brand series. The window
+# is Monday-aligned and ≤ 28 weeks so every brand's 75/25 test split
+# has < 8 points — the regime where np.mean is bit-equal to the
+# oracle's sequential error fold (verified property in test_models).
+_BOUNDED_WEEKLY_SQL = f"""
     SELECT p_brand AS profile_name,
            date_trunc('week', l_shipdate) AS week_date,
            SUM(l_extendedprice) AS weight
@@ -183,6 +185,31 @@ WITH weekly AS (
     WHERE l_shipdate >= TIMESTAMP '{_FIXED_FOLD_START}'
       AND l_shipdate <  TIMESTAMP '{_FIXED_FOLD_END}'
     GROUP BY 1, 2
+"""
+
+
+def _bounded_weekly_brand_revenue(spark, sf_dir):
+    """Spark twin of :data:`_BOUNDED_WEEKLY_SQL`."""
+    t = load_testdata(spark, sf_dir)
+    lineitem, part = t["lineitem"], t["part"]
+    return (
+        lineitem
+        .filter(
+            (F.col("l_shipdate") >= F.lit(_FIXED_FOLD_START))
+            & (F.col("l_shipdate") < F.lit(_FIXED_FOLD_END))
+        )
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("profile_name"),
+            F.date_trunc("week", "l_shipdate").alias("week_date"),
+        )
+        .agg(F.sum("l_extendedprice").alias("weight"))
+    )
+
+
+@register("m_arima_fixed_fold", oracle=f"""
+WITH weekly AS (
+{_BOUNDED_WEEKLY_SQL}
 ), series AS (
     SELECT profile_name, list(weight ORDER BY week_date) AS ys,
            count(*)::INT AS n
@@ -237,21 +264,7 @@ def m_arima_fixed_fold(spark, sf_dir):
     RMSE (not MSE) is reported: errors are ~1e5-scale, so RMSE keeps
     the engine-noise-to-rounding margin comfortable at round(…, 2).
     """
-    t = load_testdata(spark, sf_dir)
-    lineitem, part = t["lineitem"], t["part"]
-    weekly = (
-        lineitem
-        .filter(
-            (F.col("l_shipdate") >= F.lit(_FIXED_FOLD_START))
-            & (F.col("l_shipdate") < F.lit(_FIXED_FOLD_END))
-        )
-        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
-        .groupBy(
-            F.col("p_brand").alias("profile_name"),
-            F.date_trunc("week", "l_shipdate").alias("week_date"),
-        )
-        .agg(F.sum("l_extendedprice").alias("weight"))
-    )
+    weekly = _bounded_weekly_brand_revenue(spark, sf_dir)
     from .models import harness, tsmodels
 
     out = grouped._simple_job(
@@ -261,6 +274,127 @@ def m_arima_fixed_fold(spark, sf_dir):
             tsmodels.ar1_hr_forecast(y),
         ),
         key="profile_name",
+    )
+    return out.select(
+        "profile_name",
+        F.round(F.sqrt("mse"), 2).alias("rmse"),
+        F.round("prediction", 2).alias("prediction"),
+        "forecast_start",
+    )
+
+
+@register("m_ses_walk_forward", oracle=f"""
+WITH weekly AS (
+{_BOUNDED_WEEKLY_SQL}
+), series AS (
+    SELECT profile_name, list(weight ORDER BY week_date) AS ys,
+           count(*)::INT AS n
+    FROM weekly GROUP BY 1 HAVING count(*) > 8
+), hs AS (
+    SELECT profile_name, ys, n, floor(0.75 * n)::INT AS split,
+           unnest(range(floor(0.75 * n)::BIGINT, n + 1))::INT AS h
+    FROM series
+), lvl AS (
+    SELECT *, list_reduce(ys[1:h], (acc, x) -> 0.6*x + 0.4*acc) AS level_h
+    FROM hs
+), scored AS (
+    SELECT profile_name, n, split, h, level_h,
+           CASE WHEN h < n
+                THEN (ys[h+1] - level_h) * (ys[h+1] - level_h) END AS err
+    FROM lvl
+), agg AS (
+    SELECT profile_name,
+           list_reduce(list(err ORDER BY h) FILTER (WHERE err IS NOT NULL),
+                       (p, q) -> p + q)
+               / (any_value(n) - any_value(split)) AS mse,
+           max(CASE WHEN h = n THEN level_h END) AS prediction
+    FROM scored GROUP BY profile_name
+)
+SELECT profile_name,
+       round(sqrt(mse), 2) AS rmse,
+       round(prediction, 2) AS prediction,
+       TIMESTAMP '{_FIXED_FOLD_END}' AS forecast_start
+FROM agg
+""")
+def m_ses_walk_forward(spark, sf_dir):
+    """The REAL ``ses_job`` (M3+M5: prepare → ``applyInPandas`` →
+    batched one-pass SES walk-forward, alpha=0.6) on the bounded
+    window, with a full DuckDB value oracle: the SES level recursion
+    is a left fold, every per-prefix forecast is the fold over that
+    prefix, and the < 8-point test split keeps ``np.mean`` bit-equal
+    to the oracle's sequential error fold. Unlike the
+    ``m_ses_fixed_alpha_fold`` twin (pure relational re-statement),
+    this gate runs the production job code itself."""
+    out = grouped.ses_job(
+        _bounded_weekly_brand_revenue(spark, sf_dir), _FIXED_FOLD_END
+    )
+    return out.select(
+        "profile_name",
+        F.round(F.sqrt("mse"), 2).alias("rmse"),
+        F.round("prediction", 2).alias("prediction"),
+        "forecast_start",
+    )
+
+
+@register("m_holt_walk_forward", oracle=f"""
+WITH RECURSIVE weekly AS (
+{_BOUNDED_WEEKLY_SQL}
+), series AS (
+    SELECT profile_name, list(weight ORDER BY week_date) AS ys,
+           count(*)::INT AS n
+    FROM weekly GROUP BY 1 HAVING count(*) > 10
+), grid AS (
+    -- pair index mirrors numpy's repeat/tile layout: k = ia*9 + ib,
+    -- ties in SSE resolve to the lowest k exactly like np.argmin
+    SELECT ia*9 + ib AS pair, (ia+1)/10.0 AS a, (ib+1)/10.0 AS b
+    FROM range(9) g1(ia), range(9) g2(ib)
+), step(profile_name, pair, a, b, t, l, tr, sse, n, ys) AS (
+    SELECT profile_name, pair, a, b, 1,
+           ys[1], ys[2] - ys[1], 0.0::DOUBLE, n, ys
+    FROM series CROSS JOIN grid
+    UNION ALL
+    SELECT profile_name, pair, a, b, t + 1,
+           a*ys[t+1] + (1-a)*(l+tr),
+           b*((a*ys[t+1] + (1-a)*(l+tr)) - l) + (1-b)*tr,
+           sse + (ys[t+1] - (l+tr)) * (ys[t+1] - (l+tr)),
+           n, ys
+    FROM step WHERE t < n
+), best AS (
+    SELECT profile_name, t AS h, l + tr AS fc, n, ys,
+           floor(0.75 * n)::INT AS split,
+           ROW_NUMBER() OVER (PARTITION BY profile_name, t
+                              ORDER BY sse, pair) AS rk
+    FROM step WHERE t >= floor(0.75 * n)::INT
+), scored AS (
+    SELECT profile_name, n, split, h, fc,
+           CASE WHEN h < n THEN (ys[h+1] - fc) * (ys[h+1] - fc) END AS err
+    FROM best WHERE rk = 1
+), agg AS (
+    SELECT profile_name,
+           list_reduce(list(err ORDER BY h) FILTER (WHERE err IS NOT NULL),
+                       (p, q) -> p + q)
+               / (any_value(n) - any_value(split)) AS mse,
+           max(CASE WHEN h = n THEN fc END) AS prediction
+    FROM scored GROUP BY profile_name
+)
+SELECT profile_name,
+       round(sqrt(mse), 2) AS rmse,
+       round(prediction, 2) AS prediction,
+       TIMESTAMP '{_FIXED_FOLD_END}' AS forecast_start
+FROM agg
+""")
+def m_holt_walk_forward(spark, sf_dir):
+    """The REAL ``holt_job`` (M2+M5: deterministic 81-pair (α,β) grid,
+    per-prefix argmin-SSE, one-pass batched walk-forward) on the
+    bounded window, full DuckDB value oracle: the oracle re-runs the
+    grid as a recursive CTE over (brand, pair, t) — the per-pair Holt
+    recursions are scalar folds, per-prefix winners resolve by
+    (SSE, pair-index) exactly like ``np.argmin``'s first-minimum, and
+    the < 8-point test split keeps the error mean sequential. This
+    value-gates ``tsmodels.holt_walk_forward``'s whole
+    forecast-every-prefix machinery, not just the fixed-(α,β) fold."""
+    out = grouped.holt_job(
+        _bounded_weekly_brand_revenue(spark, sf_dir), _FIXED_FOLD_END
     )
     return out.select(
         "profile_name",
