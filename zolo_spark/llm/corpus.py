@@ -330,30 +330,43 @@ def decontaminate(df: DataFrame, n: int = 5, min_shared: int = 2,
     Returns (train_doc, test_doc, n_shared) sorted semantics-free;
     split assignment is :func:`hash_split`'s deterministic bucketing.
     """
-    from .dedup import doc_shingles
+    from ..ops.partitioning import fan_out
+    from .dedup import shingles_from_tokens
 
-    split = hash_split(df, id_col=id_col)
-    sh = doc_shingles(split, text_col, id_col, n).join(
-        split.select(id_col, "split"), id_col
+    tokens = fan_out(hash_split(df, id_col=id_col)).select(
+        F.col(id_col).alias("doc_id"), "split",
+        F.split(F.lower(F.col(text_col)), " ").alias("t"),
     )
-    rare = (
+    sh = tokens.select(
+        "doc_id", "split",
+        F.explode(shingles_from_tokens(F.col("t"), n)).alias("shingle"),
+    )
+    # ONE aggregation builds the inverted index with both postings
+    # lists and the df cap (collect_set drops the when()-nulls, and
+    # per-doc shingles are already distinct, so count(*) == df) — no
+    # shingle-keyed joins, so the whole op is 3 shuffles: fan_out,
+    # this groupBy, and the final pair groupBy.
+    per_shingle = (
         sh.groupBy("shingle")
-        .agg(F.countDistinct(id_col).alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("shingle")
+        .agg(
+            F.collect_set(
+                F.when(F.col("split") == "train", F.col("doc_id"))
+            ).alias("train_docs"),
+            F.collect_set(
+                F.when(F.col("split") == "test", F.col("doc_id"))
+            ).alias("test_docs"),
+            F.count(F.lit(1)).alias("df"),
+        )
+        .filter(
+            (F.col("df") <= max_df)
+            & (F.size("train_docs") > 0) & (F.size("test_docs") > 0)
+        )
     )
-    sh = sh.join(rare, "shingle")
-    train = (
-        sh.filter(F.col("split") == "train")
-        .select(F.col(id_col).alias("train_doc"), "shingle")
-    )
-    test = (
-        sh.filter(F.col("split") == "test")
-        .select(F.col(id_col).alias("test_doc"), "shingle")
-    )
+    pairs = per_shingle.select(
+        F.explode("train_docs").alias("train_doc"), "test_docs"
+    ).select("train_doc", F.explode("test_docs").alias("test_doc"))
     return (
-        train.join(test, "shingle")
-        .groupBy("train_doc", "test_doc")
-        .agg(F.countDistinct("shingle").alias("n_shared"))
+        pairs.groupBy("train_doc", "test_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )

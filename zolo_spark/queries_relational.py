@@ -608,6 +608,43 @@ def sessionize(spark, sf_dir):
     )
 
 
+@register("events_session_window", oracle="""
+WITH gaps AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                     >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+), sess AS (
+    SELECT user_id, ts, value,
+           SUM(new_session) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM gaps
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM sess GROUP BY user_id, session_id
+""")
+def session_window_q(spark, sf_dir):
+    """Batch run of the STREAMING session-window aggregation
+    (streaming/intraday.session_windows — native F.session_window):
+    one row per merged session with start / end(=last+gap) / count /
+    value. Boundary semantics differ from the lag-gap sessionize op:
+    session_window merges an event only while ts < previous end, so a
+    gap of EXACTLY 30:00 starts a new session (>= in the oracle),
+    whereas sessionize_events keeps it (> in that oracle) — both
+    faithful to their engines' definitions, both value-gated.
+    tests/test_streaming.py proves stream ≡ batch for this shape."""
+    from .streaming import intraday
+
+    return intraday.session_windows(_t(spark, sf_dir, "events"))
+
+
 @register("events_tumbling_window", oracle="""
 SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start,
        event_type,
