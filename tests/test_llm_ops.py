@@ -329,6 +329,32 @@ def test_dedup_survivors(spark, docs):
     assert 1 not in survivors and 2 not in survivors and 4 not in survivors
 
 
+def test_simhash_neardup_wide_signature_and_bucket_cap(spark):
+    # long docs: simhash vote margins grow with token count, so a
+    # one-token edit stays within Hamming 2 at 48 bits (deterministic
+    # md5 hashes — measured hamming for this pair is exactly 2)
+    words = [f"w{i}" for i in range(60)]
+    rows = [(i, "identical boilerplate text repeated everywhere always")
+            for i in range(12)]
+    rows += [(100, " ".join(words)),
+             (101, " ".join(words[:-1] + ["zzz"])),
+             (200, "unrelated " * 30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    wide = {(r["doc1"], r["doc2"])
+            for r in dedup.simhash_neardup(docs, bits=48).collect()}
+    assert (100, 101) in wide            # near-identical pair survives
+    assert all(200 not in p for p in wide)
+    assert {(i, j) for i in range(12) for j in range(i + 1, 12)} <= wide
+
+    # the 12-clone clique is one hot bucket: the cap drops it while
+    # keeping the isolated near-dup pair
+    capped = {(r["doc1"], r["doc2"]) for r in
+              dedup.simhash_neardup(docs, bits=48, max_bucket=5).collect()}
+    assert (100, 101) in capped
+    assert not any(p[0] < 12 and p[1] < 12 for p in capped)
+
+
 def test_pii_mask_and_counts(spark):
     from zolo_spark.llm import text as T
 

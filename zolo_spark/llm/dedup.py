@@ -259,11 +259,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 SIMHASH_BITS = 16  # 4 md5 hex chars; compact and oracle-portable
 
 
-def token_hashes(col) -> Column:
-    """Per-token 16-bit hashes (first 4 md5 hex chars as int)."""
+def token_hashes(col, hex_chars: int = 4) -> Column:
+    """Per-token hashes: first ``hex_chars`` md5 hex chars as int
+    (4 → 16-bit, the oracle-portable default; 12 → 48-bit for wide
+    signatures — ≤ 15 keeps the value in a signed long)."""
     t = F.split(F.lower(col), " ")
     return F.transform(
-        t, lambda x: F.conv(F.substring(F.md5(x), 1, 4), 16, 10).cast("long")
+        t,
+        lambda x: F.conv(F.substring(F.md5(x), 1, hex_chars), 16, 10)
+        .cast("long"),
     )
 
 
@@ -310,17 +314,25 @@ def simhash_chunks(bits: int = SIMHASH_BITS,
 
 def simhash_neardup(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", bits: int = SIMHASH_BITS,
-                    max_hamming: int = 2) -> DataFrame:
+                    max_hamming: int = 2,
+                    max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs at Hamming distance ≤ ``max_hamming``:
     pigeonhole-banded candidate join (exact match on ≥1 signature
     chunk) then exact ``bit_count(xor)`` verify — the banding bounds
     candidates the way LSH bands do for MinHash. Candidate volume ~
     N²·(k+1)/2^chunk_bits: with the oracle-portable 16-bit signature
     the chunks are 5-6 bits (collision-heavy); a 100 TB deployment
-    widens to a 64-bit signature (~21-bit chunks) — same algorithm,
-    same int64 arithmetic on both engines."""
+    widens the signature (``bits=48`` via 12-hex-char token hashes —
+    16-bit chunks, measured linear at the sf3 rehearsal where the
+    16-bit path went quadratic) and/or caps band-bucket width with
+    ``max_bucket``: a (chunk, value) bucket wider than the cap is a
+    mass-duplication or hash-collision hot spot — candidates from it
+    are dropped (standard LSH practice; run exact dedup first, which
+    catches identical content at linear cost)."""
     hashed = fan_out(df).select(
-        F.col(id_col).alias("doc_id"), token_hashes(F.col(text_col)).alias("th")
+        F.col(id_col).alias("doc_id"),
+        token_hashes(F.col(text_col), hex_chars=max(4, (bits + 3) // 4))
+        .alias("th"),
     )
     sigs = hashed.select(
         "doc_id", simhash_from_hashes(F.col("th"), bits).alias("sig")
@@ -335,6 +347,14 @@ def simhash_neardup(df: DataFrame, text_col: str = "text",
     banded = sigs.select(
         "doc_id", "sig", F.explode(F.array(*chunks)).alias("c")
     ).select("doc_id", "sig", "c.chunk_id", "c.chunk_val")
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("chunk_id", "chunk_val")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") <= max_bucket)
+            .select("chunk_id", "chunk_val")
+        )
+        banded = banded.join(ok, ["chunk_id", "chunk_val"])
     cand = (
         banded.alias("l")
         .join(
