@@ -169,3 +169,27 @@ def test_q6_single_stage_scan_agg(spark):
     # partial agg map-side, one exchange to the single final row
     assert p.count("HashAggregate") >= 2
     assert n_shuffles(p) == 1
+
+
+def test_pii_redact_stays_codegen_single_scan(spark):
+    """PII masking is a pure map: one scan, no shuffle beyond the
+    documented fan_out repartition, zero Python nodes."""
+    p = plan_of(q(spark, "llm_pii_redact"))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert n_shuffles(p) <= 1  # fan_out only
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_decontaminate_three_shuffles_no_joins(spark):
+    """The inverted index builds in ONE aggregation (postings lists +
+    df cap together) — no shingle-keyed join may reappear; the whole
+    op is fan_out + shingle groupBy + pair groupBy."""
+    p = plan_of(q(spark, "llm_decontaminate"))
+    assert n_shuffles(p) <= 3
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_session_window_single_shuffle(spark):
+    p = plan_of(q(spark, "events_session_window"))
+    assert n_shuffles(p) == 1  # one exchange on user_id for the merge
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
