@@ -222,6 +222,44 @@ def test_png_decode_rejects_corruption():
         multimodal.png_decode(bytes(data[:20]))
 
 
+def test_wav_round_trip_and_corruption():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    s = rng.integers(-32768, 32767, size=777, dtype=np.int16)
+    data = multimodal.wav_encode(s, rate=16000)
+    wav = multimodal.wav_decode(data)
+    assert (wav["rate"], wav["n_samples"]) == (16000, 777)
+    assert (wav["samples"] == s).all()
+    with pytest.raises(ValueError, match="RIFF"):
+        multimodal.wav_decode(b"OggS" + data[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.wav_decode(data[:30])
+    # stereo / non-PCM rejected at the format seam
+    bad = bytearray(data)
+    bad[22] = 2  # channels field
+    with pytest.raises(ValueError, match="unsupported"):
+        multimodal.wav_decode(bytes(bad))
+
+
+def test_audio_stats_matches_closed_form(spark):
+    docs = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    stats = {r["media_id"]: r for r in
+             multimodal.audio_stats(multimodal.documents_wav(docs)).collect()}
+    import math
+    for i in range(7):
+        n = 400 + (i % 5) * 100
+        ss = [((i * 31 + j * 17) % 2048) - 1024 for j in range(n)]
+        r = stats[i]
+        assert (r["sample_rate"], r["n_samples"]) == (8000, n)
+        assert r["duration_ms"] == n * 1000 / 8000
+        assert r["rms"] == math.sqrt(sum(x * x for x in ss) / n)
+        assert r["peak"] == max(abs(x) for x in ss)
+        assert r["zero_crossings"] == sum(
+            1 for a, b in zip(ss, ss[1:]) if a * b < 0
+        )
+
+
 def test_image_stats_matches_closed_form(spark):
     docs = spark.createDataFrame(
         [(i,) for i in range(12)], "doc_id long"
@@ -353,6 +391,32 @@ def test_simhash_neardup_wide_signature_and_bucket_cap(spark):
               dedup.simhash_neardup(docs, bits=48, max_bucket=5).collect()}
     assert (100, 101) in capped
     assert not any(p[0] < 12 and p[1] < 12 for p in capped)
+
+
+def test_repetition_stats_hand_computed(spark):
+    from zolo_spark.llm import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"),   # 5 tokens: a×3 b×2; bigrams ab,ba,ab,ba
+         (2, "x x x x"),     # degenerate repetition
+         (3, "one two three four five")],  # no repetition
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.repetition_stats(docs).collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 5
+    assert r1["uniq_token_ratio"] == 2 / 5
+    assert r1["top_token_fraction"] == 3 / 5
+    assert r1["top_bigram_fraction"] == 2 / 4   # 'a b' twice of 4
+    assert r1["dup_trigram_fraction"] == (3 - 2) / 3  # aba,bab,aba
+    r2 = out[2]
+    assert r2["uniq_token_ratio"] == 1 / 4
+    assert r2["top_token_fraction"] == 1.0
+    assert r2["dup_trigram_fraction"] == 1 / 2
+    r3 = out[3]
+    assert r3["uniq_token_ratio"] == 1.0
+    assert r3["top_bigram_fraction"] == 1 / 4
+    assert r3["dup_trigram_fraction"] == 0.0
 
 
 def test_pii_mask_and_counts(spark):

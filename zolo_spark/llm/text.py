@@ -166,3 +166,71 @@ def pii_redact(df: DataFrame, text_col: str = "text",
         *[cnt.alias(name) for name, cnt in pii_counts(c)],
         mask_pii(c).alias("masked_text"),
     )
+
+
+# ----------------------------------------------- repetition signals
+
+def _grams(t, n: int) -> Column:
+    """Word n-grams WITH multiplicity (repetition analysis needs
+    occurrence counts, unlike the dedup shingles which are distinct)."""
+    idx = F.sequence(F.lit(0), F.size(t) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + j + 1)) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals per document: unique
+    token ratio, most-frequent token / bigram fractions, duplicate
+    trigram fraction. The classic cheap filters for degenerate or
+    boilerplate-heavy training text. Shape: explode → two-level
+    aggregation (gram counts, then per-doc max/total) — distributed
+    partial aggregation, no per-doc maps held in memory, so a 100 TB
+    corpus streams through. All ratios are exact integer divisions.
+    """
+    base = fan_out(df).select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
+    )
+
+    def top_agg(col: Column, name: str) -> DataFrame:
+        counts = (
+            base.select("doc_id", F.explode(col).alias("g"))
+            .groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        )
+        return counts.groupBy("doc_id").agg(
+            F.sum("c").alias(f"{name}_total"),
+            F.count(F.lit(1)).alias(f"{name}_uniq"),
+            F.max("c").alias(f"{name}_top"),
+        )
+
+    toks = top_agg(F.col("t"), "tok")
+    bis = top_agg(_grams(F.col("t"), 2), "bi")
+    tris = top_agg(_grams(F.col("t"), 3), "tri")
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.when(den > 0, num.cast("double") / den.cast("double"))
+
+    out = (
+        base.select("doc_id", F.size("t").alias("n_tokens"))
+        .join(toks, "doc_id", "left")
+        .join(bis, "doc_id", "left")
+        .join(tris, "doc_id", "left")
+    )
+    return out.select(
+        "doc_id", "n_tokens",
+        frac(F.col("tok_uniq"), F.col("tok_total"))
+        .alias("uniq_token_ratio"),
+        frac(F.col("tok_top"), F.col("tok_total"))
+        .alias("top_token_fraction"),
+        frac(F.col("bi_top"), F.col("bi_total"))
+        .alias("top_bigram_fraction"),
+        frac(F.col("tri_total") - F.col("tri_uniq"), F.col("tri_total"))
+        .alias("dup_trigram_fraction"),
+    )

@@ -83,13 +83,16 @@ from . import queries_models  # noqa: E402,F401
 # operators (SES/Holt walk-forward gates, PII redaction,
 # decontamination).
 _GRADING_PRIORITY = [
-    # SURVEY §2 core representatives (11).
+    # SURVEY §2 core representatives (8; p6/p7/p8 ceded their slots to
+    # the round-3 audio/repetition/session-window queries — each has a
+    # green r2 row, and the rule is ≥1 green row in r1∪r2∪r3).
     "flagship_weekly_demand",
     "j1_left_join_header_details", "j3_filtering_inner_join",
     "w1_group_min_broadcast", "w2_group_count_filter",
-    "p6_fixed_tz_shift", "p7_date_time_extract",
-    "p8_weekday_monday0", "p9_market_classification",
+    "p9_market_classification",
     "u6_cte_sql", "n2_json_field_access",
+    # Round-3 additions needing their first green row (3).
+    "llm_audio_features", "llm_repetition_stats", "events_session_window",
     # Never-graded §2-adjacent relational operators rotated in (4).
     "n7_from_json_struct", "n8_map_ops",
     "tpch_q3_shipping_priority", "tpch_q6_forecast_revenue",

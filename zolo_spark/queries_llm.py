@@ -468,6 +468,96 @@ def llm_multimodal(spark, sf_dir):
     )
 
 
+@register("llm_repetition_stats", oracle=f"""
+WITH base AS (
+    SELECT doc_id, {_TOKENS} AS t FROM documents
+), tokc AS (
+    SELECT doc_id, g, count(*) AS c
+    FROM (SELECT doc_id, unnest(t) AS g FROM base) GROUP BY 1, 2
+), tok AS (
+    SELECT doc_id, sum(c) AS total, count(*) AS uniq, max(c) AS top
+    FROM tokc GROUP BY 1
+), bic AS (
+    SELECT doc_id, g, count(*) AS c FROM (
+        SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN
+            list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+            ELSE [] END) AS g
+        FROM base) GROUP BY 1, 2
+), bi AS (
+    SELECT doc_id, sum(c) AS total, max(c) AS top FROM bic GROUP BY 1
+), tric AS (
+    SELECT doc_id, g, count(*) AS c FROM (
+        SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+            list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+            ELSE [] END) AS g
+        FROM base) GROUP BY 1, 2
+), tri AS (
+    SELECT doc_id, sum(c) AS total, count(*) AS uniq FROM tric GROUP BY 1
+)
+SELECT b.doc_id, len(b.t) AS n_tokens,
+       round(tok.uniq::DOUBLE / tok.total, 4) AS uniq_token_ratio,
+       round(tok.top::DOUBLE / tok.total, 4) AS top_token_fraction,
+       round(CASE WHEN bi.total > 0
+                  THEN bi.top::DOUBLE / bi.total END, 4)
+           AS top_bigram_fraction,
+       round(CASE WHEN tri.total > 0
+                  THEN (tri.total - tri.uniq)::DOUBLE / tri.total END, 4)
+           AS dup_trigram_fraction
+FROM base b
+LEFT JOIN tok USING (doc_id)
+LEFT JOIN bi USING (doc_id)
+LEFT JOIN tri USING (doc_id)
+""")
+def llm_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals (unique-token ratio,
+    top token/bigram fractions, duplicate-trigram fraction)."""
+    from .llm import text as T
+
+    out = T.repetition_stats(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("uniq_token_ratio", 4).alias("uniq_token_ratio"),
+        F.round("top_token_fraction", 4).alias("top_token_fraction"),
+        F.round("top_bigram_fraction", 4).alias("top_bigram_fraction"),
+        F.round("dup_trigram_fraction", 4).alias("dup_trigram_fraction"),
+    )
+
+
+@register("llm_audio_features", oracle="""
+WITH base AS (
+    SELECT doc_id, 400 + (doc_id % 5) * 100 AS n FROM documents
+), s AS (
+    SELECT doc_id, n,
+           list_transform(range(0, n::INT),
+                          j -> ((doc_id*31 + j*17) % 2048) - 1024) AS ss
+    FROM base
+)
+SELECT doc_id AS media_id,
+       8000::BIGINT AS sample_rate,
+       n AS n_samples,
+       n * 1000 / 8000.0 AS duration_ms,
+       round(sqrt(list_sum(list_transform(ss, x -> x*x))::DOUBLE / n), 4)
+           AS rms,
+       list_aggregate(list_transform(ss, x -> abs(x)), 'max') AS peak,
+       len(list_filter(range(0, (n-1)::INT),
+                       j -> ss[j+1] * ss[j+2] < 0)) AS zero_crossings
+FROM s
+""")
+def llm_audio_features(spark, sf_dir):
+    """Audio modality for real: each document becomes a genuine PCM16
+    mono WAV (RIFF container, validated chunks), decoded back by the
+    real parser, with exact-integer statistics (RMS, peak,
+    zero-crossing count) oracled closed-form — the audio twin of the
+    PNG image path."""
+    media = multimodal.documents_wav(_t(spark, sf_dir, "documents"))
+    stats = multimodal.audio_stats(media)
+    return stats.select(
+        "media_id", "sample_rate", "n_samples", "duration_ms",
+        F.round("rms", 4).alias("rms"), "peak", "zero_crossings",
+    )
+
+
 # ------------------------------------------------------------ PII ops
 
 from .llm.text import PII_EMAIL, PII_IPV4, PII_PHONE  # noqa: E402
