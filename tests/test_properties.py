@@ -146,3 +146,44 @@ def test_watermark_store_round_trip(tmp_path_factory, keys):
     for k, v in keys.items():
         assert store.get(k) == v
     assert store.get("missing", "DEFAULT") == "DEFAULT"
+
+
+@given(
+    px=st.integers(1, 40).flatmap(
+        lambda w: st.integers(1, 24).flatmap(
+            lambda h: st.lists(
+                st.integers(0, 255), min_size=w * h, max_size=w * h
+            ).map(lambda vals: (w, h, vals))
+        )
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_png_round_trip_property(px):
+    """Any grayscale image survives encode→decode bit-exactly —
+    across every scanline-filter combination the encoder cycles
+    through."""
+    import numpy as np
+
+    from zolo_spark.llm import multimodal
+
+    w, h, vals = px
+    img = np.array(vals, dtype=np.uint8).reshape(h, w)
+    out = multimodal.png_decode(multimodal.png_encode(img))
+    assert (out["width"], out["height"]) == (w, h)
+    assert (out["pixels"] == img).all()
+
+
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=2000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_round_trip_property(samples, rate):
+    import numpy as np
+
+    from zolo_spark.llm import multimodal
+
+    s = np.array(samples, dtype=np.int16)
+    wav = multimodal.wav_decode(multimodal.wav_encode(s, rate))
+    assert wav["rate"] == rate and wav["n_samples"] == len(s)
+    assert (wav["samples"] == s).all()
