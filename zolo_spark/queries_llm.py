@@ -468,6 +468,21 @@ def llm_multimodal(spark, sf_dir):
     )
 
 
+@register("llm_bpe_merges", oracle=None)  # iterative training: no SQL
+def llm_bpe_merges(spark, sf_dir):
+    """BPE vocabulary training (Sennrich-style) — distributed word
+    frequency pass + iterative pair-merge loop on the word relation.
+    No SQL oracle (data-dependent iteration), but the merge list is
+    pytest-pinned IDENTICAL to a sequential pure-Python reference
+    (tests/test_tokenizer.py), which is the stronger check."""
+    from .llm import tokenizer
+
+    merges = tokenizer.bpe_train(
+        _t(spark, sf_dir, "documents"), n_merges=20
+    )
+    return tokenizer.merges_df(spark, merges)
+
+
 @register("llm_repetition_stats", oracle=f"""
 WITH base AS (
     SELECT doc_id, {_TOKENS} AS t FROM documents
