@@ -460,6 +460,27 @@ def test_decontaminate_finds_planted_leak(spark):
     assert got == {(train_id, test_id): 3}
 
 
+def test_stratified_sample_deterministic_and_rate_accurate(spark):
+    from zolo_spark.llm import corpus
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {"en": 0.5, "de": 0.1}
+    a = {r["doc_id"] for r in
+         corpus.stratified_sample(docs, rates).collect()}
+    b = {r["doc_id"] for r in
+         corpus.stratified_sample(docs, rates).collect()}
+    assert a == b  # rerun-stable membership
+    en = sum(1 for i in a if i % 2 == 0) / 1000
+    de = sum(1 for i in a if i % 2 == 1) / 1000
+    assert abs(en - 0.5) < 0.06 and abs(de - 0.1) < 0.04
+    # re-weighting one stratum must not disturb the other's membership
+    c = {r["doc_id"] for r in
+         corpus.stratified_sample(docs, {"en": 0.5, "de": 0.9}).collect()}
+    assert {i for i in a if i % 2 == 0} == {i for i in c if i % 2 == 0}
+    assert {i for i in a if i % 2 == 1} <= {i for i in c if i % 2 == 1}
+
+
 def test_hash_split_deterministic_and_partitioned(spark, docs):
     from zolo_spark.llm import corpus
 

@@ -370,3 +370,33 @@ def decontaminate(df: DataFrame, n: int = 5, min_shared: int = 2,
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      stratum_col: str = "lang", id_col: str = "doc_id",
+                      default_rate: float = 0.0,
+                      salt: str = "mix-v1") -> DataFrame:
+    """Deterministic per-stratum downsampling — the data-mixing step
+    that hits a target source/language composition. A doc survives iff
+    its salted md5 bucket (0..9999) falls under its stratum's rate, so
+    the sample is exactly reproducible under reruns, resharding, and
+    engines (the same contract as :func:`hash_split`), and strata can
+    be re-weighted without touching other strata's membership. Pure
+    codegen expressions; no shuffle at all — at 100 TB this is a
+    filter pushed into the scan pipeline."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+                1, 4,
+            ), 16, 10,
+        ).cast("long") % 10000
+    )
+    expr = F.lit(int(default_rate * 10000))
+    for stratum, rate in sorted(rates.items()):
+        expr = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(rate * 10000))
+        ).otherwise(expr)
+    return df.withColumn("_bucket", bucket).filter(
+        F.col("_bucket") < expr
+    ).drop("_bucket")

@@ -468,6 +468,34 @@ def llm_multimodal(spark, sf_dir):
     )
 
 
+@register("llm_stratified_sample", oracle="""
+WITH b AS (
+    SELECT doc_id, lang, source,
+           ('0x' || substr(md5('mix-v1' || doc_id::VARCHAR), 1, 4))::BIGINT
+               % 10000 AS bucket
+    FROM documents
+)
+SELECT doc_id, lang, source FROM b
+WHERE bucket < CASE lang
+                 WHEN 'en' THEN 5000
+                 WHEN 'zh' THEN 2500
+                 WHEN 'de' THEN 7500
+                 ELSE 1000
+               END
+""")
+def llm_stratified_sample(spark, sf_dir):
+    """Deterministic data mixing: per-language downsampling rates via
+    salted hash buckets — exactly reproducible membership (rerun /
+    reshard / engine stable), independently re-weightable strata,
+    zero shuffles (a pushed filter at 100 TB)."""
+    out = corpus.stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        rates={"en": 0.5, "zh": 0.25, "de": 0.75},
+        default_rate=0.1,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
 @register("llm_bpe_merges", oracle=None)  # iterative training: no SQL
 def llm_bpe_merges(spark, sf_dir):
     """BPE vocabulary training (Sennrich-style) — distributed word
