@@ -271,6 +271,7 @@ def test_image_stats_matches_closed_form(spark):
         ps = [(i * 7 + j * 13) % 256 for j in range(w * h)]
         r = stats[i]
         assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
+        assert r["sum_px"] == sum(ps)
         assert r["mean_px"] == sum(ps) / len(ps)
         assert (r["min_px"], r["max_px"]) == (min(ps), max(ps))
         assert r["checksum"] == sum(j * p for j, p in enumerate(ps)) % 9973

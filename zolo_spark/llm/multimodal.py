@@ -290,7 +290,7 @@ def documents_png(documents: DataFrame) -> DataFrame:
 
 IMAGE_STATS_SCHEMA = (
     "media_id long, width long, height long, n_pixels long, "
-    "mean_px double, min_px long, max_px long, checksum long"
+    "sum_px long, mean_px double, min_px long, max_px long, checksum long"
 )
 
 
@@ -314,6 +314,7 @@ def image_stats(media: DataFrame) -> DataFrame:
                     "width": img["width"],
                     "height": img["height"],
                     "n_pixels": n,
+                    "sum_px": total,
                     "mean_px": total / n,
                     "min_px": int(p.min()),
                     "max_px": int(p.max()),

@@ -445,7 +445,7 @@ WITH dims AS (
 )
 SELECT doc_id AS media_id,
        w AS width, h AS height, w*h AS n_pixels,
-       round(list_sum(ps)::DOUBLE / (w*h), 4) AS mean_px,
+       list_sum(ps) AS sum_px,
        list_aggregate(ps, 'min') AS min_px,
        list_aggregate(ps, 'max') AS max_px,
        list_sum(list_transform(range(0, (w*h)::INT),
@@ -458,13 +458,17 @@ def llm_multimodal(spark, sf_dir):
     (CRC'd chunks, zlib IDAT, all five scanline filters), the decoder
     reconstructs the pixels, and the emitted statistics are exact
     integer math — so the whole encode→container→decode path is
-    value-oracled against the closed-form pixel function."""
+    value-oracled against the closed-form pixel function.
+
+    The oracled columns are ALL exact integers: the r3 hash-red was the
+    rounded-double ``mean_px`` (Spark HALF_UP BigDecimal vs DuckDB
+    double rounding), so the gate now compares ``sum_px`` + ``n_pixels``
+    instead — same information, bit-stable in any engine/order."""
     media = multimodal.documents_png(_t(spark, sf_dir, "documents"))
     stats = multimodal.image_stats(media)
     return stats.select(
         "media_id", "width", "height", "n_pixels",
-        F.round("mean_px", 4).alias("mean_px"),
-        "min_px", "max_px", "checksum",
+        "sum_px", "min_px", "max_px", "checksum",
     )
 
 

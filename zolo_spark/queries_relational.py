@@ -570,33 +570,43 @@ def topk(spark, sf_dir):
 
 
 @register("sessionize_events", oracle="""
-WITH gaps AS (
-    SELECT event_id, user_id, ts,
-           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
-                                        ORDER BY ts, event_id)
-                     > INTERVAL 30 MINUTE
+WITH e AS (
+    -- Integer epoch microseconds on BOTH engines: epoch_ns(ts) // 1000
+    -- floors nanos to micros whether the driver's DuckDB reads the
+    -- parquet column as TIMESTAMP (micros: *1000 then //1000 is exact)
+    -- or TIMESTAMP_NS (full nanos: floor-division == Spark's ingestion
+    -- `ts DIV 1000`).  No timestamp/interval semantics anywhere, so no
+    -- DuckDB-version or encoding behavior can diverge.
+    SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us FROM events
+), gaps AS (
+    SELECT event_id, user_id, ts_us,
+           CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+                                              ORDER BY ts_us, event_id)
+                     > 1800000000
                 THEN 1 ELSE 0 END AS new_session
-    FROM events
+    FROM e
 )
 SELECT event_id, user_id,
        SUM(new_session) OVER (PARTITION BY user_id
-                              ORDER BY ts, event_id
+                              ORDER BY ts_us, event_id
                               ROWS UNBOUNDED PRECEDING) AS session_id
 FROM gaps
 """)
 def sessionize(spark, sf_dir):
     """Sessionization: lag-gap + running sum — the batch analog of
-    streaming session windows (engine extension; guide §Common OLAP)."""
+    streaming session windows (engine extension; guide §Common OLAP).
+
+    Both engines window-order AND gap-compare on int64 epoch
+    microseconds so the comparison is environment-invariant (the
+    r2/r3 hash-reds were driver-side timestamp-semantics divergence;
+    the oracle's previous `INTERVAL 30 MINUTE` compare is gone)."""
     events = _t(spark, sf_dir, "events")
-    order = [F.col("ts"), F.col("event_id")]
+    ts_us = F.unix_micros(F.col("ts"))
+    order = [ts_us.asc(), F.col("event_id").asc()]
     w_lag = W.partitionBy("user_id").orderBy(*order)
     w_run = w_lag.rowsBetween(W.unboundedPreceding, W.currentRow)
-    # Compare at microsecond resolution: cast("long") truncates to whole
-    # seconds, which mis-sessionizes gaps whose sub-second remainder
-    # straddles exactly 1800 s (DuckDB's INTERVAL compare is micros).
     gap = F.when(
-        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w_lag))
-        > 1_800_000_000,
+        ts_us - F.lag(ts_us).over(w_lag) > 1_800_000_000,
         F.lit(1),
     ).otherwise(F.lit(0))
     return (
@@ -605,6 +615,71 @@ def sessionize(spark, sf_dir):
             "event_id", "user_id",
             F.sum("new_session").over(w_run).alias("session_id"),
         )
+    )
+
+
+# --- one-round diagnostic probes (VERDICT r3 item 1) -----------------
+#
+# sessionize_events failed the driver's gate in r2+r3 while passing the
+# local driver_sim bit-for-bit, i.e. a driver-environment divergence in
+# how the events.ts TIMESTAMP(NANOS) column is read/compared.  These
+# three integer-only probes binary-search WHICH construct diverges:
+#   probe_ts_epoch_us       — raw per-event epoch micros (ingestion seam)
+#   probe_ts_epoch_us_cast  — same via DuckDB's ts::TIMESTAMP cast path
+#                             (red here + green above ⇒ the cast rounds)
+#   probe_ts_lag_gap        — windowed lag alignment in pure int space
+# All three green ⇒ the seam is sound and sessionize must be green too.
+
+
+@register("probe_ts_epoch_us", oracle="""
+SELECT event_id, epoch_ns(ts) // 1000 AS ts_us FROM events
+""")
+def probe_ts_epoch_us(spark, sf_dir):
+    """Driver-environment probe: per-event int64 epoch micros.  Spark's
+    ingestion floors nanos (`ts DIV 1000`, warehouse.load_table); the
+    oracle floors via epoch_ns // 1000 — identical under every DuckDB
+    parquet-timestamp behavior (micros or TIMESTAMP_NS read)."""
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+
+
+@register("probe_ts_epoch_us_cast", oracle="""
+SELECT event_id, epoch_us(ts::TIMESTAMP) AS ts_us FROM events
+""")
+def probe_ts_epoch_us_cast(spark, sf_dir):
+    """Same probe through DuckDB's ts::TIMESTAMP cast: if the driver's
+    DuckDB reads TIMESTAMP_NS and its ns→us cast ROUNDS instead of
+    flooring, this row goes red while probe_ts_epoch_us stays green —
+    localizing the divergence to the cast construct."""
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+
+
+@register("probe_ts_lag_gap", oracle="""
+WITH e AS (
+    SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us FROM events
+)
+SELECT event_id,
+       COALESCE(ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+                                         ORDER BY ts_us, event_id),
+                -1) AS gap_us
+FROM e
+""")
+def probe_ts_lag_gap(spark, sf_dir):
+    """Windowed probe: per-user lag gap in int64 micros (first event of
+    a user → -1).  Green ⇒ window partition/order/lag alignment agrees
+    across engines in integer space, isolating any remaining sessionize
+    divergence to the comparison construct itself."""
+    events = _t(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = W.partitionBy("user_id").orderBy(ts_us.asc(), F.col("event_id").asc())
+    return events.select(
+        "event_id",
+        F.coalesce(ts_us - F.lag(ts_us).over(w), F.lit(-1)).alias("gap_us"),
     )
 
 
