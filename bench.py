@@ -35,21 +35,33 @@ from zolo_spark.session import get_spark  # noqa: E402
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def _scale_dir(sf: float) -> str:
-    """Repo-local replica of the testdata at scale ``sf`` (built once)."""
+def _snap(sf: float) -> tuple[int, float]:
+    """Snap a requested --sf to whole sf0.1 replicas; the SNAPPED sf
+    is what gets recorded (e.g. --sf 0.34 builds k=3 → sf 0.3, and
+    0.3 — not 0.34 — lands in the JSON line)."""
+    k = round(sf / 0.1)
+    if k < 1:
+        raise SystemExit(f"--sf must be >= 0.1 (got {sf})")
+    return k, round(k * 0.1, 10)
+
+
+def _scale_dir(sf: float) -> tuple[str, float]:
+    """Repo-local replica of the testdata at the snapped scale (built
+    once; rebuilt if a previous build was interrupted — completeness
+    is judged by gen_sf's ``_COMPLETE`` marker, not table existence)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import gen_sf
+
+    k, sf = _snap(sf)
     tag = f"{sf:g}"
     out = os.path.join(REPO, ".benchdata", f"sf{tag}")
-    if not os.path.exists(os.path.join(out, "lineitem.parquet")):
-        sys.path.insert(0, os.path.join(REPO, "tools"))
-        from gen_sf import generate
-
-        k = round(sf / 0.1)
-        if k < 1:
-            raise SystemExit(f"--sf must be >= 0.1 (got {sf})")
+    marker = os.path.join(out, gen_sf.COMPLETE_MARKER)
+    done = os.path.exists(marker) and open(marker).read().strip() == str(k)
+    if not done:
         print(f"generating sf{tag} ({k}x sf0.1) under {out}...",
               file=sys.stderr)
-        generate(out, k)
-    return out
+        gen_sf.generate(out, k)
+    return out, sf
 
 
 def main() -> None:
@@ -59,7 +71,7 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.sf is not None:
-        sf_dir, sf = _scale_dir(args.sf), args.sf
+        sf_dir, sf = _scale_dir(args.sf)
     else:
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         m = re.search(r"sf([0-9.]+)", sf_dir)

@@ -41,6 +41,25 @@ def compare(spark_df, duck_rel, name: str = "query") -> list[str]:
     if len(s) != len(d):
         return [f"{name}: row count spark={len(s)} duck={len(d)}"]
 
+    # The driver's value hash is type-sensitive where Python ``==`` is
+    # not: an int64 Spark column vs a float64 oracle column (the pandas
+    # face of DuckDB HUGEINT — any integer SUM / list_sum) compares
+    # equal cell-by-cell here yet hash-mismatches driver-side (the r2-r4
+    # sessionize_events / llm_multimodal_features reds).  Flag
+    # float-vs-int family splits as failures so driver_sim catches them.
+    for c in s.columns:
+        if s[c].isna().any() or d[c].isna().any():
+            continue  # NULLs force a float/object pandas face anyway
+        sk, dk = s[c].dtype.kind, d[c].dtype.kind
+        if (sk == "f") != (dk == "f"):
+            problems.append(
+                f"{name}: col {c} dtype family mismatch "
+                f"spark={s[c].dtype} duck={d[c].dtype} "
+                f"(driver hash is type-sensitive; cast the oracle)"
+            )
+    if problems:
+        return problems
+
     for c in s.columns:
         sv, dv = s[c].tolist(), d[c].tolist()
         for i, (a, b) in enumerate(zip(sv, dv)):

@@ -1,0 +1,62 @@
+"""bench.py hygiene (r4 VERDICT item 5): --sf snapping is recorded
+honestly, and interrupted scale-replica builds are rebuilt rather than
+served half-written."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+import bench  # noqa: E402
+import gen_sf  # noqa: E402
+
+
+def test_snap_records_actual_scale():
+    # --sf 0.34 can only build whole sf0.1 replicas: k=3, recorded 0.3
+    assert bench._snap(0.34) == (3, 0.3)
+    assert bench._snap(1.0) == (10, 1.0)
+    assert bench._snap(0.1) == (1, 0.1)
+    with pytest.raises(SystemExit):
+        bench._snap(0.04)
+
+
+def test_scale_dir_rebuilds_unless_marker_complete(tmp_path, monkeypatch):
+    calls: list[tuple[str, int]] = []
+
+    def fake_generate(out, k):
+        os.makedirs(out, exist_ok=True)
+        # emulate a COMPLETED build: tables + marker
+        open(os.path.join(out, "lineitem.parquet"), "w").close()
+        with open(os.path.join(out, gen_sf.COMPLETE_MARKER), "w") as f:
+            f.write(str(k))
+        calls.append((out, k))
+
+    monkeypatch.setattr(gen_sf, "generate", fake_generate)
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    os.makedirs(tmp_path / ".benchdata", exist_ok=True)
+
+    out_dir = str(tmp_path / ".benchdata" / "sf0.3")
+
+    # interrupted build: tables exist but no marker → must regenerate
+    os.makedirs(out_dir, exist_ok=True)
+    (tmp_path / ".benchdata" / "sf0.3" / "lineitem.parquet").touch()
+    d, sf = bench._scale_dir(0.34)
+    assert (d, sf) == (out_dir, 0.3)
+    assert calls == [(out_dir, 3)]
+
+    # stale marker from a different k → regenerate
+    with open(os.path.join(out_dir, gen_sf.COMPLETE_MARKER), "w") as f:
+        f.write("99")
+    bench._scale_dir(0.3)
+    assert len(calls) == 2
+
+    # valid marker → served from cache, no rebuild
+    with open(os.path.join(out_dir, gen_sf.COMPLETE_MARKER), "w") as f:
+        f.write("3")
+    bench._scale_dir(0.3)
+    assert len(calls) == 2

@@ -33,9 +33,19 @@ FACTS = [
 DIMS = ["region", "nation", "customer", "supplier", "part"]
 
 
+COMPLETE_MARKER = "_COMPLETE"
+
+
 def generate(out: str, k: int = 10) -> None:
-    """Materialize a K-replica scale-up of sf0.1 into ``out``."""
+    """Materialize a K-replica scale-up of sf0.1 into ``out``.
+
+    Writes ``_COMPLETE`` (containing ``k``) only after every table
+    lands, so an interrupted run is distinguishable from a finished
+    one — consumers must check the marker, not table existence."""
     os.makedirs(out, exist_ok=True)
+    marker = os.path.join(out, COMPLETE_MARKER)
+    if os.path.exists(marker):
+        os.remove(marker)
     con = duckdb.connect()
 
     for t in DIMS:
@@ -55,6 +65,9 @@ def generate(out: str, k: int = 10) -> None:
         )
         n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")
+
+    with open(marker, "w") as f:
+        f.write(str(k))
 
 
 def main() -> None:

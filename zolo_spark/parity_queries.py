@@ -74,31 +74,41 @@ from . import queries_models  # noqa: E402,F401
 # flagship custom operators — exactly 50 — with the beyond-parity extras
 # after the cap (they remain registered, benched, and pytest-oracled).
 # --------------------------------------------------------------------------
-# Round-3 rotation: every oracled query must own a green CORRECTNESS
-# row in r1∪r2∪r3, so the 16 slots freed by twice-green §2 singletons
-# (p15, u5, n5, n6, p2, p12, a1, a3, a5, j2, n4, u1, a2, a4, p10, n1 —
-# each green in BOTH r1 and r2 with code unchanged; rotated out but
-# still registered + benched + pytest-oracled) carry the 12
-# never-yet-graded oracled queries plus the 4 new round-3 oracled
-# operators (SES/Holt walk-forward gates, PII redaction,
-# decontamination).
+# Round-5 rotation (see the rotation log below): exactly 8 oracled
+# queries lack a green CORRECTNESS row in r1∪r2∪r3∪r4 — the two
+# driver-env reds (sessionize_events, llm_multimodal_features; both
+# oracles hardened this round with ::BIGINT casts killing the DuckDB
+# HUGEINT→float64 exposure) which already hold window slots, plus 6
+# first-timers: the three ts-probes (built r4, never graded — the
+# r4 governance miss), llm_stratified_sample (open since r3 ADVICE),
+# the newly-oracled llm_bpe_merges, and the new scd2_batch_twin.
+# The 6 slots come from twice-green (r3∧r4) singletons rotated out:
+# n7_from_json_struct, n8_map_ops, u6_cte_sql, events_tumbling_window,
+# tpch_q3_shipping_priority, tpch_q6_forecast_revenue — all still
+# registered + benched + pytest-oracled.
+#
+# Rotation log (green-row provenance of rotated-out queries):
+#  r1∧r2: p15, u5, n5, n6, p2, p12, a1, a3, a5, j2, n4, u1, a2, a4,
+#         p10, n1, p6, p7, p8 (rotated out in r3)
+#  r3∧r4: n7_from_json_struct, n8_map_ops, u6_cte_sql,
+#         events_tumbling_window, tpch_q3_shipping_priority,
+#         tpch_q6_forecast_revenue (rotated out in r5)
+# tests/test_parity_queries.py asserts mechanically that every oracled
+# registry entry is either already green in some CORRECTNESS_r*.json
+# or scheduled in this list (the r4 miss, caught for good).
 _GRADING_PRIORITY = [
-    # SURVEY §2 core representatives (8; p6/p7/p8 ceded their slots to
-    # the round-3 audio/repetition/session-window queries — each has a
-    # green r2 row, and the rule is ≥1 green row in r1∪r2∪r3).
+    # SURVEY §2 core representatives (7).
     "flagship_weekly_demand",
     "j1_left_join_header_details", "j3_filtering_inner_join",
     "w1_group_min_broadcast", "w2_group_count_filter",
-    "p9_market_classification",
-    "u6_cte_sql", "n2_json_field_access",
-    # Round-3 additions needing their first green row (3).
+    "p9_market_classification", "n2_json_field_access",
+    # Round-5 first-timers: driver-env ts probes (r4 VERDICT item 1) +
+    # the never-graded stratified sample + new oracled entries (6).
+    "probe_ts_epoch_us", "probe_ts_epoch_us_cast", "probe_ts_lag_gap",
+    "llm_stratified_sample", "llm_bpe_merges", "scd2_batch_twin",
+    # Round-3 additions, re-affirmed green r4 (3).
     "llm_audio_features", "llm_repetition_stats", "events_session_window",
-    # Never-graded §2-adjacent relational operators rotated in (4).
-    "n7_from_json_struct", "n8_map_ops",
-    "tpch_q3_shipping_priority", "tpch_q6_forecast_revenue",
-    # LLM-data-pipeline family (21; corpus report + token histogram
-    # rotate in, IVF + multimodal now carry full value oracles, PII
-    # redaction + decontamination are new this round).
+    # LLM-data-pipeline family (21).
     "llm_text_stats", "llm_exact_dedup", "llm_minhash_signatures",
     "llm_minhash_lsh_dedup", "llm_incremental_dedup",
     "llm_ngram_jaccard_pairs", "llm_simhash_dedup", "llm_simhash_neardup",
@@ -115,9 +125,9 @@ _GRADING_PRIORITY = [
     "m_ses_fixed_alpha_fold", "m_holt_fixed_fold", "m_ar1_ols_fold",
     "m_arima_fixed_fold", "m_ses_walk_forward", "m_holt_walk_forward",
     "m_arima_weekly_forecast",
-    # Custom temporal / scale operators (7) — hash-oracled; the 50th
+    # Custom temporal / scale operators (6) — hash-oracled; the 50th
     # slot closes the graded window.
-    "asof_join_backward", "sessionize_events", "events_tumbling_window",
+    "asof_join_backward", "sessionize_events",
     "attribution_interval_join", "attribution_left_outer",
     "range_join_bucketed", "skew_hot_keys",
 ]

@@ -445,11 +445,12 @@ WITH dims AS (
 )
 SELECT doc_id AS media_id,
        w AS width, h AS height, w*h AS n_pixels,
-       list_sum(ps) AS sum_px,
+       list_sum(ps)::BIGINT AS sum_px,
        list_aggregate(ps, 'min') AS min_px,
        list_aggregate(ps, 'max') AS max_px,
-       list_sum(list_transform(range(0, (w*h)::INT),
-                j -> j * ((doc_id*7 + j*13) % 256))) % 9973 AS checksum
+       (list_sum(list_transform(range(0, (w*h)::INT),
+                 j -> j * ((doc_id*7 + j*13) % 256))) % 9973)::BIGINT
+           AS checksum
 FROM px
 """)
 def llm_multimodal(spark, sf_dir):
@@ -500,13 +501,68 @@ def llm_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "lang", "source")
 
 
-@register("llm_bpe_merges", oracle=None)  # iterative training: no SQL
+def _bpe_oracle_sql(n_merges: int = 20) -> str:
+    """DuckDB twin of :func:`zolo_spark.llm.tokenizer.bpe_train`
+    (n_merges fixed, no early-stop — the gate asserts every learned
+    merge has pair_count >= 2, which holds at every tested SF).
+
+    Each merge round is one generated CTE stage: pair counts from
+    adjacent symbols (GROUP BY), deterministic argmax (ORDER BY
+    n DESC, a, b LIMIT 1 — Spark's exact tiebreak), and a
+    left-to-right non-overlapping merge pass as a ``list_reduce``
+    fold over single-element lists (the accumulator type must equal
+    the element type, hence the ``list_transform(syms, x -> [x])``
+    lift).  States are MATERIALIZED: each is referenced twice, and
+    inlining would re-evaluate the whole prefix chain per stage.
+    All counts are ``::BIGINT`` — DuckDB SUM is HUGEINT (a float64
+    via pandas) and the driver's value hash is type-sensitive."""
+    sql = ["""WITH w0 AS (
+    SELECT w, count(*)::BIGINT AS freq FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ) WHERE w <> '' GROUP BY 1
+), st0 AS MATERIALIZED (
+    SELECT list_append(list_transform(range(1, length(w)::BIGINT), j -> w[j]),
+                       w[length(w)] || '</w>') AS syms, freq
+    FROM w0
+)"""]
+    for i in range(n_merges):
+        sql.append(f""", p{i} AS (
+    SELECT pr.a AS a, pr.b AS b, sum(freq)::BIGINT AS n FROM (
+        SELECT unnest(list_transform(range(1, len(syms)),
+                      j -> {{'a': syms[j], 'b': syms[j+1]}})) AS pr, freq
+        FROM st{i} WHERE len(syms) >= 2
+    ) GROUP BY 1, 2
+), m{i} AS MATERIALIZED (
+    SELECT a, b, n FROM p{i} ORDER BY n DESC, a, b LIMIT 1
+)""")
+        if i < n_merges - 1:
+            sql.append(f""", st{i + 1} AS MATERIALIZED (
+    SELECT CASE WHEN len(syms) >= 2 THEN
+        list_reduce(list_transform(syms, x -> [x]),
+            (acc, x) -> CASE WHEN acc[len(acc)] = m.a AND x[1] = m.b
+                        THEN list_append(list_slice(acc, 1, len(acc)-1),
+                                         m.a || m.b)
+                        ELSE list_append(acc, x[1]) END)
+        ELSE syms END AS syms, freq
+    FROM st{i}, m{i} m
+)""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT {i} AS rank, a, b, n FROM m{i}" for i in range(n_merges)
+    )
+    sql.append(f"""
+SELECT rank, a AS "left", b AS "right", a || b AS merged, n AS pair_count
+FROM ({union})""")
+    return "".join(sql)
+
+
+@register("llm_bpe_merges", oracle=_bpe_oracle_sql(20))
 def llm_bpe_merges(spark, sf_dir):
     """BPE vocabulary training (Sennrich-style) — distributed word
     frequency pass + iterative pair-merge loop on the word relation.
-    No SQL oracle (data-dependent iteration), but the merge list is
-    pytest-pinned IDENTICAL to a sequential pure-Python reference
-    (tests/test_tokenizer.py), which is the stronger check."""
+    Value-oracled: the DuckDB twin replays the 20 merge rounds as
+    generated CTE stages (see :func:`_bpe_oracle_sql`); the merge list
+    is additionally pytest-pinned IDENTICAL to a sequential
+    pure-Python reference (tests/test_tokenizer.py)."""
     from .llm import tokenizer
 
     merges = tokenizer.bpe_train(

@@ -572,11 +572,12 @@ def topk(spark, sf_dir):
 @register("sessionize_events", oracle="""
 WITH e AS (
     -- Integer epoch microseconds on BOTH engines: epoch_ns(ts) // 1000
-    -- floors nanos to micros whether the driver's DuckDB reads the
-    -- parquet column as TIMESTAMP (micros: *1000 then //1000 is exact)
-    -- or TIMESTAMP_NS (full nanos: floor-division == Spark's ingestion
-    -- `ts DIV 1000`).  No timestamp/interval semantics anywhere, so no
-    -- DuckDB-version or encoding behavior can diverge.
+    -- truncates nanos toward zero (as does Spark's ingestion
+    -- `ts DIV 1000` — identical semantics, incl. pre-1970) whether the
+    -- driver's DuckDB reads the parquet column as TIMESTAMP (micros:
+    -- *1000 then //1000 is exact) or TIMESTAMP_NS (full nanos).  No
+    -- timestamp/interval semantics anywhere, so no DuckDB-version or
+    -- encoding behavior can diverge.
     SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us FROM events
 ), gaps AS (
     SELECT event_id, user_id, ts_us,
@@ -587,9 +588,13 @@ WITH e AS (
     FROM e
 )
 SELECT event_id, user_id,
-       SUM(new_session) OVER (PARTITION BY user_id
-                              ORDER BY ts_us, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_id
+       -- ::BIGINT: DuckDB SUM(int) is HUGEINT (float64 via pandas);
+       -- Spark's running sum is int64 — the driver's value hash is
+       -- type-sensitive, so HUGEINT must never reach an output column.
+       (SUM(new_session) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING))::BIGINT
+           AS session_id
 FROM gaps
 """)
 def sessionize(spark, sf_dir):
@@ -636,8 +641,9 @@ SELECT event_id, epoch_ns(ts) // 1000 AS ts_us FROM events
 """)
 def probe_ts_epoch_us(spark, sf_dir):
     """Driver-environment probe: per-event int64 epoch micros.  Spark's
-    ingestion floors nanos (`ts DIV 1000`, warehouse.load_table); the
-    oracle floors via epoch_ns // 1000 — identical under every DuckDB
+    ingestion truncates nanos toward zero (`ts DIV 1000`,
+    warehouse.load_table); the oracle truncates identically via
+    epoch_ns // 1000 — the same under every DuckDB
     parquet-timestamp behavior (micros or TIMESTAMP_NS read)."""
     events = _t(spark, sf_dir, "events")
     return events.select(
@@ -1291,3 +1297,88 @@ def skew_hot_keys(spark, sf_dir):
     from .ops.skew import skew_profile
 
     return skew_profile(_t(spark, sf_dir, "events"), "user_id", k=20)
+
+
+@register("scd2_batch_twin", oracle="""
+WITH dim AS (
+    SELECT c_custkey AS cust_id, c_mktsegment AS segment,
+           c_nationkey AS nation,
+           TIMESTAMP '2023-01-01 00:00:00' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to,
+           TRUE AS is_current
+    FROM customer
+), upd AS (
+    SELECT c_custkey AS cust_id,
+           CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment
+                ELSE c_mktsegment || '_V2' END AS segment,
+           c_nationkey AS nation
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT c_custkey + 10000000, 'NEW_' || c_mktsegment, c_nationkey
+    FROM customer WHERE c_custkey % 100 = 0
+), changed AS (
+    SELECT d.cust_id FROM dim d JOIN upd u USING (cust_id)
+    WHERE d.segment IS DISTINCT FROM u.segment
+       OR d.nation IS DISTINCT FROM u.nation
+)
+SELECT cust_id, segment, nation, valid_from,
+       TIMESTAMP '2024-06-01 00:00:00' AS valid_to, FALSE AS is_current
+FROM dim WHERE cust_id IN (SELECT cust_id FROM changed)     -- closed
+UNION ALL
+SELECT cust_id, segment, nation, valid_from, valid_to, is_current
+FROM dim WHERE cust_id NOT IN (SELECT cust_id FROM changed) -- unchanged
+UNION ALL
+SELECT u.cust_id, u.segment, u.nation,
+       TIMESTAMP '2024-06-01 00:00:00' AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+FROM upd u WHERE u.cust_id IN (SELECT cust_id FROM changed) -- new version
+UNION ALL
+SELECT u.cust_id, u.segment, u.nation,
+       TIMESTAMP '2024-06-01 00:00:00' AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+FROM upd u WHERE u.cust_id NOT IN (SELECT cust_id FROM dim) -- insert
+""")
+def scd2_batch_twin(spark, sf_dir):
+    """Batch twin of the streaming SCD2 merge (streaming/cdc.scd2_sink
+    → ops/merge.scd2_apply): a customer dimension at version 1 takes
+    one synthetic change batch — half the keys updated (a third of
+    those attribute-identical, so they must pass through untouched),
+    plus brand-new business keys — and the full anti-join + union
+    merge result is value-gated against a relational restatement in
+    DuckDB.  This hash-gates the merge semantics (closed version
+    stamping, unchanged passthrough, open-version insert) that the
+    streaming pytest covers only driver-side (VERDICT r4 item 7)."""
+    from .ops.merge import scd2_apply
+
+    cust = _t(spark, sf_dir, "customer")
+    dim = (
+        cust.select(
+            F.col("c_custkey").alias("cust_id"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").alias("nation"),
+        )
+        .withColumn("valid_from", F.lit("2023-01-01 00:00:00").cast("timestamp"))
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 2 == 0)
+        .select(
+            F.col("c_custkey").alias("cust_id"),
+            F.when(F.col("c_custkey") % 3 == 0, F.col("c_mktsegment"))
+            .otherwise(F.concat(F.col("c_mktsegment"), F.lit("_V2")))
+            .alias("segment"),
+            F.col("c_nationkey").alias("nation"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 100 == 0).select(
+                (F.col("c_custkey") + 10000000).alias("cust_id"),
+                F.concat(F.lit("NEW_"), F.col("c_mktsegment")).alias("segment"),
+                F.col("c_nationkey").alias("nation"),
+            )
+        )
+    )
+    out = scd2_apply(dim, updates, "cust_id", "2024-06-01 00:00:00",
+                     ["segment", "nation"])
+    return out.select("cust_id", "segment", "nation",
+                      "valid_from", "valid_to", "is_current")
