@@ -187,3 +187,76 @@ def test_wav_round_trip_property(samples, rate):
     wav = multimodal.wav_decode(multimodal.wav_encode(s, rate))
     assert wav["rate"] == rate and wav["n_samples"] == len(s)
     assert (wav["samples"] == s).all()
+
+
+@given(
+    px=st.integers(1, 40).flatmap(
+        lambda w: st.integers(1, 24).flatmap(
+            lambda h: st.lists(
+                st.integers(0, 255), min_size=w * h, max_size=w * h
+            ).map(lambda vals: (w, h, vals))
+        )
+    ),
+    quality=st.sampled_from([25, 50, 75, 90]),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_round_trip_property(px, quality):
+    """Baseline JPEG is lossy, so the property is structural: any
+    grayscale image (any dims, incl. non-multiples of 8 → pad+crop)
+    survives encode→decode with correct dimensions and a per-pixel
+    error bounded by the worst-case quantization error (Σq/2 spread
+    over the 8x8 IDCT basis, safely < 128 for these tables)."""
+    import numpy as np
+
+    from zolo_spark.llm import multimodal
+
+    w, h, vals = px
+    img = np.array(vals, dtype=np.uint8).reshape(h, w)
+    out = multimodal.jpeg_decode(multimodal.jpeg_encode(img, quality))
+    assert (out["width"], out["height"]) == (w, h)
+    assert out["pixels"].shape == (h, w)
+    err = np.abs(out["pixels"].astype(int) - img.astype(int))
+    assert err.max() <= 128
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    wb=st.integers(1, 4),
+    hb=st.integers(1, 3),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_flat_even_blocks_lossless_at_q50(seed, wb, hb):
+    """The oracle-carrying regime: 8x8-block-constant images with even
+    values are EXACTLY lossless at quality 50 (q00=16 divides 8·s for
+    even level-shifted s; all AC coefficients are zero)."""
+    import numpy as np
+
+    from zolo_spark.llm import multimodal
+
+    rng = np.random.default_rng(seed)
+    vals = 2 * rng.integers(0, 128, (hb, wb), dtype=np.int64)
+    img = np.kron(vals, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+    out = multimodal.jpeg_decode(multimodal.jpeg_encode(img, 50))
+    assert (out["pixels"] == img).all()
+
+
+def test_jpeg_decoder_strictness():
+    """The decoder rejects malformed containers rather than guessing."""
+    import numpy as np
+    import pytest
+
+    from zolo_spark.llm import multimodal
+
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    good = multimodal.jpeg_encode(img)
+    with pytest.raises(ValueError):
+        multimodal.jpeg_decode(b"\x00\x01" + good[2:])  # bad SOI
+    with pytest.raises(ValueError):
+        multimodal.jpeg_decode(good[:40])  # truncated mid-segment
+
+    # smooth (low-frequency) content at high quality decodes near-exact
+    y, x = np.mgrid[0:16, 0:16]
+    smooth = (128 + 60 * np.sin(x / 5) + 40 * np.cos(y / 4)).astype(np.uint8)
+    out = multimodal.jpeg_decode(multimodal.jpeg_encode(smooth, 90))
+    err = np.abs(out["pixels"].astype(int) - smooth.astype(int))
+    assert err.max() <= 4

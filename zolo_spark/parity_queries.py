@@ -75,16 +75,18 @@ from . import queries_models  # noqa: E402,F401
 # after the cap (they remain registered, benched, and pytest-oracled).
 # --------------------------------------------------------------------------
 # Round-5 rotation (see the rotation log below): exactly 8 oracled
-# queries lack a green CORRECTNESS row in r1∪r2∪r3∪r4 — the two
+# queries lacked a green CORRECTNESS row in r1∪r2∪r3∪r4 — the two
 # driver-env reds (sessionize_events, llm_multimodal_features; both
 # oracles hardened this round with ::BIGINT casts killing the DuckDB
 # HUGEINT→float64 exposure) which already hold window slots, plus 6
 # first-timers: the three ts-probes (built r4, never graded — the
 # r4 governance miss), llm_stratified_sample (open since r3 ADVICE),
-# the newly-oracled llm_bpe_merges, and the new scd2_batch_twin.
-# The 6 slots come from twice-green (r3∧r4) singletons rotated out:
-# n7_from_json_struct, n8_map_ops, u6_cte_sql, events_tumbling_window,
-# tpch_q3_shipping_priority, tpch_q6_forecast_revenue — all still
+# the newly-oracled llm_bpe_merges, and the new scd2_batch_twin; a
+# 7th first-timer, llm_jpeg_roundtrip (new lossy-codec gate), joins
+# them. The 7 slots come from twice-green (r3∧r4) singletons rotated
+# out: n7_from_json_struct, n8_map_ops, u6_cte_sql,
+# events_tumbling_window, tpch_q3_shipping_priority,
+# tpch_q6_forecast_revenue, llm_token_histogram — all still
 # registered + benched + pytest-oracled.
 #
 # Rotation log (green-row provenance of rotated-out queries):
@@ -92,7 +94,8 @@ from . import queries_models  # noqa: E402,F401
 #         p10, n1, p6, p7, p8 (rotated out in r3)
 #  r3∧r4: n7_from_json_struct, n8_map_ops, u6_cte_sql,
 #         events_tumbling_window, tpch_q3_shipping_priority,
-#         tpch_q6_forecast_revenue (rotated out in r5)
+#         tpch_q6_forecast_revenue, llm_token_histogram
+#         (rotated out in r5)
 # tests/test_parity_queries.py asserts mechanically that every oracled
 # registry entry is either already green in some CORRECTNESS_r*.json
 # or scheduled in this list (the r4 miss, caught for good).
@@ -106,6 +109,7 @@ _GRADING_PRIORITY = [
     # the never-graded stratified sample + new oracled entries (6).
     "probe_ts_epoch_us", "probe_ts_epoch_us_cast", "probe_ts_lag_gap",
     "llm_stratified_sample", "llm_bpe_merges", "scd2_batch_twin",
+    "llm_jpeg_roundtrip",
     # Round-3 additions, re-affirmed green r4 (3).
     "llm_audio_features", "llm_repetition_stats", "events_session_window",
     # LLM-data-pipeline family (21).
@@ -115,7 +119,7 @@ _GRADING_PRIORITY = [
     "llm_embedding_near_dup", "llm_sim_topk_cosine", "llm_sim_ivf_topk",
     "llm_multimodal_features", "llm_hash_split", "llm_vocab_topk",
     "llm_dup_clusters", "llm_quality_filter", "llm_embedding_stats",
-    "llm_corpus_report", "llm_token_histogram",
+    "llm_corpus_report",
     "llm_pii_redact", "llm_decontaminate",
     # Model jobs (7): three exact cross-engine folds (SES, Holt, AR1),
     # the oracle-gated fixed-order ARIMA walk-forward, oracle-gated

@@ -473,6 +473,49 @@ def llm_multimodal(spark, sf_dir):
     )
 
 
+@register("llm_jpeg_roundtrip", oracle="""
+WITH dims AS (
+    SELECT doc_id, 2 + doc_id % 3 AS wb, 2 + doc_id % 2 AS hb
+    FROM documents
+), blocks AS (
+    SELECT doc_id, wb, hb,
+           list_transform(range(0, (wb*hb)::INT),
+                          b -> 2 * ((doc_id*7 + b*13) % 128)) AS vs
+    FROM dims
+)
+SELECT doc_id AS media_id,
+       (wb * 8)::BIGINT AS width,
+       (hb * 8)::BIGINT AS height,
+       (wb * hb * 64)::BIGINT AS n_pixels,
+       (64 * list_sum(vs))::BIGINT AS sum_px,
+       list_aggregate(vs, 'min')::BIGINT AS min_px,
+       list_aggregate(vs, 'max')::BIGINT AS max_px,
+       (list_sum(list_transform(range(0, (wb*hb)::INT),
+                 b -> b * (2 * ((doc_id*7 + b*13) % 128)))) % 9973)::BIGINT
+           AS block_checksum,
+       0::BIGINT AS max_blockdev
+FROM blocks
+""")
+def llm_jpeg_roundtrip(spark, sf_dir):
+    """Lossy-codec modality: each document becomes a REAL baseline
+    JPEG (DCT + quantization + canonical Huffman + JFIF markers), the
+    strict decoder reconstructs it, and the statistics are exact —
+    the images are 8x8-block-constant with even values, which
+    quantize losslessly at quality 50 (only the DC coefficient
+    survives; q00 = 16 divides 8·s exactly for even s), so the whole
+    lossy pipeline carries a closed-form DuckDB value oracle.
+    ``max_blockdev`` must be exactly 0: any mis-decoded coefficient
+    breaks block flatness and fails the hash loudly.  The general
+    (non-flat, truly lossy) path is pytest-bounded instead
+    (tests/test_properties.py)."""
+    media = multimodal.documents_jpeg(_t(spark, sf_dir, "documents"))
+    stats = multimodal.jpeg_stats(media)
+    return stats.select(
+        "media_id", "width", "height", "n_pixels",
+        "sum_px", "min_px", "max_px", "block_checksum", "max_blockdev",
+    )
+
+
 @register("llm_stratified_sample", oracle="""
 WITH b AS (
     SELECT doc_id, lang, source,
