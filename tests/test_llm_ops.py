@@ -185,13 +185,20 @@ def test_multimodal_plumbing(spark):
     for r in real:
         w, h = 32 + r["media_id"] % 8, 32 + r["media_id"] % 4
         assert (int(r["feat"][0]), int(r["feat"][1])) == (w, h)
-    # non-PNG media still fails loudly at the codec seam
+    # truncated JPEG fails loudly inside the real decoder
     jpeg = spark.createDataFrame(
         [(99, bytearray(b"\xff\xd8\xff"), ("image/jpeg", 1, 1, None))],
         multimodal.MEDIA_SCHEMA,
     )
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
+    with pytest.raises(Exception, match="SOF0|truncated|marker"):
         multimodal.extract_features(jpeg, mode="real").collect()
+    # formats with no codec in this environment still fail at the seam
+    mp4 = spark.createDataFrame(
+        [(98, bytearray(b"\x00\x00\x00\x18ftypmp42"), ("video/mp4", 1, 1, None))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.extract_features(mp4, mode="real").collect()
 
 
 def test_png_round_trip_all_filters():
