@@ -34,6 +34,10 @@ from zolo_spark.session import get_spark  # noqa: E402
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
+# The driver keeps only the last ~2000 chars of bench stdout; the final
+# JSON line must fit inside that window WITH margin or it can't parse.
+TAIL_LIMIT = 1900
+
 
 def _snap(sf: float) -> tuple[int, float]:
     """Snap a requested --sf to whole sf0.1 replicas; the SNAPPED sf
@@ -89,19 +93,53 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
-    line = json.dumps({
+    full = {
         "metric": "zolo_spark query suite wall time",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    })
-    if args.sf is not None:
-        out_path = os.path.join(REPO, f"BENCH_sf{sf:g}.json")
-        with open(out_path, "w") as f:
-            f.write(line + "\n")
-        print(f"wrote {out_path}", file=sys.stderr)
-    print(line)
+    }
+    full_path = os.path.join(
+        REPO, f"BENCH_sf{sf:g}.json" if args.sf is not None else "BENCH_full.json"
+    )
+    with open(full_path, "w") as f:
+        f.write(json.dumps(full) + "\n")
+    print(f"wrote {full_path} ({len(timings)} queries)", file=sys.stderr)
+    print(compact_line(total, timings, sf))
+
+
+def compact_line(total: float, timings: dict[str, float], sf: float,
+                 limit: int = TAIL_LIMIT) -> str:
+    """ONE JSON line guaranteed to fit the driver's tail capture.
+
+    The driver records only the last ~2000 chars of stdout; rounds 1-4
+    printed a >2000-char line (90+ queries), so the head — with
+    ``"metric"`` — was cut and ``parsed`` came back null every round.
+    Emit the graded-window queries first (registry order == grading
+    order), then as many of the rest as fit within ``limit``.
+    """
+    graded = [n for n in parity_queries.REGISTRY if n in timings]
+    base = {
+        "metric": "zolo_spark query suite wall time",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": {},
+    }
+    line = ""
+    for nd in (3, 2):
+        kept: dict[str, float] = {}
+        for name in graded:
+            trial = dict(base, queries=dict(kept, **{name: round(timings[name], nd)}))
+            if len(json.dumps(trial)) > limit:
+                break
+            kept[name] = round(timings[name], nd)
+        line = json.dumps(dict(base, queries=kept))
+        if len(kept) == len(graded):
+            break
+    return line
 
 
 if __name__ == "__main__":

@@ -60,3 +60,25 @@ def test_scale_dir_rebuilds_unless_marker_complete(tmp_path, monkeypatch):
         f.write("3")
     bench._scale_dir(0.3)
     assert len(calls) == 2
+
+
+def test_compact_line_fits_driver_tail_and_covers_graded_window():
+    """Rounds 1-4 printed a >2000-char JSON line; the driver keeps only
+    the last ~2000 chars of stdout, cut the line's head, and recorded
+    ``parsed: null`` every round. The final line must fit WITH margin
+    and still carry every graded-window query."""
+    import json
+    import random
+
+    from zolo_spark import parity_queries
+
+    rng = random.Random(7)
+    names = list(parity_queries.REGISTRY)
+    timings = {n: rng.random() * 30 for n in names}
+    line = bench.compact_line(round(sum(timings.values()), 4), timings, 0.1)
+    assert len(line) <= bench.TAIL_LIMIT
+    d = json.loads(line)
+    assert d["metric"] and d["unit"] == "sec" and d["sf"] == 0.1
+    assert d["n_queries"] == len(names)
+    graded = names[:50]
+    assert all(g in d["queries"] for g in graded)

@@ -204,8 +204,11 @@ def test_jpeg_round_trip_property(px, quality):
     """Baseline JPEG is lossy, so the property is structural: any
     grayscale image (any dims, incl. non-multiples of 8 → pad+crop)
     survives encode→decode with correct dimensions and a per-pixel
-    error bounded by the worst-case quantization error (Σq/2 spread
-    over the 8x8 IDCT basis, safely < 128 for these tables)."""
+    error within the worst-case quantization bound derived from the
+    codec's own table: each DCT coefficient is off by ≤ q_uv/2, the
+    (u,v) basis has max amplitude c_u·c_v/4, so
+    |Δpixel| ≤ Σ_uv (q_uv/2)(c_u c_v/4), plus 1 for uint8 rounding
+    (output clamps to [0,255], so 255 also bounds)."""
     import numpy as np
 
     from zolo_spark.llm import multimodal
@@ -216,7 +219,11 @@ def test_jpeg_round_trip_property(px, quality):
     assert (out["width"], out["height"]) == (w, h)
     assert out["pixels"].shape == (h, w)
     err = np.abs(out["pixels"].astype(int) - img.astype(int))
-    assert err.max() <= 128
+    qt = multimodal._jpeg_qtable(quality).astype(float)
+    c = np.ones(8)
+    c[0] = 1 / np.sqrt(2)
+    bound = min(255.0, (qt / 2 * np.outer(c, c) / 4).sum() + 1)
+    assert err.max() <= bound
 
 
 @given(
