@@ -201,6 +201,78 @@ def test_multimodal_plumbing(spark):
         multimodal.extract_features(mp4, mode="real").collect()
 
 
+def test_resize_area_box_downsample(spark):
+    import numpy as np
+
+    # 5x7 image with known pixels: crop to 4x6, 2x2 floor-mean blocks
+    px = np.arange(35, dtype=np.uint8).reshape(5, 7)
+    media = spark.createDataFrame(
+        [(1, bytearray(multimodal.png_encode(px)),
+          ("image/png", 7, 5, None))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = multimodal.resize_area(media, 2, 2).collect()[0]
+    img = multimodal.png_decode(bytes(out["content"]))
+    assert (img["width"], img["height"]) == (3, 2)
+    expect = px[:4, :6].astype(int).reshape(2, 2, 3, 2).sum(axis=(1, 3)) // 4
+    assert (img["pixels"] == expect).all()
+    assert (out["meta"]["width"], out["meta"]["height"]) == (3, 2)
+    # an image smaller than one block fails loudly
+    tiny = spark.createDataFrame(
+        [(2, bytearray(multimodal.png_encode(np.zeros((1, 3), np.uint8))),
+          ("image/png", 3, 1, None))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="smaller than"):
+        multimodal.resize_area(tiny, 2, 2).collect()
+    with pytest.raises(ValueError, match="factors"):
+        multimodal.resize_area(media, 0, 2)
+
+
+def test_zvid_round_trip_and_corruption():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    stack = rng.integers(0, 256, size=(4, 6, 9), dtype=np.uint8)
+    data = multimodal.zvid_encode(stack, interval_ms=40)
+    vid = multimodal.zvid_decode(data)
+    assert (vid["n_frames"], vid["width"], vid["height"]) == (4, 9, 6)
+    assert vid["interval_ms"] == 40
+    assert (vid["frames"] == stack).all()
+    with pytest.raises(ValueError, match="signature"):
+        multimodal.zvid_decode(b"RIFF" + data[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.zvid_decode(data[:30])
+    # flip a byte inside a frame payload: either the frame's own PNG
+    # CRC or the container trailer must catch it
+    corrupt = bytearray(data)
+    corrupt[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|truncated|signature"):
+        multimodal.zvid_decode(bytes(corrupt))
+
+
+def test_video_frame_stats_samples_every_nth(spark):
+    import numpy as np
+
+    stack = np.stack([
+        np.full((3, 4), f * 10, np.uint8) for f in range(5)
+    ])
+    media = spark.createDataFrame(
+        [(7, bytearray(multimodal.zvid_encode(stack, 40)),
+          ("video/zvid", 4, 3, 200))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {r["frame_idx"]: r
+            for r in multimodal.video_frame_stats(media, every_n=2).collect()}
+    assert sorted(rows) == [0, 2, 4]
+    for f, r in rows.items():
+        assert r["t_ms"] == f * 40
+        assert r["sum_px"] == f * 10 * 12
+        assert (r["width"], r["height"]) == (4, 3)
+    with pytest.raises(ValueError, match="every_n"):
+        multimodal.video_frame_stats(media, every_n=0)
+
+
 def test_png_round_trip_all_filters():
     import numpy as np
 

@@ -96,6 +96,8 @@ from . import queries_models  # noqa: E402,F401
 #         events_tumbling_window, tpch_q3_shipping_priority,
 #         tpch_q6_forecast_revenue, llm_token_histogram
 #         (rotated out in r5)
+#  r2∧r3∧r4: llm_text_stats, llm_exact_dedup (rotated out mid-r5 for
+#         the newly-built llm_image_resize / llm_video_frames)
 # tests/test_parity_queries.py asserts mechanically that every oracled
 # registry entry is either already green in some CORRECTNESS_r*.json
 # or scheduled in this list (the r4 miss, caught for good).
@@ -112,8 +114,12 @@ _GRADING_PRIORITY = [
     "llm_jpeg_roundtrip",
     # Round-3 additions, re-affirmed green r4 (3).
     "llm_audio_features", "llm_repetition_stats", "events_session_window",
-    # LLM-data-pipeline family (21).
-    "llm_text_stats", "llm_exact_dedup", "llm_minhash_signatures",
+    # LLM-data-pipeline family. llm_image_resize (real decode→box
+    # resample→re-encode) and llm_video_frames (ZVID container parse +
+    # per-frame decode) are round-5 builds taking the slots of
+    # thrice-green (r2∧r3∧r4) singletons llm_text_stats and
+    # llm_exact_dedup — both unchanged since their green rows.
+    "llm_image_resize", "llm_video_frames", "llm_minhash_signatures",
     "llm_minhash_lsh_dedup", "llm_incremental_dedup",
     "llm_ngram_jaccard_pairs", "llm_simhash_dedup", "llm_simhash_neardup",
     "llm_embedding_near_dup", "llm_sim_topk_cosine", "llm_sim_ivf_topk",

@@ -473,6 +473,50 @@ def llm_multimodal(spark, sf_dir):
     )
 
 
+@register("llm_image_resize", oracle="""
+WITH dims AS (
+    SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h FROM documents
+), rs AS (
+    SELECT doc_id, w, h, w // 2 AS w2, h // 2 AS h2 FROM dims
+), px AS (
+    -- output pixel k (row r = k // w2, col c = k % w2) is the floor
+    -- of the mean of the 2x2 source block at (2r, 2c); source pixel
+    -- (rr, cc) is the closed form (doc_id*7 + (rr*w + cc)*13) % 256
+    SELECT doc_id, w2, h2,
+           list_transform(range(0, (w2*h2)::INT), k ->
+               (  (doc_id*7 + ((2*(k // w2))*w     + 2*(k % w2))*13) % 256
+                + (doc_id*7 + ((2*(k // w2))*w     + 2*(k % w2)+1)*13) % 256
+                + (doc_id*7 + ((2*(k // w2)+1)*w   + 2*(k % w2))*13) % 256
+                + (doc_id*7 + ((2*(k // w2)+1)*w   + 2*(k % w2)+1)*13) % 256
+               ) // 4) AS ps
+    FROM rs
+)
+SELECT doc_id AS media_id,
+       w2::BIGINT AS width, h2::BIGINT AS height,
+       (w2*h2)::BIGINT AS n_pixels,
+       list_sum(ps)::BIGINT AS sum_px,
+       list_aggregate(ps, 'min')::BIGINT AS min_px,
+       list_aggregate(ps, 'max')::BIGINT AS max_px,
+       (list_sum(list_transform(range(0, (w2*h2)::INT),
+                 k -> k * ps[k+1])) % 9973)::BIGINT AS checksum
+FROM px
+""")
+def llm_image_resize(spark, sf_dir):
+    """Resize operator on the real codec path: PNG decode → integer
+    2x2 box-downsample (floor of block mean) → PNG re-encode → strict
+    decode → exact integer stats. Every pixel of the resized image is
+    a closed-form function of ``doc_id``, so the whole
+    decode→resample→encode→decode chain is value-hashed against
+    DuckDB. Floor-of-mean on int64 is identical arithmetic in both
+    engines; all oracled columns are exact integers."""
+    media = multimodal.documents_png(_t(spark, sf_dir, "documents"))
+    stats = multimodal.image_stats(multimodal.resize_area(media, 2, 2))
+    return stats.select(
+        "media_id", "width", "height", "n_pixels",
+        "sum_px", "min_px", "max_px", "checksum",
+    )
+
+
 @register("llm_jpeg_roundtrip", oracle="""
 WITH dims AS (
     SELECT doc_id, 2 + doc_id % 3 AS wb, 2 + doc_id % 2 AS hb
@@ -514,6 +558,41 @@ def llm_jpeg_roundtrip(spark, sf_dir):
         "media_id", "width", "height", "n_pixels",
         "sum_px", "min_px", "max_px", "block_checksum", "max_blockdev",
     )
+
+
+@register("llm_video_frames", oracle="""
+WITH dims AS (
+    SELECT doc_id, 2 + doc_id % 4 AS nf, 8 + doc_id % 5 AS w,
+           8 + doc_id % 3 AS h
+    FROM documents
+), frames AS (
+    SELECT doc_id, w, h, unnest(range(0, nf, 2)) AS f FROM dims
+), px AS (
+    SELECT doc_id, w, h, f,
+           list_transform(range(0, (w*h)::INT),
+                          j -> (doc_id*7 + f*31 + j*13) % 256) AS ps
+    FROM frames
+)
+SELECT doc_id AS media_id, f::BIGINT AS frame_idx, (f*40)::BIGINT AS t_ms,
+       w::BIGINT AS width, h::BIGINT AS height,
+       list_sum(ps)::BIGINT AS sum_px,
+       list_aggregate(ps, 'min')::BIGINT AS min_px,
+       list_aggregate(ps, 'max')::BIGINT AS max_px,
+       (list_sum(list_transform(range(0, (w*h)::INT),
+                 j -> j * ps[j+1])) % 9973)::BIGINT AS checksum
+FROM px
+""")
+def llm_video_frames(spark, sf_dir):
+    """Video modality for real: each document becomes a ZVID container
+    (length-prefixed PNG frames + CRC trailer), the kernel PARSES the
+    container, samples every 2nd frame, PNG-decodes each sampled frame
+    and emits exact integer stats — one row per (media, frame). The
+    whole encode→container→parse→frame-decode chain is value-hashed
+    against the closed-form pixel function; an ffmpeg-class codec
+    would plug in at the same ``mapInPandas`` seam with this exact
+    output schema."""
+    media = multimodal.documents_zvid(_t(spark, sf_dir, "documents"))
+    return multimodal.video_frame_stats(media, every_n=2)
 
 
 @register("llm_stratified_sample", oracle="""
