@@ -12,6 +12,8 @@ from collections.abc import Callable
 
 import numpy as np
 
+from . import tsmodels
+
 TRAIN_FRACTION = 0.75  # lib.py:15-16
 
 
@@ -26,7 +28,7 @@ def walk_forward_mse(y: np.ndarray, forecast_fn: Callable[[np.ndarray], float]) 
         pred = forecast_fn(np.asarray(history, dtype=float))
         errs.append((float(actual) - pred) ** 2)
         history.append(float(actual))
-    return float(np.mean(errs)) if errs else float("inf")
+    return tsmodels.seq_mean(errs)
 
 
 def arima_grid_search(

@@ -20,6 +20,25 @@ from __future__ import annotations
 import numpy as np
 
 
+def seq_mean(x) -> float:
+    """Strictly sequential left-fold mean.
+
+    ``np.mean`` switches to pairwise summation above 8 elements, which
+    no SQL engine reproduces; a left fold adds the same doubles in the
+    same order as DuckDB's ``list_reduce(..., (p, q) -> p + q)``, so
+    walk-forward MSEs stay bit-equal cross-engine at ANY test-split
+    length — this is what lets the FULL-window SES/Holt jobs carry
+    value oracles, not just bounded-window twins. (For <=8 elements it
+    equals np.mean exactly, so previously-green bounded gates keep
+    their hashes.)"""
+    s = 0.0
+    n = 0
+    for v in x:
+        s += float(v)
+        n += 1
+    return s / n if n else float("inf")
+
+
 def _lag_matrix(v: np.ndarray, lags: int, start: int, stop: int) -> np.ndarray:
     """Columns ``j`` = ``v[t-1-j]`` for ``t`` in ``[start, stop)`` —
     the strided view equivalent of the per-column copy loop."""
@@ -111,7 +130,7 @@ def ses_walk_forward(
     split = int(n * train_fraction)
     if split < n:
         errs = (y[split:] - level[split - 1: n - 1]) ** 2
-        mse = float(np.mean(errs)) if len(errs) else float("inf")
+        mse = seq_mean(errs)
     else:
         mse = float("inf")
     return mse, float(level[-1])
@@ -165,7 +184,7 @@ def holt_walk_forward(
     rows = np.arange(n)
     best_fc = fc[rows, best]
     errs = (y[split:] - best_fc[split - 1: n - 1]) ** 2
-    mse = float(np.mean(errs)) if len(errs) else float("inf")
+    mse = seq_mean(errs)
     return mse, float(best_fc[-1])
 
 
@@ -398,7 +417,7 @@ def arima_walk_forward(
 
     if K > 1:
         actuals = y[h_ys[:-1]]
-        mse = float(np.mean((actuals - preds[:-1]) ** 2))
+        mse = seq_mean((actuals - preds[:-1]) ** 2)
     else:
         mse = float("inf")
     return mse, float(preds[-1]), sigma_final

@@ -97,7 +97,9 @@ from . import queries_models  # noqa: E402,F401
 #         tpch_q6_forecast_revenue, llm_token_histogram
 #         (rotated out in r5)
 #  r2∧r3∧r4: llm_text_stats, llm_exact_dedup (rotated out mid-r5 for
-#         the newly-built llm_image_resize / llm_video_frames)
+#         the newly-built llm_image_resize / llm_video_frames);
+#         llm_hash_split, llm_vocab_topk (rotated out mid-r5 for the
+#         newly-oracled full-window m_ses/m_holt_weekly_forecast)
 # tests/test_parity_queries.py asserts mechanically that every oracled
 # registry entry is either already green in some CORRECTNESS_r*.json
 # or scheduled in this list (the r4 miss, caught for good).
@@ -123,17 +125,20 @@ _GRADING_PRIORITY = [
     "llm_minhash_lsh_dedup", "llm_incremental_dedup",
     "llm_ngram_jaccard_pairs", "llm_simhash_dedup", "llm_simhash_neardup",
     "llm_embedding_near_dup", "llm_sim_topk_cosine", "llm_sim_ivf_topk",
-    "llm_multimodal_features", "llm_hash_split", "llm_vocab_topk",
+    "llm_multimodal_features",
     "llm_dup_clusters", "llm_quality_filter", "llm_embedding_stats",
     "llm_corpus_report",
     "llm_pii_redact", "llm_decontaminate",
-    # Model jobs (7): three exact cross-engine folds (SES, Holt, AR1),
+    # Model jobs (9): three exact cross-engine folds (SES, Holt, AR1),
     # the oracle-gated fixed-order ARIMA walk-forward, oracle-gated
-    # bounded-window runs of the REAL ses_job/holt_job, and the full
-    # ARIMA grid job as the representative distributed numpy job
-    # (rows-only by nature).
+    # bounded-window runs of the REAL ses_job/holt_job, the FULL-window
+    # ses/holt jobs (newly value-oracled mid-r5 via the sequential
+    # error mean; slots from thrice-green llm_hash_split/llm_vocab_topk),
+    # and the full ARIMA grid job as the representative distributed
+    # numpy job (rows-only by nature).
     "m_ses_fixed_alpha_fold", "m_holt_fixed_fold", "m_ar1_ols_fold",
     "m_arima_fixed_fold", "m_ses_walk_forward", "m_holt_walk_forward",
+    "m_ses_weekly_forecast", "m_holt_weekly_forecast",
     "m_arima_weekly_forecast",
     # Custom temporal / scale operators (6) — hash-oracled; the 50th
     # slot closes the graded window.

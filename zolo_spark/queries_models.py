@@ -158,16 +158,127 @@ def m_arima(spark, sf_dir):
     )
 
 
-@register("m_holt_weekly_forecast", oracle=None)  # rows-only: numpy fit
+# Full-window weekly brand series (the REAL jobs' input: every week
+# before the forecast start). Since the walk-forward error mean is a
+# strictly sequential fold (``tsmodels.seq_mean``), the test split can
+# be ANY length and the MSE still folds bit-equal in DuckDB — so the
+# unbounded production jobs carry full value oracles, not just the
+# bounded-window twins below.
+_FULL_WEEKLY_SQL = f"""
+    SELECT p_brand AS profile_name,
+           date_trunc('week', l_shipdate) AS week_date,
+           SUM(l_extendedprice) AS weight
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE date_trunc('week', l_shipdate) < TIMESTAMP '{_FORECAST_START}'
+    GROUP BY 1, 2
+"""
+
+
+@register("m_holt_weekly_forecast", oracle=f"""
+WITH RECURSIVE weekly AS (
+{_FULL_WEEKLY_SQL}
+), series AS (
+    SELECT profile_name, list(weight ORDER BY week_date) AS ys,
+           count(*)::INT AS n
+    FROM weekly GROUP BY 1 HAVING count(*) > 10
+), grid AS (
+    SELECT ia*9 + ib AS pair, (ia+1)/10.0 AS a, (ib+1)/10.0 AS b
+    FROM range(9) g1(ia), range(9) g2(ib)
+), step(profile_name, pair, a, b, t, l, tr, sse, n, ys) AS (
+    SELECT profile_name, pair, a, b, 1,
+           ys[1], ys[2] - ys[1], 0.0::DOUBLE, n, ys
+    FROM series CROSS JOIN grid
+    UNION ALL
+    SELECT profile_name, pair, a, b, t + 1,
+           a*ys[t+1] + (1-a)*(l+tr),
+           b*((a*ys[t+1] + (1-a)*(l+tr)) - l) + (1-b)*tr,
+           sse + (ys[t+1] - (l+tr)) * (ys[t+1] - (l+tr)),
+           n, ys
+    FROM step WHERE t < n
+), best AS (
+    SELECT profile_name, t AS h, l + tr AS fc, n, ys,
+           floor(0.75 * n)::INT AS split,
+           ROW_NUMBER() OVER (PARTITION BY profile_name, t
+                              ORDER BY sse, pair) AS rk
+    FROM step WHERE t >= floor(0.75 * n)::INT
+), scored AS (
+    SELECT profile_name, n, split, h, fc,
+           CASE WHEN h < n THEN (ys[h+1] - fc) * (ys[h+1] - fc) END AS err
+    FROM best WHERE rk = 1
+), agg AS (
+    SELECT profile_name,
+           list_reduce(list(err ORDER BY h) FILTER (WHERE err IS NOT NULL),
+                       (p, q) -> p + q)
+               / (any_value(n) - any_value(split)) AS mse,
+           max(CASE WHEN h = n THEN fc END) AS prediction
+    FROM scored GROUP BY profile_name
+)
+SELECT profile_name,
+       round(sqrt(mse), 2) AS rmse,
+       round(prediction, 2) AS prediction,
+       TIMESTAMP '{_FORECAST_START}' AS forecast_start
+FROM agg
+""")
 def m_holt(spark, sf_dir):
-    """M2+M5: distributed Holt fit per brand (``holt_model.py``)."""
-    return grouped.holt_job(_weekly_brand_revenue(spark, sf_dir), _FORECAST_START)
+    """M2+M5: the REAL distributed Holt job (``holt_model.py``) on the
+    FULL weekly history, now value-oracled: the 81-pair grid, the
+    per-prefix argmin-SSE (ties → lowest pair index, = np.argmin), and
+    the sequential error-mean all reproduce exactly in the recursive
+    CTE at any series length (~360 weeks at sf0.1)."""
+    out = grouped.holt_job(_weekly_brand_revenue(spark, sf_dir), _FORECAST_START)
+    return out.select(
+        "profile_name",
+        F.round(F.sqrt("mse"), 2).alias("rmse"),
+        F.round("prediction", 2).alias("prediction"),
+        "forecast_start",
+    )
 
 
-@register("m_ses_weekly_forecast", oracle=None)  # rows-only: numpy fit
+@register("m_ses_weekly_forecast", oracle=f"""
+WITH weekly AS (
+{_FULL_WEEKLY_SQL}
+), series AS (
+    SELECT profile_name, list(weight ORDER BY week_date) AS ys,
+           count(*)::INT AS n
+    FROM weekly GROUP BY 1 HAVING count(*) > 8
+), hs AS (
+    SELECT profile_name, ys, n, floor(0.75 * n)::INT AS split,
+           unnest(range(floor(0.75 * n)::BIGINT, n + 1))::INT AS h
+    FROM series
+), lvl AS (
+    SELECT *, list_reduce(ys[1:h], (acc, x) -> 0.6*x + 0.4*acc) AS level_h
+    FROM hs
+), scored AS (
+    SELECT profile_name, n, split, h, level_h,
+           CASE WHEN h < n
+                THEN (ys[h+1] - level_h) * (ys[h+1] - level_h) END AS err
+    FROM lvl
+), agg AS (
+    SELECT profile_name,
+           list_reduce(list(err ORDER BY h) FILTER (WHERE err IS NOT NULL),
+                       (p, q) -> p + q)
+               / (any_value(n) - any_value(split)) AS mse,
+           max(CASE WHEN h = n THEN level_h END) AS prediction
+    FROM scored GROUP BY profile_name
+)
+SELECT profile_name,
+       round(sqrt(mse), 2) AS rmse,
+       round(prediction, 2) AS prediction,
+       TIMESTAMP '{_FORECAST_START}' AS forecast_start
+FROM agg
+""")
 def m_ses(spark, sf_dir):
-    """M3+M5: distributed SES fit per brand (``simp_avg_model.py``)."""
-    return grouped.ses_job(_weekly_brand_revenue(spark, sf_dir), _FORECAST_START)
+    """M3+M5: the REAL distributed SES job (``simp_avg_model.py``) on
+    the FULL weekly history, value-oracled — the level recursion is a
+    left fold and the error mean is sequential, so the oracle holds at
+    any test-split length."""
+    out = grouped.ses_job(_weekly_brand_revenue(spark, sf_dir), _FORECAST_START)
+    return out.select(
+        "profile_name",
+        F.round(F.sqrt("mse"), 2).alias("rmse"),
+        F.round("prediction", 2).alias("prediction"),
+        "forecast_start",
+    )
 
 
 _FIXED_FOLD_START = "1997-12-01"  # Monday
