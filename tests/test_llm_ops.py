@@ -168,6 +168,40 @@ def test_ivf_recall_on_testdata(spark):
         index.unpersist()
 
 
+def test_quantize_int8_bounds_and_agreement(spark):
+    """Quantization invariants on the real embeddings table: values in
+    [-127, 127], reconstruction error within one quantization step
+    (max|v|/127), and the quantized integer-dot ranking agrees with
+    the float cosine brute force on most of the top-k (int8 keeps
+    ~7 bits of precision — heavy overlap expected, not equality)."""
+    from .conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = similarity.quantize_int8(emb)
+    joined = q.join(emb, "vec_id").collect()
+    for r in joined:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        qv = np.asarray(r["qvec"], dtype=np.int64)
+        assert len(qv) == r["n_dims"] == len(v)
+        assert qv.min() >= -127 and qv.max() <= 127
+        m = np.abs(v).max()
+        if m == 0:
+            assert (qv == 0).all()
+        else:
+            # q = floor(v*127/m): reconstruction within one step
+            assert np.abs(qv * m / 127 - v).max() <= m / 127 + 1e-12
+
+    qs = emb.filter(F.col("vec_id") < 10)
+    brute = {}
+    for r in similarity.brute_topk(emb, qs, k=10).collect():
+        brute.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    quant = {}
+    for r in similarity.quantized_topk(q, similarity.quantize_int8(qs)).collect():
+        quant.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    overlaps = [len(brute[k] & quant[k]) / len(brute[k]) for k in brute]
+    assert sum(overlaps) / len(overlaps) >= 0.6
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synthetic_media(spark, n=16)
     feats = multimodal.extract_features(media, mode="fake")

@@ -125,3 +125,62 @@ def ivf_topk(index: DataFrame, queries: DataFrame, centroids: np.ndarray,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def quantize_int8(df: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Symmetric per-vector int8 quantization — the memory/bandwidth
+    scale path for similarity search (4x smaller vectors, integer
+    dot products): ``q_j = floor(v_j * 127 / max|v|)`` ∈ [-127, 127].
+
+    Pure built-in expressions (transform/array_max/floor) — JVM-side
+    whole-stage codegen, no UDF — and every output is an exact
+    integer, so the whole quantizer carries a DuckDB value oracle.
+    All arithmetic is forced to float64: the inputs are float32, and
+    leaving the multiply in float32 would diverge between engines.
+    Zero vectors quantize to all-zero."""
+    v = F.col(vec_col)
+    m = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    q = F.when(m == 0.0, F.transform(v, lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform(
+            v, lambda x: F.floor(x.cast("double") * F.lit(127.0) / m)
+        )
+    )
+    return df.select(
+        F.col(id_col), q.alias("qvec"), F.size(v).alias("n_dims")
+    )
+
+
+def quantized_topk(corpus_q: DataFrame, queries_q: DataFrame,
+                   k: int = 10) -> DataFrame:
+    """Exact top-k by INTEGER dot product over int8-quantized vectors
+    (both inputs from :func:`quantize_int8`): the classic
+    re-rank-free quantized retrieval stage. Integer dots (≤ 64·127²
+    per pair) are exact in any engine, so ranking is deterministic —
+    (dot DESC, neighbor_id) with row_number — and the whole operator
+    is value-oracled. Queries broadcast; corpus never shuffles until
+    the final per-query top-k."""
+    q = queries_q.select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("qq")
+    )
+    c = corpus_q.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qvec").alias("cq")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.aggregate(
+                F.zip_with(F.col("qq"), F.col("cq"), lambda a, b: a * b),
+                F.lit(0).cast("long"), lambda acc, x: acc + x,
+            ).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -99,7 +99,9 @@ from . import queries_models  # noqa: E402,F401
 #  r2∧r3∧r4: llm_text_stats, llm_exact_dedup (rotated out mid-r5 for
 #         the newly-built llm_image_resize / llm_video_frames);
 #         llm_hash_split, llm_vocab_topk (rotated out mid-r5 for the
-#         newly-oracled full-window m_ses/m_holt_weekly_forecast)
+#         newly-oracled full-window m_ses/m_holt_weekly_forecast);
+#         llm_quality_filter, llm_embedding_stats (rotated out mid-r5
+#         for the new llm_embedding_quantize / llm_quantized_topk)
 # tests/test_parity_queries.py asserts mechanically that every oracled
 # registry entry is either already green in some CORRECTNESS_r*.json
 # or scheduled in this list (the r4 miss, caught for good).
@@ -126,7 +128,10 @@ _GRADING_PRIORITY = [
     "llm_ngram_jaccard_pairs", "llm_simhash_dedup", "llm_simhash_neardup",
     "llm_embedding_near_dup", "llm_sim_topk_cosine", "llm_sim_ivf_topk",
     "llm_multimodal_features",
-    "llm_dup_clusters", "llm_quality_filter", "llm_embedding_stats",
+    # llm_embedding_quantize / llm_quantized_topk (int8 ANN scale
+    # path, built mid-r5) take the slots of thrice-green singletons
+    # llm_quality_filter / llm_embedding_stats.
+    "llm_dup_clusters", "llm_embedding_quantize", "llm_quantized_topk",
     "llm_corpus_report",
     "llm_pii_redact", "llm_decontaminate",
     # Model jobs (9): three exact cross-engine folds (SES, Holt, AR1),

@@ -432,6 +432,89 @@ def llm_sim_ivf(spark, sf_dir):
     return similarity.ivf_topk(index, emb.filter(F.col("vec_id") < 5), cents)
 
 
+_QUANTIZE_SQL = """
+    SELECT vec_id, len(embedding) AS n_dims,
+           CASE WHEN list_max(list_transform(embedding,
+                                             x -> abs(x::DOUBLE))) = 0
+                THEN list_transform(embedding, x -> 0::BIGINT)
+                ELSE list_transform(embedding,
+                     x -> floor(x::DOUBLE * 127
+                          / list_max(list_transform(embedding,
+                                     y -> abs(y::DOUBLE))))::BIGINT)
+           END AS qv
+    FROM embeddings
+"""
+
+
+@register("llm_embedding_quantize", oracle=f"""
+WITH qq AS (
+{_QUANTIZE_SQL}
+)
+SELECT vec_id, n_dims::BIGINT AS n_dims,
+       list_sum(qv)::BIGINT AS q_sum,
+       list_aggregate(qv, 'min')::BIGINT AS q_min,
+       list_aggregate(qv, 'max')::BIGINT AS q_max,
+       (((list_sum(list_transform(range(0, n_dims::INT),
+                   j -> j * qv[j+1])) % 9973) + 9973) % 9973)::BIGINT
+           AS checksum
+FROM qq
+""")
+def llm_embedding_quantize(spark, sf_dir):
+    """Int8 embedding quantization (the 4x-memory/bandwidth scale path
+    for ANN): ``q_j = floor(v_j * 127 / max|v|)``, pure built-in
+    transform/floor expressions (whole-stage codegen, no UDF), with
+    every output column an exact integer — the quantizer is
+    value-hashed against DuckDB end to end. Arithmetic is forced to
+    float64 on both engines (float32 multiplies would diverge)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = similarity.quantize_int8(emb)
+    return q.select(
+        "vec_id", F.col("n_dims").cast("long").alias("n_dims"),
+        F.expr("aggregate(qvec, 0L, (a, x) -> a + x)").alias("q_sum"),
+        F.array_min("qvec").alias("q_min"),
+        F.array_max("qvec").alias("q_max"),
+        F.expr(
+            "pmod(aggregate(zip_with(qvec, sequence(0, size(qvec)-1), "
+            "(q, j) -> j * q), 0L, (a, x) -> a + x), 9973)"
+        ).alias("checksum"),
+    )
+
+
+@register("llm_quantized_topk", oracle=f"""
+WITH qq AS (
+{_QUANTIZE_SQL}
+), q AS (
+    SELECT vec_id AS query_id, qv AS qvq, n_dims FROM qq WHERE vec_id < 5
+), c AS (
+    SELECT vec_id AS neighbor_id, qv AS qvc FROM qq
+), s AS (
+    SELECT query_id, neighbor_id,
+           list_sum(list_transform(range(1, n_dims::INT + 1),
+                    j -> qvq[j] * qvc[j]))::BIGINT AS dot
+    FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+), r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY dot DESC, neighbor_id) AS rank
+    FROM s
+)
+SELECT query_id, neighbor_id, dot, rank::BIGINT AS rank
+FROM r WHERE rank <= 10
+""")
+def llm_quantized_topk(spark, sf_dir):
+    """Quantized retrieval: top-k by integer dot product over the
+    int8 vectors — integer dots are exact in any engine, so the
+    ranking (dot DESC, id tiebreak) is fully deterministic and the
+    whole quantize→score→rank pipeline carries a value oracle, unlike
+    float cosine paths that need rounding. Queries broadcast; the
+    corpus scan stays shuffle-free until the per-query top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = similarity.quantize_int8(emb)
+    out = similarity.quantized_topk(q, q.filter(F.col("vec_id") < 5))
+    return out.select(
+        "query_id", "neighbor_id", "dot", F.col("rank").cast("long").alias("rank")
+    )
+
+
 # ------------------------------------------------------------- multimodal
 
 @register("llm_multimodal_features", oracle="""

@@ -657,7 +657,8 @@ SELECT event_id, epoch_us(ts::TIMESTAMP) AS ts_us FROM events
 def probe_ts_epoch_us_cast(spark, sf_dir):
     """Same probe through DuckDB's ts::TIMESTAMP cast: if the driver's
     DuckDB reads TIMESTAMP_NS and its ns→us cast ROUNDS instead of
-    flooring, this row goes red while probe_ts_epoch_us stays green —
+    truncating toward zero (as ``// 1000`` does for these positive
+    epochs), this row goes red while probe_ts_epoch_us stays green —
     localizing the divergence to the cast construct."""
     events = _t(spark, sf_dir, "events")
     return events.select(
