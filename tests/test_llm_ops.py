@@ -620,3 +620,86 @@ def test_build_vocab_rank(spark, docs):
     assert by_rank[1]["token"] == "brown" and by_rank[1]["df"] == 4
     dfs = [by_rank[i]["df"] for i in sorted(by_rank)]
     assert dfs == sorted(dfs, reverse=True)
+
+
+# ------------------------------------------- chunking / LM / source cap
+
+def test_chunk_documents_windows(spark):
+    from zolo_spark.llm import corpus
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y")], ["doc_id", "text"]
+    )
+    out = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+        for r in corpus.chunk_documents(df, size=3, overlap=1).collect()
+    }
+    # stride 2: doc 1 (5 tokens) -> ceil((5-3)/2)+1 = 2 chunks
+    assert out == {
+        (1, 0): ("a b c", 3),
+        (1, 1): ("c d e", 3),
+        (2, 0): ("x y", 2),  # shorter than size -> exactly one chunk
+    }
+    with pytest.raises(ValueError):
+        corpus.chunk_documents(df, size=3, overlap=3)
+
+
+def test_chunk_documents_no_shuffle(spark):
+    from zolo_spark.llm import corpus
+
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    plan = (
+        corpus.chunk_documents(df, size=3, overlap=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure per-row flatMap
+
+
+def test_unigram_nll_hand_computed(spark):
+    import math
+
+    from zolo_spark.llm import lm
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b")], ["doc_id", "text"]
+    )
+    model = lm.unigram_lm(docs)
+    probs = {r.token: (r.n, r.logp) for r in model.collect()}
+    assert probs["a"][0] == 2 and probs["b"][0] == 2
+    assert abs(probs["a"][1] - math.log(2 / 4)) < 1e-12
+
+    scores = {r.doc_id: r for r in lm.doc_nll(docs, model).collect()}
+    nll_half = round(-math.log(2 / 4), 6)
+    assert scores[1].n_tokens == 3
+    assert scores[1].mean_nll == pytest.approx(
+        round(3 * nll_half / 3, 4), abs=1e-9
+    )
+    assert scores[2].mean_nll == pytest.approx(nll_half, abs=1e-4)
+
+
+def test_perplexity_filter_keeps_typical_docs(spark):
+    from zolo_spark.llm import lm
+
+    rows = [(i, "the cat sat on the mat") for i in range(8)]
+    rows.append((99, "zq xv qqq zzz pf pf"))  # rare vocabulary
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    model = lm.unigram_lm(docs)
+    scores = {r.doc_id: r.mean_nll for r in lm.doc_nll(docs, model).collect()}
+    cut = (scores[0] + scores[99]) / 2
+    kept = {r.doc_id for r in
+            lm.perplexity_filter(docs, model, cut).collect()}
+    assert 99 not in kept and kept == set(range(8))
+
+
+def test_source_cap_branches(spark):
+    from zolo_spark.llm import corpus
+
+    rows = [(i, "big", 1000 - i) for i in range(10)]  # over cap
+    rows += [(100 + i, "small", 50 + i) for i in range(3)]  # under cap
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = corpus.source_cap(df, cap=5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    # top-5 of "big" by n_chars desc = doc_ids 0..4; "small" untouched
+    assert by_src == {"big": set(range(5)), "small": {100, 101, 102}}

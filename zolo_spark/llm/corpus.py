@@ -400,3 +400,95 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     return df.withColumn("_bucket", bucket).filter(
         F.col("_bucket") < expr
     ).drop("_bucket")
+
+
+def chunk_documents(df: DataFrame, size: int = 32, overlap: int = 8,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split each document into overlapping token windows — the
+    sequence-packing precursor every LLM training pipeline runs
+    (context-window chunks of ``size`` tokens advancing by
+    ``size - overlap``).  Returns one row per chunk:
+    ``(id_col, chunk_id, chunk_text, n_tokens)``; the last chunk may
+    be short, and a document shorter than ``size`` yields exactly one
+    chunk.
+
+    Pure codegen — tokenize, compute the chunk count with integer
+    arithmetic, ``explode`` a 0..n_chunks-1 sequence, ``slice`` the
+    token array.  No shuffle at all: chunking is a per-row flatMap
+    that scales linearly and stays inside whole-stage codegen, and
+    downstream repartitioning (for packing) is the caller's choice.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks)
+    # Integer ceil((n - size)/stride) + 1, clamped to >= 1.  For
+    # n < size the pre-clamp value is <= 1 under both truncating and
+    # flooring division, so engines agree after the clamp.
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"),
+        (F.floor((n - F.lit(size - stride + 1)) / F.lit(stride)) + 1)
+        .cast("long"),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("_t"),
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+            .alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.array_join(
+                F.slice(F.col("_t"),
+                        (F.col("chunk_id") * stride + 1).cast("int"),
+                        size),
+                " ",
+            ).alias("chunk_text"),
+            F.size(
+                F.slice(F.col("_t"),
+                        (F.col("chunk_id") * stride + 1).cast("int"),
+                        size)
+            ).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def source_cap(df: DataFrame, cap: int, source_col: str = "source",
+               order_col: str = "n_chars",
+               id_col: str = "doc_id") -> DataFrame:
+    """Cap the number of documents kept per source/domain — the
+    RefinedWeb-style guard against any one domain dominating the
+    training mix.  Keeps the top ``cap`` docs per source ordered by
+    ``(order_col DESC, id_col ASC)`` (deterministic tiebreak).
+
+    Scale design: the naive implementation is one global window sort
+    — a full shuffle-and-sort of the corpus keyed by source, where
+    one hot domain (the exact thing this op exists to catch) becomes
+    one giant sorted partition.  Instead, count per source first
+    (map-side combined, tiny result) and split: sources already
+    within the cap pass through with **no sort at all** (the common
+    case — most domains are small), and only the oversized sources
+    pay the per-source top-k.  The cap itself bounds that sort's
+    output; the hot-partition input cost remains, which is acceptable
+    because oversized sources are few by definition and top-k-per-key
+    (rank <= cap) lets Spark's window TopK push-down limit state.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    small = counts.filter(F.col("_n") <= cap).select(source_col)
+    big = counts.filter(F.col("_n") > cap).select(source_col)
+    pass_through = df.join(F.broadcast(small), source_col, "left_semi")
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col(order_col).desc(), F.col(id_col).asc())
+    )
+    capped = (
+        df.join(F.broadcast(big), source_col, "left_semi")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+    return pass_through.unionByName(capped)

@@ -96,6 +96,9 @@ from . import queries_models  # noqa: E402,F401
 #         events_tumbling_window, tpch_q3_shipping_priority,
 #         tpch_q6_forecast_revenue, llm_token_histogram
 #         (rotated out in r5)
+#  r3∧r4: llm_audio_features, llm_repetition_stats,
+#         events_session_window (rotated out late-r5 for
+#         llm_chunk_documents / llm_unigram_nll / llm_source_cap)
 #  r2∧r3∧r4: llm_text_stats, llm_exact_dedup (rotated out mid-r5 for
 #         the newly-built llm_image_resize / llm_video_frames);
 #         llm_hash_split, llm_vocab_topk (rotated out mid-r5 for the
@@ -116,8 +119,10 @@ _GRADING_PRIORITY = [
     "probe_ts_epoch_us", "probe_ts_epoch_us_cast", "probe_ts_lag_gap",
     "llm_stratified_sample", "llm_bpe_merges", "scd2_batch_twin",
     "llm_jpeg_roundtrip",
-    # Round-3 additions, re-affirmed green r4 (3).
-    "llm_audio_features", "llm_repetition_stats", "events_session_window",
+    # Late-r5 builds (3): chunking, unigram-LM scoring, per-source cap
+    # — slots from twice-green (r3∧r4) singletons llm_audio_features,
+    # llm_repetition_stats, events_session_window.
+    "llm_chunk_documents", "llm_unigram_nll", "llm_source_cap",
     # LLM-data-pipeline family. llm_image_resize (real decode→box
     # resample→re-encode) and llm_video_frames (ZVID container parse +
     # per-frame decode) are round-5 builds taking the slots of

@@ -1139,3 +1139,80 @@ def llm_token_histogram(spark, sf_dir):
             F.max("n").alias("max_tokens"),
         )
     )
+
+
+# ----------------------------------------------- round-5 late additions
+from .llm import lm as _lm  # noqa: E402
+
+
+@register("llm_chunk_documents", oracle="""
+WITH b AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), c AS (
+    SELECT doc_id, t,
+           greatest(1, (len(t) - 9) // 24 + 1) AS nc
+    FROM b
+), e AS (
+    SELECT doc_id, t, unnest(range(nc)) AS chunk_id FROM c
+)
+SELECT doc_id, chunk_id,
+       array_to_string(t[(chunk_id*24 + 1) : (chunk_id*24 + 32)], ' ')
+           AS chunk_text,
+       len(t[(chunk_id*24 + 1) : (chunk_id*24 + 32)]) AS n_tokens
+FROM e
+""")
+def llm_chunk_documents(spark, sf_dir):
+    """Context-window chunking (size 32, overlap 8): one row per
+    overlapping token window — the sequence-packing precursor of a
+    training pipeline. Zero-shuffle flatMap entirely inside codegen;
+    the oracle replays the integer chunk-count arithmetic and list
+    slices ((len(t)-9)//24+1 == ceil((n-32)/24)+1 for n >= 32, and
+    both engines' division truncation agrees below the clamp)."""
+    return corpus.chunk_documents(
+        _t(spark, sf_dir, "documents"), size=32, overlap=8
+    )
+
+
+@register("llm_unigram_nll", oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+    FROM documents
+), lm AS (
+    SELECT token, count(*) AS n FROM tok GROUP BY token
+), tot AS (
+    SELECT sum(n)::DOUBLE AS total FROM lm
+), scored AS (
+    SELECT t.doc_id, round(-ln(lm.n::DOUBLE / tot.total), 6) AS nll
+    FROM tok t JOIN lm USING (token) CROSS JOIN tot
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(CAST(sum(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4)
+           AS mean_nll
+FROM scored GROUP BY doc_id
+""")
+def llm_unigram_nll(spark, sf_dir):
+    """CCNet-style unigram-LM quality scoring: train a unigram LM on
+    the corpus (one map-side-combined aggregate), broadcast it, and
+    score every document by mean per-token negative log-likelihood.
+    Per-token NLL is rounded to 6 decimals and summed as DECIMAL so
+    the document mean is independent of partition/merge order and
+    libm ULP differences; ``llm/lm.py``."""
+    docs = _t(spark, sf_dir, "documents")
+    return _lm.doc_nll(docs, _lm.unigram_lm(docs))
+
+
+@register("llm_source_cap", oracle="""
+SELECT doc_id, lang, n_chars FROM documents
+QUALIFY row_number()
+    OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 100
+""")
+def llm_source_cap(spark, sf_dir):
+    """Per-domain document cap (RefinedWeb-style anti-domination):
+    keep at most 100 docs per language by (n_chars DESC, doc_id)
+    deterministic tiebreak. Count-first split: within-cap sources
+    pass through with no sort; only oversized sources pay the
+    per-key top-k window (``corpus.source_cap``). At sf0.01 'en'
+    (218 docs) takes the window path and the other four languages
+    take the pass-through path, so both branches are hash-gated."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return corpus.source_cap(docs, cap=100, source_col="lang")
