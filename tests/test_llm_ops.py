@@ -703,3 +703,43 @@ def test_source_cap_branches(spark):
         by_src.setdefault(r.source, set()).add(r.doc_id)
     # top-5 of "big" by n_chars desc = doc_ids 0..4; "small" untouched
     assert by_src == {"big": set(range(5)), "small": {100, 101, 102}}
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    import math
+
+    from zolo_spark.llm import retrieval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark runs fast"),
+            (2, "spark is here"),
+            (3, "nothing relevant at all"),
+            (4, "other words entirely present"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = retrieval.bm25_topk(docs, ["spark"], k=10).collect()
+    assert [r.doc_id for r in out] == [1, 2]  # non-matching docs absent
+    assert out[0].score > out[1].score
+    # hand-check doc 2: tf=1, dl=3, df=2, N=4, avgdl=16/4
+    idf = math.log(1 + (4 - 2 + 0.5) / (2 + 0.5))
+    expected = idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 3 / (16 / 4)))
+    assert out[1].score == pytest.approx(round(expected, 6), abs=1e-6)
+    with pytest.raises(ValueError):
+        retrieval.bm25_topk(docs, [], k=10)
+
+
+def test_pack_chunks_greedy_running_sum(spark):
+    from zolo_spark.llm import corpus
+
+    chunks = spark.createDataFrame(
+        [(1, 0, 32), (1, 1, 32), (1, 2, 32), (1, 3, 10), (2, 0, 5)],
+        ["doc_id", "chunk_id", "n_tokens"],
+    )
+    out = {
+        (r.doc_id, r.chunk_id): r.seq_id
+        for r in corpus.pack_chunks(chunks, budget=64).collect()
+    }
+    # cumulative-before: 0,32,64,96 -> seqs 0,0,1,1; doc 2 alone -> 0
+    assert out == {(1, 0): 0, (1, 1): 0, (1, 2): 1, (1, 3): 1, (2, 0): 0}

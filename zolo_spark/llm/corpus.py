@@ -492,3 +492,32 @@ def source_cap(df: DataFrame, cap: int, source_col: str = "source",
         .drop("_rk")
     )
     return pass_through.unionByName(capped)
+
+
+def pack_chunks(chunks: DataFrame, budget: int,
+                part_col: str = "doc_id", order_col: str = "chunk_id",
+                tokens_col: str = "n_tokens") -> DataFrame:
+    """Assign chunks to fixed-budget training sequences — the
+    sequence-packing step between chunking and batch assembly.
+    Within each ``part_col`` group (ordered by ``order_col``), chunks
+    are packed greedily in order: a chunk opens a new sequence when
+    the tokens already packed reach ``budget``.  Adds a ``seq_id``
+    column (0-based per group); a chunk straddling the boundary stays
+    in the sequence it started in (standard concat-then-cut
+    semantics — the consumer truncates or pads the tail).
+
+    Scale design: packing is a running sum inside each group — one
+    shuffle on ``part_col``, no global order.  Real pipelines pack
+    within whatever parallel unit they already have (here the
+    document or shard key); a global greedy pack would serialize the
+    corpus through one sorted partition for no modeling benefit.
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return chunks.withColumn(
+        "seq_id", F.floor(cum_before / budget).cast("long")
+    )

@@ -99,6 +99,8 @@ from . import queries_models  # noqa: E402,F401
 #  r3∧r4: llm_audio_features, llm_repetition_stats,
 #         events_session_window (rotated out late-r5 for
 #         llm_chunk_documents / llm_unigram_nll / llm_source_cap)
+#  r2∧r3∧r4: llm_minhash_signatures, llm_simhash_dedup (rotated out
+#         late-r5 for llm_bm25_topk / llm_pack_chunks)
 #  r2∧r3∧r4: llm_text_stats, llm_exact_dedup (rotated out mid-r5 for
 #         the newly-built llm_image_resize / llm_video_frames);
 #         llm_hash_split, llm_vocab_topk (rotated out mid-r5 for the
@@ -128,9 +130,12 @@ _GRADING_PRIORITY = [
     # per-frame decode) are round-5 builds taking the slots of
     # thrice-green (r2∧r3∧r4) singletons llm_text_stats and
     # llm_exact_dedup — both unchanged since their green rows.
-    "llm_image_resize", "llm_video_frames", "llm_minhash_signatures",
+    # llm_bm25_topk / llm_pack_chunks (late-r5 builds) take the slots
+    # of thrice-green (r2∧r3∧r4) singletons llm_minhash_signatures /
+    # llm_simhash_dedup.
+    "llm_image_resize", "llm_video_frames", "llm_bm25_topk",
     "llm_minhash_lsh_dedup", "llm_incremental_dedup",
-    "llm_ngram_jaccard_pairs", "llm_simhash_dedup", "llm_simhash_neardup",
+    "llm_ngram_jaccard_pairs", "llm_pack_chunks", "llm_simhash_neardup",
     "llm_embedding_near_dup", "llm_sim_topk_cosine", "llm_sim_ivf_topk",
     "llm_multimodal_features",
     # llm_embedding_quantize / llm_quantized_topk (int8 ANN scale

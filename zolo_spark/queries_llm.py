@@ -1216,3 +1216,80 @@ def llm_source_cap(spark, sf_dir):
     take the pass-through path, so both branches are hash-gated."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return corpus.source_cap(docs, cap=100, source_col="lang")
+
+
+from .llm import retrieval as _retrieval  # noqa: E402
+
+
+@register("llm_bm25_topk", oracle="""
+WITH base AS (
+    SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
+           unnest(string_split(lower(text), ' ')) AS token
+    FROM documents
+), stats AS (
+    SELECT count(*) AS n_docs,
+           sum(len(string_split(lower(text), ' '))) AS total_dl
+    FROM documents
+), hits AS (
+    SELECT * FROM base WHERE token IN ('spark', 'window', 'hash')
+), dfreq AS (
+    SELECT token, count(DISTINCT doc_id) AS df_t FROM hits GROUP BY token
+), tf AS (
+    SELECT doc_id, token, count(*) AS tf, any_value(dl) AS dl
+    FROM hits GROUP BY doc_id, token
+), scored AS (
+    SELECT doc_id,
+           round(ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+                 * (tf * (1.2 + 1))
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl
+                                / (s.total_dl::DOUBLE / s.n_docs))),
+                 6) AS term_score
+    FROM tf JOIN dfreq d USING (token) CROSS JOIN stats s
+)
+SELECT doc_id,
+       CAST(sum(CAST(term_score AS DECIMAL(28,6))) AS DOUBLE) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 20
+""")
+def llm_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-20 for the query {spark, window, hash} — the
+    lexical-retrieval twin of the dense ANN queries. Query-term
+    filter applied pre-shuffle (only matching occurrences leave the
+    scan), corpus stats and per-term document frequencies broadcast,
+    final top-k a TakeOrdered on the exact DECIMAL-summed score
+    (cast to double) with doc_id tiebreak (``llm/retrieval.py``)."""
+    return _retrieval.bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        ["spark", "window", "hash"], k=20,
+    )
+
+
+@register("llm_pack_chunks", oracle="""
+WITH b AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), c AS (
+    SELECT doc_id, t, greatest(1, (len(t) - 9) // 24 + 1) AS nc FROM b
+), e AS (
+    SELECT doc_id, t, unnest(range(nc)) AS chunk_id FROM c
+), ch AS (
+    SELECT doc_id, chunk_id,
+           len(t[(chunk_id*24 + 1) : (chunk_id*24 + 32)]) AS n_tokens
+    FROM e
+)
+SELECT doc_id, chunk_id, n_tokens,
+       (coalesce(sum(n_tokens) OVER (PARTITION BY doc_id ORDER BY chunk_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) // 64)::BIGINT
+           AS seq_id
+FROM ch
+""")
+def llm_pack_chunks(spark, sf_dir):
+    """Sequence packing: the 32/8 chunk stream packed into 64-token
+    training sequences per document (greedy in chunk order, running
+    sum inside one window — no global order). The oracle replays the
+    chunk arithmetic and the exclusive-prefix-sum bin assignment;
+    ::BIGINT keeps DuckDB's HUGEINT window sum off the output."""
+    chunks = corpus.chunk_documents(
+        _t(spark, sf_dir, "documents"), size=32, overlap=8
+    ).drop("chunk_text")
+    return corpus.pack_chunks(chunks, budget=64)
