@@ -193,3 +193,46 @@ def test_session_window_single_shuffle(spark):
     p = plan_of(q(spark, "events_session_window"))
     assert n_shuffles(p) == 1  # one exchange on user_id for the merge
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_bm25_broadcasts_stats_and_takes_ordered(spark):
+    p = plan_of(q(spark, "llm_bm25_topk"))
+    # df/stats sides join broadcast — token skew can never hot-key it
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+    # the top-k is a TakeOrderedAndProject, not a global Sort+Limit
+    assert "TakeOrderedAndProject" in p
+    assert "Sort (" not in p or "TakeOrderedAndProject" in p
+
+
+def test_chunk_then_pack_single_shuffle(spark):
+    # chunking itself is shuffle-free; packing adds exactly one
+    # exchange (the per-doc window)
+    p_chunks = plan_of(q(spark, "llm_chunk_documents"))
+    assert n_shuffles(p_chunks) == 0
+    p_pack = plan_of(q(spark, "llm_pack_chunks"))
+    assert n_shuffles(p_pack) == 1
+
+
+def test_unigram_nll_lm_broadcast(spark):
+    p = plan_of(q(spark, "llm_unigram_nll"))
+    # the LM side is broadcast: the token join must not shuffle the
+    # exploded occurrence stream
+    assert "BroadcastHashJoin" in p
+    occurrences_joins = re.findall(r"SortMergeJoin|ShuffledHashJoin", p)
+    assert not occurrences_joins
+
+
+def test_source_cap_pass_through_has_no_window(spark):
+    from zolo_spark.llm import corpus
+    from zolo_spark.warehouse import load_testdata
+
+    docs = load_testdata(spark, SF_DIR)["documents"].select(
+        "doc_id", "lang", "n_chars"
+    )
+    # cap larger than any group: everything pass-through, plan is
+    # join-only (no Window operator executes a sort)
+    p = plan_of(corpus.source_cap(docs, cap=10**9, source_col="lang"))
+    assert "Window" in p  # the capped branch exists in the plan...
+    # ...but the pass-through side is a broadcast semi join
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
