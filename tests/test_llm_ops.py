@@ -743,3 +743,50 @@ def test_pack_chunks_greedy_running_sum(spark):
     }
     # cumulative-before: 0,32,64,96 -> seqs 0,0,1,1; doc 2 alone -> 0
     assert out == {(1, 0): 0, (1, 1): 0, (1, 2): 1, (1, 3): 1, (2, 0): 0}
+
+
+def test_pq_codegen_and_numpy_encoders_agree(spark):
+    from zolo_spark.llm import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seed = np.stack([
+        r[0] for r in emb.filter(F.col("vec_id") < 16)
+        .orderBy("vec_id").select("embedding").collect()
+    ]).astype(float)
+    cb = similarity.pq_codebooks(seed, m=8, ksub=16)
+    assert cb.shape == (8, 16, 8)
+    a = {r.vec_id: r.codes for r in similarity.pq_encode(emb, cb).collect()}
+    b = {r.vec_id: r.codes
+         for r in similarity.pq_encode_np(emb, cb).collect()}
+    assert a == b
+    # seeds quantize to themselves in every subspace
+    for i in range(16):
+        assert a[i] == [i] * 8
+
+
+def test_pq_adc_approximates_exact_ranking(spark):
+    from zolo_spark.llm import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seed = np.stack([
+        r[0] for r in emb.filter(F.col("vec_id") < 16)
+        .orderBy("vec_id").select("embedding").collect()
+    ]).astype(float)
+    cb = similarity.pq_train(seed, m=8, ksub=16, iters=3)
+    codes = similarity.pq_encode(emb, cb)
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = similarity.pq_adc_topk(codes, queries, cb, k=5).collect()
+    assert len(out) == 15  # 3 queries x top-5
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.score))
+    for q, rows in by_q.items():
+        scores = [s for _, s in sorted(rows)]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_pq_train_rejects_bad_dims():
+    from zolo_spark.llm import similarity
+
+    with pytest.raises(ValueError):
+        similarity.pq_codebooks(np.zeros((16, 63)), m=8)

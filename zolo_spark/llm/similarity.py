@@ -184,3 +184,162 @@ def quantized_topk(corpus_q: DataFrame, queries_q: DataFrame,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ------------------------------------------------------------------ PQ
+
+def pq_codebooks(vectors: np.ndarray, m: int = 8,
+                 ksub: int = 16) -> np.ndarray:
+    """Slice ``ksub`` seed vectors into per-subspace codebooks of
+    shape ``(m, ksub, dsub)`` — the deterministic-codebook analog of
+    the IVF gate's seeded centroids (PQ treats codebooks as an
+    offline-trained input; :func:`pq_train` is the production
+    recipe)."""
+    d = vectors.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return np.stack(
+        [vectors[:ksub, s * dsub:(s + 1) * dsub] for s in range(m)]
+    )
+
+
+def pq_train(sample: np.ndarray, m: int = 8, ksub: int = 16,
+             iters: int = 5, seed: int = 42) -> np.ndarray:
+    """Per-subspace Lloyd k-means on a driver-side sample — the
+    standard PQ training recipe (Jégou et al. 2011). Returns
+    ``(m, ksub, dsub)`` codebooks."""
+    rng = np.random.default_rng(seed)
+    d = sample.shape[1]
+    dsub = d // m
+    books = []
+    for s in range(m):
+        x = sample[:, s * dsub:(s + 1) * dsub].astype(float)
+        cent = x[rng.choice(len(x), size=ksub, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                members = x[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books.append(cent)
+    return np.stack(books)
+
+
+def _pq_sub(v, s: int, dsub: int):
+    return F.slice(v, s * dsub + 1, dsub)
+
+
+def _pq_l2(sub, codeword) -> "F.Column":
+    """Σ (x−c)² as a left fold in f64 — the exact add order DuckDB's
+    ``list_reduce`` uses, so argmin comparisons agree bit-for-bit."""
+    lits = F.array(*[F.lit(float(x)) for x in codeword])
+    return F.aggregate(
+        F.zip_with(sub, lits,
+                   lambda a, b: (a.cast("double") - b)
+                   * (a.cast("double") - b)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(df: DataFrame, codebooks: np.ndarray,
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Product-quantize every vector: per subspace, the index of the
+    L2-nearest codeword (ties → lowest index). Returns
+    ``(id_col, codes array<long>)`` — m·log2(ksub) bits per vector
+    (m=8, ksub=16 ⇒ 4 bytes for a 64-dim f32 vector, 64× smaller).
+
+    Pure codegen: the m×ksub distance expressions stay JVM-side in
+    one whole-stage-codegen pass over the scan — no UDF, no shuffle —
+    and argmin-with-tiebreak is ``array_min`` over (dist, index)
+    structs.  :func:`pq_encode_np` is the Arrow/numpy twin for very
+    large ``m·ksub`` where codegen plans get unwieldy."""
+    m, ksub, dsub = codebooks.shape
+    v = F.col(vec_col)
+    codes = []
+    for s in range(m):
+        sub = _pq_sub(v, s, dsub)
+        cands = F.array(*[
+            F.struct(
+                _pq_l2(sub, codebooks[s][c]).alias("d"),
+                F.lit(c).cast("long").alias("c"),
+            )
+            for c in range(ksub)
+        ])
+        codes.append(F.array_min(cands)["c"])
+    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def pq_encode_np(df: DataFrame, codebooks: np.ndarray,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """Arrow-batched numpy twin of :func:`pq_encode` (one
+    distance-matrix argmin per batch; np.argmin takes the first
+    minimum = the same lowest-index tiebreak, and the ≤8-element
+    subspace sums add sequentially like the codegen fold)."""
+    m, ksub, dsub = codebooks.shape
+    cb = codebooks.astype(float)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def encode(vs: pd.Series) -> pd.Series:
+        x = np.stack(vs.to_numpy()).astype(float)
+        out = np.empty((len(x), m), dtype="int64")
+        for s in range(m):
+            sub = x[:, s * dsub:(s + 1) * dsub]
+            d2 = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(-1)
+            out[:, s] = np.argmin(d2, axis=1)
+        return pd.Series(list(out))
+
+    return df.select(F.col(id_col), encode(F.col(vec_col)).alias("codes"))
+
+
+def pq_adc_topk(codes: DataFrame, queries: DataFrame,
+                codebooks: np.ndarray, k: int = 10,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance top-k: score(q, x) = Σ_s ⟨q_sub, codeword
+    of x's code in subspace s⟩ — the query stays full-precision, the
+    corpus is 4-byte codes.  Per-subspace terms are rounded to 6
+    decimals and summed as DECIMAL (order-independent), ranking on
+    (score DESC, id).
+
+    At scale the corpus side never touches raw vectors (codes are
+    64× smaller ⇒ the scan is 64× cheaper) and queries broadcast;
+    the per-(query, subspace) lookup tables are tiny."""
+    m, ksub, dsub = codebooks.shape
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+    qv = F.col("qv")
+    term_sum = None
+    for s in range(m):
+        sub = F.transform(_pq_sub(qv, s, dsub),
+                          lambda x: x.cast("double"))
+        cbarr = F.array(*[
+            F.array(*[F.lit(float(x)) for x in codebooks[s][cc]])
+            for cc in range(ksub)
+        ])
+        codeword = F.element_at(cbarr, (F.element_at("codes", s + 1) + 1)
+                                .cast("int"))
+        dot = F.aggregate(
+            F.zip_with(sub, codeword, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        t = F.round(dot, 6).cast("decimal(28,6)")
+        term_sum = t if term_sum is None else term_sum + t
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                term_sum.cast("double").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

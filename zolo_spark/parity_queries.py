@@ -100,7 +100,9 @@ from . import queries_models  # noqa: E402,F401
 #         events_session_window (rotated out late-r5 for
 #         llm_chunk_documents / llm_unigram_nll / llm_source_cap)
 #  r2∧r3∧r4: llm_minhash_signatures, llm_simhash_dedup (rotated out
-#         late-r5 for llm_bm25_topk / llm_pack_chunks)
+#         late-r5 for llm_bm25_topk / llm_pack_chunks);
+#         llm_sim_topk_cosine (with r3∧r4 llm_pii_redact, rotated out
+#         late-r5 for llm_pq_encode / llm_pq_adc_topk)
 #  r2∧r3∧r4: llm_text_stats, llm_exact_dedup (rotated out mid-r5 for
 #         the newly-built llm_image_resize / llm_video_frames);
 #         llm_hash_split, llm_vocab_topk (rotated out mid-r5 for the
@@ -136,14 +138,17 @@ _GRADING_PRIORITY = [
     "llm_image_resize", "llm_video_frames", "llm_bm25_topk",
     "llm_minhash_lsh_dedup", "llm_incremental_dedup",
     "llm_ngram_jaccard_pairs", "llm_pack_chunks", "llm_simhash_neardup",
-    "llm_embedding_near_dup", "llm_sim_topk_cosine", "llm_sim_ivf_topk",
+    # llm_pq_encode / llm_pq_adc_topk (late-r5 product-quantization
+    # builds) take the slots of llm_sim_topk_cosine (r2∧r3∧r4) and
+    # llm_pii_redact (r3∧r4).
+    "llm_embedding_near_dup", "llm_pq_encode", "llm_sim_ivf_topk",
     "llm_multimodal_features",
     # llm_embedding_quantize / llm_quantized_topk (int8 ANN scale
     # path, built mid-r5) take the slots of thrice-green singletons
     # llm_quality_filter / llm_embedding_stats.
     "llm_dup_clusters", "llm_embedding_quantize", "llm_quantized_topk",
     "llm_corpus_report",
-    "llm_pii_redact", "llm_decontaminate",
+    "llm_pq_adc_topk", "llm_decontaminate",
     # Model jobs (9): three exact cross-engine folds (SES, Holt, AR1),
     # the oracle-gated fixed-order ARIMA walk-forward, oracle-gated
     # bounded-window runs of the REAL ses_job/holt_job, the FULL-window

@@ -1293,3 +1293,116 @@ def llm_pack_chunks(spark, sf_dir):
         _t(spark, sf_dir, "documents"), size=32, overlap=8
     ).drop("chunk_text")
     return corpus.pack_chunks(chunks, budget=64)
+
+
+_PQ_CB = "SELECT vec_id AS c, embedding AS cv FROM embeddings WHERE vec_id < 16"
+_PQ_SUBS = "SELECT unnest(range(0, 8)) AS s"
+# Per (vector, subspace): L2^2 to each codeword as the same left fold
+# Spark's F.aggregate(zip_with(...), 0.0, +) runs; argmin with lowest-
+# index tiebreak via QUALIFY.
+_PQ_ENC = """
+enc AS (
+    SELECT e.vec_id, sub.s, b.c
+    FROM embeddings e CROSS JOIN (SELECT unnest(range(0, 8)) AS s) sub
+    CROSS JOIN (SELECT vec_id AS c, embedding AS cv
+                FROM embeddings WHERE vec_id < 16) b
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id, sub.s
+        ORDER BY list_reduce(list_transform(
+                     list_zip(e.embedding[(sub.s*8 + 1):(sub.s*8 + 8)],
+                              b.cv[(sub.s*8 + 1):(sub.s*8 + 8)]),
+                     x -> (x[1]::DOUBLE - x[2]::DOUBLE)
+                          * (x[1]::DOUBLE - x[2]::DOUBLE)),
+                     (p, q) -> p + q), b.c) = 1
+)
+"""
+
+
+def _pq_codebooks(spark, sf_dir):
+    import numpy as np
+
+    from .llm import similarity as _sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # 16-row bounded collect: the codebook seed, not the corpus.
+    seed = np.stack([
+        r[0]
+        for r in emb.filter(F.col("vec_id") < 16)
+        .orderBy("vec_id").select("embedding").collect()
+    ]).astype(float)
+    return emb, _sim.pq_codebooks(seed, m=8, ksub=16)
+
+
+@register("llm_pq_encode", oracle=f"""
+WITH {_PQ_ENC}
+SELECT vec_id,
+       max(CASE WHEN s = 0 THEN c END)::BIGINT AS code0,
+       max(CASE WHEN s = 3 THEN c END)::BIGINT AS code3,
+       max(CASE WHEN s = 7 THEN c END)::BIGINT AS code7,
+       (sum((s + 1) * c) % 9973)::BIGINT AS checksum
+FROM enc GROUP BY vec_id
+""")
+def llm_pq_encode(spark, sf_dir):
+    """Product quantization encode (m=8 subspaces x 16 codewords =
+    4 bytes per 64-dim f32 vector, 64x smaller): per subspace the
+    L2-argmin codeword index, ties to the lowest index. Seeded
+    deterministic codebooks (the 16 lowest vec_ids, as the IVF gate
+    seeds its centroids) so the whole encoder is value-oracled;
+    ``pq_train`` remains the production recipe. Pure whole-stage
+    codegen — no UDF, no shuffle (``similarity.pq_encode``)."""
+    from .llm import similarity as _sim
+
+    emb, cb = _pq_codebooks(spark, sf_dir)
+    enc = _sim.pq_encode(emb, cb)
+    idx = F.sequence(F.lit(1).cast("long"), F.lit(8).cast("long"))
+    return enc.select(
+        "vec_id",
+        F.element_at("codes", 1).alias("code0"),
+        F.element_at("codes", 4).alias("code3"),
+        F.element_at("codes", 8).alias("code7"),
+        (F.aggregate(
+            F.zip_with(idx, F.col("codes"), lambda i, c: i * c),
+            F.lit(0).cast("long"), lambda acc, x: acc + x,
+        ) % 9973).alias("checksum"),
+    )
+
+
+@register("llm_pq_adc_topk", oracle=f"""
+WITH {_PQ_ENC}
+, q AS (
+    SELECT vec_id AS query_id, embedding AS qv
+    FROM embeddings WHERE vec_id < 5
+), term AS (
+    SELECT q.query_id, enc.vec_id AS neighbor_id,
+           round(list_reduce(list_transform(
+                     list_zip(q.qv[(enc.s*8 + 1):(enc.s*8 + 8)],
+                              b.cv[(enc.s*8 + 1):(enc.s*8 + 8)]),
+                     x -> x[1]::DOUBLE * x[2]::DOUBLE),
+                     (p, q2) -> p + q2), 6) AS t
+    FROM enc
+    JOIN (SELECT vec_id AS c, embedding AS cv
+          FROM embeddings WHERE vec_id < 16) b ON b.c = enc.c
+    CROSS JOIN q
+    WHERE enc.vec_id <> q.query_id
+), scored AS (
+    SELECT query_id, neighbor_id,
+           CAST(sum(CAST(t AS DECIMAL(28,6))) AS DOUBLE) AS score
+    FROM term GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 10
+""")
+def llm_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-10 for 5 queries: full-precision
+    query against 4-byte corpus codes — the retrieval stage where the
+    corpus scan shrinks 64x. Per-subspace dot terms round-6 and
+    DECIMAL-summed (order-independent), rank on (score DESC, id);
+    ``similarity.pq_adc_topk``."""
+    from .llm import similarity as _sim
+
+    emb, cb = _pq_codebooks(spark, sf_dir)
+    codes = _sim.pq_encode(emb, cb)
+    return _sim.pq_adc_topk(codes, emb.filter(F.col("vec_id") < 5), cb)
