@@ -72,6 +72,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=None,
                     help="scale-rehearsal factor (multiples of 0.1)")
+    ap.add_argument("--only", default=None,
+                    help="regex: run only matching query names")
+    ap.add_argument("--exclude", default=None,
+                    help="regex: skip matching query names")
     args = ap.parse_args()
 
     if args.sf is not None:
@@ -82,15 +86,30 @@ def main() -> None:
         sf = float(m.group(1)) if m else -1.0
     spark = get_spark("zolo_spark_bench")
 
+    names = sorted(parity_queries.REGISTRY)
+    if args.only:
+        names = [n for n in names if re.search(args.only, n)]
+    if args.exclude:
+        names = [n for n in names if not re.search(args.exclude, n)]
+
     timings: dict[str, float] = {}
-    for name, spec in sorted(parity_queries.REGISTRY.items()):
-        df = spec.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm (JIT, file listing)
-        spark.catalog.clearCache()  # warm run may have persisted intermediates
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        spark.catalog.clearCache()
+    errors: dict[str, str] = {}
+    for name in names:
+        spec = parity_queries.REGISTRY[name]
+        # A failing query (e.g. a scale rehearsal running out of disk)
+        # must cost its own timing, not the whole run's results.
+        try:
+            df = spec.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()  # warm (JIT, file listing)
+            spark.catalog.clearCache()  # warm run may have persisted intermediates
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = str(exc).split("\n")[0][:200]
+            print(f"ERROR {name}: {errors[name]}", file=sys.stderr)
+        finally:
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     full = {
@@ -100,8 +119,14 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        full["errors"] = errors
+    # A filtered run must not masquerade as the full suite's record.
+    part = "_partial" if (args.only or args.exclude) else ""
     full_path = os.path.join(
-        REPO, f"BENCH_sf{sf:g}.json" if args.sf is not None else "BENCH_full.json"
+        REPO,
+        f"BENCH_sf{sf:g}{part}.json" if args.sf is not None
+        else f"BENCH_full{part}.json",
     )
     with open(full_path, "w") as f:
         f.write(json.dumps(full) + "\n")

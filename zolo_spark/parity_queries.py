@@ -148,7 +148,9 @@ _GRADING_PRIORITY = [
     # llm_quality_filter / llm_embedding_stats.
     "llm_dup_clusters", "llm_embedding_quantize", "llm_quantized_topk",
     "llm_corpus_report",
-    "llm_pq_adc_topk", "llm_decontaminate",
+    # llm_ivfpq_topk (late-r5 IVF×PQ composition) takes the slot of
+    # twice-green (r3∧r4) llm_decontaminate.
+    "llm_pq_adc_topk", "llm_ivfpq_topk",
     # Model jobs (9): three exact cross-engine folds (SES, Holt, AR1),
     # the oracle-gated fixed-order ARIMA walk-forward, oracle-gated
     # bounded-window runs of the REAL ses_job/holt_job, the FULL-window

@@ -1406,3 +1406,96 @@ def llm_pq_adc_topk(spark, sf_dir):
     emb, cb = _pq_codebooks(spark, sf_dir)
     codes = _sim.pq_encode(emb, cb)
     return _sim.pq_adc_topk(codes, emb.filter(F.col("vec_id") < 5), cb)
+
+
+@register("llm_ivfpq_topk", oracle=f"""
+WITH cents AS (
+    SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+), corpus_cell AS (
+    SELECT e.vec_id AS neighbor_id, c.cid AS cell
+    FROM embeddings e CROSS JOIN cents c
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid) = 1
+), q_cell AS (
+    SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid AS cell
+    FROM embeddings q CROSS JOIN cents c
+    WHERE q.vec_id < 5
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY {_cos_sql('q.embedding', 'c.cvec')} DESC, c.cid) <= 3
+), {_PQ_ENC.strip().lstrip()}
+, term AS (
+    SELECT qc.query_id, cc.neighbor_id,
+           round(list_reduce(list_transform(
+                     list_zip(qc.qv[(enc.s*8 + 1):(enc.s*8 + 8)],
+                              b.cv[(enc.s*8 + 1):(enc.s*8 + 8)]),
+                     x -> x[1]::DOUBLE * x[2]::DOUBLE),
+                     (p, q2) -> p + q2), 6) AS t
+    FROM corpus_cell cc
+    JOIN q_cell qc USING (cell)
+    JOIN enc ON enc.vec_id = cc.neighbor_id
+    JOIN (SELECT vec_id AS c, embedding AS cv
+          FROM embeddings WHERE vec_id < 16) b ON b.c = enc.c
+    WHERE cc.neighbor_id <> qc.query_id
+), scored AS (
+    SELECT query_id, neighbor_id,
+           CAST(sum(CAST(t AS DECIMAL(28,6))) AS DOUBLE) AS score
+    FROM term GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 10
+""")
+def llm_ivfpq_topk(spark, sf_dir):
+    """IVF x PQ composition (FAISS IVF8,PQ8-style): coarse cells
+    prune the corpus to nprobe=3 of 8 partitions, 4-byte PQ codes
+    replace raw vectors inside them, ADC ranks. Seeded centroid AND
+    codebook inputs (vec_id < 8 / < 16) make the entire two-level
+    index value-oracled; at scale the index is written partitioned
+    by cell so probes are partition-pruned scans of 64x-smaller
+    codes (``similarity.ivfpq_topk``)."""
+    import numpy as np
+
+    from .llm import similarity as _sim
+
+    emb, cb = _pq_codebooks(spark, sf_dir)
+    cents = np.stack([
+        r[0]
+        for r in emb.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id").select("embedding").collect()
+    ]).astype(float)
+    return _sim.ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), cents, cb, k=10, nprobe=3
+    )
+
+
+# Scale-rehearsal configurations (rows-only): the deployment dials for
+# the two LSH families on clone-dense corpora. The graded sf0.01 gates
+# above keep the uncapped/16-bit configurations (hash-identical to
+# rounds 1-4); these entries exist so bench.py --sf rehearsals measure
+# the settings a 100 TB deployment would actually run — the replica
+# corpus (every doc cloned k times) makes uncapped pair emission
+# quadratic in k, which is what filled the disk in the first sf10
+# attempt.
+
+
+@register("llm_minhash_lsh_capped")
+def llm_minhash_lsh_capped(spark, sf_dir):
+    """MinHash LSH with the hot-bucket cap (max_bucket=500): buckets
+    wider than the cap are mass duplication better collapsed by
+    exact_dedup first; dropping them bounds candidate pairs at
+    O(buckets * cap^2) regardless of clone density."""
+    return dedup.minhash_lsh_dedup(
+        _t(spark, sf_dir, "documents"), max_bucket=500
+    )
+
+
+@register("llm_simhash_neardup_wide")
+def llm_simhash_neardup_wide(spark, sf_dir):
+    """SimHash near-dup with 48-bit signatures (the deployment width,
+    measured time-flat at sf3 in BASELINE.md): 16-bit chunks barely
+    collide, so candidates ≈ true near-dup pairs."""
+    return dedup.simhash_neardup(_t(spark, sf_dir, "documents"), bits=48)
