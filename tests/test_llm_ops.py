@@ -836,3 +836,23 @@ def test_minhash_lsh_hot_bucket_cap(spark):
     assert {(r.doc1, r.doc2) for r in uncapped.collect()} >= {
         (100, 101), (0, 1), (0, 11)
     }
+
+
+def test_duplicate_spans_planted_passage(spark):
+    """Two docs share a 12-token passage -> each reports one merged
+    span exactly covering it (three overlapping duplicated 10-grams
+    merge into one interval); unique docs report nothing."""
+    shared = "p q r s t u v w x y z0 z1"  # 12 tokens
+    rows = [
+        (1, f"a b c {shared} d e f"),      # passage at tokens 3..14
+        (2, f"{shared} m n o p2 q2 r2"),   # passage at tokens 0..11
+        (3, "entirely unique words only here nothing repeats at all ok fine sure"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.start_tok, r.end_tok, r.span_tokens)
+           for r in dedup.duplicate_spans(docs).collect()}
+    assert out == {1: (3, 14, 12), 2: (0, 11, 12)}
+
+    short = spark.createDataFrame([(9, "too short")],
+                                  "doc_id long, text string")
+    assert dedup.duplicate_spans(short).count() == 0

@@ -16,7 +16,7 @@ Scale design (the point of these over naive pairwise):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..ops.partitioning import fan_out
 from .text import fingerprint
@@ -478,4 +478,80 @@ def embedding_near_dup(df: DataFrame, vec_col: str = "embedding",
             F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
+    )
+
+
+def duplicate_spans(df: DataFrame, n: int = 10, min_count: int = 2,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Duplicate-passage detection — the relational core of substring
+    dedup (Lee et al. 2021, *Deduplicating Training Data Makes
+    Language Models Better*): find every maximal token span of a
+    document that is covered by ``n``-grams occurring ≥ ``min_count``
+    times in the corpus.  Returns one row per merged span:
+    ``(id_col, span_id, start_tok, end_tok, span_tokens)`` (token
+    positions 0-based inclusive); a cleaning pass drops or rewrites
+    these spans.
+
+    Shape: posexplode the ``n``-grams with their token positions, one
+    corpus-wide count per gram (map-side combined — hot grams
+    pre-aggregate per partition), keep positions of repeated grams,
+    then merge overlapping/adjacent ``[pos, pos+n-1]`` intervals per
+    document with a running-max-end window (the sessionize pattern on
+    token positions).  The gram-keyed shuffle is the scale cost; a
+    boilerplate-heavy corpus makes some grams hot, which AQE skew
+    handling splits — and the output stays bounded by |positions|
+    because each position appears exactly once regardless of how hot
+    its gram is.  All-integer output.
+    """
+    toks = fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.col(text_col)), " ").alias("t"),
+    )
+    # sequence(0, -1) would DESCEND in Spark, so short docs need the
+    # explicit empty-array branch (the shingles helper's same guard).
+    gram_arr = F.when(
+        F.size("t") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - n),
+            lambda i: F.array_join(F.slice("t", i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select(
+        "doc_id", F.posexplode(gram_arr).alias("pos", "gram")
+    )
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_n"))
+    dup_pos = (
+        grams.join(counts.filter(F.col("_n") >= min_count), "gram")
+        .select("doc_id", "pos", (F.col("pos") + n - 1).alias("end"))
+    )
+    w_prev = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = dup_pos.select(
+        "doc_id", "pos", "end",
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.max("end").over(w_prev), F.lit(-2)) + 1,
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("_new"),
+    ).select(
+        "doc_id", "pos", "end",
+        F.sum("_new").over(w_run).cast("long").alias("span_id"),
+    )
+    return (
+        flagged.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").cast("long").alias("start_tok"),
+            F.max("end").cast("long").alias("end_tok"),
+        )
+        .select(
+            "doc_id", "span_id", "start_tok", "end_tok",
+            (F.col("end_tok") - F.col("start_tok") + 1).alias("span_tokens"),
+        )
     )

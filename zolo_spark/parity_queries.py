@@ -146,8 +146,10 @@ _GRADING_PRIORITY = [
     # llm_embedding_quantize / llm_quantized_topk (int8 ANN scale
     # path, built mid-r5) take the slots of thrice-green singletons
     # llm_quality_filter / llm_embedding_stats.
+    # llm_duplicate_spans (late-r5 substring-dedup build) takes the
+    # slot of twice-green (r3∧r4) llm_corpus_report.
     "llm_dup_clusters", "llm_embedding_quantize", "llm_quantized_topk",
-    "llm_corpus_report",
+    "llm_duplicate_spans",
     # llm_ivfpq_topk (late-r5 IVF×PQ composition) takes the slot of
     # twice-green (r3∧r4) llm_decontaminate.
     "llm_pq_adc_topk", "llm_ivfpq_topk",

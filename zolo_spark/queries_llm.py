@@ -1499,3 +1499,47 @@ def llm_simhash_neardup_wide(spark, sf_dir):
     measured time-flat at sf3 in BASELINE.md): 16-bit chunks barely
     collide, so candidates ≈ true near-dup pairs."""
     return dedup.simhash_neardup(_t(spark, sf_dir, "documents"), bits=48)
+
+
+@register("llm_duplicate_spans", oracle="""
+WITH toks AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), pos AS (
+    SELECT doc_id, t, unnest(range(0, greatest(len(t) - 9, 0))) AS pos
+    FROM toks
+), g2 AS (
+    SELECT doc_id, pos,
+           array_to_string(t[(pos + 1):(pos + 10)], ' ') AS gram
+    FROM pos
+), counts AS (
+    SELECT gram, count(*) AS n FROM g2 GROUP BY gram
+), dup AS (
+    SELECT doc_id, pos, pos + 9 AS e
+    FROM g2 JOIN counts USING (gram) WHERE n >= 2
+), flagged AS (
+    SELECT doc_id, pos, e,
+           CASE WHEN pos > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -2) + 1
+                THEN 1 ELSE 0 END AS newf
+    FROM dup
+), sp AS (
+    SELECT doc_id, pos, e,
+           (SUM(newf) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING))::BIGINT AS span_id
+    FROM flagged
+)
+SELECT doc_id, span_id,
+       min(pos)::BIGINT AS start_tok, max(e)::BIGINT AS end_tok,
+       (max(e) - min(pos) + 1)::BIGINT AS span_tokens
+FROM sp GROUP BY doc_id, span_id
+""")
+def llm_duplicate_spans(spark, sf_dir):
+    """Duplicate-passage detection (substring-dedup shape, Lee et al.
+    2021): maximal token spans covered by 10-grams repeated anywhere
+    in the corpus — the regions a cleaning pass cuts. Posexploded
+    gram positions, one map-side-combined corpus count, interval
+    merge via the running-max-end window (all-integer output);
+    ``dedup.duplicate_spans``."""
+    return dedup.duplicate_spans(_t(spark, sf_dir, "documents"))
