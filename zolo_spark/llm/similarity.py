@@ -251,11 +251,12 @@ def pq_encode(df: DataFrame, codebooks: np.ndarray,
     ``(id_col, codes array<long>)`` — m·log2(ksub) bits per vector
     (m=8, ksub=16 ⇒ 4 bytes for a 64-dim f32 vector, 64× smaller).
 
-    Pure codegen: the m×ksub distance expressions stay JVM-side in
-    one whole-stage-codegen pass over the scan — no UDF, no shuffle —
-    and argmin-with-tiebreak is ``array_min`` over (dist, index)
-    structs.  :func:`pq_encode_np` is the Arrow/numpy twin for very
-    large ``m·ksub`` where codegen plans get unwieldy."""
+    This expression form exists as the oracle-parity reference: its
+    fold order is exactly DuckDB's ``list_reduce``, so the SQL twin
+    is line-for-line checkable.  For throughput use
+    :func:`pq_encode_np` (pinned bit-equal by test): the m×ksub fold
+    expressions overwhelm whole-stage codegen limits and run ~20×
+    slower than one Arrow-batched numpy distance matrix."""
     m, ksub, dsub = codebooks.shape
     v = F.col(vec_col)
     codes = []
@@ -364,7 +365,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
     """
     m, ksub, dsub = codebooks.shape
     cells = ivf_index(corpus, centroids, vec_col=vec_col, id_col=id_col)
-    codes = pq_encode(corpus, codebooks, vec_col=vec_col, id_col=id_col)
+    codes = pq_encode_np(corpus, codebooks, vec_col=vec_col, id_col=id_col)
     index = cells.select("neighbor_id", "cell").join(
         codes.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
     )

@@ -1353,7 +1353,7 @@ def llm_pq_encode(spark, sf_dir):
     from .llm import similarity as _sim
 
     emb, cb = _pq_codebooks(spark, sf_dir)
-    enc = _sim.pq_encode(emb, cb)
+    enc = _sim.pq_encode_np(emb, cb)  # pinned bit-equal to pq_encode
     idx = F.sequence(F.lit(1).cast("long"), F.lit(8).cast("long"))
     return enc.select(
         "vec_id",
@@ -1404,7 +1404,7 @@ def llm_pq_adc_topk(spark, sf_dir):
     from .llm import similarity as _sim
 
     emb, cb = _pq_codebooks(spark, sf_dir)
-    codes = _sim.pq_encode(emb, cb)
+    codes = _sim.pq_encode_np(emb, cb)  # pinned bit-equal to pq_encode
     return _sim.pq_adc_topk(codes, emb.filter(F.col("vec_id") < 5), cb)
 
 
