@@ -856,3 +856,25 @@ def test_duplicate_spans_planted_passage(spark):
     short = spark.createDataFrame([(9, "too short")],
                                   "doc_id long, text string")
     assert dedup.duplicate_spans(short).count() == 0
+
+
+def test_training_mix_composition(spark):
+    """End-to-end pipeline semantics: the low-quality doc and the
+    exact duplicate both drop out before chunking; survivors chunk
+    and pack."""
+    from zolo_spark.llm import corpus
+
+    good = ("the cat sat on the mat and then the dog ran over the hill "
+            "to find the ball it lost yesterday near the old barn door")
+    rows = [
+        (1, good, "en"),
+        (2, good, "en"),          # exact dup of 1 -> dropped
+        (3, "!!! ??? !!!", "en"),  # punct-heavy low quality -> dropped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = corpus.training_mix(
+        docs, rates={"en": 1.0}, chunk_size=8, overlap=2, budget=16
+    ).collect()
+    assert {r.doc_id for r in out} == {1}
+    seqs = {r.chunk_id: r.seq_id for r in out}
+    assert seqs[0] == 0 and max(seqs.values()) >= 1  # packed into >1 seq

@@ -494,6 +494,39 @@ def source_cap(df: DataFrame, cap: int, source_col: str = "source",
     return pass_through.unionByName(capped)
 
 
+def training_mix(df: DataFrame, rates: dict[str, float],
+                 default_rate: float = 0.1, min_quality: float = 0.5,
+                 chunk_size: int = 32, overlap: int = 8,
+                 budget: int = 64) -> DataFrame:
+    """The end-to-end corpus → training-sequences pipeline, composed
+    from this module's stages in the order a pre-training data build
+    runs them: quality gate → exact-dedup survivors (among kept docs)
+    → stratified language mix → context-window chunking → greedy
+    sequence packing.  Returns the packed chunk stream
+    ``(doc_id, chunk_id, chunk_text, n_tokens, seq_id)``.
+
+    Every stage is individually value-oracled; composing them keeps
+    the whole pipeline oracle-checkable end to end.  Scale shape: one
+    stats pass, one fingerprint aggregate, one survivor join — then
+    the sample filter, chunk flatMap, and packing window, so the full
+    build is O(corpus) with three shuffles (stats carries none, the
+    fingerprint groupBy, the survivor join, the packing window)."""
+    from .text import text_stats
+
+    stats = text_stats(df)
+    kept = quality_filter(stats, min_quality=min_quality)
+    surv = (
+        kept.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    sampled = stratified_sample(
+        df.join(surv, "doc_id"), rates, default_rate=default_rate
+    )
+    chunks = chunk_documents(sampled, size=chunk_size, overlap=overlap)
+    return pack_chunks(chunks, budget=budget)
+
+
 def pack_chunks(chunks: DataFrame, budget: int,
                 part_col: str = "doc_id", order_col: str = "chunk_id",
                 tokens_col: str = "n_tokens") -> DataFrame:

@@ -137,7 +137,9 @@ _GRADING_PRIORITY = [
     # llm_simhash_dedup.
     "llm_image_resize", "llm_video_frames", "llm_bm25_topk",
     "llm_minhash_lsh_dedup", "llm_incremental_dedup",
-    "llm_ngram_jaccard_pairs", "llm_pack_chunks", "llm_simhash_neardup",
+    # llm_training_mix (late-r5 end-to-end capstone) takes the slot
+    # of thrice-green (r2∧r3∧r4) llm_ngram_jaccard_pairs.
+    "llm_training_mix", "llm_pack_chunks", "llm_simhash_neardup",
     # llm_pq_encode / llm_pq_adc_topk (late-r5 product-quantization
     # builds) take the slots of llm_sim_topk_cosine (r2∧r3∧r4) and
     # llm_pii_redact (r3∧r4).

@@ -1555,3 +1555,48 @@ def llm_embedding_near_dup_wide(spark, sf_dir):
     return dedup.embedding_near_dup(
         _t(spark, sf_dir, "embeddings"), bucket_dims=tuple(range(16))
     )
+
+
+@register("llm_training_mix", oracle=f"""
+WITH stats AS ({{STATS}}),
+kept AS (
+    SELECT doc_id, fingerprint FROM stats
+    WHERE quality >= 0.5 AND n_tokens_ws >= 5 AND punct_ratio <= 0.3
+), surv AS (
+    SELECT min(doc_id) AS doc_id FROM kept GROUP BY fingerprint
+), samp AS (
+    SELECT d.doc_id, d.text FROM documents d JOIN surv USING (doc_id)
+    WHERE ('0x' || substr(md5('mix-v1' || d.doc_id::VARCHAR), 1, 4))::BIGINT
+              % 10000
+          < CASE d.lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2500
+                        WHEN 'de' THEN 7500 ELSE 1000 END
+), b AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM samp
+), c AS (
+    SELECT doc_id, t, greatest(1, (len(t) - 9) // 24 + 1) AS nc FROM b
+), e AS (
+    SELECT doc_id, t, unnest(range(nc)) AS chunk_id FROM c
+), ch AS (
+    SELECT doc_id, chunk_id,
+           len(t[(chunk_id*24 + 1) : (chunk_id*24 + 32)]) AS n_tokens
+    FROM e
+)
+SELECT doc_id, chunk_id, n_tokens,
+       (coalesce(sum(n_tokens) OVER (PARTITION BY doc_id ORDER BY chunk_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) // 64)::BIGINT
+           AS seq_id
+FROM ch
+""".replace("{STATS}", _TEXT_STATS_ORACLE))
+def llm_training_mix(spark, sf_dir):
+    """End-to-end corpus -> training-sequences build: quality gate ->
+    exact-dedup survivors among kept docs -> stratified language mix
+    -> 32/8 chunking -> 64-token packing, composed from the
+    individually-oracled stages and hash-checked as ONE pipeline
+    (``corpus.training_mix``). The capstone query: a user of this
+    engine runs exactly this chain to cut a pre-training mix."""
+    out = corpus.training_mix(
+        _t(spark, sf_dir, "documents"),
+        rates={"en": 0.5, "zh": 0.25, "de": 0.75},
+    )
+    return out.select("doc_id", "chunk_id", "n_tokens", "seq_id")
