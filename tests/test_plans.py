@@ -236,3 +236,23 @@ def test_source_cap_pass_through_has_no_window(spark):
     assert "Window" in p  # the capped branch exists in the plan...
     # ...but the pass-through side is a broadcast semi join
     assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_pq_adc_broadcasts_queries_no_smj(spark):
+    p = plan_of(q(spark, "llm_pq_adc_topk"))
+    # corpus codes never shuffle toward queries: broadcast NLJ/hash
+    # only, plus the per-query top-k window
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_ivfpq_joins_broadcast(spark):
+    p = plan_of(q(spark, "llm_ivfpq_topk"))
+    assert "SortMergeJoin" not in p
+
+
+def test_training_mix_shuffle_budget(spark):
+    # quality stats ride the scan; fingerprint agg + survivor join +
+    # packing window are the only wide ops (AQE may reuse exchanges)
+    p = plan_of(q(spark, "llm_training_mix"))
+    assert n_shuffles(p) <= 4
