@@ -120,6 +120,33 @@ def test_ar1_hr_fold_twin_matches_arima_forecast():
         tsmodels.ar1_hr_forecast(np.array([1.0, 2.0, 3.0]))
 
 
+def test_arima_fold_walk_forward_matches_batched():
+    """``arima_fold_walk_forward`` (the sequential-fold kernel behind
+    the oracle-gated ``m_arima_grid_argmin`` query) must agree with
+    the batched ``arima_walk_forward`` on every FOLD_GRID order,
+    including the raises-on-short-series contract — this pin makes
+    the grid-argmin gate a value oracle on the production grid job's
+    AR / differencing paths."""
+    rng = np.random.default_rng(7)
+    for n in (5, 6, 9, 24, 80):
+        y = np.abs(rng.normal(100, 20, size=n)).cumsum() + rng.normal(0, 5, n)
+        for order in tsmodels.FOLD_GRID:
+            try:
+                bat = tsmodels.arima_walk_forward(y, order)
+            except ValueError:
+                bat = None
+            try:
+                fold = tsmodels.arima_fold_walk_forward(y, order)
+            except ValueError:
+                fold = None
+            assert (bat is None) == (fold is None), (n, order)
+            if bat is not None:
+                for a, b in zip(fold, bat):
+                    assert a == pytest.approx(b, rel=1e-9, abs=1e-9), (n, order)
+    with pytest.raises(ValueError):  # outside the closed-form sub-grid
+        tsmodels.arima_fold_walk_forward(np.ones(40), (0, 0, 1))
+
+
 def test_holt_ses_walk_forward_batched_equals_sequential():
     rng = np.random.default_rng(3)
     for n in (6, 13, 41, 97):

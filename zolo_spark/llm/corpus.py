@@ -478,9 +478,12 @@ def source_cap(df: DataFrame, cap: int, source_col: str = "source",
     (rank <= cap) lets Spark's window TopK push-down limit state.
     """
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
-    small = counts.filter(F.col("_n") <= cap).select(source_col)
     big = counts.filter(F.col("_n") > cap).select(source_col)
-    pass_through = df.join(F.broadcast(small), source_col, "left_semi")
+    # Route pass-through via ANTI-join against `big`: only the
+    # over-cap source list is guaranteed bounded (≤ N/cap entries) —
+    # at web scale nearly every distinct domain is within-cap, so
+    # broadcasting the within-cap list would blow the driver.
+    pass_through = df.join(F.broadcast(big), source_col, "left_anti")
     w = (
         Window.partitionBy(source_col)
         .orderBy(F.col(order_col).desc(), F.col(id_col).asc())

@@ -127,13 +127,19 @@ def lsh_candidate_pairs(sigs: DataFrame, k: int = N_MINHASH,
     configuration (hash-identical to rounds 1-4)."""
     banded = banded_keys(sigs, k, band_size)
     if max_bucket is not None:
-        ok = (
+        # ANTI-join against the OVER-cap bucket list: it is bounded
+        # (≤ rows/max_bucket entries, so broadcastable) while the
+        # surviving-bucket set is nearly the whole key space — a
+        # semi-join against it would be a full-size shuffle join.
+        hot = (
             banded.groupBy("band_id", "band_key")
             .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") <= max_bucket)
+            .filter(F.col("_n") > max_bucket)
             .select("band_id", "band_key")
         )
-        banded = banded.join(ok, ["band_id", "band_key"])
+        banded = banded.join(
+            F.broadcast(hot), ["band_id", "band_key"], "left_anti"
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -205,6 +211,30 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
     sh = doc_shingles(df, text_col, id_col, n).persist()
     pairs = lsh_candidate_pairs(minhash_signatures(sh), max_bucket=max_bucket)
     return jaccard_verify(pairs, sh, threshold)
+
+
+def dedup_pipeline(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", n: int = 3,
+                   threshold: float = 0.7) -> DataFrame:
+    """The standard crawl-processing composition: exact dedup FIRST
+    (linear — collapses mass duplication), then MinHash-LSH near-dup
+    over the exact survivors only, UNCAPPED.
+
+    This ordering is what makes the uncapped near-dup tractable on a
+    clone-dense corpus: identical documents share identical shingle
+    sets, so every clone family lands its whole population in the same
+    LSH buckets — O(family²) candidate pairs that ``max_bucket`` would
+    otherwise have to drop. Collapsing families to one survivor first
+    keeps bucket widths at the true near-dup density and the band join
+    linear, with no cap and therefore no recall loss; this is the
+    configuration to run at 100 TB. Returns near-dup pairs (doc1,
+    doc2, jaccard ≥ threshold) among exact survivors (keep_id = min
+    doc_id per fingerprint group)."""
+    keep = exact_dedup(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    survivors = df.join(keep, id_col, "left_semi")
+    return minhash_lsh_dedup(survivors, text_col, id_col, n, threshold)
 
 
 def build_dedup_index(df: DataFrame, text_col: str = "text",
@@ -369,13 +399,16 @@ def simhash_neardup(df: DataFrame, text_col: str = "text",
         "doc_id", "sig", F.explode(F.array(*chunks)).alias("c")
     ).select("doc_id", "sig", "c.chunk_id", "c.chunk_val")
     if max_bucket is not None:
-        ok = (
+        # Same anti-join-the-bounded-side shape as the MinHash cap.
+        hot = (
             banded.groupBy("chunk_id", "chunk_val")
             .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") <= max_bucket)
+            .filter(F.col("n") > max_bucket)
             .select("chunk_id", "chunk_val")
         )
-        banded = banded.join(ok, ["chunk_id", "chunk_val"])
+        banded = banded.join(
+            F.broadcast(hot), ["chunk_id", "chunk_val"], "left_anti"
+        )
     cand = (
         banded.alias("l")
         .join(
@@ -443,10 +476,16 @@ def cosine(a, b) -> Column:
 
 def embedding_near_dup(df: DataFrame, vec_col: str = "embedding",
                        id_col: str = "vec_id", threshold: float = 0.9,
-                       bucket_dims: tuple = (0, 1, 2, 3, 4, 5, 6, 7)) -> DataFrame:
+                       bucket_dims: tuple = tuple(range(16))) -> DataFrame:
     """Near-dup vector pairs: sign-LSH bucket join then exact cosine.
     Bucketing is recall<1 by design (the scale path); the brute-force
-    exact check lives in :mod:`zolo_spark.llm.similarity`."""
+    exact check lives in :mod:`zolo_spark.llm.similarity`.
+
+    The DEFAULT is 16 sign bits — the scale-safe width: 8 bits leave
+    ~N²/256 pair growth (the 13.4× sf3→sf10 blowup in BASELINE.md),
+    16 bits keep buckets ~N/65536 and were measured 9× faster at sf10.
+    Pass ``bucket_dims=tuple(range(8))`` to opt back into the narrow
+    (higher-recall, small-corpus) configuration."""
     # Precompute the f64 copy and the norm ONCE per vector and persist:
     # CollapseProject would otherwise inline the sqrt-aggregate into
     # every pair row (single-use alias), paying 3 array folds per pair

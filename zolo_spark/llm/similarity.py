@@ -278,8 +278,12 @@ def pq_encode_np(df: DataFrame, codebooks: np.ndarray,
                  id_col: str = "vec_id") -> DataFrame:
     """Arrow-batched numpy twin of :func:`pq_encode` (one
     distance-matrix argmin per batch; np.argmin takes the first
-    minimum = the same lowest-index tiebreak, and the ≤8-element
-    subspace sums add sequentially like the codegen fold)."""
+    minimum = the same lowest-index tiebreak, and the subspace sum is
+    an EXPLICIT sequential accumulation over the dsub axis — 0.0 + x₁
+    + x₂ + … — the same add order as the codegen fold and DuckDB's
+    ``list_reduce``, so bit-equality is structural, not an empirical
+    pin: numpy's ``.sum(-1)`` would use the pairwise 8-accumulator
+    path, whose near-tie distances could flip an argmin)."""
     m, ksub, dsub = codebooks.shape
     cb = codebooks.astype(float)
 
@@ -289,7 +293,10 @@ def pq_encode_np(df: DataFrame, codebooks: np.ndarray,
         out = np.empty((len(x), m), dtype="int64")
         for s in range(m):
             sub = x[:, s * dsub:(s + 1) * dsub]
-            d2 = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(-1)
+            sq = (sub[:, None, :] - cb[s][None, :, :]) ** 2
+            d2 = np.zeros(sq.shape[:2])
+            for j in range(dsub):  # sequential left fold, NOT .sum(-1)
+                d2 = d2 + sq[:, :, j]
             out[:, s] = np.argmin(d2, axis=1)
         return pd.Series(list(out))
 

@@ -59,6 +59,8 @@ def arima_job(
     d_values: range = range(0, 2),
     q_values: range = range(0, 5),
     key: str = "profile_name",
+    orders: list[tuple[int, int, int]] | None = None,
+    walk_forward_fn=None,
 ) -> DataFrame:
     """M4+M5+M6 → model_meta rows (``arima_models.py:172-220``).
 
@@ -71,16 +73,25 @@ def arima_job(
     keys: 50x less shuffled input and no per-cell Arrow overhead,
     while a wide cluster still parallelizes across keys. (For very few
     keys on a very wide cluster, re-adding grid keys is a one-line
-    change — the per-order fits are independent.)"""
+    change — the per-order fits are independent.)
+
+    ``orders`` overrides the p/d/q ranges with an explicit grid list
+    (grid-sequence position is the MSE tie-break either way);
+    ``walk_forward_fn(y, order) -> (mse, pred, stderr)`` swaps the
+    fitting kernel — the oracle gate passes the sequential-fold twin
+    ``tsmodels.arima_fold_walk_forward`` so the SAME grid-loop /
+    tie-break / skip machinery runs under a DuckDB value oracle."""
     model_input = prepare_model_input(weekly, forecast_start, min_weeks, key)
-    orders = [(p, d, q) for p in p_values for d in d_values for q in q_values]
+    if orders is None:
+        orders = [(p, d, q) for p in p_values for d in d_values for q in q_values]
+    wf = walk_forward_fn if walk_forward_fn is not None else tsmodels.arima_walk_forward
 
     def fit_key(pdf: pd.DataFrame) -> pd.DataFrame:
         y = _series(pdf)
         best = None  # (mse, order, pred, stderr)
         for order in orders:
             try:
-                mse, pred, stderr = tsmodels.arima_walk_forward(y, order)
+                mse, pred, stderr = wf(y, order)
             except Exception:
                 continue  # non-converging order: skipped, lib.py:129-130
             if best is None or mse < best[0]:

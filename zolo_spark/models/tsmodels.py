@@ -423,6 +423,105 @@ def arima_walk_forward(
     return mse, float(preds[-1]), sigma_final
 
 
+# Closed-form sub-grid: the orders whose Hannan–Rissanen fit reduces
+# to scalar left folds (no q ⇒ no stage-1 long-AR pinv; p ≤ 1 ⇒ the
+# stage-2 Gram is 1×1 ⇒ coef = sxy/sxx). These are SQL-replayable, so
+# the grid ARGMIN itself — the part of the ARIMA job the batched
+# solver shares with every order — can carry a DuckDB value oracle.
+FOLD_GRID = ((0, 0, 0), (0, 1, 0), (1, 0, 0), (1, 1, 0))
+
+
+def arima_fold_forecast(y, order: tuple[int, int, int]) -> float:
+    """Sequential-fold twin of ``arima_forecast(y, order)[0]`` for the
+    closed-form sub-grid :data:`FOLD_GRID`.
+
+    Every sum is an explicit left fold over Python floats starting at
+    0.0, so DuckDB's ``list_reduce(l, (p, q) -> p + q)`` adds the same
+    doubles in the same order → bit-equal predictions cross-engine
+    (the generalization of :func:`ar1_hr_forecast`, which equals the
+    ``(1, 0, 0)`` branch). Raises on series too short for the order,
+    with the same bound as :func:`arima_forecast` — callers skip.
+    """
+    p, d, q = order
+    if q != 0 or p not in (0, 1) or d not in (0, 1):
+        raise ValueError(f"order {order} outside the fold sub-grid")
+    z = [float(v) for v in y]
+    for _ in range(d):
+        z = [z[t] - z[t - 1] for t in range(1, len(z))]
+    n = len(z)
+    if n < max(p, q) + max(p + q, 1) + 2:
+        raise ValueError(f"series too short for order {order}")
+    s = 0.0
+    for v in z:
+        s += v
+    mu = s / n
+    if p == 0:
+        pred_z = mu  # ARIMA(0,d,0): forecast the (differenced) mean
+    else:
+        sxy = 0.0
+        sxx = 0.0
+        for t in range(1, n):
+            zl = z[t - 1] - mu
+            sxy += zl * (z[t] - mu)
+            sxx += zl * zl
+        coef = sxy / sxx if sxx != 0.0 else 0.0
+        pred_z = mu + coef * (z[n - 1] - mu)
+    if d == 1:
+        pred_z = pred_z + float(y[len(y) - 1])  # undo differencing
+    return pred_z
+
+
+def _fold_sigma(y, order: tuple[int, int, int]) -> float:
+    """Residual std error of the full-series fold fit (mirrors
+    ``arima_forecast``'s sigma for the sub-grid orders)."""
+    p, d, _ = order
+    z = [float(v) for v in y]
+    for _ in range(d):
+        z = [z[t] - z[t - 1] for t in range(1, len(z))]
+    n = len(z)
+    s = 0.0
+    for v in z:
+        s += v
+    mu = s / n
+    if p == 0:
+        resid = [v - mu for v in z]
+    else:
+        sxy = 0.0
+        sxx = 0.0
+        for t in range(1, n):
+            zl = z[t - 1] - mu
+            sxy += zl * (z[t] - mu)
+            sxx += zl * zl
+        coef = sxy / sxx if sxx != 0.0 else 0.0
+        resid = [
+            (z[t] - mu) - coef * (z[t - 1] - mu) for t in range(1, n)
+        ]
+    acc = 0.0
+    for r in resid:
+        acc += r * r
+    return float(np.sqrt(acc / len(resid))) if resid else 0.0
+
+
+def arima_fold_walk_forward(
+    y, order: tuple[int, int, int], train_fraction: float = 0.75,
+) -> tuple[float, float, float]:
+    """``(mse, prediction, std_error)`` walk-forward using the
+    sequential-fold forecast — the oracle-replayable twin of
+    :func:`arima_walk_forward` for :data:`FOLD_GRID` orders (pytest
+    pins them equal to float tolerance, transitively value-gating the
+    batched solver's AR/differencing paths). The error mean is
+    :func:`seq_mean`, so the oracle holds at any test-split length."""
+    ys = [float(v) for v in y]
+    n = len(ys)
+    split = int(n * train_fraction)
+    if split < 1:
+        raise ValueError("series too short for walk-forward")
+    preds = [arima_fold_forecast(ys[:h], order) for h in range(split, n)]
+    errs = [(ys[h] - preds[h - split]) ** 2 for h in range(split, n)]
+    mse = seq_mean(errs) if errs else float("inf")
+    return mse, arima_fold_forecast(ys, order), _fold_sigma(ys, order)
+
+
 def _ar_residuals(zc: np.ndarray, m: int) -> np.ndarray:
     """Residuals of an AR(m) OLS fit, zero-padded to len(zc)."""
     n = len(zc)

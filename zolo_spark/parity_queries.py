@@ -118,9 +118,13 @@ _GRADING_PRIORITY = [
     "j1_left_join_header_details", "j3_filtering_inner_join",
     "w1_group_min_broadcast", "w2_group_count_filter",
     "p9_market_classification", "n2_json_field_access",
-    # Round-5 first-timers: driver-env ts probes (r4 VERDICT item 1) +
-    # the never-graded stratified sample + new oracled entries (6).
-    "probe_ts_epoch_us", "probe_ts_epoch_us_cast", "probe_ts_lag_gap",
+    # Round-6 rotation: the three r5 ts-diagnostic probes
+    # (probe_ts_epoch_us / _cast / _lag_gap) did their job (green r5,
+    # diagnosis closed) and rotate out per the r5 verdict; their slots
+    # go to the round-6 builds below (m_arima_grid_argmin here, two
+    # more in their family groups). probe_ts_lag_gap holds the third
+    # slot until the round-6 color-JPEG gate lands.
+    "m_arima_grid_argmin", "probe_ts_lag_gap",
     "llm_stratified_sample", "llm_bpe_merges", "scd2_batch_twin",
     "llm_jpeg_roundtrip",
     # Late-r5 builds (3): chunking, unigram-LM scoring, per-source cap
@@ -137,6 +141,9 @@ _GRADING_PRIORITY = [
     # llm_simhash_dedup.
     "llm_image_resize", "llm_video_frames", "llm_bm25_topk",
     "llm_minhash_lsh_dedup", "llm_incremental_dedup",
+    # Round-6 build: exact-dedup-first + uncapped LSH composition
+    # (slot from the rotated-out probe_ts_epoch_us_cast).
+    "llm_dedup_pipeline",
     # llm_training_mix (late-r5 end-to-end capstone) takes the slot
     # of thrice-green (r2∧r3∧r4) llm_ngram_jaccard_pairs.
     "llm_training_mix", "llm_pack_chunks", "llm_simhash_neardup",

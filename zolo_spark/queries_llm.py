@@ -198,6 +198,47 @@ def llm_minhash_lsh_dedup(spark, sf_dir):
     return dedup.minhash_lsh_dedup(_t(spark, sf_dir, "documents"))
 
 
+@register("llm_dedup_pipeline", oracle=f"""
+WITH surv AS (
+    SELECT MIN(doc_id) AS doc_id
+    FROM documents GROUP BY md5({_NORMALIZED})
+), docs AS (
+    SELECT d.doc_id, d.text FROM documents d JOIN surv USING (doc_id)
+), {_MINHASH_CTE.replace("FROM documents", "FROM docs")}
+, banded AS (
+    SELECT doc_id, unnest([{_BAND_KEYS}]) AS band_key,
+           unnest([0, 1, 2, 3]) AS band_id
+    FROM sigs
+), cand AS (
+    SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+    FROM banded l JOIN banded r
+      ON l.band_id = r.band_id AND l.band_key = r.band_key
+     AND l.doc_id < r.doc_id
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM shingled GROUP BY doc_id
+), inter AS (
+    SELECT c.doc1, c.doc2, COUNT(*) AS i
+    FROM cand c
+    JOIN shingled s1 ON s1.doc_id = c.doc1
+    JOIN shingled s2 ON s2.doc_id = c.doc2 AND s2.shingle = s1.shingle
+    GROUP BY c.doc1, c.doc2
+)
+SELECT doc1, doc2,
+       round(i / (z1.sz + z2.sz - i)::DOUBLE, 4) AS jaccard
+FROM inter
+JOIN sizes z1 ON z1.doc_id = doc1
+JOIN sizes z2 ON z2.doc_id = doc2
+WHERE round(i / (z1.sz + z2.sz - i)::DOUBLE, 4) >= 0.7
+""")
+def llm_dedup_pipeline(spark, sf_dir):
+    """Exact-dedup-first → UNCAPPED MinHash-LSH near-dup over the
+    survivors, composed as ONE pipeline (``dedup.dedup_pipeline``) —
+    the standard crawl-processing order that keeps uncapped LSH linear
+    on clone-dense corpora (clone families collapse before banding, so
+    no ``max_bucket`` recall loss is needed at scale)."""
+    return dedup.dedup_pipeline(_t(spark, sf_dir, "documents"))
+
+
 _INCR_SPLIT = 400  # docs >= split form the "new batch" at any sf
 
 
@@ -337,7 +378,7 @@ def llm_simhash_neardup(spark, sf_dir):
 
 _BUCKET_SQL = " || ".join(
     f"(CASE WHEN embedding[{d + 1}] > 0 THEN '1' ELSE '0' END)"
-    for d in range(8)
+    for d in range(16)
 )
 
 
@@ -354,7 +395,9 @@ WHERE round({_cos_sql('a.v', 'b.v')}, 4) >= 0.9
 """)
 def llm_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs via coordinate-sign LSH
-    buckets (8 sign bits) + exact f64 cosine ≥ 0.9."""
+    buckets + exact f64 cosine ≥ 0.9, graded at the scale-safe
+    16-sign-bit DEFAULT (round-6 flip: the 8-bit config measured
+    13.4× superlinear at sf10 and is now the opt-in)."""
     return dedup.embedding_near_dup(_t(spark, sf_dir, "embeddings"))
 
 
@@ -1348,8 +1391,11 @@ def llm_pq_encode(spark, sf_dir):
     L2-argmin codeword index, ties to the lowest index. Seeded
     deterministic codebooks (the 16 lowest vec_ids, as the IVF gate
     seeds its centroids) so the whole encoder is value-oracled;
-    ``pq_train`` remains the production recipe. Pure whole-stage
-    codegen — no UDF, no shuffle (``similarity.pq_encode``)."""
+    ``pq_train`` remains the production recipe. The graded query runs
+    the Arrow/numpy encoder ``pq_encode_np`` (ArrowEvalPython, ~20×
+    faster) — sequential-fold subspace sums keep it bit-equal to the
+    whole-stage-codegen reference ``similarity.pq_encode``, which
+    stays as the line-for-line oracle-parity form."""
     from .llm import similarity as _sim
 
     emb, cb = _pq_codebooks(spark, sf_dir)
@@ -1545,15 +1591,16 @@ def llm_duplicate_spans(spark, sf_dir):
     return dedup.duplicate_spans(_t(spark, sf_dir, "documents"))
 
 
-@register("llm_embedding_near_dup_wide")
-def llm_embedding_near_dup_wide(spark, sf_dir):
-    """Embedding near-dup with 16 sign bits (the deployment width for
-    million-vector corpora): 8 bits leave N^2/256 pair growth — the
-    13.7x sf3->sf10 blowup in BASELINE.md — while 16 bits keep
-    buckets ~N/65536. Same recall<1-by-design contract; the graded
-    8-bit gate is unchanged."""
+@register("llm_embedding_near_dup_8bit")
+def llm_embedding_near_dup_8bit(spark, sf_dir):
+    """Embedding near-dup at the narrow 8-sign-bit OPT-IN (higher
+    recall for small corpora; ~N²/256 pair growth at scale — see
+    BASELINE.md sf10). Round-6 flip: 16 bits became the default and
+    the graded config; this bench entry keeps the 8-bit dial
+    measured (replaces the old llm_embedding_near_dup_wide, whose
+    16-bit config is now the graded default)."""
     return dedup.embedding_near_dup(
-        _t(spark, sf_dir, "embeddings"), bucket_dims=tuple(range(16))
+        _t(spark, sf_dir, "embeddings"), bucket_dims=tuple(range(8))
     )
 
 

@@ -174,6 +174,104 @@ _FULL_WEEKLY_SQL = f"""
 """
 
 
+@register("m_arima_grid_argmin", oracle="""
+WITH weekly AS (
+{FULL_WEEKLY}
+), series AS (
+    SELECT profile_name, list(weight ORDER BY week_date) AS ys,
+           count(*)::INT AS n
+    FROM weekly GROUP BY 1 HAVING count(*) > 5
+), grid(ord_idx, p, d, q) AS (
+    -- grid-sequence position = MSE tie-break (first strictly-better
+    -- wins in the job loop => lowest ord_idx on equal mse)
+    VALUES (0, 0, 0, 0), (1, 0, 1, 0), (2, 1, 0, 0), (3, 1, 1, 0)
+), hs AS (
+    SELECT profile_name, ys, n, ord_idx, p, d, q,
+           floor(0.75 * n)::INT AS split,
+           unnest(range(floor(0.75 * n)::BIGINT, n + 1))::INT AS h
+    FROM series CROSS JOIN grid
+    -- order eligibility at the shortest prefix (the job skips raising
+    -- orders): z-length split-d must reach the arima_forecast bound
+    WHERE floor(0.75 * n)::INT - d >= CASE WHEN p = 1 THEN 4 ELSE 3 END
+), zs AS (
+    SELECT *,
+           CASE WHEN d = 1
+                THEN list_transform(range(2, h + 1), t -> ys[t] - ys[t-1])
+                ELSE ys[1:h] END AS z,
+           (h - d)::INT AS m
+    FROM hs
+), centered AS (
+    SELECT *, list_reduce(z, (a, b) -> a + b) / m AS mu FROM zs
+), fit AS (
+    SELECT *,
+        CASE WHEN p = 1 THEN list_reduce(list_transform(range(2, m + 1),
+            t -> (z[t-1] - mu) * (z[t] - mu)), (a, b) -> a + b) END AS sxy,
+        CASE WHEN p = 1 THEN list_reduce(list_transform(range(2, m + 1),
+            t -> (z[t-1] - mu) * (z[t-1] - mu)), (a, b) -> a + b) END AS sxx
+    FROM centered
+), preds AS (
+    SELECT *, CASE WHEN d = 1 THEN base + ys[h] ELSE base END AS pred
+    FROM (
+        SELECT *, CASE WHEN p = 0 THEN mu
+                       ELSE mu + (CASE WHEN sxx = 0 THEN 0 ELSE sxy / sxx END)
+                            * (z[m] - mu) END AS base
+        FROM fit
+    )
+), scored AS (
+    SELECT profile_name, ord_idx, p, d, q, n, split, h, pred,
+           CASE WHEN h < n THEN (ys[h+1] - pred) * (ys[h+1] - pred) END AS err
+    FROM preds
+), mses AS (
+    SELECT profile_name, ord_idx, p, d, q,
+           list_reduce(list(err ORDER BY h) FILTER (WHERE err IS NOT NULL),
+                       (a, b) -> a + b)
+               / (any_value(n) - any_value(split)) AS mse,
+           max(CASE WHEN h = n THEN pred END) AS prediction
+    FROM scored GROUP BY profile_name, ord_idx, p, d, q
+), best AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY profile_name
+                                 ORDER BY mse, ord_idx) AS rk
+    FROM mses
+)
+SELECT profile_name,
+       '(' || p || ', ' || d || ', ' || q || ')' AS best_config,
+       round(sqrt(mse), 2) AS rmse,
+       round(prediction, 2) AS prediction,
+       TIMESTAMP '{START}' AS forecast_start
+FROM best WHERE rk = 1
+""".replace("{FULL_WEEKLY}", _FULL_WEEKLY_SQL).replace("{START}", _FORECAST_START))
+def m_arima_grid_argmin(spark, sf_dir):
+    """M4+M5+M6 with a VALUE oracle: the REAL ``arima_job`` machinery
+    (prepare → ``applyInPandas`` → per-order walk-forward loop →
+    first-strictly-better argmin, ``arima_models.py:172-220`` /
+    ``lib.py:121-128``) over the closed-form sub-grid
+    ``tsmodels.FOLD_GRID`` = {(0,0,0),(0,1,0),(1,0,0),(1,1,0)} on the
+    FULL weekly history.
+
+    The kernel is ``arima_fold_walk_forward`` — every per-prefix fit a
+    sequential left fold (prefix mean / centered AR(1) OLS /
+    differencing), so DuckDB replays each order's fold MSE bit-equal
+    and the per-brand argmin (ties → grid sequence, = the job loop)
+    reproduces exactly. pytest pins the fold kernel to the batched
+    ``arima_walk_forward`` on these orders, transitively value-gating
+    the production grid job's AR/differencing paths; the full 50-order
+    grid (``m_arima_weekly_forecast``) keeps its rows-only row by
+    nature (stage-1 long-AR pinv is not SQL-expressible)."""
+    from .models import tsmodels
+
+    out = grouped.arima_job(
+        _weekly_brand_revenue(spark, sf_dir), _FORECAST_START,
+        orders=list(tsmodels.FOLD_GRID),
+        walk_forward_fn=tsmodels.arima_fold_walk_forward,
+    )
+    return out.select(
+        "profile_name", "best_config",
+        F.round(F.sqrt("mse"), 2).alias("rmse"),
+        F.round("prediction", 2).alias("prediction"),
+        "forecast_start",
+    )
+
+
 @register("m_holt_weekly_forecast", oracle=f"""
 WITH RECURSIVE weekly AS (
 {_FULL_WEEKLY_SQL}
