@@ -247,6 +247,101 @@ def test_jpeg_flat_even_blocks_lossless_at_q50(seed, wb, hb):
     assert (out["pixels"] == img).all()
 
 
+@given(
+    px=st.integers(8, 40).flatmap(
+        lambda w: st.integers(8, 24).flatmap(
+            lambda h: st.lists(
+                st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+            ).map(lambda vals: (w, h, vals))
+        )
+    ),
+    quality=st.sampled_from([50, 75, 90]),
+)
+@settings(max_examples=15, deadline=None)
+def test_jpeg_color_round_trip_property(px, quality):
+    """Color (YCbCr 4:2:0) structural property: any RGB image (any
+    dims → pad to 16 + crop) survives encode→decode with correct
+    shape. Per-pixel error has no tight closed bound (2×2 chroma
+    subsampling is itself lossy on arbitrary content), so the checks
+    are: exact dims, and luminance preserved within the grayscale
+    quantization bound + color-transform slack — Y is NOT subsampled,
+    so its error budget matches the grayscale codec's."""
+    import numpy as np
+
+    from zolo_spark.llm import multimodal
+
+    w, h, vals = px
+    img = np.array(vals, dtype=np.uint8).reshape(h, w, 3)
+    out = multimodal.jpeg_decode_color(
+        multimodal.jpeg_encode_color(img, quality))
+    assert (out["width"], out["height"]) == (w, h)
+    assert out["pixels"].shape == (h, w, 3)
+    y_in = multimodal.rgb_to_ycbcr(
+        img[..., 0], img[..., 1], img[..., 2])[0]
+    y_out = multimodal.rgb_to_ycbcr(
+        out["pixels"][..., 0], out["pixels"][..., 1],
+        out["pixels"][..., 2])[0]
+    qt = multimodal._jpeg_qtable(quality).astype(float)
+    c = np.ones(8)
+    c[0] = 1 / np.sqrt(2)
+    # + slack for the two integer color transforms' rounding (≤3 each
+    # way through the chroma cross-terms) on top of uint8 rounding
+    bound = min(255.0, (qt / 2 * np.outer(c, c) / 4).sum() + 4)
+    assert np.abs(y_out.astype(int) - y_in.astype(int)).max() <= bound
+
+
+def test_jpeg_color_exact_triples_roundtrip():
+    """The oracle-carrying regime: 16×16-MCU-constant images colored
+    from JPEG_RT_TRIPLES reconstruct BIT-EXACTLY at quality 50 — each
+    triple's (Y, Cb, Cr) lands on (even, 128+17k, 128+17k), the
+    classes where both DC quantizers divide exactly and the integer
+    inverse transform returns the original RGB. Also pins the triple
+    table itself: every entry must be a fixed point of
+    inverse∘forward and in the exact classes."""
+    import numpy as np
+
+    from zolo_spark.llm import multimodal
+
+    for (r, g, b) in multimodal.JPEG_RT_TRIPLES:
+        y, cb, cr = (int(v[0]) for v in multimodal.rgb_to_ycbcr(
+            np.array([r]), np.array([g]), np.array([b])))
+        assert y % 2 == 0 and (cb - 128) % 17 == 0 and (cr - 128) % 17 == 0
+        rr, gg, bb = (int(v[0]) for v in multimodal.ycbcr_to_rgb(
+            np.array([y]), np.array([cb]), np.array([cr])))
+        assert (rr, gg, bb) == (r, g, b)
+
+    trip = np.array(multimodal.JPEG_RT_TRIPLES, dtype=np.uint8)
+    rng = np.random.default_rng(5)
+    for wm, hm in [(1, 1), (3, 2), (2, 3)]:
+        cols = trip[rng.integers(0, 8, (hm, wm))]
+        img = np.kron(cols, np.ones((16, 16, 1), dtype=np.uint8))
+        out = multimodal.jpeg_decode_color(multimodal.jpeg_encode_color(img))
+        assert (out["pixels"] == img).all()
+
+
+def test_jpeg_color_decoder_strictness():
+    """The color decoder rejects malformed/unsupported inputs: bad
+    SOI, truncation, and the grayscale stream (wrong component
+    count); the grayscale decoder likewise rejects the color
+    stream."""
+    import numpy as np
+    import pytest
+
+    from zolo_spark.llm import multimodal
+
+    img = np.full((16, 16, 3), 100, dtype=np.uint8)
+    good = multimodal.jpeg_encode_color(img)
+    with pytest.raises(ValueError):
+        multimodal.jpeg_decode_color(b"\x00\x01" + good[2:])
+    with pytest.raises(ValueError):
+        multimodal.jpeg_decode_color(good[:40])
+    gray = multimodal.jpeg_encode(np.full((8, 8), 100, dtype=np.uint8))
+    with pytest.raises(ValueError):
+        multimodal.jpeg_decode_color(gray)
+    with pytest.raises(ValueError):
+        multimodal.jpeg_decode(good)
+
+
 def test_jpeg_decoder_strictness():
     """The decoder rejects malformed containers rather than guessing."""
     import numpy as np

@@ -605,6 +605,42 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
 
+def _encode_block(bw: "_BitWriter", blk: np.ndarray, q: np.ndarray,
+                  dc_codes: dict, ac_codes: dict, prev_dc: int) -> int:
+    """Forward DCT + quantize + Huffman-code ONE 8×8 block (T.81
+    F.1.2); returns the new DC predictor. Shared by the grayscale and
+    color encoders — the color scan just calls this per component with
+    the component's tables and predictor."""
+    s = blk.astype(np.float64) - 128.0
+    coef = _DCT_M @ s @ _DCT_M.T
+    zz = np.round(coef / q).astype(np.int64).reshape(-1)[_ZIGZAG]
+    # DC: differential, category + offset bits
+    diff = int(zz[0] - prev_dc)
+    size = _category(diff)
+    bw.write(*dc_codes[size])
+    if size:
+        bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    # AC: (run, size) symbols with ZRL / EOB
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = int(nz[-1]) + 1 if nz.size else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.write(*ac_codes[0xF0])  # ZRL
+            run -= 16
+        size = _category(v)
+        bw.write(*ac_codes[(run << 4) | size])
+        bw.write(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last < 63:
+        bw.write(*ac_codes[0x00])  # EOB
+    return int(zz[0])
+
+
 def jpeg_encode(pixels: np.ndarray, quality: int = 50) -> bytes:
     """Encode an (H, W) uint8 array as a baseline grayscale JFIF JPEG.
     Non-multiple-of-8 dimensions are edge-padded (the standard MCU
@@ -624,34 +660,7 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 50) -> bytes:
     for by in range(ph // 8):
         for bx in range(pw // 8):
             blk = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
-            s = blk.astype(np.float64) - 128.0
-            coef = _DCT_M @ s @ _DCT_M.T
-            zz = np.round(coef / q).astype(np.int64).reshape(-1)[_ZIGZAG]
-            # DC: differential, category + offset bits
-            diff = int(zz[0] - prev_dc)
-            prev_dc = int(zz[0])
-            size = _category(diff)
-            bw.write(*dc_codes[size])
-            if size:
-                bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
-            # AC: (run, size) symbols with ZRL / EOB
-            run = 0
-            nz = np.nonzero(zz[1:])[0]
-            last = int(nz[-1]) + 1 if nz.size else 0
-            for k in range(1, last + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    bw.write(*ac_codes[0xF0])  # ZRL
-                    run -= 16
-                size = _category(v)
-                bw.write(*ac_codes[(run << 4) | size])
-                bw.write(v if v > 0 else v + (1 << size) - 1, size)
-                run = 0
-            if last < 63:
-                bw.write(*ac_codes[0x00])  # EOB
+            prev_dc = _encode_block(bw, blk, q, dc_codes, ac_codes, prev_dc)
     entropy = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -712,6 +721,35 @@ class _BitReader:
 
 def _extend(v: int, size: int) -> int:
     return v - (1 << size) + 1 if v < (1 << (size - 1)) else v
+
+
+def _decode_block(br: "_BitReader", dc_tbl: dict, ac_tbl: dict,
+                  q: np.ndarray, prev_dc: int) -> tuple[np.ndarray, int]:
+    """Entropy-decode + dequantize + IDCT ONE 8×8 block; returns the
+    spatial block (float, centered at 0… i.e. pre-+128) and the new DC
+    predictor. Shared by the grayscale and color decoders."""
+    zz = np.zeros(64, dtype=np.int64)
+    size = br.read_symbol(dc_tbl)
+    diff = _extend(br.read(size), size) if size else 0
+    prev_dc += diff
+    zz[0] = prev_dc
+    k = 1
+    while k < 64:
+        sym = br.read_symbol(ac_tbl)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 0xF
+        k += run
+        if k > 63:
+            raise ValueError("AC coefficient index out of range")
+        zz[k] = _extend(br.read(size), size)
+        k += 1
+    coef = np.zeros(64, dtype=np.float64)
+    coef[_ZIGZAG] = zz
+    return _DCT_M.T @ (coef.reshape(8, 8) * q) @ _DCT_M, prev_dc
 
 
 def jpeg_decode(data: bytes) -> dict:
@@ -778,31 +816,8 @@ def jpeg_decode(data: bytes) -> dict:
     prev_dc = 0
     for by in range(ph // 8):
         for bx in range(pw // 8):
-            zz = np.zeros(64, dtype=np.int64)
-            size = br.read_symbol(dc_tbl)
-            diff = _extend(br.read(size), size) if size else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = br.read_symbol(ac_tbl)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 0xF
-                k += run
-                if k > 63:
-                    raise ValueError("AC coefficient index out of range")
-                zz[k] = _extend(br.read(size), size)
-                k += 1
-            coef = np.zeros(64, dtype=np.float64)
-            coef[_ZIGZAG] = zz
-            coef = coef.reshape(8, 8) * q
-            out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
-                _DCT_M.T @ coef @ _DCT_M
-            )
+            blk, prev_dc = _decode_block(br, dc_tbl, ac_tbl, q, prev_dc)
+            out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = blk
     px = np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)
     return {"width": w, "height": h, "pixels": px[:h, :w],
             "quality_table": q}
@@ -879,6 +894,338 @@ def jpeg_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(kernel, schema=JPEG_STATS_SCHEMA)
+
+
+# ------------------------------------------------- color JPEG (YCbCr 4:2:0)
+#
+# The other half of ITU T.81 baseline: three components, BT.601-style
+# color transform, 2×2 chroma subsampling, interleaved MCU scan with
+# per-component quantization/Huffman tables (Annex K.1+K.2 / K.3).
+# The color transform is INTEGER fixed-point (8-bit coefficients,
+# round-half-up via +128 >> 8) — JFIF does not mandate a bit-exact
+# RGB↔YCbCr, and integer math is what makes the round-trip gate's
+# DuckDB oracle replayable term for term.
+
+_JPEG_QTABLE_C = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int32)  # Annex K.2 chrominance
+
+_JPEG_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS_C = list(range(12))  # K.3.3.1 chrominance DC
+_JPEG_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_JPEG_AC_VALS_C = [  # K.3.3.2 chrominance AC
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpeg_qtable_c(quality: int) -> np.ndarray:
+    """IJG quality scaling over the Annex K.2 chrominance table."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be 1..100, got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (_JPEG_QTABLE_C * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+def rgb_to_ycbcr(r: np.ndarray, g: np.ndarray, b: np.ndarray):
+    """Integer fixed-point BT.601 forward transform (the codec's
+    spec): Y = (77R+150G+29B+128)>>8, chroma offset-128. The
+    coefficient rows sum to 256 / 0 / 0, so gray maps to chroma-128
+    exactly. >> is an arithmetic (floor) shift, as in SQL ``//``
+    on the shifted sum — both engines replay this bit-for-bit."""
+    r = r.astype(np.int64)
+    g = g.astype(np.int64)
+    b = b.astype(np.int64)
+    y = (77 * r + 150 * g + 29 * b + 128) >> 8
+    cb = ((-43 * r - 85 * g + 128 * b + 128) >> 8) + 128
+    cr = ((128 * r - 107 * g - 21 * b + 128) >> 8) + 128
+    return y, cb, cr
+
+
+def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
+    """Integer fixed-point inverse (clipped to [0, 255])."""
+    y = y.astype(np.int64)
+    cb = cb.astype(np.int64) - 128
+    cr = cr.astype(np.int64) - 128
+    r = y + ((359 * cr + 128) >> 8)
+    g = y - ((88 * cb + 183 * cr + 128) >> 8)
+    b = y + ((454 * cb + 128) >> 8)
+    clip = lambda v: np.clip(v, 0, 255).astype(np.uint8)  # noqa: E731
+    return clip(r), clip(g), clip(b)
+
+
+def jpeg_encode_color(pixels: np.ndarray, quality: int = 50) -> bytes:
+    """Encode an (H, W, 3) RGB uint8 array as a baseline YCbCr 4:2:0
+    JFIF JPEG: integer color transform, 2×2 box chroma subsample
+    (round-half-up), interleaved 16×16 MCUs of 4 Y + 1 Cb + 1 Cr
+    blocks with per-component DC predictors and the Annex K
+    luminance/chrominance table pairs."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("jpeg_encode_color expects an (H, W, 3) RGB array")
+    h, w = px.shape[:2]
+    ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+    padded = np.pad(px, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    y, cb, cr = rgb_to_ycbcr(padded[..., 0], padded[..., 1], padded[..., 2])
+    # 4:2:0: 2×2 integer box average, round-half-up
+    sub = lambda c: (c[0::2, 0::2] + c[0::2, 1::2]  # noqa: E731
+                     + c[1::2, 0::2] + c[1::2, 1::2] + 2) >> 2
+    cb_s, cr_s = sub(cb), sub(cr)
+
+    ql, qc = _jpeg_qtable(quality), _jpeg_qtable_c(quality)
+    dc_l = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_l = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc_c = _huff_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
+    ac_c = _huff_codes(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
+    bw = _BitWriter()
+    pred = [0, 0, 0]  # Y, Cb, Cr DC predictors
+    for my in range(ph // 16):
+        for mx in range(pw // 16):
+            for dy in range(2):  # 4 luminance blocks, raster order
+                for dx in range(2):
+                    r0, c0 = my * 16 + dy * 8, mx * 16 + dx * 8
+                    pred[0] = _encode_block(
+                        bw, y[r0:r0 + 8, c0:c0 + 8], ql, dc_l, ac_l, pred[0])
+            pred[1] = _encode_block(
+                bw, cb_s[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8],
+                qc, dc_c, ac_c, pred[1])
+            pred[2] = _encode_block(
+                bw, cr_s[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8],
+                qc, dc_c, ac_c, pred[2])
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = (seg(0xDB, bytes([0]) + bytes(
+               int(ql.reshape(-1)[_ZIGZAG][k]) for k in range(64)))
+           + seg(0xDB, bytes([1]) + bytes(
+               int(qc.reshape(-1)[_ZIGZAG][k]) for k in range(64))))
+    sof0 = seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+               + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    dht = (seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+               + bytes(_JPEG_DC_VALS))
+           + seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS)
+                 + bytes(_JPEG_AC_VALS))
+           + seg(0xC4, bytes([0x01]) + bytes(_JPEG_DC_BITS_C)
+                 + bytes(_JPEG_DC_VALS_C))
+           + seg(0xC4, bytes([0x11]) + bytes(_JPEG_AC_BITS_C)
+                 + bytes(_JPEG_AC_VALS_C)))
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1)
+               + bytes([0, 0]))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return (b"\xff\xd8" + app0 + dqt + sof0 + dht + sos
+            + entropy + b"\xff\xd9")
+
+
+def jpeg_decode_color(data: bytes) -> dict:
+    """Decode a baseline YCbCr 4:2:0 JPEG (3 components, 2×2/1×1/1×1
+    sampling — the layout :func:`jpeg_encode_color` writes and the
+    overwhelmingly common web-JPEG shape). Returns ``{"width",
+    "height", "pixels"(H,W,3 uint8)}``; raises ``ValueError`` on
+    other sampling layouts, progressive scans, or truncation."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos, qtables, sof, scomp = 2, {}, None, None
+    dc_tbls: dict[int, dict] = {}
+    ac_tbls: dict[int, dict] = {}
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        (ln,) = struct.unpack(">H", data[pos + 2: pos + 4])
+        body = data[pos + 4: pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("truncated segment")
+        if marker == 0xDB:
+            while body:
+                pq_tq, body = body[0], body[1:]
+                if pq_tq >> 4:
+                    raise ValueError("16-bit quant tables unsupported")
+                t = np.zeros(64, dtype=np.int32)
+                t[_ZIGZAG] = np.frombuffer(body[:64], np.uint8)
+                qtables[pq_tq & 0xF] = t.reshape(8, 8)
+                body = body[64:]
+        elif marker == 0xC0:
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 3:
+                raise ValueError("jpeg_decode_color: 8-bit 3-component only")
+            comps = {}
+            for i in range(3):
+                cid, samp, tq = body[6 + 3 * i: 9 + 3 * i]
+                comps[cid] = (samp, tq)
+            if [comps[c][0] for c in sorted(comps)] != [0x22, 0x11, 0x11]:
+                raise ValueError("only 4:2:0 (2x2,1x1,1x1) supported")
+            sof = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xC4:
+            while body:
+                tc_th = body[0]
+                bits = list(body[1:17])
+                n = sum(bits)
+                vals = list(body[17:17 + n])
+                decode = {
+                    (ln2, code): sym
+                    for sym, (code, ln2) in _huff_codes(bits, vals).items()
+                }
+                if tc_th >> 4 == 0:
+                    dc_tbls[tc_th & 0xF] = decode
+                else:
+                    ac_tbls[tc_th & 0xF] = decode
+                body = body[17 + n:]
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != 3:
+                raise ValueError("3-component scan expected")
+            scomp = {body[1 + 2 * i]: body[2 + 2 * i] for i in range(3)}
+            pos += 2 + ln
+            break
+        pos += 2 + ln
+    if sof is None or scomp is None or not dc_tbls or not qtables:
+        raise ValueError("missing SOF0/DHT/DQT before SOS")
+    h, w, comps = sof
+    ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+    cids = sorted(comps)  # Y, Cb, Cr in component-id order
+    q_of = {c: qtables[comps[c][1]] for c in cids}
+    dc_of = {c: dc_tbls[scomp[c] >> 4] for c in cids}
+    ac_of = {c: ac_tbls[scomp[c] & 0xF] for c in cids}
+    br = _BitReader(data[pos: data.rfind(b"\xff\xd9")])
+    y = np.empty((ph, pw), dtype=np.float64)
+    cb = np.empty((ph // 2, pw // 2), dtype=np.float64)
+    cr = np.empty((ph // 2, pw // 2), dtype=np.float64)
+    pred = {c: 0 for c in cids}
+    cy, ccb, ccr = cids
+    for my in range(ph // 16):
+        for mx in range(pw // 16):
+            for dy in range(2):
+                for dx in range(2):
+                    blk, pred[cy] = _decode_block(
+                        br, dc_of[cy], ac_of[cy], q_of[cy], pred[cy])
+                    r0, c0 = my * 16 + dy * 8, mx * 16 + dx * 8
+                    y[r0:r0 + 8, c0:c0 + 8] = blk
+            blk, pred[ccb] = _decode_block(
+                br, dc_of[ccb], ac_of[ccb], q_of[ccb], pred[ccb])
+            cb[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = blk
+            blk, pred[ccr] = _decode_block(
+                br, dc_of[ccr], ac_of[ccr], q_of[ccr], pred[ccr])
+            cr[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = blk
+    yi = np.clip(np.round(y + 128.0), 0, 255).astype(np.int64)
+    up = lambda c: np.repeat(  # noqa: E731  nearest-neighbor upsample
+        np.repeat(np.clip(np.round(c + 128.0), 0, 255).astype(np.int64),
+                  2, axis=0), 2, axis=1)
+    r, g, b = ycbcr_to_rgb(yi, up(cb), up(cr))
+    px = np.stack([r, g, b], axis=-1)[:h, :w]
+    return {"width": w, "height": h, "pixels": px}
+
+
+# Exact-round-trip RGB triples for the oracle gate: each maps under
+# the integer forward transform to (even Y, chroma ≡ 128 mod 17) — so
+# at quality 50 (lum q00=16 | 8·(Y−128) for even Y; chroma q00=17 |
+# 8·17k) a 16×16-constant MCU survives DC quantization exactly, and
+# the integer inverse reproduces the SAME RGB (verified by
+# construction: triple = inverse(fwd(triple)); pinned by pytest).
+JPEG_RT_TRIPLES = [
+    (60, 60, 60), (56, 86, 110), (124, 94, 70), (120, 108, 180),
+    (92, 164, 140), (208, 147, 100), (204, 162, 210), (176, 218, 170),
+]
+
+
+def documents_jpeg_color(documents: DataFrame, quality: int = 50) -> DataFrame:
+    """Derive a color-JPEG column from ``documents``: each image is a
+    grid of (1 + id%3) × (1 + id%2) 16×16-constant MCUs, MCU b colored
+    by ``JPEG_RT_TRIPLES[(id*7 + b*13) % 8]`` — the exact-class
+    triples, so the full lossy chain (integer color transform, 4:2:0
+    subsample, DCT+quant, interleaved Huffman, decode, upsample,
+    inverse transform) reconstructs bit-exactly and the statistics
+    carry a closed-form DuckDB oracle; pytest bounds the general
+    (non-flat) path."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        trip = np.array(JPEG_RT_TRIPLES, dtype=np.uint8)
+        for pdf in batches:
+            contents, metas = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                wm, hm = 1 + i % 3, 1 + i % 2
+                b = np.arange(hm * wm, dtype=np.int64)
+                cols = trip[(i * 7 + b * 13) % len(trip)].reshape(hm, wm, 3)
+                px = np.kron(cols, np.ones((16, 16, 1), dtype=np.uint8))
+                contents.append(jpeg_encode_color(px, quality))
+                metas.append({"mime": "image/jpeg", "width": wm * 16,
+                              "height": hm * 16, "duration_ms": None})
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"], "content": contents, "meta": metas,
+            })
+
+    return documents.select("doc_id").mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+JPEG_COLOR_STATS_SCHEMA = (
+    "media_id long, width long, height long, n_pixels long, "
+    "sum_r long, sum_g long, sum_b long, mcu_checksum long, "
+    "max_mcudev long, n_bytes long"
+)
+
+
+def jpeg_color_stats(media: DataFrame) -> DataFrame:
+    """Decode each color JPEG and emit exact integer per-channel
+    statistics.  ``mcu_checksum`` = Σ_b b·(r_b + 2g_b + 3b_b) mod 9973
+    over per-MCU means in raster order; ``max_mcudev`` is the max
+    within-MCU (max−min) spread across all channels — exactly 0 when
+    the interleaved scan, chroma upsample, and inverse transform all
+    reconstruct the flat MCUs perfectly, so any mis-decode is loud."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content)
+                img = jpeg_decode_color(raw)
+                px = img["pixels"].astype(np.int64)
+                h, w = px.shape[:2]
+                hm, wm = h // 16, w // 16
+                mcus = px.reshape(hm, 16, wm, 16, 3).transpose(0, 2, 1, 3, 4)
+                flat = mcus.reshape(hm * wm, 256, 3)
+                means = flat.sum(axis=1) // 256  # (n_mcu, 3)
+                dev = int((flat.max(axis=1) - flat.min(axis=1)).max())
+                idx = np.arange(hm * wm)
+                rows.append({
+                    "media_id": int(media_id),
+                    "width": w, "height": h, "n_pixels": h * w,
+                    "sum_r": int(px[..., 0].sum()),
+                    "sum_g": int(px[..., 1].sum()),
+                    "sum_b": int(px[..., 2].sum()),
+                    "mcu_checksum": int(
+                        (idx * (means[:, 0] + 2 * means[:, 1]
+                                + 3 * means[:, 2])).sum()) % 9973,
+                    "max_mcudev": dev,
+                    "n_bytes": len(raw),
+                })
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, schema=JPEG_COLOR_STATS_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -122,9 +122,9 @@ _GRADING_PRIORITY = [
     # (probe_ts_epoch_us / _cast / _lag_gap) did their job (green r5,
     # diagnosis closed) and rotate out per the r5 verdict; their slots
     # go to the round-6 builds below (m_arima_grid_argmin here, two
-    # more in their family groups). probe_ts_lag_gap holds the third
-    # slot until the round-6 color-JPEG gate lands.
-    "m_arima_grid_argmin", "probe_ts_lag_gap",
+    # more in their family groups — llm_dedup_pipeline and the
+    # color-JPEG gate below).
+    "m_arima_grid_argmin", "llm_jpeg_color_roundtrip",
     "llm_stratified_sample", "llm_bpe_merges", "scd2_batch_twin",
     "llm_jpeg_roundtrip",
     # Late-r5 builds (3): chunking, unigram-LM scoring, per-source cap

@@ -686,6 +686,53 @@ def llm_jpeg_roundtrip(spark, sf_dir):
     )
 
 
+@register("llm_jpeg_color_roundtrip", oracle="""
+WITH trip(t, r, g, b) AS (
+    VALUES (0, 60, 60, 60), (1, 56, 86, 110), (2, 124, 94, 70),
+           (3, 120, 108, 180), (4, 92, 164, 140), (5, 208, 147, 100),
+           (6, 204, 162, 210), (7, 176, 218, 170)
+), dims AS (
+    SELECT doc_id, 1 + doc_id % 3 AS wm, 1 + doc_id % 2 AS hm
+    FROM documents
+), mcus AS (
+    SELECT doc_id, wm, hm, unnest(range(0, (wm*hm)::INT)) AS mb
+    FROM dims
+), colored AS (
+    SELECT m.doc_id, m.wm, m.hm, m.mb, t.r, t.g, t.b
+    FROM mcus m JOIN trip t ON t.t = (m.doc_id*7 + m.mb*13) % 8
+)
+SELECT doc_id AS media_id,
+       (any_value(wm) * 16)::BIGINT AS width,
+       (any_value(hm) * 16)::BIGINT AS height,
+       (any_value(wm) * any_value(hm) * 256)::BIGINT AS n_pixels,
+       (256 * sum(r))::BIGINT AS sum_r,
+       (256 * sum(g))::BIGINT AS sum_g,
+       (256 * sum(b))::BIGINT AS sum_b,
+       (sum(mb * (r + 2*g + 3*b)) % 9973)::BIGINT AS mcu_checksum,
+       0::BIGINT AS max_mcudev
+FROM colored GROUP BY doc_id
+""")
+def llm_jpeg_color_roundtrip(spark, sf_dir):
+    """COLOR lossy-codec modality — the other half of T.81 baseline:
+    each document becomes a real YCbCr 4:2:0 JPEG (integer BT.601
+    transform, 2×2 chroma subsample, interleaved 16×16 MCUs with
+    luminance + chrominance Annex K tables), the strict 3-component
+    decoder reconstructs it, and the statistics are exact: the MCUs
+    are 16×16-constant in ``JPEG_RT_TRIPLES`` — RGB values whose
+    transformed (Y, Cb, Cr) land on (even, 128+17k, 128+17k), the
+    classes that quantize losslessly at quality 50 (q00 = 16 lum /
+    17 chroma) and invert bit-exactly.  ``max_mcudev`` must be 0:
+    any mis-decoded coefficient, table mix-up, or upsample bug breaks
+    MCU flatness and fails the hash loudly.  The general lossy path
+    is pytest-bounded (tests/test_properties.py)."""
+    media = multimodal.documents_jpeg_color(_t(spark, sf_dir, "documents"))
+    stats = multimodal.jpeg_color_stats(media)
+    return stats.select(
+        "media_id", "width", "height", "n_pixels",
+        "sum_r", "sum_g", "sum_b", "mcu_checksum", "max_mcudev",
+    )
+
+
 @register("llm_video_frames", oracle="""
 WITH dims AS (
     SELECT doc_id, 2 + doc_id % 4 AS nf, 8 + doc_id % 5 AS w,
