@@ -69,6 +69,50 @@ def test_incremental_dedup_finds_cross_batch_dup(spark, docs):
     assert all(3 not in p and 5 not in p for p in pairs)
 
 
+def test_collapse_first_dedup_equals_pairwise(spark, docs):
+    """The collapse-first (content-class representative) forms of
+    MinHash-LSH and SimHash near-dup must be output-identical to the
+    naive pairwise forms — rows AND schema — on a corpus that
+    exercises every expansion rule: multi-clone families, a clone
+    family of empty-shingle short docs (which MinHash must NOT pair —
+    no signature, no bands), near-dups across families, and
+    singletons. This pin is what licenses grading the collapse-first
+    operators against the pairwise DuckDB oracles."""
+    rows = list(DOCS) + [
+        (6, DOCS[0][1]),       # third exact clone of 0/1
+        (7, "short text"),     # clone of 5: 2 tokens -> no 3-shingles
+        (8, "short text"),     # clone family of three
+        (9, DOCS[2][1]),       # clone of the near-dup doc 2
+        (10, "tiny"),          # singleton, no shingles
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fast = dedup.minhash_lsh_dedup(corpus)
+    ref = dedup.minhash_lsh_dedup_pairwise(corpus)
+    assert fast.schema == ref.schema
+    fast_rows = {tuple(r) for r in fast.collect()}
+    ref_rows = {tuple(r) for r in ref.collect()}
+    assert fast_rows == ref_rows
+    # the planted families actually exercised the expansion paths:
+    assert (0, 6, 1.0) in {(a, b, j) for a, b, j in fast_rows}
+    assert all(5 not in (a, b) and 7 not in (a, b) for a, b, _ in fast_rows)
+
+    fast_s = dedup.simhash_neardup(corpus)
+    ref_s = dedup.simhash_neardup_pairwise(corpus)
+    assert fast_s.schema == ref_s.schema
+    assert ({tuple(r) for r in fast_s.collect()}
+            == {tuple(r) for r in ref_s.collect()})
+
+    # star-edge form: CC over (member→rep edges + rep pairs) must give
+    # the same components AND labels as CC over the expanded pairs
+    from zolo_spark.llm import corpus as corpus_mod
+    cc_star = {(r["doc_id"], r["cluster_id"]) for r in corpus_mod.dup_clusters(
+        dedup.minhash_lsh_cluster_edges(corpus)).collect()}
+    cc_full = {(r["doc_id"], r["cluster_id"]) for r in corpus_mod.dup_clusters(
+        ref.select("doc1", "doc2")).collect()}
+    assert cc_star == cc_full
+
+
 def test_ngram_jaccard_pairs(spark, docs):
     pairs = {(r["doc1"], r["doc2"]): r["jaccard"]
              for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
@@ -548,12 +592,31 @@ def test_simhash_neardup_wide_signature_and_bucket_cap(spark):
     assert all(200 not in p for p in wide)
     assert {(i, j) for i in range(12) for j in range(i + 1, 12)} <= wide
 
-    # the 12-clone clique is one hot bucket: the cap drops it while
-    # keeping the isolated near-dup pair
+    # collapse-first semantics: the 12-clone clique is ONE distinct
+    # content, so it never forms a hot bucket — the cap keeps every
+    # clone pair (linear cost via class expansion) and the near-dup
     capped = {(r["doc1"], r["doc2"]) for r in
               dedup.simhash_neardup(docs, bits=48, max_bucket=5).collect()}
     assert (100, 101) in capped
-    assert not any(p[0] < 12 and p[1] < 12 for p in capped)
+    assert {(i, j) for i in range(12) for j in range(i + 1, 12)} <= capped
+
+    # what the cap now governs: hot buckets of DISTINCT near-identical
+    # contents (one-token edits of shared boilerplate) — a tight cap
+    # drops candidates from the shared-chunk bucket while pairs whose
+    # buckets stay narrow survive (measured deterministic md5 layout)
+    edits = [(300 + i, " ".join(words[:i] + [f"edit{i}"] + words[i + 1:]))
+             for i in range(8)]
+    docs2 = spark.createDataFrame(
+        edits + [(100, " ".join(words)), (200, "unrelated " * 30)],
+        "doc_id long, text string",
+    )
+    unc = {(r["doc1"], r["doc2"])
+           for r in dedup.simhash_neardup(docs2, bits=48).collect()}
+    tight = {(r["doc1"], r["doc2"])
+             for r in dedup.simhash_neardup(docs2, bits=48,
+                                            max_bucket=2).collect()}
+    assert tight < unc                   # the cap dropped hot candidates
+    assert (300, 307) in tight           # narrow-bucket pair survives
 
 
 def test_repetition_stats_hand_computed(spark):
@@ -871,20 +934,39 @@ def test_ivfpq_full_probe_equals_pq_adc(spark):
 
 
 def test_minhash_lsh_hot_bucket_cap(spark):
-    """A clone clique wider than max_bucket is dropped from candidate
-    generation (mass duplication -> exact dedup's job), while small
-    near-dup groups still pair up."""
-    rows = [(i, "aa bb cc dd ee ff gg hh") for i in range(12)]  # 12-clone clique
+    """Collapse-first cap semantics: a clone clique is ONE distinct
+    content, so it survives any cap (its pairs cost linear expansion,
+    not banded-join volume); what the cap drops is a hot bucket of
+    DISTINCT near-identical contents (shared-shingle band bucket)."""
+    rows = [(i, "aa bb cc dd ee ff gg hh") for i in range(12)]  # clone clique
     rows += [(100, "xx yy zz ww vv uu tt ss"),
              (101, "xx yy zz ww vv uu tt rr")]  # near-dup pair
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    capped = dedup.minhash_lsh_dedup(docs, max_bucket=5)
-    got = {(r.doc1, r.doc2) for r in capped.collect()}
-    assert got == {(100, 101)}  # clique suppressed, small pair kept
+    capped = {(r.doc1, r.doc2)
+              for r in dedup.minhash_lsh_dedup(docs, max_bucket=5).collect()}
+    # clique pairs AND the near-dup pair all survive the cap now
+    assert {(i, j) for i in range(12) for j in range(i + 1, 12)} <= capped
+    assert (100, 101) in capped
     uncapped = dedup.minhash_lsh_dedup(docs)
-    assert {(r.doc1, r.doc2) for r in uncapped.collect()} >= {
-        (100, 101), (0, 1), (0, 11)
-    }
+    assert {(r.doc1, r.doc2) for r in uncapped.collect()} == capped
+
+    # distinct-content hot bucket: 8 one-token-tail edits of a shared
+    # base share band buckets; a tight cap prunes those candidates
+    # (measured deterministic md5 band layout), an aggressive cap of 2
+    # suppresses every wide bucket
+    base = "xx yy zz ww vv uu tt ss rr qq pp oo nn mm"
+    toks = base.split()
+    rows2 = [(300 + i, " ".join(toks[:-1] + [f"v{i}"])) for i in range(8)]
+    docs2 = spark.createDataFrame(
+        rows2 + [(100, base)], "doc_id long, text string")
+    unc = {(r.doc1, r.doc2)
+           for r in dedup.minhash_lsh_dedup(docs2).collect()}
+    mid = {(r.doc1, r.doc2)
+           for r in dedup.minhash_lsh_dedup(docs2, max_bucket=3).collect()}
+    assert mid < unc and (300, 304) in mid
+    tight = {(r.doc1, r.doc2)
+             for r in dedup.minhash_lsh_dedup(docs2, max_bucket=2).collect()}
+    assert tight == set()
 
 
 def test_duplicate_spans_planted_passage(spark):

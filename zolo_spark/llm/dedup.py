@@ -197,17 +197,148 @@ def jaccard_on_sets(pairs: DataFrame, sets: DataFrame,
     )
 
 
+def _content_classes(df: DataFrame, text_col: str, id_col: str):
+    """(members, reps): exact-content classes keyed by md5 of the RAW
+    text — identical text ⟹ identical shingles/signatures, so any
+    signature-level computation done once per class representative is
+    valid for every member.  ``members`` = (doc_id, rep);
+    ``reps`` = the representative rows of ``df`` (min doc_id)."""
+    classed = fan_out(df).select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("_cls")
+    )
+    rep_of = classed.groupBy("_cls").agg(F.min("doc_id").alias("rep"))
+    members = classed.join(rep_of, "_cls").select("doc_id", "rep")
+    reps = df.join(
+        rep_of.select(F.col("rep").alias(id_col)), id_col, "left_semi"
+    )
+    return members, reps
+
+
+def _expand_class_pairs(rep_pairs: DataFrame, members: DataFrame,
+                        eligible_reps: DataFrame,
+                        self_score) -> DataFrame:
+    """Expand verified representative-level pairs back to member
+    pairs, preserving the pairwise operator's exact output semantics:
+
+    * cross-class: every (member of rep1) × (member of rep2) pair
+      inherits the reps' verified score — identical inputs would have
+      produced the identical score pairwise;
+    * within-class: every member pair of a class whose rep is in
+      ``eligible_reps`` scores ``self_score`` (identical content ⟹
+      jaccard 1.0 / hamming 0), exactly what the pairwise banded join
+      emits for identical signatures.
+
+    ``rep_pairs`` carries (doc1, doc2, <score col>) at rep level; the
+    score column is whatever sits in position 3."""
+    score_col = rep_pairs.columns[2]
+    score = self_score if isinstance(self_score, Column) else F.lit(self_score)
+    m1 = members.select(F.col("rep").alias("_r1"), F.col("doc_id").alias("_m1"))
+    m2 = members.select(F.col("rep").alias("_r2"), F.col("doc_id").alias("_m2"))
+    cross = (
+        rep_pairs
+        .join(m1, F.col("doc1") == F.col("_r1"))
+        .join(m2, F.col("doc2") == F.col("_r2"))
+        .select(
+            F.least("_m1", "_m2").alias("doc1"),
+            F.greatest("_m1", "_m2").alias("doc2"),
+            score_col,
+        )
+    )
+    elig = members.join(
+        eligible_reps.select(F.col(eligible_reps.columns[0]).alias("rep")),
+        "rep", "left_semi",
+    )
+    w1 = elig.select("rep", F.col("doc_id").alias("_m1"))
+    w2 = elig.select("rep", F.col("doc_id").alias("_m2"))
+    within = (
+        w1.join(w2, "rep")
+        .filter(F.col("_m1") < F.col("_m2"))
+        .select(
+            F.col("_m1").alias("doc1"), F.col("_m2").alias("doc2"),
+            score.alias(score_col),
+        )
+    )
+    return cross.unionByName(within)
+
+
+def _minhash_rep_pairs(df: DataFrame, text_col: str, id_col: str,
+                       n: int, threshold: float,
+                       max_bucket: int | None):
+    """Shared collapse-first core: (members, verified rep pairs,
+    eligible reps) — reps with ≥1 shingle, i.e. a signature."""
+    members, reps = _content_classes(df, text_col, id_col)
+    sh = doc_shingles(reps, text_col, id_col, n).persist()
+    sigs = minhash_signatures(sh)
+    pairs = lsh_candidate_pairs(sigs, max_bucket=max_bucket)
+    rep_pairs = jaccard_verify(pairs, sh, threshold)
+    return members, rep_pairs, sigs.select("doc_id")
+
+
+def minhash_lsh_cluster_edges(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id", n: int = 3,
+                              threshold: float = 0.7,
+                              max_bucket: int | None = None) -> DataFrame:
+    """Connectivity-equivalent edge list for duplicate-cluster CC,
+    WITHOUT expanding clone cliques: verified rep-level near-dup
+    pairs ∪ member→rep star edges (classes with ≥2 members whose rep
+    has a signature). A k-clone family contributes k−1 star edges
+    instead of C(k,2) pair edges — same connected components, same
+    min-id cluster labels (the rep IS the class min id), so a CC over
+    these edges equals a CC over :func:`minhash_lsh_dedup`'s pairs
+    (pinned by pytest). This is the input a 100 TB dup-cluster pass
+    feeds label propagation."""
+    members, rep_pairs, eligible = _minhash_rep_pairs(
+        df, text_col, id_col, n, threshold, max_bucket)
+    star = (
+        members.filter(F.col("doc_id") != F.col("rep"))
+        .join(eligible.select(F.col("doc_id").alias("rep")),
+              "rep", "left_semi")
+        .select(F.col("rep").alias("doc1"), F.col("doc_id").alias("doc2"))
+    )
+    return rep_pairs.select("doc1", "doc2").unionByName(star)
+
+
 def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3,
                       threshold: float = 0.7,
                       max_bucket: int | None = None) -> DataFrame:
-    """Full MinHash→LSH→verify near-dup pipeline.
+    """Full MinHash→LSH→verify near-dup pipeline, collapse-first.
+
+    Identical-content docs are collapsed to one class representative
+    BEFORE shingling: signatures, banding, and Jaccard verification
+    run over representatives only, and verified pairs expand back to
+    members afterwards (cross-class pairs inherit the rep score;
+    within-class pairs are jaccard 1.0 — exactly what the pairwise
+    band join emits for identical signatures, so the output is
+    bit-identical to the naive form; pytest pins the equivalence).
+
+    This is what makes the UNCAPPED configuration linear on a
+    clone-dense corpus (any real web crawl): a 100-clone family costs
+    one signature build and C(100,2) narrow output rows instead of
+    C(100,2) banded-join rows each dragging two shingle arrays
+    through the verify shuffle — the r5 sf10 rehearsal's disk-fill.
+    ``max_bucket`` still caps hot buckets (now measured in distinct
+    contents, its true meaning; see :func:`lsh_candidate_pairs`).
 
     The shingle relation feeds the signature build AND both sides of
     the verification join; Spark replans common subtrees from scratch,
     so it is persisted — at scale this is the materialized shingle
-    index every dedup pass reuses.  ``max_bucket`` caps hot LSH
-    buckets (see :func:`lsh_candidate_pairs`)."""
+    index every dedup pass reuses."""
+    members, rep_pairs, eligible = _minhash_rep_pairs(
+        df, text_col, id_col, n, threshold, max_bucket)
+    # eligible = classes whose rep produced a signature (≥1 shingle):
+    # empty-shingle docs never band, so their clone pairs are NOT
+    # emitted — same as the pairwise form.
+    return _expand_class_pairs(rep_pairs, members, eligible, 1.0)
+
+
+def minhash_lsh_dedup_pairwise(df: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id", n: int = 3,
+                               threshold: float = 0.7,
+                               max_bucket: int | None = None) -> DataFrame:
+    """The naive all-docs pairwise form (no content-class collapse) —
+    kept as the semantic reference the collapse-first implementation
+    is pinned against, and for corpora known clone-free."""
     sh = doc_shingles(df, text_col, id_col, n).persist()
     pairs = lsh_candidate_pairs(minhash_signatures(sh), max_bucket=max_bucket)
     return jaccard_verify(pairs, sh, threshold)
@@ -258,11 +389,36 @@ def incremental_minhash_dedup(new_df: DataFrame, index: DataFrame,
     (corpus ∪ batch) and keeping the pairs that touch the batch, but
     the work is O(batch bands + collisions): the corpus side is a
     band-key join against the materialized index, not a rescan. Pairs
-    are oriented doc1 < doc2 like the batch path."""
+    are oriented doc1 < doc2 like the batch path.
+
+    Collapse-first (round 6): the index has no raw text, so content
+    classes key on the SORTED shingle-set hash — equal shingle sets ⟹
+    identical signatures/bands AND jaccard exactly 1.0, so verifying
+    once per class representative and expanding to member pairs that
+    touch the batch reproduces the pairwise output bit-for-bit (the
+    equivalence tests cover clones split across index and batch).
+    This keeps ingest cost linear when a batch redelivers content the
+    index already holds many copies of — the at-least-once ingest
+    norm at 100 TB."""
     new_idx = build_dedup_index(new_df, text_col, id_col, n).persist()
+    new_ids = new_idx.select("doc_id")
     all_idx = index.unionByName(new_idx)
-    nb = banded_keys(new_idx.drop("sh")).alias("l")
-    ab = banded_keys(all_idx.drop("sh")).alias("r")
+    cls = F.md5(F.concat_ws("\x01", F.sort_array("sh")))
+    classed = all_idx.withColumn("_cls", cls)
+    rep_of = classed.groupBy("_cls").agg(F.min("doc_id").alias("rep"))
+    members = classed.join(rep_of, "_cls").select("doc_id", "rep").persist()
+    rep_idx = all_idx.join(
+        rep_of.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
+    )
+    # classes containing ≥1 batch member form the "new" side
+    new_reps = (
+        members.join(new_ids, "doc_id", "left_semi")
+        .select(F.col("rep").alias("doc_id")).distinct()
+    )
+    nb = banded_keys(
+        rep_idx.join(new_reps, "doc_id", "left_semi").drop("sh")
+    ).alias("l")
+    ab = banded_keys(rep_idx.drop("sh")).alias("r")
     cand = (
         nb.join(
             ab,
@@ -276,7 +432,21 @@ def incremental_minhash_dedup(new_df: DataFrame, index: DataFrame,
         )
         .distinct()
     )
-    return jaccard_on_sets(cand, all_idx.select("doc_id", "sh"), threshold)
+    rep_pairs = jaccard_on_sets(cand, rep_idx.select("doc_id", "sh"), threshold)
+    expanded = _expand_class_pairs(
+        rep_pairs, members, members.select("rep").distinct(), 1.0
+    )
+    # keep only pairs touching the batch (class expansion can produce
+    # index×index member pairs when a class spans the boundary)
+    f1 = new_ids.select(F.col("doc_id").alias("_f1"))
+    f2 = new_ids.select(F.col("doc_id").alias("_f2"))
+    return (
+        expanded
+        .join(f1, expanded.doc1 == F.col("_f1"), "left")
+        .join(f2, expanded.doc2 == F.col("_f2"), "left")
+        .filter(F.col("_f1").isNotNull() | F.col("_f2").isNotNull())
+        .select("doc1", "doc2", expanded.columns[2])
+    )
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
@@ -379,8 +549,20 @@ def simhash_neardup(df: DataFrame, text_col: str = "text",
     ``max_bucket``: a (chunk, value) bucket wider than the cap is a
     mass-duplication or hash-collision hot spot — candidates from it
     are dropped (standard LSH practice; run exact dedup first, which
-    catches identical content at linear cost)."""
-    hashed = fan_out(df).select(
+    catches identical content at linear cost).
+
+    Collapse-first (round 6): identical-content docs collapse to one
+    representative BEFORE hashing — signature, chunk banding and the
+    Hamming verify run over distinct contents only, and verified rep
+    pairs expand back to member pairs (within-class pairs are Hamming
+    0, exactly what the pairwise chunk join emits for identical
+    signatures, so the output is bit-identical; pytest pins it). This
+    removes the O(clone-family²) banded-join volume that made the
+    uncapped 16-bit configuration quadratic at the sf10 rehearsal —
+    the residual quadratic term is in DISTINCT near-identical
+    contents, which the chunk-bit/width dials above govern."""
+    members, reps = _content_classes(df, text_col, id_col)
+    hashed = fan_out(reps).select(
         F.col(id_col).alias("doc_id"),
         token_hashes(F.col(text_col), hex_chars=max(4, (bits + 3) // 4))
         .alias("th"),
@@ -409,6 +591,63 @@ def simhash_neardup(df: DataFrame, text_col: str = "text",
         banded = banded.join(
             F.broadcast(hot), ["chunk_id", "chunk_val"], "left_anti"
         )
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.chunk_id") == F.col("r.chunk_id"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc1"), F.col("r.doc_id").alias("doc2"),
+            F.col("l.sig").alias("_s1"), F.col("r.sig").alias("_s2"),
+        )
+        .distinct()
+    )
+    rep_pairs = (
+        cand.select(
+            "doc1", "doc2",
+            F.bit_count(F.col("_s1").bitwiseXOR(F.col("_s2"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    # every doc has a simhash signature (unlike shingles there is no
+    # empty-set dropout), so every class expands its within pairs —
+    # the literal is cast to bit_count's output type so the expanded
+    # union keeps the pairwise schema
+    zero = F.lit(0).cast(
+        "int"
+    )
+    return _expand_class_pairs(
+        rep_pairs, members, members.select("rep").distinct(), zero
+    )
+
+
+def simhash_neardup_pairwise(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", bits: int = SIMHASH_BITS,
+                             max_hamming: int = 2) -> DataFrame:
+    """The naive all-docs pairwise form — the semantic reference the
+    collapse-first implementation is pinned against."""
+    hashed = fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        token_hashes(F.col(text_col), hex_chars=max(4, (bits + 3) // 4))
+        .alias("th"),
+    )
+    sigs = hashed.select(
+        "doc_id", simhash_from_hashes(F.col("th"), bits).alias("sig")
+    )
+    chunks = [
+        F.struct(
+            F.lit(i).alias("chunk_id"),
+            F.shiftright("sig", start).bitwiseAND(F.lit((1 << ln) - 1))
+            .alias("chunk_val"),
+        )
+        for i, (start, ln) in enumerate(simhash_chunks(bits, max_hamming))
+    ]
+    banded = sigs.select(
+        "doc_id", "sig", F.explode(F.array(*chunks)).alias("c")
+    ).select("doc_id", "sig", "c.chunk_id", "c.chunk_val")
     cand = (
         banded.alias("l")
         .join(

@@ -1125,9 +1125,13 @@ SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
 def llm_dup_clusters(spark, sf_dir):
     """Connected components over MinHash-LSH near-dup pairs:
     iterative min-label propagation in Spark vs a recursive-CTE
-    transitive closure in the oracle — same fixpoint."""
-    pairs = dedup.minhash_lsh_dedup(_t(spark, sf_dir, "documents"))
-    return corpus.dup_clusters(pairs.select("doc1", "doc2"))
+    transitive closure in the oracle — same fixpoint. The Spark edge
+    list is the collapse-first star form (member→rep edges + verified
+    rep pairs): a k-clone family feeds k−1 edges instead of C(k,2),
+    with identical components and labels (pinned by pytest against
+    the expanded-pairs CC)."""
+    edges = dedup.minhash_lsh_cluster_edges(_t(spark, sf_dir, "documents"))
+    return corpus.dup_clusters(edges)
 
 
 _STATS_ORACLE = REGISTRY["llm_text_stats"].oracle
