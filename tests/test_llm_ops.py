@@ -817,6 +817,39 @@ def test_source_cap_branches(spark):
     assert by_src == {"big": set(range(5)), "small": {100, 101, 102}}
 
 
+def test_source_cap_null_source_is_a_real_group(spark):
+    """NULL sources form ONE cappable group (SQL GROUP BY semantics) —
+    equality joins never match NULL, so the naive routing let every
+    NULL-source doc bypass the cap via the anti-join branch (r6
+    ADVICE). NULL must also stay distinct from the empty string."""
+    from zolo_spark.llm import corpus
+
+    rows = [(i, None, 1000 - i) for i in range(10)]      # NULL, over cap
+    rows += [(100 + i, "", 50 + i) for i in range(3)]    # '' source, under
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = corpus.source_cap(df, cap=5).collect()
+    assert sorted(r.doc_id for r in out if r.source is None) == [0, 1, 2, 3, 4]
+    assert sorted(r.doc_id for r in out if r.source == "") == [100, 101, 102]
+    assert set(df.columns) == set(out[0].asDict())  # no helper col leaks
+
+
+def test_shingle_set_key_separator_unambiguous(spark):
+    """Distinct shingle SETS whose '\\x01'-joined concatenations are
+    byte-identical (the separator appears inside a shingle) must get
+    DIFFERENT class keys — the old md5(concat_ws) key collided them
+    into one class and emitted false jaccard-1.0 pairs (r6 ADVICE)."""
+    a = ["a b c\x01d", "e f g"]   # sorted join: 'a b c\x01d\x01e f g'
+    b = ["a b c", "d\x01e f g"]   # sorted join: identical bytes
+    assert "\x01".join(sorted(a)) == "\x01".join(sorted(b))
+    df = spark.createDataFrame([(1, a), (2, b), (3, list(reversed(a)))],
+                               "doc_id long, sh array<string>")
+    keys = {r.doc_id: r.k
+            for r in df.select("doc_id",
+                               dedup.shingle_set_key("sh").alias("k")).collect()}
+    assert keys[1] != keys[2]   # ambiguous under concat_ws, distinct now
+    assert keys[1] == keys[3]   # order-insensitive: same SET, same key
+
+
 def test_bm25_ranks_term_dense_docs_first(spark):
     import math
 

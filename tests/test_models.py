@@ -225,3 +225,22 @@ def test_arima_job_meta_schema(spark, weekly):
     assert r["lower_bound"] <= r["prediction"] <= r["upper_bound"]
     assert r["best_config"].startswith("(")
     assert 120 <= r["prediction"] <= 140  # trending series, sane forecast
+
+
+def test_arima_job_skips_nonfinite_mse(spark, weekly):
+    """A NaN fold MSE must be skipped like the exception path: the
+    naive `mse < best` argmin would FREEZE on a leading NaN (every
+    later comparison is False) while SQL oracles sort NaN last — the
+    engines would pick different winners (r6 ADVICE)."""
+    def wf(y, order):
+        if order == (0, 0, 0):
+            return float("nan"), 1.0, 1.0  # pathological first order
+        return float(sum(order)), 42.0, 1.0
+
+    out = grouped.arima_job(
+        weekly, FORECAST_START,
+        orders=[(0, 0, 0), (1, 0, 0), (0, 1, 0)], walk_forward_fn=wf,
+    )
+    rows = {r["profile_name"]: r for r in out.collect()}
+    # (1,0,0) has the lowest FINITE mse; the NaN order must not win
+    assert rows["steady"]["best_config"] == "(1, 0, 0)"

@@ -251,6 +251,32 @@ def test_ivfpq_joins_broadcast(spark):
     assert "SortMergeJoin" not in p
 
 
+def test_collapse_first_dedup_plan_shapes(spark):
+    """The collapse-first near-dup plans' scale-critical properties:
+    the persisted shingle/index relation is REUSED (InMemoryRelation —
+    signature build and verify join read one cache, not two rescans),
+    and nothing degenerates to a cartesian product."""
+    for name in ("llm_minhash_lsh_dedup", "llm_dedup_pipeline",
+                 "llm_incremental_dedup"):
+        p = plan_of(q(spark, name))
+        assert "InMemoryRelation" in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_lsh_hot_bucket_cap_is_broadcast_anti(spark):
+    """max_bucket routes the BOUNDED over-cap bucket list through a
+    broadcast ANTI join (a semi join against the surviving buckets
+    would shuffle the whole banded relation)."""
+    from zolo_spark.llm import dedup
+    from zolo_spark.warehouse import load_testdata
+
+    docs = load_testdata(spark, SF_DIR)["documents"].select("doc_id", "text")
+    p = plan_of(dedup.minhash_lsh_dedup(docs, max_bucket=50))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    p = plan_of(dedup.simhash_neardup(docs, max_bucket=50))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
 def test_training_mix_shuffle_budget(spark):
     # quality stats ride the scan; fingerprint agg + survivor join +
     # packing window are the only wide ops (AQE may reuse exchanges)

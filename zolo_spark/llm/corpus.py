@@ -477,24 +477,34 @@ def source_cap(df: DataFrame, cap: int, source_col: str = "source",
     because oversized sources are few by definition and top-k-per-key
     (rank <= cap) lets Spark's window TopK push-down limit state.
     """
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
-    big = counts.filter(F.col("_n") > cap).select(source_col)
+    # NULL source is a real group (SQL GROUP BY / PARTITION BY
+    # semantics), but equality joins never match NULL — routed naively,
+    # a mass of NULL-source docs would bypass the cap entirely via the
+    # anti-join branch. Key every count/join/window on an injective
+    # normalization instead: NULL → "\x00", value v → "v" + v (the
+    # prefix keeps NULL distinct from every real value, including '').
+    norm = F.when(
+        F.col(source_col).isNull(), F.lit("\x00")
+    ).otherwise(F.concat(F.lit("v"), F.col(source_col).cast("string")))
+    tagged = df.withColumn("_src", norm)
+    counts = tagged.groupBy("_src").agg(F.count(F.lit(1)).alias("_n"))
+    big = counts.filter(F.col("_n") > cap).select("_src")
     # Route pass-through via ANTI-join against `big`: only the
     # over-cap source list is guaranteed bounded (≤ N/cap entries) —
     # at web scale nearly every distinct domain is within-cap, so
     # broadcasting the within-cap list would blow the driver.
-    pass_through = df.join(F.broadcast(big), source_col, "left_anti")
+    pass_through = tagged.join(F.broadcast(big), "_src", "left_anti")
     w = (
-        Window.partitionBy(source_col)
+        Window.partitionBy("_src")
         .orderBy(F.col(order_col).desc(), F.col(id_col).asc())
     )
     capped = (
-        df.join(F.broadcast(big), source_col, "left_semi")
+        tagged.join(F.broadcast(big), "_src", "left_semi")
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= cap)
         .drop("_rk")
     )
-    return pass_through.unionByName(capped)
+    return pass_through.unionByName(capped).drop("_src")
 
 
 def training_mix(df: DataFrame, rates: dict[str, float],

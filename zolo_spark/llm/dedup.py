@@ -12,6 +12,18 @@ Scale design (the point of these over naive pairwise):
   cosine check.
 * All hashes are md5-based strings: portable to the DuckDB oracle and
   stable across engines/runs (no JVM hash seeds).
+
+StorageLevel lifetimes: several operators ``persist()`` an
+intermediate (the shingle relation / dedup index / normalized vector
+index) that feeds BOTH the candidate build and the verify join — the
+cache is what stops Spark replanning the common subtree twice. The
+returned DataFrame is lazy, so the function cannot unpersist before
+the caller's action runs; CALLERS own the release: run the action,
+then ``spark.catalog.clearCache()`` (what ``bench.py`` does after
+every query) or hold the returned plan no longer than the job. At
+100 TB these intermediates are exactly the tables a deployment
+materializes to storage instead, so the cache-lifetime question
+disappears into the table lifecycle.
 """
 
 from __future__ import annotations
@@ -378,6 +390,25 @@ def build_dedup_index(df: DataFrame, text_col: str = "text",
     return minhash_signatures(sh).join(sets, "doc_id")
 
 
+def shingle_set_key(sh) -> Column:
+    """Content-class key of a shingle-SET array: md5 chain over the
+    sorted elements' per-element md5s (``md5(acc ‖ md5(x))`` fold).
+
+    A separator-joined ``md5(concat_ws(sep, sort_array(sh)))`` would
+    be ambiguous whenever shingle text itself contains the separator
+    (raw text is only lowercased/split, not control-char-stripped —
+    distinct sets could collide into one class and be emitted as false
+    jaccard-1.0 pairs) AND it materializes the whole set as one string
+    per doc before hashing. The chain keeps every intermediate at
+    64 hex chars regardless of set size and is injective up to md5
+    collisions: each element contributes a fixed-width 32-char block,
+    so no split ambiguity exists."""
+    return F.aggregate(
+        F.sort_array(sh), F.lit(""),
+        lambda acc, x: F.md5(F.concat(acc, F.md5(x))),
+    )
+
+
 def incremental_minhash_dedup(new_df: DataFrame, index: DataFrame,
                               text_col: str = "text",
                               id_col: str = "doc_id", n: int = 3,
@@ -403,8 +434,7 @@ def incremental_minhash_dedup(new_df: DataFrame, index: DataFrame,
     new_idx = build_dedup_index(new_df, text_col, id_col, n).persist()
     new_ids = new_idx.select("doc_id")
     all_idx = index.unionByName(new_idx)
-    cls = F.md5(F.concat_ws("\x01", F.sort_array("sh")))
-    classed = all_idx.withColumn("_cls", cls)
+    classed = all_idx.withColumn("_cls", shingle_set_key("sh"))
     rep_of = classed.groupBy("_cls").agg(F.min("doc_id").alias("rep"))
     members = classed.join(rep_of, "_cls").select("doc_id", "rep").persist()
     rep_idx = all_idx.join(

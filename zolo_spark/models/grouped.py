@@ -94,6 +94,13 @@ def arima_job(
                 mse, pred, stderr = wf(y, order)
             except Exception:
                 continue  # non-converging order: skipped, lib.py:129-130
+            if not np.isfinite(mse):
+                # NaN/inf fold MSE is a non-convergence in disguise:
+                # keeping a leading NaN would freeze the argmin (every
+                # later `mse < NaN` is False) while SQL oracles sort
+                # NaN last — skip it like the exception path so both
+                # engines agree on pathological series.
+                continue
             if best is None or mse < best[0]:
                 best = (mse, order, pred, stderr)
         if best is None:
