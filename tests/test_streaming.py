@@ -99,6 +99,59 @@ def test_quittin_time_forecast(spark, events_dir):
         assert lo <= v <= hi  # SES forecast is a convex combination
 
 
+def test_monitor_batch_twin_equals_streaming_on_day_batches(spark, tmp_path):
+    """The oracled batch twin == the streaming stateful monitor when
+    micro-batches ARE the ascending day buckets: one parquet file per
+    day, one file per trigger. Values are exact binary fractions so
+    pandas float sums equal the twin's decimal sums bit-for-bit."""
+    import datetime as dt
+
+    from zolo_spark.streaming import stateful
+
+    rows = []
+    for day in range(3):
+        for i in range(4):
+            for et in ("view", "buy"):
+                rows.append((
+                    dt.datetime(2024, 3, 1 + day, 6 + i),
+                    et, 0.25 * (day + 1) + 0.5 * i,
+                ))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    src = str(tmp_path / "monitor_days")
+    # one file per day => file-per-trigger streaming replays exactly
+    # the twin's day buckets, in ascending order (filenames sort by day)
+    for day in range(3):
+        (df.filter(F.dayofmonth("ts") == 1 + day).coalesce(1)
+         .write.parquet(f"{src}/d{day}"))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/d*")
+    )
+    q = (
+        stateful.running_monitor(stream)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("monitor_twin_t")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM monitor_twin_t").collect()
+    finally:
+        q.stop()
+    final = {}
+    for r in emitted:
+        if r["event_type"] not in final or r["n_events"] > final[r["event_type"]]["n_events"]:
+            final[r["event_type"]] = r
+    twin = {r["event_type"]: r
+            for r in stateful.running_monitor_batch(df).collect()}
+    assert set(twin) == set(final) == {"view", "buy"}
+    for et in twin:
+        assert twin[et]["n_events"] == final[et]["n_events"]
+        assert twin[et]["total_value"] == final[et]["total_value"]
+        assert twin[et]["level"] == final[et]["level"]
+
+
 def test_stateful_running_monitor(spark, events_dir):
     from zolo_spark.streaming import stateful
 

@@ -126,7 +126,13 @@ _GRADING_PRIORITY = [
     # color-JPEG gate below).
     "m_arima_grid_argmin", "llm_jpeg_color_roundtrip",
     "llm_stratified_sample", "llm_bpe_merges", "scd2_batch_twin",
-    "llm_jpeg_roundtrip",
+    # Round-7 rotation: llm_jpeg_roundtrip (green r5∧r6; its grayscale
+    # codec path is a strict subset of the color gate above, which
+    # re-runs the same DCT/Huffman machinery per MCU component) hands
+    # its slot to monitor_batch_twin — the deterministic day-bucket
+    # restatement of the stateful streaming monitor, closing r6
+    # ROADMAP item 4 (streaming state arithmetic was pytest-only).
+    "monitor_batch_twin",
     # Late-r5 builds (3): chunking, unigram-LM scoring, per-source cap
     # — slots from twice-green (r3∧r4) singletons llm_audio_features,
     # llm_repetition_stats, events_session_window.

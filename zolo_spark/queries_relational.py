@@ -1383,3 +1383,39 @@ def scd2_batch_twin(spark, sf_dir):
                      ["segment", "nation"])
     return out.select("cust_id", "segment", "nation",
                       "valid_from", "valid_to", "is_current")
+
+
+@register("monitor_batch_twin", oracle="""
+WITH b AS (
+    SELECT event_type, date_trunc('day', ts) AS bk,
+           count(*)::BIGINT AS n, count(value)::BIGINT AS nv,
+           SUM(round(value, 6)::DECIMAL(28,6)) AS s
+    FROM events GROUP BY 1, 2
+), m AS (
+    SELECT event_type, bk, n, s, (s::DOUBLE / nv) AS mean FROM b
+), agg AS (
+    SELECT event_type,
+           SUM(n)::BIGINT AS n_events,
+           SUM(s) AS total,
+           list(mean ORDER BY bk) AS ms
+    FROM m GROUP BY 1
+)
+SELECT event_type, n_events,
+       total::DOUBLE AS total_value,
+       round(list_reduce(ms, (acc, x) -> 0.6*x + 0.4*acc), 4) AS level
+FROM agg
+""")
+def monitor_batch_twin(spark, sf_dir):
+    """Deterministic batch twin of the stateful streaming monitor
+    (streaming/stateful.running_monitor, applyInPandasWithState):
+    final per-key state when micro-batches are ascending event-time
+    day buckets.  The EWMA-over-batch-means recursion is a left fold
+    seeded by the first bucket (DuckDB ``list_reduce``'s no-init
+    form), the running total is an exact DECIMAL sum emitted without
+    re-rounding, and streaming == batch on identical buckets is
+    pinned by pytest — this hash-gates the state-update arithmetic
+    that the streaming test covers only driver-side (the scd2 twin's
+    pattern, r6 ROADMAP item 4)."""
+    from .streaming.stateful import running_monitor_batch
+
+    return running_monitor_batch(_t(spark, sf_dir, "events"))

@@ -13,7 +13,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
@@ -52,6 +52,61 @@ def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         "total_value": round(total, 2),
         "level": round(level, 4) if level is not None else None,
     }])
+
+
+def running_monitor_batch(events: DataFrame, alpha: float = ALPHA) -> DataFrame:
+    """Deterministic batch twin of :func:`running_monitor`: the final
+    per-key state when the stream is replayed with micro-batches =
+    ascending event-time DAY buckets — the restatement that makes the
+    stateful operator oracle-checkable (micro-batch boundaries are
+    otherwise nondeterministic).
+
+    Per ``event_type``: ``n_events`` = total row count, ``total_value``
+    = exact sum (per-value round-6 → DECIMAL(28,6) — associative, so
+    order-independent across engines; emitted as the exact decimal
+    cast to double, never re-rounded), and ``level`` = the EWMA of
+    per-bucket means folded in bucket order (first bucket seeds the
+    level, exactly the streaming operator's ``level is None`` branch).
+    Per-bucket mean divides the exact decimal sum (as double) by the
+    non-null count — pandas ``.mean()`` semantics.
+
+    Scale shape: one partial-aggregated shuffle to (key, day), then a
+    tiny per-key fold over ≤ days-of-history elements — no window
+    sort, no state store; this is the backfill/repair job a streaming
+    deployment runs against the same day-bucketed lake partitions.
+    Streaming == batch (same buckets) is pinned by pytest."""
+    per_bucket = (
+        events
+        .withColumn("_bk", F.date_trunc("day", F.col("ts")))
+        .groupBy("event_type", "_bk")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count("value").alias("_nv"),
+            F.sum(F.round(F.col("value"), 6).cast("decimal(28,6)")).alias("_s"),
+        )
+        .withColumn("_mean", F.col("_s").cast("double") / F.col("_nv"))
+    )
+    agg = per_bucket.groupBy("event_type").agg(
+        F.sum("_n").alias("n_events"),
+        F.sum("_s").alias("_total"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("_bk", "_mean"))),
+            lambda s: s["_mean"],
+        ).alias("_ms"),
+    )
+    # left fold seeded by the FIRST element (DuckDB list_reduce's
+    # no-init form) — identical to the stream's batch-by-batch update
+    level = F.aggregate(
+        F.slice(F.col("_ms"), F.lit(2), F.greatest(F.size("_ms") - 1, F.lit(0))),
+        F.element_at(F.col("_ms"), 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        F.col("_total").cast("double").alias("total_value"),
+        F.round(level, 4).alias("level"),
+    )
 
 
 def running_monitor(events: DataFrame) -> DataFrame:
