@@ -833,6 +833,74 @@ def test_source_cap_null_source_is_a_real_group(spark):
     assert set(df.columns) == set(out[0].asDict())  # no helper col leaks
 
 
+def test_semdedup_drops_higher_id_cellmates(spark):
+    """SemDeDup keep/drop semantics on planted vectors: a near-dup of
+    a lower-id vector in the SAME cell is dropped; near-dups split
+    across cells survive (the documented approximation); everything
+    else keeps."""
+    cents = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),    # cell 0, keeps (lowest id)
+        (1, [0.99, 0.1, 0.0]),   # cell 0, ~0.995 of id 0 → dropped
+        (2, [0.0, 1.0, 0.0]),    # cell 1, keeps
+        (3, [0.0, 0.98, 0.2]),   # cell 1, ~0.98 of id 2 → dropped
+        (4, [0.6, 0.8, 0.0]),    # cell 1, cos 0.8 of id 2 → keeps
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: (r["cell"], r["keep"])
+           for r in similarity.semdedup(df, cents, threshold=0.9).collect()}
+    assert out == {0: (0, True), 1: (0, False), 2: (1, True),
+                   3: (1, False), 4: (1, True)}
+
+
+def _ref_winnow(text: str, k: int, w: int) -> set[tuple[int, int]]:
+    """Pure-Python winnowing (Schleimer et al. 2003, rightmost-min
+    tie rule) — the semantic reference the Spark op is checked
+    against."""
+    import hashlib
+
+    toks = text.lower().split(" ")
+    if len(toks) < k:
+        return set()
+    grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:6], 16) for g in grams]
+    sel = set()
+    for s in range(len(hs) - w + 1):
+        m = min(hs[s:s + w])
+        p = max(i for i in range(s, s + w) if hs[i] == m)  # rightmost
+        sel.add((p, hs[p]))
+    return sel
+
+
+def test_winnow_fingerprints_match_reference(spark):
+    """Spark winnowing == the textbook sequential algorithm on docs
+    engineered with repeated grams (tie positions), short docs (< k
+    tokens → empty), and docs shorter than one window (< k+w-1)."""
+    texts = [
+        (0, "a b c d e f g h i j k l m n o p"),
+        (1, "x y x y x y x y x y x y"),        # heavy hash ties
+        (2, "t u v"),                           # < k tokens: no grams
+        (3, "p q r s t u"),                     # grams but < one window
+        (4, "m m m m m m m m"),                 # all-identical hashes
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got: dict[int, set] = {i: set() for i, _ in texts}
+    for r in dedup.winnow_fingerprints(df, k=4, w=4).collect():
+        got[r["doc_id"]].add((r["pos"], r["fp"]))
+    for i, t in texts:
+        assert got[i] == _ref_winnow(t, 4, 4), f"doc {i}"
+    # density sanity: doc 0's 13 grams / 10 windows select ~2/(w+1)
+    assert 2 <= len(got[0]) <= 10
+    # guarantee: shared run of >= k+w-1 tokens => shared fingerprint
+    pair = spark.createDataFrame(
+        [(10, "zz qq ww ee rr tt yy uu vv"),
+         (11, "aa bb ww ee rr tt yy uu cc dd")], ["doc_id", "text"])
+    fps = {}
+    for r in dedup.winnow_fingerprints(pair, k=3, w=3).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[10] & fps[11]  # 7 shared tokens >= k+w-1 = 5
+
+
 def test_shingle_set_key_separator_unambiguous(spark):
     """Distinct shingle SETS whose '\\x01'-joined concatenations are
     byte-identical (the separator appears inside a shingle) must get

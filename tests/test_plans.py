@@ -277,6 +277,26 @@ def test_lsh_hot_bucket_cap_is_broadcast_anti(spark):
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
 
 
+def test_winnow_single_shuffle_no_distinct_exchange(spark):
+    """Winnowing's whole pipeline rides ONE doc_id hash shuffle: the
+    up-front repartition pre-satisfies the window's distribution, and
+    the run-contiguity LAG dedup replaces a global DISTINCT exchange."""
+    p = plan_of(q(spark, "llm_winnow_fingerprints"))
+    assert n_shuffles(p) == 1
+    assert p.count("Window") >= 1 and "HashAggregate" not in p
+
+
+def test_semdedup_single_assignment_pass(spark):
+    """SemDeDup's centroid assignment (pandas UDF) is persisted and
+    reused across the pair join's two sides and the keep join — three
+    InMemory reads, one compute. (explain('formatted') re-prints the
+    cached subtree per reference, so count table SCANS, not the Arrow
+    operator inside the cached plan.)"""
+    p = plan_of(q(spark, "llm_semdedup"))
+    assert p.count("InMemoryTableScan") >= 3
+    assert "CartesianProduct" not in p
+
+
 def test_training_mix_shuffle_budget(spark):
     # quality stats ride the scan; fingerprint agg + survivor join +
     # packing window are the only wide ops (AQE may reuse exchanges)

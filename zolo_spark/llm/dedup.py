@@ -863,3 +863,81 @@ def duplicate_spans(df: DataFrame, n: int = 10, min_count: int = 2,
             (F.col("end_tok") - F.col("start_tok") + 1).alias("span_tokens"),
         )
     )
+
+
+# ------------------------------------------------- winnowing fingerprints
+
+_WINNOW_POS_BASE = 1 << 31  # pos < 2^31 tokens/doc; 24-bit hash keeps
+#                             (h+1)*2^31 ≤ 2^55 — no int64 overflow
+
+
+def winnow_fingerprints(df: DataFrame, k: int = 4, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every token ``k``-gram,
+    slide a window of ``w`` consecutive hashes, and select each
+    window's minimum hash (RIGHTMOST position on ties); the distinct
+    selected ``(pos, fp)`` pairs are the document's fingerprint set.
+    Guarantees: any shared token run of length ≥ ``k + w - 1`` yields
+    ≥ 1 shared fingerprint, and fingerprint density is ~``2/(w+1)`` —
+    the standard sub-linear sketch for plagiarism/overlap detection.
+
+    Engine shape — ONE shuffle total: raw docs hash-partition by
+    doc_id up front (widening narrow scans AND pre-satisfying the
+    window's distribution, so no second exchange on the exploded gram
+    relation), then the rightmost-min selection is a single window
+    MIN over the packed int64 key ``(h+1)·2³¹ − pos`` — "lowest hash,
+    rightmost position" — with no per-window explode (a naive
+    start×offset join multiplies the gram relation by ``w``).
+    Dedup of re-selected positions rides the SAME sort as a LAG
+    (each fingerprint's selection run is contiguous in start order —
+    proof: a window between two selections of ``p`` must contain a
+    strictly smaller key, which every later window containing ``p``
+    would also contain), replacing a global DISTINCT exchange. The
+    24-bit md5-derived gram hash is engine-portable. Output:
+    ``(doc_id, pos, fp)`` — ``pos`` the selected gram's token
+    position, ``fp`` its 24-bit hash."""
+    toks = df.repartition(F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.col(text_col)), " ").alias("t"),
+    )
+    gram_arr = F.when(
+        F.size("t") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - k),
+            lambda i: F.array_join(F.slice("t", i + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select("doc_id", F.posexplode(gram_arr).alias("pos", "gram"))
+    h = F.conv(F.substring(F.md5(F.col("gram")), 1, 6), 16, 10).cast("long")
+    keyed = grams.select(
+        "doc_id", "pos",
+        ((h + 1) * F.lit(_WINNOW_POS_BASE) - F.col("pos")).alias("key"),
+    )
+    frame = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    seq = Window.partitionBy("doc_id").orderBy("pos")
+    sel = (
+        keyed.select(
+            "doc_id", "pos",
+            F.min("key").over(frame).alias("m"),
+            F.count(F.lit(1)).over(frame).alias("cnt"),
+        )
+        .filter(F.col("cnt") == w)  # full windows only
+        .withColumn("_prev", F.lag("m").over(seq))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("m")))
+    )
+    # unpack: h = ceil(m / 2^31) - 1, pos = (h+1)*2^31 - m (all > 0,
+    # so truncating integer division == ceil via the +base-1 trick).
+    # MUST be int64 `div` — float `/` rounds the 53-bit mantissa on
+    # keys near 2^55 and would decode the wrong (h, pos).
+    h_sel = F.expr(
+        f"(m + {_WINNOW_POS_BASE - 1}) div {_WINNOW_POS_BASE}"
+    ) - 1
+    return sel.select(
+        "doc_id",
+        ((h_sel + 1) * F.lit(_WINNOW_POS_BASE) - F.col("m")).alias("pos"),
+        h_sel.alias("fp"),
+    )

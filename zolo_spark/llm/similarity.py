@@ -127,6 +127,54 @@ def ivf_topk(index: DataFrame, queries: DataFrame, centroids: np.ndarray,
     )
 
 
+def semdedup(corpus: DataFrame, centroids: np.ndarray,
+             threshold: float = 0.9, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, *SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication*): drop semantic
+    duplicates WITHIN embedding clusters — assign every vector to its
+    nearest centroid, compute pairwise cosine inside each cell only,
+    and mark a vector dropped when it is within ``threshold`` of a
+    LOWER-id vector in its cell (the deterministic stand-in for the
+    paper's keep-one-per-dup-group rule). Returns
+    ``(vec_id, cell, keep)`` over the full corpus.
+
+    The clustering is the scale trick: pairwise cosine is O(N²) flat
+    but O(N²/C) cell-partitioned, and each cell's pair join is an
+    independent partition — at 100 TB you raise C so cells stay
+    joinable and write the index partitioned by cell (same layout
+    IVF probing wants; one assignment shuffle serves both). Like IVF,
+    the codebook is an offline-trained input — the seeded-codebook
+    gate value-checks assign→pair→survivor end to end while
+    :func:`train_centroids` stays the production recipe."""
+    # The assignment feeds both pair sides and the final keep join —
+    # persist so the pandas-UDF assignment runs once, not three times
+    # (at scale this is the cell-partitioned index a deployment
+    # materializes; callers release per the dedup-module contract).
+    idx = ivf_index(corpus, centroids, vec_col, id_col).persist()
+    a = idx.select(
+        "cell", F.col("neighbor_id").alias("_id1"), F.col("cv").alias("_v1")
+    )
+    b = idx.select(
+        "cell", F.col("neighbor_id").alias("_id2"), F.col("cv").alias("_v2")
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("_id1") < F.col("_id2"))
+        .filter(F.round(cosine(F.col("_v1"), F.col("_v2")), 4)
+                >= F.lit(threshold))
+        .select(F.col("_id2").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        idx.select(F.col("neighbor_id").alias("vec_id"),
+                   F.col("cell").cast("long").alias("cell"))
+        .join(dropped.withColumn("_drop", F.lit(True)), "vec_id", "left")
+        .select("vec_id", "cell",
+                F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"))
+    )
+
+
 def quantize_int8(df: DataFrame, vec_col: str = "embedding",
                   id_col: str = "vec_id") -> DataFrame:
     """Symmetric per-vector int8 quantization — the memory/bandwidth

@@ -125,7 +125,7 @@ _GRADING_PRIORITY = [
     # more in their family groups — llm_dedup_pipeline and the
     # color-JPEG gate below).
     "m_arima_grid_argmin", "llm_jpeg_color_roundtrip",
-    "llm_stratified_sample", "llm_bpe_merges", "scd2_batch_twin",
+    "llm_bpe_merges", "scd2_batch_twin",
     # Round-7 rotation: llm_jpeg_roundtrip (green r5∧r6; its grayscale
     # codec path is a strict subset of the color gate above, which
     # re-runs the same DCT/Huffman machinery per MCU component) hands
@@ -145,6 +145,11 @@ _GRADING_PRIORITY = [
     # llm_bm25_topk / llm_pack_chunks (late-r5 builds) take the slots
     # of thrice-green (r2∧r3∧r4) singletons llm_minhash_signatures /
     # llm_simhash_dedup.
+    # Round-7 rotation: llm_stratified_sample and llm_pack_chunks
+    # (both green r5∧r6, unchanged) hand their slots to the two new
+    # round-7 operators — winnowing fingerprints (rolling-hash MOSS
+    # sketch) and SemDeDup (cluster-local semantic dedup).
+    "llm_winnow_fingerprints", "llm_semdedup",
     "llm_image_resize", "llm_video_frames", "llm_bm25_topk",
     "llm_minhash_lsh_dedup", "llm_incremental_dedup",
     # Round-6 build: exact-dedup-first + uncapped LSH composition
@@ -152,7 +157,7 @@ _GRADING_PRIORITY = [
     "llm_dedup_pipeline",
     # llm_training_mix (late-r5 end-to-end capstone) takes the slot
     # of thrice-green (r2∧r3∧r4) llm_ngram_jaccard_pairs.
-    "llm_training_mix", "llm_pack_chunks", "llm_simhash_neardup",
+    "llm_training_mix", "llm_simhash_neardup",
     # llm_pq_encode / llm_pq_adc_topk (late-r5 product-quantization
     # builds) take the slots of llm_sim_topk_cosine (r2∧r3∧r4) and
     # llm_pii_redact (r3∧r4).

@@ -475,6 +475,41 @@ def llm_sim_ivf(spark, sf_dir):
     return similarity.ivf_topk(index, emb.filter(F.col("vec_id") < 5), cents)
 
 
+@register("llm_semdedup", oracle=f"""
+WITH cents AS (
+    SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+), assign AS (
+    SELECT e.vec_id, e.embedding AS v, c.cid AS cell
+    FROM embeddings e CROSS JOIN cents c
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid) = 1
+), dropped AS (
+    SELECT DISTINCT b.vec_id
+    FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE round({_cos_sql('a.v', 'b.v')}, 4) >= 0.85
+)
+SELECT a.vec_id, a.cell::BIGINT AS cell,
+       (d.vec_id IS NULL) AS keep
+FROM assign a LEFT JOIN dropped d USING (vec_id)
+""")
+def llm_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic dedup within embedding
+    clusters — nearest-centroid assignment (seeded 8-cell codebook,
+    same as the IVF gate), pairwise cosine INSIDE cells only, drop
+    vectors within 0.85 of a lower-id cell-mate. Full keep/drop
+    decision per vector is value-hashed; ``similarity.semdedup``."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = np.stack([
+        r[0]
+        for r in emb.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id").select("embedding").collect()
+    ]).astype(float)
+    return similarity.semdedup(emb, cents, threshold=0.85)
+
+
 _QUANTIZE_SQL = """
     SELECT vec_id, len(embedding) AS n_dims,
            CASE WHEN list_max(list_transform(embedding,
@@ -1640,6 +1675,44 @@ def llm_duplicate_spans(spark, sf_dir):
     merge via the running-max-end window (all-integer output);
     ``dedup.duplicate_spans``."""
     return dedup.duplicate_spans(_t(spark, sf_dir, "documents"))
+
+
+@register("llm_winnow_fingerprints", oracle="""
+WITH toks AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), pos AS (
+    SELECT doc_id, t, unnest(range(0, greatest(len(t) - 3, 0))) AS pos
+    FROM toks
+), g AS (
+    SELECT doc_id, pos,
+           ('0x' || substr(md5(array_to_string(t[(pos+1):(pos+4)], ' ')),
+                           1, 6))::BIGINT AS h
+    FROM pos
+), keyed AS (
+    SELECT doc_id, pos, (h + 1) * 2147483648 - pos AS key FROM g
+), win AS (
+    SELECT doc_id,
+           min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+           count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+    FROM keyed
+)
+SELECT DISTINCT doc_id,
+       (((m + 2147483647) // 2147483648) * 2147483648 - m)::BIGINT AS pos,
+       ((m + 2147483647) // 2147483648 - 1)::BIGINT AS fp
+FROM win WHERE cnt = 4
+""")
+def llm_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken
+    2003, the MOSS sketch) at k=4, w=4: each 4-hash window selects its
+    minimum gram hash, rightmost on ties — ~2/(w+1) density, with the
+    guarantee that any shared token run ≥ k+w−1 = 7 shares a
+    fingerprint. The rightmost-min selection is a single packed-int64
+    window MIN (no per-window explode, no second pass); pytest pins
+    the op to the textbook sequential algorithm on tie-heavy docs;
+    ``dedup.winnow_fingerprints``."""
+    return dedup.winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
 @register("llm_embedding_near_dup_8bit")
