@@ -833,6 +833,39 @@ def test_source_cap_null_source_is_a_real_group(spark):
     assert set(df.columns) == set(out[0].asDict())  # no helper col leaks
 
 
+def test_kmeans_train_recovers_planted_clusters(spark):
+    """Distributed Lloyd on 3 planted well-separated direction groups:
+    centroids converge onto the group directions and every cell keeps
+    its members; n_members sums to N."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dirs = np.eye(3)
+    # seeds (the k lowest ids) must cover all groups: ids 0,1,2 get
+    # one vector per group, then 9 more members each
+    rows = []
+    vid = 3
+    for g in range(3):
+        rows.append((g, [float(x) for x in dirs[g] + rng.normal(0, 0.05, 3)]))
+    for g in range(3):
+        for _ in range(9):
+            rows.append((vid, [float(x) for x in dirs[g] + rng.normal(0, 0.05, 3)]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.kmeans_train(df, k=3, iters=2).collect()
+    assert len(out) == 9  # 3 cells x 3 dims
+    members = {r["cell"]: r["n_members"] for r in out}
+    assert sum(members.values()) * 3 == 9 * 10  # each dim row repeats count
+    assert set(members) == {0, 1, 2}
+    # centroid of cell g points along axis g (dominant dim = g)
+    cent = {c: [0.0] * 3 for c in members}
+    for r in out:
+        cent[r["cell"]][r["dim"]] = r["centroid"]
+    for g in range(3):
+        assert int(np.argmax(cent[g])) == g
+        assert cent[g][g] > 0.9  # tight cluster of unit-ish vectors
+
+
 def test_semdedup_drops_higher_id_cellmates(spark):
     """SemDeDup keep/drop semantics on planted vectors: a near-dup of
     a lower-id vector in the SAME cell is dropped; near-dups split

@@ -382,12 +382,18 @@ def dedup_pipeline(df: DataFrame, text_col: str = "text",
 
 def build_dedup_index(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Materialized dedup index: (doc_id, sh, sig0..sig15). At 100 TB
-    this is the persisted table an ingest pipeline maintains — new
-    batches dedup against it without re-shingling the corpus."""
+    """Materialized dedup index: (doc_id, sh, sig0..sig15, cls). At
+    100 TB this is the persisted table an ingest pipeline maintains —
+    new batches dedup against it without re-shingling the corpus.
+    ``cls`` is the content-class key (:func:`shingle_set_key`),
+    computed ONCE at ingest so the incremental path never re-chains
+    md5s over the stored corpus's shingle sets."""
     sh = doc_shingles(df, text_col, id_col, n)
     sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh"))
-    return minhash_signatures(sh).join(sets, "doc_id")
+    return (
+        minhash_signatures(sh).join(sets, "doc_id")
+        .withColumn("cls", shingle_set_key("sh"))
+    )
 
 
 def shingle_set_key(sh) -> Column:
@@ -433,8 +439,10 @@ def incremental_minhash_dedup(new_df: DataFrame, index: DataFrame,
     norm at 100 TB."""
     new_idx = build_dedup_index(new_df, text_col, id_col, n).persist()
     new_ids = new_idx.select("doc_id")
+    if "cls" not in index.columns:  # pre-round-7 index: derive once
+        index = index.withColumn("cls", shingle_set_key("sh"))
     all_idx = index.unionByName(new_idx)
-    classed = all_idx.withColumn("_cls", shingle_set_key("sh"))
+    classed = all_idx.withColumn("_cls", F.col("cls"))
     rep_of = classed.groupBy("_cls").agg(F.min("doc_id").alias("rep"))
     members = classed.join(rep_of, "_cls").select("doc_id", "rep").persist()
     rep_idx = all_idx.join(

@@ -127,6 +127,80 @@ def ivf_topk(index: DataFrame, queries: DataFrame, centroids: np.ndarray,
     )
 
 
+def kmeans_train(corpus: DataFrame, k: int = 8, iters: int = 2,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """Distributed spherical Lloyd k-means over the FULL corpus — the
+    codebook trainer for IVF/SemDeDup when a driver-side sample
+    (:func:`train_centroids`) isn't representative at 100 TB.
+
+    Deterministic end to end, so the whole training loop is
+    value-oracled: seeded init (the ``k`` lowest-id vectors,
+    L2-normalized — every seed assigns to its own cell, so no cell
+    ever empties), assignment by cosine argmax (broadcast numpy
+    matmul per Arrow batch; lowest cell id on ties — the IVF gate's
+    proven parity), and the centroid update as per-(cell, dim)
+    DECIMAL(28,6) sums of round-6 normalized components — exact and
+    associative, so partition order can't move a bit — divided once.
+    Per iteration the k×d codebook is collected to the driver (the
+    legitimate small exchange; the corpus never moves) and
+    re-broadcast. Output: one row per (cell, dim):
+    ``(cell, dim, centroid, n_members)``.
+
+    Scale shape per iteration: one Arrow-batched assignment pass over
+    the corpus + one map-side-combined (cell, dim) aggregate — the
+    shuffle carries k·d partial sums per partition, not vectors.
+    ``iters`` is fixed (2 by default) — k-means at this scale runs a
+    bounded budget, not to convergence."""
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = F.greatest(
+        F.sqrt(F.aggregate(F.transform(dv, lambda x: x * x),
+                           F.lit(0.0), lambda acc, x: acc + x)),
+        F.lit(1e-12),
+    )
+    base = fan_out(corpus).select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(dv, lambda x: x / nrm).alias("v"),
+    ).persist()
+    cents = np.stack([
+        r[0]
+        for r in base.filter(F.col("vec_id") < k)
+        .orderBy("vec_id").select("v").collect()
+    ]).astype(float)
+    upd = None
+    for _ in range(iters):
+        assign = _assign_udf(cents, 1)
+        assigned = base.select(
+            F.element_at(assign(F.col("v")), 1).alias("cell"), "v"
+        )
+        upd = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(
+                F.sum(F.round("val", 6).cast("decimal(28,6)")).alias("_s"),
+                F.count(F.lit(1)).alias("n_members"),
+            )
+            .select(
+                F.col("cell").cast("long").alias("cell"),
+                F.col("dim").cast("long").alias("dim"),
+                (F.col("_s").cast("double") / F.col("n_members"))
+                .alias("centroid"),
+                "n_members",
+            )
+        )
+        rows = upd.collect()  # k×d rows — the codebook, not the corpus
+        cells = sorted({r["cell"] for r in rows})
+        if len(cells) != k:  # seeds guarantee this; fail loudly if not
+            raise ValueError(f"empty cells after update: {k - len(cells)}")
+        by_cell: dict[int, list] = {c: [] for c in cells}
+        for r in rows:
+            by_cell[r["cell"]].append((r["dim"], r["centroid"]))
+        cents = np.stack([
+            [v for _, v in sorted(by_cell[c])] for c in cells
+        ]).astype(float)
+    return upd
+
+
 def semdedup(corpus: DataFrame, centroids: np.ndarray,
              threshold: float = 0.9, vec_col: str = "embedding",
              id_col: str = "vec_id") -> DataFrame:
@@ -151,17 +225,33 @@ def semdedup(corpus: DataFrame, centroids: np.ndarray,
     # persist so the pandas-UDF assignment runs once, not three times
     # (at scale this is the cell-partitioned index a deployment
     # materializes; callers release per the dedup-module contract).
-    idx = ivf_index(corpus, centroids, vec_col, id_col).persist()
-    a = idx.select(
-        "cell", F.col("neighbor_id").alias("_id1"), F.col("cv").alias("_v1")
+    # The f64 copy and the norm are precomputed per VECTOR, so each
+    # pair pays one dot fold instead of three (embedding_near_dup's
+    # trick); dot/(n1*n2) evaluates the same f64 expression trees the
+    # inline cosine did, so results are bit-identical.
+    dv = F.transform(F.col("cv"), lambda x: x.cast("double"))
+    idx = (
+        ivf_index(corpus, centroids, vec_col, id_col)
+        .select(
+            "neighbor_id", "cell", dv.alias("v"),
+            F.sqrt(F.aggregate(F.transform(dv, lambda x: x * x),
+                               F.lit(0.0), lambda acc, x: acc + x))
+            .alias("nrm"),
+        )
+        .persist()
     )
-    b = idx.select(
-        "cell", F.col("neighbor_id").alias("_id2"), F.col("cv").alias("_v2")
+    a = idx.select("cell", F.col("neighbor_id").alias("_id1"),
+                   F.col("v").alias("_v1"), F.col("nrm").alias("_n1"))
+    b = idx.select("cell", F.col("neighbor_id").alias("_id2"),
+                   F.col("v").alias("_v2"), F.col("nrm").alias("_n2"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_v1"), F.col("_v2"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
     )
     dropped = (
         a.join(b, "cell")
         .filter(F.col("_id1") < F.col("_id2"))
-        .filter(F.round(cosine(F.col("_v1"), F.col("_v2")), 4)
+        .filter(F.round(dot / (F.col("_n1") * F.col("_n2")), 4)
                 >= F.lit(threshold))
         .select(F.col("_id2").alias("vec_id"))
         .distinct()

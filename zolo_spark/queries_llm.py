@@ -475,6 +475,55 @@ def llm_sim_ivf(spark, sf_dir):
     return similarity.ivf_topk(index, emb.filter(F.col("vec_id") < 5), cents)
 
 
+@register("llm_kmeans_train", oracle=f"""
+WITH nv AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> x::DOUBLE /
+               greatest(sqrt(list_reduce(list_transform(embedding,
+                   y -> y::DOUBLE * y::DOUBLE), (p, q) -> p + q)), 1e-12))
+               AS v
+    FROM embeddings
+), c0 AS (
+    SELECT vec_id AS cid, v AS cv FROM nv WHERE vec_id < 8
+), a1 AS (
+    SELECT n.vec_id, n.v, c.cid AS cell
+    FROM nv n CROSS JOIN c0 c
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        ORDER BY {_cos_sql('n.v', 'c.cv')} DESC, c.cid) = 1
+), e1 AS (
+    SELECT cell, dim, v[dim + 1] AS val
+    FROM (SELECT cell, v, unnest(range(0, len(v))) AS dim FROM a1)
+), u1 AS (
+    SELECT cell, dim,
+           (SUM(round(val, 6)::DECIMAL(28,6))::DOUBLE / COUNT(*)) AS val,
+           COUNT(*)::BIGINT AS n
+    FROM e1 GROUP BY cell, dim
+), c1 AS (
+    SELECT cell AS cid, list(val ORDER BY dim) AS cv FROM u1 GROUP BY cell
+), a2 AS (
+    SELECT n.vec_id, n.v, c.cid AS cell
+    FROM nv n CROSS JOIN c1 c
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        ORDER BY {_cos_sql('n.v', 'c.cv')} DESC, c.cid) = 1
+), e2 AS (
+    SELECT cell, dim, v[dim + 1] AS val
+    FROM (SELECT cell, v, unnest(range(0, len(v))) AS dim FROM a2)
+)
+SELECT cell::BIGINT AS cell, dim::BIGINT AS dim,
+       (SUM(round(val, 6)::DECIMAL(28,6))::DOUBLE / COUNT(*)) AS centroid,
+       COUNT(*)::BIGINT AS n_members
+FROM e2 GROUP BY cell, dim
+""")
+def llm_kmeans_train(spark, sf_dir):
+    """Distributed spherical k-means (2 Lloyd iterations, k=8,
+    seeded init) trained on the FULL embeddings corpus — the whole
+    training loop is value-hashed: both assignment passes (cosine
+    argmax, lowest-cid ties) and both centroid updates (per-(cell,dim)
+    DECIMAL sums) replay exactly in SQL; ``similarity.kmeans_train``."""
+    return similarity.kmeans_train(_t(spark, sf_dir, "embeddings"),
+                                   k=8, iters=2)
+
+
 @register("llm_semdedup", oracle=f"""
 WITH cents AS (
     SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
