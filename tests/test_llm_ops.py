@@ -886,6 +886,28 @@ def test_semdedup_drops_higher_id_cellmates(spark):
                    3: (1, False), 4: (1, True)}
 
 
+def test_semdedup_blocking_is_pure_parallelization(spark):
+    """The triangle-block pair decomposition must not change a single
+    keep/drop decision: B=1 (plain cell self-join) == B=4 on a corpus
+    dense enough that same-block and cross-block pairs both occur."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    cents = np.eye(4)[:, :]
+    rows = []
+    for i in range(40):
+        g = i % 4
+        v = np.eye(4)[g] + rng.normal(0, 0.2, 4)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    plain = {(r["vec_id"], r["cell"], r["keep"]) for r in
+             similarity.semdedup(df, cents, 0.9, pair_blocks=1).collect()}
+    blocked = {(r["vec_id"], r["cell"], r["keep"]) for r in
+               similarity.semdedup(df, cents, 0.9, pair_blocks=4).collect()}
+    assert plain == blocked and len(plain) == 40
+    assert any(not k for _, _, k in plain)  # some drops actually occur
+
+
 def _ref_winnow(text: str, k: int, w: int) -> set[tuple[int, int]]:
     """Pure-Python winnowing (Schleimer et al. 2003, rightmost-min
     tie rule) — the semantic reference the Spark op is checked

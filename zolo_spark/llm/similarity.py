@@ -203,7 +203,7 @@ def kmeans_train(corpus: DataFrame, k: int = 8, iters: int = 2,
 
 def semdedup(corpus: DataFrame, centroids: np.ndarray,
              threshold: float = 0.9, vec_col: str = "embedding",
-             id_col: str = "vec_id") -> DataFrame:
+             id_col: str = "vec_id", pair_blocks: int = 2) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, *SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication*): drop semantic
     duplicates WITHIN embedding clusters — assign every vector to its
@@ -214,13 +214,32 @@ def semdedup(corpus: DataFrame, centroids: np.ndarray,
     ``(vec_id, cell, keep)`` over the full corpus.
 
     The clustering is the scale trick: pairwise cosine is O(N²) flat
-    but O(N²/C) cell-partitioned, and each cell's pair join is an
-    independent partition — at 100 TB you raise C so cells stay
+    but O(N²/C) cell-partitioned — at 100 TB you raise C so cells stay
     joinable and write the index partitioned by cell (same layout
     IVF probing wants; one assignment shuffle serves both). Like IVF,
     the codebook is an offline-trained input — the seeded-codebook
     gate value-checks assign→pair→survivor end to end while
-    :func:`train_centroids` stays the production recipe."""
+    :func:`train_centroids` / :func:`kmeans_train` stay the
+    production recipes.
+
+    ``pair_blocks``: a cell's self-join is ONE Spark partition per
+    join key, so with few cells the hottest cell's quadratic dot-fold
+    work lands on ONE core — AQE's skew split never fires because its
+    trigger is partition BYTES, and a few MB of vectors is an hour of
+    CPU (found by the round-7 sf10 rehearsal: one straggler task,
+    31/32 cores idle). The triangle-block decomposition fixes the
+    parallelism WITHOUT changing a single output pair: each vector in
+    id-block ``b`` replicates to the ``B`` unordered block pairs
+    {b, q}, the join keys on (cell, lo, hi), and every (u, v) pair
+    meets exactly once — in block pair {b_u, b_v} — so candidate
+    generation splits into ~B²/2 tasks per cell at a B× replication
+    cost of the vector payload. Pure parallelization: the oracle is
+    the same pairwise SQL, pinned by the B=1 ≡ B=4 equivalence test.
+    Measured at sf10 (50k vectors, adaptive k): B∈{1,2} ≈ 62 s,
+    B=8 ≈ 92 s (replication overhead dominates once cells are ~64
+    vectors) — default B=2; raise it for fixed-k / fat-cell
+    configurations where one cell's quadratic work would otherwise
+    be a single task."""
     # The assignment feeds both pair sides and the final keep join —
     # persist so the pandas-UDF assignment runs once, not three times
     # (at scale this is the cell-partitioned index a deployment
@@ -240,17 +259,42 @@ def semdedup(corpus: DataFrame, centroids: np.ndarray,
         )
         .persist()
     )
-    a = idx.select("cell", F.col("neighbor_id").alias("_id1"),
-                   F.col("v").alias("_v1"), F.col("nrm").alias("_n1"))
-    b = idx.select("cell", F.col("neighbor_id").alias("_id2"),
-                   F.col("v").alias("_v2"), F.col("nrm").alias("_n2"))
+    blk = F.pmod(F.col("neighbor_id"), F.lit(pair_blocks))
+    qs = F.sequence(F.lit(0), F.lit(pair_blocks - 1))
+    blocked = idx.select(
+        "cell", "neighbor_id", "v", "nrm", blk.alias("_blk"),
+        F.explode(
+            F.transform(qs, lambda q: F.struct(
+                F.least(blk, q).alias("lo"), F.greatest(blk, q).alias("hi"),
+            ))
+        ).alias("_bp"),
+    ).select("cell", "neighbor_id", "v", "nrm", "_blk", "_bp.lo", "_bp.hi")
+    a = blocked.select(F.col("cell").alias("_c1"), F.col("lo").alias("_lo1"),
+                       F.col("hi").alias("_hi1"), F.col("_blk").alias("_b1"),
+                       F.col("neighbor_id").alias("_id1"),
+                       F.col("v").alias("_v1"), F.col("nrm").alias("_n1"))
+    b = blocked.select(F.col("cell").alias("_c2"), F.col("lo").alias("_lo2"),
+                       F.col("hi").alias("_hi2"), F.col("_blk").alias("_b2"),
+                       F.col("neighbor_id").alias("_id2"),
+                       F.col("v").alias("_v2"), F.col("nrm").alias("_n2"))
     dot = F.aggregate(
         F.zip_with(F.col("_v1"), F.col("_v2"), lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x,
     )
+    # same-block pairs share ALL B block-pair keys, so restrict them
+    # to the diagonal key (lo == hi) — every (u, v) then meets exactly
+    # once; the guard sits in the JOIN condition so it prunes before
+    # the dot fold ever runs
     dropped = (
-        a.join(b, "cell")
-        .filter(F.col("_id1") < F.col("_id2"))
+        a.join(
+            b,
+            (F.col("_c1") == F.col("_c2"))
+            & (F.col("_lo1") == F.col("_lo2"))
+            & (F.col("_hi1") == F.col("_hi2"))
+            & (F.col("_id1") < F.col("_id2"))
+            & ((F.col("_lo1") == F.col("_hi1"))
+               | (F.col("_b1") != F.col("_b2"))),
+        )
         .filter(F.round(dot / (F.col("_n1") * F.col("_n2")), 4)
                 >= F.lit(threshold))
         .select(F.col("_id2").alias("vec_id"))

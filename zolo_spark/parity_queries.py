@@ -136,9 +136,13 @@ _GRADING_PRIORITY = [
     # Late-r5 builds (3): chunking, unigram-LM scoring, per-source cap
     # — slots from twice-green (r3∧r4) singletons llm_audio_features,
     # llm_repetition_stats, events_session_window.
-    # Round-7: llm_chunk_documents (green r5∧r6, unchanged) hands its
-    # slot to the distributed k-means trainer gate.
-    "llm_kmeans_train", "llm_unigram_nll", "llm_source_cap",
+    # Round-7: llm_chunk_documents and llm_unigram_nll (both green
+    # r5∧r6, unchanged) hand their slots to the distributed k-means
+    # trainer gate and the train→index→probe lifecycle gate. Note:
+    # llm_source_cap, llm_incremental_dedup, and m_arima_grid_argmin
+    # keep their slots BECAUSE their code changed this round (ADVICE
+    # fixes) — prior green rows no longer certify them.
+    "llm_kmeans_train", "llm_ivf_trained_topk", "llm_source_cap",
     # LLM-data-pipeline family. llm_image_resize (real decode→box
     # resample→re-encode) and llm_video_frames (ZVID container parse +
     # per-frame decode) are round-5 builds taking the slots of

@@ -524,9 +524,84 @@ def llm_kmeans_train(spark, sf_dir):
                                    k=8, iters=2)
 
 
+@register("llm_ivf_trained_topk", oracle=f"""
+WITH nv AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> x::DOUBLE /
+               greatest(sqrt(list_reduce(list_transform(embedding,
+                   y -> y::DOUBLE * y::DOUBLE), (p, q) -> p + q)), 1e-12))
+               AS v
+    FROM embeddings
+), c0 AS (
+    SELECT vec_id AS cid, v AS cv FROM nv WHERE vec_id < 8
+), a1 AS (
+    SELECT n.vec_id, n.v, c.cid AS cell
+    FROM nv n CROSS JOIN c0 c
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        ORDER BY {_cos_sql('n.v', 'c.cv')} DESC, c.cid) = 1
+), e1 AS (
+    SELECT cell, dim, v[dim + 1] AS val
+    FROM (SELECT cell, v, unnest(range(0, len(v))) AS dim FROM a1)
+), u1 AS (
+    SELECT cell, dim,
+           (SUM(round(val, 6)::DECIMAL(28,6))::DOUBLE / COUNT(*)) AS val
+    FROM e1 GROUP BY cell, dim
+), c1 AS (
+    SELECT cell AS cid, list(val ORDER BY dim) AS cv FROM u1 GROUP BY cell
+), corpus_assign AS (
+    SELECT e.vec_id AS neighbor_id, e.embedding AS cvv, c.cid AS cell
+    FROM embeddings e CROSS JOIN c1 c
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) = 1
+), q_assign AS (
+    SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid AS cell
+    FROM embeddings q CROSS JOIN c1 c
+    WHERE q.vec_id < 5
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY {_cos_sql('q.embedding', 'c.cv')} DESC, c.cid) <= 3
+), scored AS (
+    SELECT query_id, neighbor_id,
+           round({_cos_sql('qv', 'cvv')}, 4) AS cos
+    FROM corpus_assign JOIN q_assign USING (cell)
+    WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 10
+""")
+def llm_ivf_trained_topk(spark, sf_dir):
+    """The full ANN lifecycle in ONE oracled query: distributed
+    k-means training (1 Lloyd iteration from the seeded init —
+    ``similarity.kmeans_train``) → IVF index build on the TRAINED
+    codebook → 3-probe top-10 retrieval. Everything the deployment
+    runs — trainer, assignment, probe pruning, ranking — is
+    value-hashed end to end (the plain IVF gate uses raw seed vectors
+    as the codebook; this one exercises the trained path)."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    trained = similarity.kmeans_train(emb, k=8, iters=1)
+    rows = trained.collect()  # k×d codebook rows, not the corpus
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append((r["dim"], r["centroid"]))
+    cents = np.stack([
+        [v for _, v in sorted(by_cell[c])] for c in sorted(by_cell)
+    ]).astype(float)
+    index = similarity.ivf_index(emb, cents)
+    return similarity.ivf_topk(index, emb.filter(F.col("vec_id") < 5), cents)
+
+
 @register("llm_semdedup", oracle=f"""
-WITH cents AS (
-    SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+WITH ksel AS (
+    SELECT greatest(8, count(*) // 64) AS k FROM embeddings
+), cents AS (
+    SELECT vec_id AS cid, embedding AS cvec
+    FROM embeddings, ksel WHERE vec_id < k
 ), assign AS (
     SELECT e.vec_id, e.embedding AS v, c.cid AS cell
     FROM embeddings e CROSS JOIN cents c
@@ -544,16 +619,26 @@ FROM assign a LEFT JOIN dropped d USING (vec_id)
 """)
 def llm_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): semantic dedup within embedding
-    clusters — nearest-centroid assignment (seeded 8-cell codebook,
-    same as the IVF gate), pairwise cosine INSIDE cells only, drop
-    vectors within 0.85 of a lower-id cell-mate. Full keep/drop
-    decision per vector is value-hashed; ``similarity.semdedup``."""
+    clusters — nearest-centroid assignment, pairwise cosine INSIDE
+    cells only, drop vectors within 0.85 of a lower-id cell-mate.
+    Full keep/drop decision per vector is value-hashed;
+    ``similarity.semdedup``.
+
+    The cluster count SCALES WITH THE CORPUS — ``k = max(8, N // 64)``
+    (~64 vectors per cell), computed identically by both engines — as
+    in the paper, where k grows into the tens of thousands at web
+    scale: with FIXED k the within-cell pair work is quadratic in N
+    (the round-7 sf10 rehearsal measured k=8 at 50k vectors — 312M
+    pair dot-folds — timing out where adaptive k is seconds). At
+    sf0.01 (500 vectors) this evaluates to the original k=8, so the
+    graded hash is unchanged."""
     import numpy as np
 
     emb = _t(spark, sf_dir, "embeddings")
+    k = max(8, emb.count() // 64)
     cents = np.stack([
         r[0]
-        for r in emb.filter(F.col("vec_id") < 8)
+        for r in emb.filter(F.col("vec_id") < k)
         .orderBy("vec_id").select("embedding").collect()
     ]).astype(float)
     return similarity.semdedup(emb, cents, threshold=0.85)
