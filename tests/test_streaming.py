@@ -482,3 +482,59 @@ def test_streaming_scd2_checkpoint_resume_equals_batch(spark, tmp_path):
     # shape: user 1 has a closed + an open version; 2 one open; 3 one open
     cur = [r for r in got if r[2]]
     assert len(cur) == 3 and len(got) == 4
+
+
+def test_watermark_batch_twin_equals_streaming(spark, tmp_path):
+    """The oracled watermark twin == the real append-mode streaming
+    aggregation when micro-batches are the twin's arrival buckets
+    (day files, every 7th event_id shipped two buckets late). The
+    scenario exercises every semantic branch: late-but-kept rows,
+    watermark-dropped rows, and withheld still-open windows."""
+    import datetime as dt
+
+    from zolo_spark.streaming import intraday
+
+    rows, eid = [], 0
+    for day in range(3):
+        for h in (1, 5, 9, 13, 17, 21):
+            for et in ("view", "buy"):
+                rows.append((eid, dt.datetime(2024, 5, 1 + day, h, 7),
+                             et, 0.25 * h + day))
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double")
+    arr_day = F.dayofmonth("ts") + F.when(
+        F.col("event_id") % 7 == 0, 2).otherwise(0)
+    src = str(tmp_path / "wm_batches")
+    for b in range(1, 6):  # days 1-3 plus the trailing late-only buckets
+        part = df.filter(arr_day == b)
+        if part.count():
+            part.coalesce(1).write.parquet(f"{src}/b{b}")
+
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/b*"))
+    q = (intraday.tumbling_windows(stream)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("wm_twin_t").start())
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM wm_twin_t").collect()
+        got = {(r["window_start"], r["event_type"]):
+               (r["n_events"], r["total_value"]) for r in emitted}
+    finally:
+        q.stop()
+    assert len(emitted) == len(got)  # append never re-emits a window
+    want = {(r["window_start"], r["event_type"]):
+            (r["n_events"], r["total_value"])
+            for r in intraday.watermark_batch_twin(df).collect()}
+    assert got == want and len(want) > 0
+
+    # branch coverage (late rows are each their window's only row):
+    # too-late rows vanish, late-but-kept rows land, windows past the
+    # final watermark (day-3 21:07 - 4h) are withheld
+    assert (dt.datetime(2024, 5, 1, 1, 0), "view") not in want   # dropped
+    assert (dt.datetime(2024, 5, 2, 5, 0), "view") not in want   # dropped
+    assert (dt.datetime(2024, 5, 2, 17, 0), "buy") in want       # kept late
+    assert (dt.datetime(2024, 5, 3, 13, 0), "view") in want      # emitted
+    final_wm = dt.datetime(2024, 5, 3, 17, 7)
+    assert all(k[0] + dt.timedelta(hours=1) <= final_wm for k in want)

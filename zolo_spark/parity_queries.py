@@ -125,7 +125,12 @@ _GRADING_PRIORITY = [
     # more in their family groups — llm_dedup_pipeline and the
     # color-JPEG gate below).
     "m_arima_grid_argmin", "llm_jpeg_color_roundtrip",
-    "llm_bpe_merges", "scd2_batch_twin",
+    "llm_bpe_merges",
+    # Round-7 rotation: scd2_batch_twin (green r5∧r6, code unchanged)
+    # hands its slot to watermark_batch_twin — the late-data/watermark
+    # restatement that hash-gates the empirically-pinned lag-2
+    # late-events filter + append emission semantics.
+    "watermark_batch_twin",
     # Round-7 rotation: llm_jpeg_roundtrip (green r5∧r6; its grayscale
     # codec path is a strict subset of the color gate above, which
     # re-runs the same DCT/Huffman machinery per MCU component) hands

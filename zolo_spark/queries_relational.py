@@ -1419,3 +1419,48 @@ def monitor_batch_twin(spark, sf_dir):
     from .streaming.stateful import running_monitor_batch
 
     return running_monitor_batch(_t(spark, sf_dir, "events"))
+
+
+@register("watermark_batch_twin", oracle="""
+WITH tagged AS (
+    SELECT event_type, value,
+           date_trunc('hour', ts) AS w_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+           date_trunc('day', ts) + CASE WHEN event_id % 7 = 0
+               THEN INTERVAL 2 DAY ELSE INTERVAL 0 DAY END AS arr,
+           date_trunc('milliseconds', ts) AS tsm
+    FROM events
+), bmax AS (
+    SELECT arr, max(tsm) AS mx FROM tagged GROUP BY arr
+), wm AS (
+    SELECT arr, max(mx) OVER (ORDER BY arr
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+        - INTERVAL 4 HOUR AS wm_late
+    FROM bmax
+), fin AS (
+    SELECT max(tsm) - INTERVAL 4 HOUR AS wm_final FROM tagged
+), kept AS (
+    SELECT t.event_type, t.value, t.w_start, t.w_end
+    FROM tagged t JOIN wm ON t.arr = wm.arr
+    WHERE wm.wm_late IS NULL OR t.w_end > wm.wm_late
+)
+SELECT w_start AS window_start, event_type,
+       count(*)::BIGINT AS n_events,
+       SUM(round(value, 6)::DECIMAL(28,6))::DOUBLE AS total_value
+FROM kept, fin
+WHERE w_end <= fin.wm_final
+GROUP BY 1, 2
+""")
+def watermark_batch_twin(spark, sf_dir):
+    """Deterministic batch twin of the append-mode tumbling-window
+    aggregation WITH watermark-dropped late data: micro-batch =
+    event-time day bucket, every 7th event_id arriving two buckets
+    late. Hash-gates the empirically-pinned Structured Streaming
+    semantics — the lag-2 late-events filter, lag-1 eviction
+    watermark, ms-floored event-time stats, and the append-mode
+    emission predicate (streaming == batch on identical buckets is
+    pinned by pytest; the scd2/monitor twins' pattern extended to
+    event-time windowing)."""
+    from .streaming.intraday import watermark_batch_twin as twin
+
+    return twin(_t(spark, sf_dir, "events"))

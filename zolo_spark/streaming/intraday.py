@@ -58,6 +58,105 @@ def intraday_windows(events: DataFrame,
     )
 
 
+def tumbling_windows(events: DataFrame,
+                     window: str = "1 hour",
+                     watermark: str = "4 hours") -> DataFrame:
+    """Tumbling event-time windows per event_type with a late-data
+    watermark; exact DECIMAL value sums so the append-mode output is
+    bit-comparable with :func:`watermark_batch_twin`."""
+    return (
+        events
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.round(F.col("value"), 6).cast("decimal(28,6)"))
+             .cast("double").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"),
+                "event_type", "n_events", "total_value")
+    )
+
+
+def watermark_batch_twin(events: DataFrame, late_mod: int = 7,
+                         delay_hours: int = 4) -> DataFrame:
+    """Deterministic batch twin of the append-mode tumbling-window
+    aggregation WITH watermark-dropped late data — the restatement
+    that makes the watermark semantics oracle-checkable (the
+    scd2/monitor twins gate sinks and state arithmetic; this gates
+    the late-row filter and the append-mode emission predicate).
+
+    Deterministic replay: micro-batch = event-time day bucket, except
+    every ``late_mod``-th ``event_id`` arrives TWO buckets late (its
+    day's bucket + 2) — real out-of-order arrival, far enough back
+    that the watermark actually drops some of it. The Structured
+    Streaming semantics were pinned EMPIRICALLY on this engine
+    version (progress-log experiments, numRowsDroppedByWatermark):
+
+    * the eviction watermark in batch b = max event time over batches
+      < b (floored to milliseconds — event-time stats are tracked in
+      ms) minus the delay;
+    * the LATE-ROW FILTER uses the watermark lagged one further batch
+      (``watermarkForLateEvents`` = the previous trigger's value):
+      a row arriving in batch b is DROPPED iff its window end <= max
+      event time over batches <= b-2, minus delay. A kept late row
+      merges into its window's state even when that window is evicted
+      in the very same batch. The lag-1/lag-2 split provably forbids
+      duplicate append emissions: a window emitted in batch b' < b
+      has end <= wm(b') <= the batch-b filter threshold, so any
+      post-emission straggler is dropped, never re-emitted;
+    * append mode emits exactly the windows whose end <= the FINAL
+      watermark (max over ALL batches - delay; the trailing no-data
+      micro-batch performs the last eviction, end == wm inclusive);
+      later windows are still open and withheld.
+
+    Streaming == batch on identical buckets is pinned by pytest
+    (`test_watermark_batch_twin_equals_streaming`), which exercises
+    dropped-late, kept-late, and withheld-open branches.
+
+    Scale shape: the per-batch max is a tiny partial agg (one row per
+    day) broadcast back onto the corpus — the running-max window
+    function sorts only that per-day frame, never the events; the
+    final watermark is a broadcast 1-row agg; the only full shuffle
+    is the (window, key) aggregation itself."""
+    from pyspark.sql import Window
+
+    delay = F.expr(f"INTERVAL {delay_hours} HOURS")
+    tagged = (
+        events
+        .withColumn("_w_start", F.date_trunc("hour", F.col("ts")))
+        .withColumn("_w_end", F.col("_w_start") + F.expr("INTERVAL 1 HOUR"))
+        .withColumn(
+            "_arr",
+            F.date_trunc("day", F.col("ts"))
+            + F.when(F.col("event_id") % late_mod == 0,
+                     F.expr("INTERVAL 2 DAYS")).otherwise(F.expr("INTERVAL 0 DAY")),
+        )
+    )
+    bmax = tagged.groupBy("_arr").agg(
+        F.max(F.date_trunc("millisecond", F.col("ts"))).alias("_mx"))
+    # late-events watermark lags the eviction watermark by one batch
+    run = Window.orderBy("_arr").rowsBetween(Window.unboundedPreceding, -2)
+    wm = bmax.select(
+        "_arr", (F.max("_mx").over(run) - delay).alias("_wm_before"))
+    kept = (
+        tagged.join(F.broadcast(wm), "_arr")
+        .filter(F.col("_wm_before").isNull()
+                | (F.col("_w_end") > F.col("_wm_before")))
+    )
+    final_wm = tagged.agg(
+        (F.max(F.date_trunc("millisecond", F.col("ts"))) - delay)
+        .alias("_wm_final"))
+    return (
+        kept.groupBy("_w_start", "_w_end", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.round(F.col("value"), 6).cast("decimal(28,6)"))
+             .cast("double").alias("total_value"))
+        .crossJoin(F.broadcast(final_wm))
+        .filter(F.col("_w_end") <= F.col("_wm_final"))
+        .select(F.col("_w_start").alias("window_start"),
+                "event_type", "n_events", "total_value")
+    )
+
+
 def quittin_time_forecast(spark: SparkSession, windows_df: DataFrame,
                           alpha: float = 0.6) -> DataFrame:
     """Forecast the NEXT window's total per event_type: SES fold over
