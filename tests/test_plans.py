@@ -302,3 +302,15 @@ def test_training_mix_shuffle_budget(spark):
     # packing window are the only wide ops (AQE may reuse exchanges)
     p = plan_of(q(spark, "llm_training_mix"))
     assert n_shuffles(p) <= 4
+
+
+def test_watermark_twin_broadcasts_tiny_frames(spark):
+    """The watermark twin's per-day max and final-watermark frames are
+    broadcast back onto the events scan — the only shuffle exchanges
+    are the two tiny day-level aggregations plus the final
+    (window, key) aggregation; the running-max window sorts the
+    per-day frame, never the corpus."""
+    p = plan_of(q(spark, "watermark_batch_twin"))
+    assert p.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in p
+    assert n_shuffles(p) <= 4
