@@ -567,3 +567,72 @@ def pack_chunks(chunks: DataFrame, budget: int,
     return chunks.withColumn(
         "seq_id", F.floor(cum_before / budget).cast("long")
     )
+
+
+def corpus_pipeline(docs: DataFrame, emb: DataFrame, *,
+                    jaccard: float = 0.7, cos_threshold: float = 0.85,
+                    quality_min: float = 0.5, min_tokens: int = 5,
+                    max_punct: float = 0.3, cap: int = 15,
+                    source_col: str = "source",
+                    id_col: str = "doc_id") -> DataFrame:
+    """The full crawl-processing composition, in the order a web-scale
+    training-data build actually runs it:
+
+    1. exact dedup (fingerprint groupBy — linear, collapses clone mass
+       so every later stage sees true density);
+    2. MinHash-LSH near-dup over the exact survivors, UNCAPPED (safe
+       only because of step 1), dropping the higher-id member of each
+       verified pair;
+    3. SemDeDup over the survivors' embeddings (cluster count scales
+       with the surviving corpus, k = max(8, N // 64); codebook seeded
+       from the k lowest surviving vec_ids so the whole decision is
+       oracle-replayable — production swaps in ``kmeans_train``);
+    4. heuristic quality gate (quality/token-count/punctuation);
+    5. per-source cap (anti-domination, count-first split).
+
+    Returns the final kept documents ``(doc_id, lang, source,
+    n_chars)``. Every stage is individually oracled by its own gate;
+    this composes them into ONE hash-checked pipeline so stage
+    boundaries (who consumes whose survivors) are driver-verified too.
+
+    Note the near-dup → semantic hand-off: embeddings are joined
+    left-semi on the surviving ids, so the pairwise-cosine stage never
+    sees vectors whose text was already text-duplicated — at 100 TB
+    this ordering cuts SemDeDup's input (its only superlinear term) by
+    the full text-dup rate. The intermediate survivor frame is
+    persisted (three consumers); per repo contract the caller/bench
+    releases caches after the action."""
+    import numpy as np
+
+    from . import dedup as _dedup
+    from . import text as _text
+    from .similarity import semdedup as _semdedup
+
+    keep = _dedup.exact_dedup(docs, id_col=id_col).select(
+        F.col("keep_id").alias(id_col))
+    surv1 = docs.join(keep, id_col, "left_semi")
+    pairs = _dedup.minhash_lsh_dedup(surv1, id_col=id_col,
+                                     threshold=jaccard)
+    surv2 = surv1.join(
+        pairs.select(F.col("doc2").alias(id_col)), id_col, "left_anti"
+    ).persist()
+    emb2 = emb.join(surv2.select(F.col(id_col).alias("vec_id")),
+                    "vec_id", "left_semi")
+    k = max(8, emb2.count() // 64)
+    seed = emb2.orderBy("vec_id").limit(k).select("embedding").collect()
+    cents = np.stack([r[0] for r in seed]).astype(float)
+    keep3 = (
+        _semdedup(emb2, cents, threshold=cos_threshold)
+        .filter(F.col("keep")).select(F.col("vec_id").alias(id_col))
+    )
+    surv3 = surv2.join(keep3, id_col, "left_semi")
+    kept_q = _text.text_stats(surv3, id_col=id_col).filter(
+        (F.col("quality") >= quality_min)
+        & (F.col("n_tokens_ws") >= min_tokens)
+        & (F.col("punct_ratio") <= max_punct)
+    ).select(id_col)
+    surv4 = surv3.join(kept_q, id_col, "left_semi")
+    return source_cap(
+        surv4.select(id_col, "lang", source_col, "n_chars"),
+        cap=cap, source_col=source_col,
+    ).select(id_col, "lang", source_col, "n_chars")

@@ -125,7 +125,11 @@ _GRADING_PRIORITY = [
     # more in their family groups — llm_dedup_pipeline and the
     # color-JPEG gate below).
     "m_arima_grid_argmin", "llm_jpeg_color_roundtrip",
-    "llm_bpe_merges",
+    # Round-7 rotation: llm_bpe_merges (green r5∧r6, tokenizer
+    # unchanged since its r5 build) hands its slot to the capstone
+    # llm_corpus_pipeline — exact dedup → uncapped near-dup →
+    # SemDeDup → quality gate → source cap as ONE oracled chain.
+    "llm_corpus_pipeline",
     # Round-7 rotation: scd2_batch_twin (green r5∧r6, code unchanged)
     # hands its slot to watermark_batch_twin — the late-data/watermark
     # restatement that hash-gates the empirically-pinned lag-2

@@ -1905,3 +1905,80 @@ def llm_training_mix(spark, sf_dir):
         rates={"en": 0.5, "zh": 0.25, "de": 0.75},
     )
     return out.select("doc_id", "chunk_id", "n_tokens", "seq_id")
+
+
+@register("llm_corpus_pipeline", oracle=f"""
+WITH surv AS (
+    SELECT MIN(doc_id) AS doc_id
+    FROM documents GROUP BY md5({_NORMALIZED})
+), docs AS (
+    SELECT d.doc_id, d.text FROM documents d JOIN surv USING (doc_id)
+), {_MINHASH_CTE.replace("FROM documents", "FROM docs")}
+, banded AS (
+    SELECT doc_id, unnest([{_BAND_KEYS}]) AS band_key,
+           unnest([0, 1, 2, 3]) AS band_id
+    FROM sigs
+), cand AS (
+    SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+    FROM banded l JOIN banded r
+      ON l.band_id = r.band_id AND l.band_key = r.band_key
+     AND l.doc_id < r.doc_id
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM shingled GROUP BY doc_id
+), inter AS (
+    SELECT c.doc1, c.doc2, COUNT(*) AS i
+    FROM cand c
+    JOIN shingled s1 ON s1.doc_id = c.doc1
+    JOIN shingled s2 ON s2.doc_id = c.doc2 AND s2.shingle = s1.shingle
+    GROUP BY c.doc1, c.doc2
+), neardrop AS (
+    SELECT DISTINCT c.doc2 AS doc_id
+    FROM inter c
+    JOIN sizes z1 ON z1.doc_id = c.doc1
+    JOIN sizes z2 ON z2.doc_id = c.doc2
+    WHERE round(c.i / (z1.sz + z2.sz - c.i)::DOUBLE, 4) >= 0.7
+), surv2 AS (
+    SELECT d.doc_id FROM docs d LEFT JOIN neardrop n USING (doc_id)
+    WHERE n.doc_id IS NULL
+), emb2 AS (
+    SELECT e.vec_id, e.embedding,
+           row_number() OVER (ORDER BY e.vec_id) AS rn
+    FROM embeddings e JOIN surv2 s ON e.vec_id = s.doc_id
+), ksel AS (
+    SELECT greatest(8, count(*) // 64) AS k FROM emb2
+), cents AS (
+    SELECT vec_id AS cid, embedding AS cvec FROM emb2, ksel WHERE rn <= k
+), assign AS (
+    SELECT e.vec_id, e.embedding AS v, c.cid AS cell
+    FROM emb2 e CROSS JOIN cents c
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid) = 1
+), semdrop AS (
+    SELECT DISTINCT b.vec_id
+    FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE round({_cos_sql('a.v', 'b.v')}, 4) >= 0.85
+), surv3 AS (
+    SELECT s.doc_id FROM surv2 s LEFT JOIN semdrop d ON s.doc_id = d.vec_id
+    WHERE d.vec_id IS NULL
+), stats AS ({_TEXT_STATS_ORACLE}),
+kept AS (
+    SELECT t.doc_id FROM stats t JOIN surv3 USING (doc_id)
+    WHERE t.quality >= 0.5 AND t.n_tokens_ws >= 5 AND t.punct_ratio <= 0.3
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN kept USING (doc_id)
+QUALIFY row_number() OVER (PARTITION BY d.source
+                           ORDER BY d.n_chars DESC, d.doc_id) <= 23
+""")
+def llm_corpus_pipeline(spark, sf_dir):
+    """THE capstone: the full crawl-processing chain a web-scale
+    training-data build runs — exact dedup -> uncapped MinHash-LSH
+    near-dup over survivors -> SemDeDup on the survivors' embeddings
+    (adaptive k, seeded codebook) -> heuristic quality gate ->
+    per-source cap — composed as ONE pipeline
+    (``corpus.corpus_pipeline``) and value-hashed end to end. Every
+    stage has its own gate; this one driver-verifies the stage
+    BOUNDARIES (who consumes whose survivors). cap=23 exercises both
+    source-cap branches at sf0.01 (12 sources over, 8 within)."""
+    t = lambda n: _t(spark, sf_dir, n)  # noqa: E731
+    return corpus.corpus_pipeline(t("documents"), t("embeddings"), cap=23)
