@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from zolo_spark.llm import dedup, multimodal, similarity, text
+from zolo_spark.llm import corpus, dedup, multimodal, similarity, text
 
 DOCS = [
     (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
@@ -1198,3 +1198,24 @@ def test_kmeans_trained_ivf_recall(spark):
         assert exact == brute
     finally:
         index.unpersist()
+
+
+def test_corpus_pipeline_empty_and_unembedded(spark):
+    """The pipeline must survive the two degenerate hand-offs: a fully
+    empty corpus, and documents with NO matching embeddings (the
+    semantic stage then passes survivors through untouched)."""
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long")
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert corpus.corpus_pipeline(docs, emb, cap=5).count() == 0
+
+    docs2 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "en", "s1", 22),
+         (2, "alpha beta gamma delta", "en", "s1", 22),   # exact dup
+         (3, "wholly different text here", "en", "s2", 26)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = corpus.corpus_pipeline(docs2, emb, cap=5,
+                                 quality_min=0.0, min_tokens=1,
+                                 max_punct=1.0)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1, 3}  # dup dropped, no embeddings -> semantic no-op

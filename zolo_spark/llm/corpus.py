@@ -620,12 +620,15 @@ def corpus_pipeline(docs: DataFrame, emb: DataFrame, *,
                     "vec_id", "left_semi")
     k = max(8, emb2.count() // 64)
     seed = emb2.orderBy("vec_id").limit(k).select("embedding").collect()
-    cents = np.stack([r[0] for r in seed]).astype(float)
-    keep3 = (
-        _semdedup(emb2, cents, threshold=cos_threshold)
-        .filter(F.col("keep")).select(F.col("vec_id").alias(id_col))
-    )
-    surv3 = surv2.join(keep3, id_col, "left_semi")
+    if seed:
+        cents = np.stack([r[0] for r in seed]).astype(float)
+        keep3 = (
+            _semdedup(emb2, cents, threshold=cos_threshold)
+            .filter(F.col("keep")).select(F.col("vec_id").alias(id_col))
+        )
+        surv3 = surv2.join(keep3, id_col, "left_semi")
+    else:  # no surviving embeddings (empty corpus / unembedded docs)
+        surv3 = surv2
     kept_q = _text.text_stats(surv3, id_col=id_col).filter(
         (F.col("quality") >= quality_min)
         & (F.col("n_tokens_ws") >= min_tokens)
