@@ -538,3 +538,64 @@ def test_watermark_batch_twin_equals_streaming(spark, tmp_path):
     assert (dt.datetime(2024, 5, 3, 13, 0), "view") in want      # emitted
     final_wm = dt.datetime(2024, 5, 3, 17, 7)
     assert all(k[0] + dt.timedelta(hours=1) <= final_wm for k in want)
+
+
+def test_watermark_twin_matches_pure_python_model(spark):
+    """Property check: the twin's DataFrame implementation == a
+    pure-Python simulator of the pinned semantics (lag-2 late filter,
+    ms-floored stats, inclusive final emission) across randomized
+    lateness patterns — the streaming-equality test pins the MODEL to
+    the engine on one scenario; this pins the IMPLEMENTATION to the
+    model on many."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(11)
+    for trial in range(6):
+        rows = []
+        eid = 0
+        for day in range(rng.randint(2, 4)):
+            for _ in range(rng.randint(3, 10)):
+                ts = dt.datetime(2024, 6, 1 + day, rng.randrange(24),
+                                 rng.randrange(60), rng.randrange(60),
+                                 rng.randrange(0, 1000000, 1000))
+                rows.append((eid, ts, rng.choice(("a", "b")),
+                             round(rng.uniform(0, 9), 2)))
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, event_type string, value double")
+
+        # pure-Python replay of the documented restatement
+        delay = dt.timedelta(hours=4)
+        tagged = [
+            (ts, et, v,
+             ts.replace(hour=0, minute=0, second=0, microsecond=0)
+             + (dt.timedelta(days=2) if e % 7 == 0 else dt.timedelta()))
+            for e, ts, et, v in rows
+        ]
+        ms = lambda t: t.replace(microsecond=t.microsecond // 1000 * 1000)  # noqa: E731
+        buckets = sorted({b for *_, b in tagged})
+        mx = {b: max(ms(ts) for ts, *_, bb in tagged if bb == b)
+              for b in buckets}
+        wm_late = {}
+        for i, b in enumerate(buckets):
+            prior = [mx[bb] for bb in buckets[:max(0, i - 1)]]
+            wm_late[b] = (max(prior) - delay) if prior else None
+        wm_final = max(mx.values()) - delay
+        agg = {}
+        for ts, et, v, b in tagged:
+            w0 = ts.replace(minute=0, second=0, microsecond=0)
+            w1 = w0 + dt.timedelta(hours=1)
+            if wm_late[b] is not None and not (w1 > wm_late[b]):
+                continue
+            if not (w1 <= wm_final):
+                continue
+            n, s = agg.get((w0, et), (0, 0.0))
+            agg[(w0, et)] = (n + 1, s + round(v, 6))
+        want = {k: (n, round(s, 6)) for k, (n, s) in agg.items()}
+
+        got = {(r["window_start"], r["event_type"]):
+               (r["n_events"], round(r["total_value"], 6))
+               for r in intraday.watermark_batch_twin(df).collect()}
+        assert got == want, f"trial {trial}: {got} != {want}"
