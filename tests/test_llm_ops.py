@@ -1219,3 +1219,84 @@ def test_corpus_pipeline_empty_and_unembedded(spark):
                                  max_punct=1.0)
     ids = {r["doc_id"] for r in out.collect()}
     assert ids == {1, 3}  # dup dropped, no embeddings -> semantic no-op
+
+
+def test_corpus_pipeline_partial_embedding_coverage(spark):
+    """Round-8 ADVICE (high): docs WITHOUT an embedding row must pass
+    through the semantic stage untouched. The old left-semi on the
+    kept side silently discarded every unembedded doc — invisible at
+    sf0.01 (100% coverage) but 60% of the corpus at sf0.1. SemDeDup
+    must still drop embedded semantic dups."""
+    docs = spark.createDataFrame(
+        [(i, f"distinct text number {i} with unique tail {i * 7}",
+          "en", "s1", 40) for i in range(1, 7)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    # docs 1 and 2 share an (identical) embedding -> cos 1.0 >= 0.85
+    # -> higher id 2 drops; docs 3-4 orthogonal; 5-6 have NO rows.
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]),
+         (3, [0.0, 1.0, 0.0]), (4, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    out = corpus.corpus_pipeline(docs, emb, cap=10,
+                                 quality_min=0.0, min_tokens=1,
+                                 max_punct=1.0)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1, 3, 4, 5, 6}  # 2 = semantic dup; 5,6 unembedded KEPT
+
+
+def test_kmeans_train_sparse_offset_ids(spark):
+    """Round-8 ADVICE: seeding is rank-based (the k lowest ids), so an
+    id space that is sparse/offset (no ids < k) still yields exactly k
+    seeds. The old filter(vec_id < k) collected ZERO seeds here."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    dirs = np.eye(3)
+    rows = []
+    for g in range(3):  # ids 1000, 2000, 3000, then members at +1..+5
+        rows.append((1000 * (g + 1),
+                     [float(x) for x in dirs[g] + rng.normal(0, 0.05, 3)]))
+        for j in range(5):
+            rows.append((1000 * (g + 1) + 1 + j,
+                         [float(x) for x in dirs[g] + rng.normal(0, 0.05, 3)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.kmeans_train(df, k=3, iters=2).collect()
+    assert len(out) == 9  # 3 cells x 3 dims — all three cells trained
+    members = {r["cell"]: r["n_members"] for r in out}
+    assert set(members) == {0, 1, 2} and sum(members.values()) == 18
+
+
+def test_kmeans_train_identical_seeds_drop_cell(spark):
+    """Two identical seed vectors: all mass assigns to the lower cell
+    and the duplicate cell EMPTIES on the first update. It must drop
+    from the output (as it vanishes from the SQL replay's GROUP BY),
+    not raise; surviving cells keep their seed-rank labels."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]),       # identical seeds
+         (2, [0.0, 1.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    out = similarity.kmeans_train(df, k=3, iters=2).collect()
+    cells = {r["cell"] for r in out}
+    assert cells == {0, 2}  # cell 1 (dup seed) dropped; labels stable
+    members = {r["cell"]: r["n_members"] for r in out}
+    assert members[0] == 2 and members[2] == 2
+
+
+def test_kmeans_train_releases_cache(spark):
+    """kmeans_train persists its normalized base internally and must
+    unpersist it before returning (round-8: engine-side persist
+    lifetime) — repeated training calls may not accumulate storage."""
+    df = spark.createDataFrame(
+        [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)])
+         for i in range(12)],
+        "vec_id long, embedding array<double>")
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    similarity.kmeans_train(df, k=3, iters=1).collect()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
+
+
+def test_kmeans_train_empty_corpus_raises(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="empty corpus"):
+        similarity.kmeans_train(df, k=3)

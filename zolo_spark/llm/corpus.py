@@ -573,6 +573,7 @@ def corpus_pipeline(docs: DataFrame, emb: DataFrame, *,
                     jaccard: float = 0.7, cos_threshold: float = 0.85,
                     quality_min: float = 0.5, min_tokens: int = 5,
                     max_punct: float = 0.3, cap: int = 15,
+                    max_k: int = 4096,
                     source_col: str = "source",
                     id_col: str = "doc_id") -> DataFrame:
     """The full crawl-processing composition, in the order a web-scale
@@ -583,10 +584,15 @@ def corpus_pipeline(docs: DataFrame, emb: DataFrame, *,
     2. MinHash-LSH near-dup over the exact survivors, UNCAPPED (safe
        only because of step 1), dropping the higher-id member of each
        verified pair;
-    3. SemDeDup over the survivors' embeddings (cluster count scales
-       with the surviving corpus, k = max(8, N // 64); codebook seeded
-       from the k lowest surviving vec_ids so the whole decision is
-       oracle-replayable — production swaps in ``kmeans_train``);
+    3. SemDeDup over the survivors' embeddings — codebook trained by
+       the DISTRIBUTED :func:`~zolo_spark.llm.similarity.kmeans_train`
+       (1 Lloyd iteration from the rank-seeded init; cluster count
+       scales with the surviving corpus, k = min(max(8, N // 64),
+       ``max_k``)), so the only driver exchange is the ≤``max_k``×d
+       codebook — bounded, never linear in the corpus. Documents
+       WITHOUT an embedding row pass through untouched (SemDeDup can
+       only judge what it can see; dropping unembedded docs would
+       discard the majority of a partially-embedded crawl);
     4. heuristic quality gate (quality/token-count/punctuation);
     5. per-source cap (anti-domination, count-first split).
 
@@ -606,6 +612,7 @@ def corpus_pipeline(docs: DataFrame, emb: DataFrame, *,
 
     from . import dedup as _dedup
     from . import text as _text
+    from .similarity import kmeans_train as _kmeans_train
     from .similarity import semdedup as _semdedup
 
     keep = _dedup.exact_dedup(docs, id_col=id_col).select(
@@ -618,15 +625,26 @@ def corpus_pipeline(docs: DataFrame, emb: DataFrame, *,
     ).persist()
     emb2 = emb.join(surv2.select(F.col(id_col).alias("vec_id")),
                     "vec_id", "left_semi")
-    k = max(8, emb2.count() // 64)
-    seed = emb2.orderBy("vec_id").limit(k).select("embedding").collect()
-    if seed:
-        cents = np.stack([r[0] for r in seed]).astype(float)
-        keep3 = (
+    n_emb = emb2.count()
+    if n_emb > 0:
+        k = min(max(8, n_emb // 64), max_k)
+        trained = _kmeans_train(emb2, k=k, iters=1)
+        by_cell: dict[int, list] = {}
+        for r in trained.collect():  # ≤max_k×d codebook rows
+            by_cell.setdefault(r["cell"], []).append(
+                (r["dim"], r["centroid"]))
+        cents = np.stack([
+            [v for _, v in sorted(by_cell[c])] for c in sorted(by_cell)
+        ]).astype(float)
+        dropped = (
             _semdedup(emb2, cents, threshold=cos_threshold)
-            .filter(F.col("keep")).select(F.col("vec_id").alias(id_col))
+            .filter(~F.col("keep"))
+            .select(F.col("vec_id").alias(id_col))
         )
-        surv3 = surv2.join(keep3, id_col, "left_semi")
+        # anti-join the DROPPED side: unembedded survivors can't be
+        # in it, so they pass through (a left-semi on the kept side
+        # would silently discard every doc without an embedding row)
+        surv3 = surv2.join(dropped, id_col, "left_anti")
     else:  # no surviving embeddings (empty corpus / unembedded docs)
         surv3 = surv2
     kept_q = _text.text_stats(surv3, id_col=id_col).filter(

@@ -135,17 +135,23 @@ def kmeans_train(corpus: DataFrame, k: int = 8, iters: int = 2,
     (:func:`train_centroids`) isn't representative at 100 TB.
 
     Deterministic end to end, so the whole training loop is
-    value-oracled: seeded init (the ``k`` lowest-id vectors,
-    L2-normalized — every seed assigns to its own cell, so no cell
-    ever empties), assignment by cosine argmax (broadcast numpy
-    matmul per Arrow batch; lowest cell id on ties — the IVF gate's
-    proven parity), and the centroid update as per-(cell, dim)
-    DECIMAL(28,6) sums of round-6 normalized components — exact and
-    associative, so partition order can't move a bit — divided once.
-    Per iteration the k×d codebook is collected to the driver (the
+    value-oracled: seeded init (the ``k`` lowest-RANKED ids — a
+    bounded ``TakeOrdered``, correct on sparse or offset id spaces;
+    corpora smaller than ``k`` train with every vector as a seed),
+    assignment by cosine argmax (broadcast numpy matmul per Arrow
+    batch; lowest cell id on ties — the IVF gate's proven parity),
+    and the centroid update as per-(cell, dim) DECIMAL(28,6) sums of
+    round-6 normalized components — exact and associative, so
+    partition order can't move a bit — divided once. A cell that
+    receives no members (possible from iteration 2 on — standard
+    Lloyd — or on iteration 1 when two seeds are identical vectors)
+    is DROPPED, exactly as it vanishes from the SQL replay's GROUP
+    BY; surviving cells keep their original seed-rank labels. Per
+    iteration the ≤k×d codebook is collected to the driver (the
     legitimate small exchange; the corpus never moves) and
-    re-broadcast. Output: one row per (cell, dim):
-    ``(cell, dim, centroid, n_members)``.
+    re-broadcast. Output: one row per surviving (cell, dim):
+    ``(cell, dim, centroid, n_members)``, returned as a
+    driver-local frame (it IS the collected codebook).
 
     Scale shape per iteration: one Arrow-batched assignment pass over
     the corpus + one map-side-combined (cell, dim) aggregate — the
@@ -162,43 +168,57 @@ def kmeans_train(corpus: DataFrame, k: int = 8, iters: int = 2,
         F.col(id_col).alias("vec_id"),
         F.transform(dv, lambda x: x / nrm).alias("v"),
     ).persist()
-    cents = np.stack([
-        r[0]
-        for r in base.filter(F.col("vec_id") < k)
-        .orderBy("vec_id").select("v").collect()
-    ]).astype(float)
-    upd = None
-    for _ in range(iters):
-        assign = _assign_udf(cents, 1)
-        assigned = base.select(
-            F.element_at(assign(F.col("v")), 1).alias("cell"), "v"
-        )
-        upd = (
-            assigned.select("cell", F.posexplode("v").alias("dim", "val"))
-            .groupBy("cell", "dim")
-            .agg(
-                F.sum(F.round("val", 6).cast("decimal(28,6)")).alias("_s"),
-                F.count(F.lit(1)).alias("n_members"),
+    try:
+        # Rank-based seeding (orderBy+limit = TakeOrdered, not a
+        # global sort): the k lowest ids, however sparse the space.
+        seed_rows = base.orderBy("vec_id").limit(k).select("v").collect()
+        if not seed_rows:
+            raise ValueError("kmeans_train: empty corpus")
+        cents = np.stack([r[0] for r in seed_rows]).astype(float)
+        cell_ids = list(range(len(cents)))  # label = seed rank
+        out_rows: list[tuple] = []
+        for _ in range(iters):
+            assign = _assign_udf(cents, 1)
+            assigned = base.select(
+                F.element_at(assign(F.col("v")), 1).alias("cell"), "v"
             )
-            .select(
-                F.col("cell").cast("long").alias("cell"),
-                F.col("dim").cast("long").alias("dim"),
-                (F.col("_s").cast("double") / F.col("n_members"))
-                .alias("centroid"),
-                "n_members",
+            upd = (
+                assigned.select("cell",
+                                F.posexplode("v").alias("dim", "val"))
+                .groupBy("cell", "dim")
+                .agg(
+                    F.sum(F.round("val", 6).cast("decimal(28,6)"))
+                    .alias("_s"),
+                    F.count(F.lit(1)).alias("n_members"),
+                )
+                .select(
+                    "cell", "dim",
+                    (F.col("_s").cast("double") / F.col("n_members"))
+                    .alias("centroid"),
+                    "n_members",
+                )
             )
-        )
-        rows = upd.collect()  # k×d rows — the codebook, not the corpus
-        cells = sorted({r["cell"] for r in rows})
-        if len(cells) != k:  # seeds guarantee this; fail loudly if not
-            raise ValueError(f"empty cells after update: {k - len(cells)}")
-        by_cell: dict[int, list] = {c: [] for c in cells}
-        for r in rows:
-            by_cell[r["cell"]].append((r["dim"], r["centroid"]))
-        cents = np.stack([
-            [v for _, v in sorted(by_cell[c])] for c in cells
-        ]).astype(float)
-    return upd
+            rows = upd.collect()  # ≤k×d rows — codebook, not corpus
+            by_pos: dict[int, list] = {}
+            for r in rows:
+                by_pos.setdefault(r["cell"], []).append(
+                    (r["dim"], r["centroid"]))
+            keep_pos = sorted(by_pos)  # empty cells drop out here
+            out_rows = [
+                (cell_ids[r["cell"]], r["dim"], r["centroid"],
+                 r["n_members"])
+                for r in rows
+            ]
+            cell_ids = [cell_ids[p] for p in keep_pos]
+            cents = np.stack([
+                [v for _, v in sorted(by_pos[p])] for p in keep_pos
+            ]).astype(float)
+    finally:
+        base.unpersist()
+    return corpus.sparkSession.createDataFrame(
+        out_rows,
+        "cell long, dim long, centroid double, n_members long",
+    )
 
 
 def semdedup(corpus: DataFrame, centroids: np.ndarray,

@@ -183,11 +183,22 @@ _GRADING_PRIORITY = [
     # llm_quality_filter / llm_embedding_stats.
     # llm_duplicate_spans (late-r5 substring-dedup build) takes the
     # slot of twice-green (r3∧r4) llm_corpus_report.
-    "llm_dup_clusters", "llm_embedding_quantize", "llm_quantized_topk",
-    "llm_duplicate_spans",
+    "llm_dup_clusters", "llm_embedding_quantize",
+    # Round-8 rotation: the three deployment-config variants
+    # (llm_minhash_lsh_capped, llm_simhash_neardup_wide,
+    # llm_embedding_near_dup_8bit) gained value oracles this round —
+    # closing the never-graded oracled set to zero (r7 VERDICT item
+    # 2). Their slots come from twice-green (r6∧r7, code unchanged)
+    # gates whose machinery stays covered by in-window siblings:
+    # llm_quantized_topk (sibling llm_embedding_quantize stays),
+    # llm_pq_adc_topk (llm_pq_encode + the llm_ivfpq_topk composition
+    # stay), and llm_duplicate_spans (winnow_fingerprints covers the
+    # rolling-hash span machinery).
+    "llm_minhash_lsh_capped", "llm_simhash_neardup_wide",
+    "llm_embedding_near_dup_8bit",
     # llm_ivfpq_topk (late-r5 IVF×PQ composition) takes the slot of
     # twice-green (r3∧r4) llm_decontaminate.
-    "llm_pq_adc_topk", "llm_ivfpq_topk",
+    "llm_ivfpq_topk",
     # Model jobs (9): three exact cross-engine folds (SES, Holt, AR1),
     # the oracle-gated fixed-order ARIMA walk-forward, oracle-gated
     # bounded-window runs of the REAL ses_job/holt_job, the FULL-window

@@ -1748,22 +1748,124 @@ def llm_ivfpq_topk(spark, sf_dir):
 # attempt.
 
 
-@register("llm_minhash_lsh_capped")
+@register("llm_minhash_lsh_capped", oracle=f"""
+WITH cls AS (
+    SELECT doc_id, md5(text) AS c FROM documents
+), rep_of AS (
+    SELECT c, MIN(doc_id) AS rep FROM cls GROUP BY c
+), members AS (
+    SELECT cls.doc_id, rep_of.rep FROM cls JOIN rep_of USING (c)
+), repdocs AS (
+    SELECT d.doc_id, d.text FROM documents d
+    JOIN rep_of r ON d.doc_id = r.rep
+), {_MINHASH_CTE.replace("FROM documents", "FROM repdocs")}
+, banded AS (
+    SELECT doc_id, unnest([{_BAND_KEYS}]) AS band_key,
+           unnest([0, 1, 2, 3]) AS band_id
+    FROM sigs
+), bsz AS (
+    SELECT band_id, band_key, COUNT(*) AS n
+    FROM banded GROUP BY band_id, band_key
+), cold AS (
+    SELECT b.doc_id, b.band_id, b.band_key
+    FROM banded b JOIN bsz USING (band_id, band_key)
+    WHERE bsz.n <= 500
+), cand AS (
+    SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+    FROM cold l JOIN cold r
+      ON l.band_id = r.band_id AND l.band_key = r.band_key
+     AND l.doc_id < r.doc_id
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM shingled GROUP BY doc_id
+), inter AS (
+    SELECT c.doc1, c.doc2, COUNT(*) AS i
+    FROM cand c
+    JOIN shingled s1 ON s1.doc_id = c.doc1
+    JOIN shingled s2 ON s2.doc_id = c.doc2 AND s2.shingle = s1.shingle
+    GROUP BY c.doc1, c.doc2
+), rep_pairs AS (
+    SELECT doc1, doc2,
+           round(i / (z1.sz + z2.sz - i)::DOUBLE, 4) AS jaccard
+    FROM inter
+    JOIN sizes z1 ON z1.doc_id = doc1
+    JOIN sizes z2 ON z2.doc_id = doc2
+    WHERE round(i / (z1.sz + z2.sz - i)::DOUBLE, 4) >= 0.7
+), cross_pairs AS (
+    SELECT least(m1.doc_id, m2.doc_id) AS doc1,
+           greatest(m1.doc_id, m2.doc_id) AS doc2, p.jaccard
+    FROM rep_pairs p
+    JOIN members m1 ON m1.rep = p.doc1
+    JOIN members m2 ON m2.rep = p.doc2
+), elig AS (
+    SELECT m.doc_id, m.rep FROM members m
+    JOIN sigs s ON s.doc_id = m.rep
+)
+SELECT doc1, doc2, jaccard FROM cross_pairs
+UNION ALL
+SELECT a.doc_id AS doc1, b.doc_id AS doc2, 1.0::DOUBLE AS jaccard
+FROM elig a JOIN elig b ON a.rep = b.rep AND a.doc_id < b.doc_id
+""")
 def llm_minhash_lsh_capped(spark, sf_dir):
     """MinHash LSH with the hot-bucket cap (max_bucket=500): buckets
     wider than the cap are mass duplication better collapsed by
     exact_dedup first; dropping them bounds candidate pairs at
-    O(buckets * cap^2) regardless of clone density."""
+    O(buckets * cap^2) regardless of clone density.
+
+    Round-8: value-oracled. The oracle replays the COLLAPSE-FIRST
+    semantics exactly — bucket widths are counted in DISTINCT
+    contents (the cap's true meaning), verified rep pairs expand to
+    member pairs, and within-class pairs score jaccard 1.0 — so it
+    stays exact even on clone-dense corpora where a naive pairwise
+    restatement with a doc-level cap would diverge."""
     return dedup.minhash_lsh_dedup(
         _t(spark, sf_dir, "documents"), max_bucket=500
     )
 
 
-@register("llm_simhash_neardup_wide")
+_SH48_BITS_SQL = " + ".join(
+    f"""(CASE WHEN list_sum(list_transform(th,
+        h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        THEN {2**b} ELSE 0 END)"""
+    for b in range(48)
+)
+_SH48_CHUNKS = dedup.simhash_chunks(bits=48, max_hamming=2)  # 3 × 16 bits
+_SH48_CHUNK_VALS = ", ".join(
+    f"(sig >> {start}) & {(1 << ln) - 1}" for start, ln in _SH48_CHUNKS
+)
+_SH48_CHUNK_IDS = ", ".join(str(i) for i in range(len(_SH48_CHUNKS)))
+
+
+@register("llm_simhash_neardup_wide", oracle=f"""
+WITH hashed AS (
+    SELECT doc_id,
+           list_transform({_TOKENS},
+             x -> ('0x' || substr(md5(x), 1, 12))::BIGINT) AS th
+    FROM documents
+), sigs AS (
+    SELECT doc_id, {_SH48_BITS_SQL} AS sig FROM hashed
+), banded AS (
+    SELECT doc_id, sig,
+           unnest([{_SH48_CHUNK_VALS}]) AS chunk_val,
+           unnest([{_SH48_CHUNK_IDS}]) AS chunk_id
+    FROM sigs
+), cand AS (
+    SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2,
+                    l.sig AS s1, r.sig AS s2
+    FROM banded l JOIN banded r
+      ON l.chunk_id = r.chunk_id AND l.chunk_val = r.chunk_val
+     AND l.doc_id < r.doc_id
+)
+SELECT doc1, doc2, bit_count(xor(s1, s2)) AS hamming
+FROM cand WHERE bit_count(xor(s1, s2)) <= 2
+""")
 def llm_simhash_neardup_wide(spark, sf_dir):
     """SimHash near-dup with 48-bit signatures (the deployment width,
     measured time-flat at sf3 in BASELINE.md): 16-bit chunks barely
-    collide, so candidates ≈ true near-dup pairs."""
+    collide, so candidates ≈ true near-dup pairs. Round-8:
+    value-oracled — 12-hex-char token hashes, 48 bit-folds, 3×16-bit
+    pigeonhole chunks; the naive pairwise restatement is bit-identical
+    to the collapse-first implementation (within-class pairs are
+    Hamming 0, exactly what identical signatures emit)."""
     return dedup.simhash_neardup(_t(spark, sf_dir, "documents"), bits=48)
 
 
@@ -1849,16 +1951,37 @@ def llm_winnow_fingerprints(spark, sf_dir):
     return dedup.winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
-@register("llm_embedding_near_dup_8bit")
+_BUCKET_SQL_8 = " || ".join(
+    f"(CASE WHEN embedding[{d + 1}] > 0 THEN '1' ELSE '0' END)"
+    for d in range(8)
+)
+
+
+@register("llm_embedding_near_dup_8bit", oracle=f"""
+WITH keyed AS (
+    SELECT vec_id AS vid, embedding AS v, {_BUCKET_SQL_8} AS bucket
+    FROM embeddings
+)
+SELECT a.vid AS id1, b.vid AS id2,
+       round({_cos_sql('a.v', 'b.v')}, 4) AS cos
+FROM keyed a JOIN keyed b
+  ON a.bucket = b.bucket AND a.vid < b.vid
+WHERE round({_cos_sql('a.v', 'b.v')}, 4) >= 0.3
+""")
 def llm_embedding_near_dup_8bit(spark, sf_dir):
     """Embedding near-dup at the narrow 8-sign-bit OPT-IN (higher
     recall for small corpora; ~N²/256 pair growth at scale — see
     BASELINE.md sf10). Round-6 flip: 16 bits became the default and
-    the graded config; this bench entry keeps the 8-bit dial
-    measured (replaces the old llm_embedding_near_dup_wide, whose
-    16-bit config is now the graded default)."""
+    the graded config; this entry keeps the 8-bit dial measured
+    (replaces the old llm_embedding_near_dup_wide, whose 16-bit
+    config is now the graded default). Round-8: value-oracled; the
+    gate runs threshold=0.3 so it emits real pair rows at sf0.01
+    (random synthetic embeddings never reach the 0.9 production
+    threshold, which would make the hash a vacuous 0=0 — the
+    threshold is orthogonal to the bucket config under test)."""
     return dedup.embedding_near_dup(
-        _t(spark, sf_dir, "embeddings"), bucket_dims=tuple(range(8))
+        _t(spark, sf_dir, "embeddings"), bucket_dims=tuple(range(8)),
+        threshold=0.3,
     )
 
 
@@ -1941,18 +2064,39 @@ WITH surv AS (
     SELECT d.doc_id FROM docs d LEFT JOIN neardrop n USING (doc_id)
     WHERE n.doc_id IS NULL
 ), emb2 AS (
-    SELECT e.vec_id, e.embedding,
-           row_number() OVER (ORDER BY e.vec_id) AS rn
+    SELECT e.vec_id, e.embedding
     FROM embeddings e JOIN surv2 s ON e.vec_id = s.doc_id
+), nv AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> x::DOUBLE /
+               greatest(sqrt(list_reduce(list_transform(embedding,
+                   y -> y::DOUBLE * y::DOUBLE), (p, q) -> p + q)), 1e-12))
+               AS v,
+           row_number() OVER (ORDER BY vec_id) AS rn
+    FROM emb2
 ), ksel AS (
-    SELECT greatest(8, count(*) // 64) AS k FROM emb2
-), cents AS (
-    SELECT vec_id AS cid, embedding AS cvec FROM emb2, ksel WHERE rn <= k
+    SELECT least(greatest(8, count(*) // 64), 4096) AS k FROM emb2
+), c0 AS (
+    SELECT vec_id AS cid, v AS cv FROM nv, ksel WHERE rn <= k
+), a1 AS (
+    SELECT n.vec_id, n.v, c.cid AS cell
+    FROM nv n CROSS JOIN c0 c
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        ORDER BY {_cos_sql('n.v', 'c.cv')} DESC, c.cid) = 1
+), e1 AS (
+    SELECT cell, dim, v[dim + 1] AS val
+    FROM (SELECT cell, v, unnest(range(0, len(v))) AS dim FROM a1)
+), u1 AS (
+    SELECT cell, dim,
+           (SUM(round(val, 6)::DECIMAL(28,6))::DOUBLE / COUNT(*)) AS val
+    FROM e1 GROUP BY cell, dim
+), c1 AS (
+    SELECT cell AS cid, list(val ORDER BY dim) AS cv FROM u1 GROUP BY cell
 ), assign AS (
     SELECT e.vec_id, e.embedding AS v, c.cid AS cell
-    FROM emb2 e CROSS JOIN cents c
+    FROM emb2 e CROSS JOIN c1 c
     QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid) = 1
+        ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) = 1
 ), semdrop AS (
     SELECT DISTINCT b.vec_id
     FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -1974,11 +2118,15 @@ def llm_corpus_pipeline(spark, sf_dir):
     """THE capstone: the full crawl-processing chain a web-scale
     training-data build runs — exact dedup -> uncapped MinHash-LSH
     near-dup over survivors -> SemDeDup on the survivors' embeddings
-    (adaptive k, seeded codebook) -> heuristic quality gate ->
-    per-source cap — composed as ONE pipeline
-    (``corpus.corpus_pipeline``) and value-hashed end to end. Every
-    stage has its own gate; this one driver-verifies the stage
-    BOUNDARIES (who consumes whose survivors). cap=23 exercises both
-    source-cap branches at sf0.01 (12 sources over, 8 within)."""
+    (adaptive k, codebook TRAINED by the distributed
+    ``similarity.kmeans_train``, 1 Lloyd iteration replayed in the
+    oracle's a1/u1/c1 CTEs — round 8: no driver collect scales with
+    the corpus, and unembedded documents pass through rather than
+    being discarded) -> heuristic quality gate -> per-source cap —
+    composed as ONE pipeline (``corpus.corpus_pipeline``) and
+    value-hashed end to end. Every stage has its own gate; this one
+    driver-verifies the stage BOUNDARIES (who consumes whose
+    survivors). cap=23 exercises both source-cap branches at sf0.01
+    (12 sources over, 8 within)."""
     t = lambda n: _t(spark, sf_dir, n)  # noqa: E731
     return corpus.corpus_pipeline(t("documents"), t("embeddings"), cap=23)
