@@ -1300,3 +1300,35 @@ def test_kmeans_train_empty_corpus_raises(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="empty corpus"):
         similarity.kmeans_train(df, k=3)
+
+
+def test_generational_cache_release(spark):
+    """Round-8 (r7 VERDICT #6): engine-persisted intermediates are
+    tracked per operator scope — a REPEATED call releases the previous
+    call's blocks (block-neutral loops), and cachereg.release() frees
+    everything. The current call's result stays cache-backed."""
+    from zolo_spark.llm import cachereg
+
+    docs = spark.createDataFrame(
+        [(i, f"some shared text body number {i % 4} tail {i}")
+         for i in range(40)],
+        "doc_id long, text string")
+    jsc = spark.sparkContext._jsc
+    cachereg.release()  # start clean: earlier tests hold generations
+    baseline = len(jsc.getPersistentRDDs())
+    dedup.minhash_lsh_dedup(docs).count()
+    after_one = len(jsc.getPersistentRDDs())
+    assert after_one > baseline  # the shingle index IS cached
+    dedup.minhash_lsh_dedup(docs).count()
+    assert len(jsc.getPersistentRDDs()) == after_one  # generation swap
+    emb = spark.createDataFrame(
+        [(i, [float((i >> d) & 1) + 0.5 for d in range(16)])
+         for i in range(20)],
+        "vec_id long, embedding array<double>")
+    dedup.embedding_near_dup(emb, threshold=0.1).count()
+    grew = len(jsc.getPersistentRDDs())
+    assert grew > after_one  # distinct scope tracks separately
+    dedup.embedding_near_dup(emb, threshold=0.1).count()
+    assert len(jsc.getPersistentRDDs()) == grew
+    cachereg.release()
+    assert len(jsc.getPersistentRDDs()) == baseline

@@ -1,0 +1,57 @@
+"""Scoped lifetime tracking for engine-persisted intermediates.
+
+Several operators persist an internal frame that the RETURNED (lazy)
+DataFrame still references — the shingle index feeding both sides of
+a dedup verify join, the normalized-vector index feeding a pairwise
+cosine, the survivor frame a pipeline consumes three times. The
+persist is load-bearing (Spark replans common subtrees from scratch),
+but the caller materializes the result AFTER the operator returns, so
+the operator cannot unpersist before returning — and a library that
+leaks a StorageLevel block per call is a footgun for embedders
+(r6/r7 ADVICE).
+
+The contract here is GENERATIONAL, single-flight per scope: entering
+an operator releases the blocks the PREVIOUS call of that same
+operator family persisted, then registers its own. At any point a
+session holds at most one generation of caches per operator — calling
+``minhash_lsh_dedup`` in a loop is block-neutral — while the current
+call's result stays cache-backed for as long as the caller needs it.
+(The alternative — unpersist on the result's first action — would
+silently recompute everything if a caller counts then collects, a 2×
+cost on exactly the expensive operators; the driver's gate does
+separate materializations.)
+
+Callers that want a clean slate (embedders, long-lived sessions) call
+:func:`release` — or per-scope ``release("minhash")``. Materializing
+a PREVIOUS call's result after a new call has started recomputes
+without the cache (correct, slower) — the single-flight contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_LIVE: dict[str, list[DataFrame]] = {}
+
+
+def begin(scope: str) -> None:
+    """Enter operator ``scope``: release the previous generation."""
+    for df in _LIVE.pop(scope, []):
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+
+
+def persist(df: DataFrame, scope: str) -> DataFrame:
+    """Persist ``df`` and track it under ``scope`` for generational
+    release. Returns ``df`` for chaining."""
+    df.persist()
+    _LIVE.setdefault(scope, []).append(df)
+    return df
+
+
+def release(scope: str | None = None) -> None:
+    """Release all tracked caches (or one scope's)."""
+    for k in [scope] if scope is not None else list(_LIVE):
+        begin(k)

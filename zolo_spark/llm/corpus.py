@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from . import cachereg
+
 
 def dup_clusters(pairs: DataFrame, max_iter: int = 20,
                  stats: dict | None = None) -> DataFrame:
@@ -620,9 +622,11 @@ def corpus_pipeline(docs: DataFrame, emb: DataFrame, *,
     surv1 = docs.join(keep, id_col, "left_semi")
     pairs = _dedup.minhash_lsh_dedup(surv1, id_col=id_col,
                                      threshold=jaccard)
-    surv2 = surv1.join(
-        pairs.select(F.col("doc2").alias(id_col)), id_col, "left_anti"
-    ).persist()
+    cachereg.begin("corpus_pipeline")
+    surv2 = cachereg.persist(
+        surv1.join(pairs.select(F.col("doc2").alias(id_col)),
+                   id_col, "left_anti"),
+        "corpus_pipeline")
     emb2 = emb.join(surv2.select(F.col(id_col).alias("vec_id")),
                     "vec_id", "left_semi")
     n_emb = emb2.count()

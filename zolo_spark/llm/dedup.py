@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..ops.partitioning import fan_out
+from . import cachereg
 from .text import fingerprint
 
 N_MINHASH = 16
@@ -279,7 +280,9 @@ def _minhash_rep_pairs(df: DataFrame, text_col: str, id_col: str,
     """Shared collapse-first core: (members, verified rep pairs,
     eligible reps) — reps with ≥1 shingle, i.e. a signature."""
     members, reps = _content_classes(df, text_col, id_col)
-    sh = doc_shingles(reps, text_col, id_col, n).persist()
+    cachereg.begin("minhash")
+    sh = cachereg.persist(doc_shingles(reps, text_col, id_col, n),
+                          "minhash")
     sigs = minhash_signatures(sh)
     pairs = lsh_candidate_pairs(sigs, max_bucket=max_bucket)
     rep_pairs = jaccard_verify(pairs, sh, threshold)
@@ -351,7 +354,9 @@ def minhash_lsh_dedup_pairwise(df: DataFrame, text_col: str = "text",
     """The naive all-docs pairwise form (no content-class collapse) —
     kept as the semantic reference the collapse-first implementation
     is pinned against, and for corpora known clone-free."""
-    sh = doc_shingles(df, text_col, id_col, n).persist()
+    cachereg.begin("minhash_pairwise")
+    sh = cachereg.persist(doc_shingles(df, text_col, id_col, n),
+                          "minhash_pairwise")
     pairs = lsh_candidate_pairs(minhash_signatures(sh), max_bucket=max_bucket)
     return jaccard_verify(pairs, sh, threshold)
 
@@ -437,14 +442,19 @@ def incremental_minhash_dedup(new_df: DataFrame, index: DataFrame,
     This keeps ingest cost linear when a batch redelivers content the
     index already holds many copies of — the at-least-once ingest
     norm at 100 TB."""
-    new_idx = build_dedup_index(new_df, text_col, id_col, n).persist()
+    cachereg.begin("incremental_dedup")
+    new_idx = cachereg.persist(
+        build_dedup_index(new_df, text_col, id_col, n),
+        "incremental_dedup")
     new_ids = new_idx.select("doc_id")
     if "cls" not in index.columns:  # pre-round-7 index: derive once
         index = index.withColumn("cls", shingle_set_key("sh"))
     all_idx = index.unionByName(new_idx)
     classed = all_idx.withColumn("_cls", F.col("cls"))
     rep_of = classed.groupBy("_cls").agg(F.min("doc_id").alias("rep"))
-    members = classed.join(rep_of, "_cls").select("doc_id", "rep").persist()
+    members = cachereg.persist(
+        classed.join(rep_of, "_cls").select("doc_id", "rep"),
+        "incremental_dedup")
     rep_idx = all_idx.join(
         rep_of.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
     )
@@ -493,7 +503,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     """Inverted-index n-gram Jaccard: join docs through shared
     shingles, capped at document frequency ≤ ``max_df`` (stop-shingle
     removal — the O(N²) guard), then exact Jaccard."""
-    sh = doc_shingles(df, text_col, id_col, n).persist()
+    cachereg.begin("ngram")
+    sh = cachereg.persist(doc_shingles(df, text_col, id_col, n), "ngram")
     rare = (
         sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= max_df)
@@ -777,7 +788,9 @@ def embedding_near_dup(df: DataFrame, vec_col: str = "embedding",
         F.sqrt(F.aggregate(F.transform(dv, lambda x: x * x),
                            F.lit(0.0), lambda acc, x: acc + x)).alias("nrm"),
         sign_bucket(F.col(vec_col), list(bucket_dims)).alias("bucket"),
-    ).persist()
+    )
+    cachereg.begin("embedding_near_dup")
+    keyed = cachereg.persist(keyed, "embedding_near_dup")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x,

@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from ..ops.partitioning import fan_out
+from . import cachereg
 from .dedup import cosine
 
 
@@ -277,8 +278,9 @@ def semdedup(corpus: DataFrame, centroids: np.ndarray,
                                F.lit(0.0), lambda acc, x: acc + x))
             .alias("nrm"),
         )
-        .persist()
     )
+    cachereg.begin("semdedup")
+    idx = cachereg.persist(idx, "semdedup")
     blk = F.pmod(F.col("neighbor_id"), F.lit(pair_blocks))
     qs = F.sequence(F.lit(0), F.lit(pair_blocks - 1))
     blocked = idx.select(

@@ -165,7 +165,15 @@ _GRADING_PRIORITY = [
     # round-7 operators — winnowing fingerprints (rolling-hash MOSS
     # sketch) and SemDeDup (cluster-local semantic dedup).
     "llm_winnow_fingerprints", "llm_semdedup",
-    "llm_image_resize", "llm_video_frames", "llm_bm25_topk",
+    # Round-8 rotation: llm_image_resize (green r6∧r7, multimodal.py
+    # untouched this round; the codec family keeps three in-window
+    # representatives — llm_video_frames, llm_multimodal_features,
+    # llm_jpeg_color_roundtrip) hands its slot to
+    # llm_ngram_jaccard_pairs, whose code path gained the round-8
+    # generational cache-lifetime bookkeeping (code changed ⇒ prior
+    # green rows no longer certify it).
+    "llm_ngram_jaccard_pairs",
+    "llm_video_frames", "llm_bm25_topk",
     "llm_minhash_lsh_dedup", "llm_incremental_dedup",
     # Round-6 build: exact-dedup-first + uncapped LSH composition
     # (slot from the rotated-out probe_ts_epoch_us_cast).
