@@ -38,6 +38,74 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 # JSON line must fit inside that window WITH margin or it can't parse.
 TAIL_LIMIT = 1900
 
+# --- same-box drift baseline (r7 VERDICT item 4) ---------------------
+# Cross-round bench totals kept getting confounded by machine drift
+# (the r7 box ran 17% slower than r6's): the full no-flag run now ALSO
+# re-benches a fixed probe subset at the PREVIOUS round's commit in a
+# throwaway worktree and records both sides in BENCH_full.json, so a
+# reader can separate environment drift from real regression without
+# re-running anything. Update the commit each round.
+PREV_ROUND_COMMIT = "b678e16"  # round-7 record (VERDICT/BENCH_r07)
+PREV_PROBES = [
+    "flagship_weekly_demand", "j1_left_join_header_details",
+    "w2_group_count_filter", "sessionize_events",
+    "llm_minhash_lsh_dedup", "llm_simhash_neardup",
+    "llm_incremental_dedup", "llm_bm25_topk", "llm_video_frames",
+    "m_ses_weekly_forecast",
+]
+
+
+def _prev_same_box(timings: dict[str, float]) -> dict | None:
+    """Re-run ``PREV_PROBES`` at ``PREV_ROUND_COMMIT`` in a detached
+    worktree (same box, same data, same invocation) and return
+    {commit, total, queries, ratio_current_over_prev}. Any failure
+    returns a dict with an ``error`` instead — the baseline is
+    diagnostic, never a reason to lose the round's record."""
+    import shutil
+    import subprocess
+
+    wt = "/tmp/zolo_prev_wt"
+    try:
+        subprocess.run(["git", "-C", REPO, "worktree", "remove",
+                        "--force", wt], capture_output=True)
+        shutil.rmtree(wt, ignore_errors=True)
+        r = subprocess.run(
+            ["git", "-C", REPO, "worktree", "add", "--detach", wt,
+             PREV_ROUND_COMMIT],
+            capture_output=True, text=True, timeout=60)
+        if r.returncode != 0:
+            return {"commit": PREV_ROUND_COMMIT,
+                    "error": f"worktree add failed: {r.stderr[:200]}"}
+        pat = "^(" + "|".join(PREV_PROBES) + ")$"
+        env = dict(os.environ, SPARK_GRAFT_NO_PREV="1")
+        r = subprocess.run(
+            [sys.executable, os.path.join(wt, "bench.py"), "--only", pat],
+            capture_output=True, text=True, timeout=1200, env=env, cwd=wt)
+        rec_path = os.path.join(wt, "BENCH_full_partial.json")
+        if not os.path.exists(rec_path):
+            return {"commit": PREV_ROUND_COMMIT,
+                    "error": f"prev bench wrote no record: "
+                             f"{(r.stderr or '')[-200:]}"}
+        prev = json.loads(open(rec_path).read())
+        cur = {n: timings[n] for n in PREV_PROBES if n in timings}
+        common = [n for n in cur if n in prev.get("queries", {})]
+        cur_t = round(sum(cur[n] for n in common), 4)
+        prev_t = round(sum(prev["queries"][n] for n in common), 4)
+        return {
+            "commit": PREV_ROUND_COMMIT,
+            "queries": {n: prev["queries"][n] for n in common},
+            "total": prev_t,
+            "current_total": cur_t,
+            "ratio_current_over_prev":
+                round(cur_t / prev_t, 4) if prev_t else None,
+        }
+    except Exception as exc:  # noqa: BLE001
+        return {"commit": PREV_ROUND_COMMIT, "error": str(exc)[:200]}
+    finally:
+        subprocess.run(["git", "-C", REPO, "worktree", "remove",
+                        "--force", wt], capture_output=True)
+        shutil.rmtree(wt, ignore_errors=True)
+
 
 def _snap(sf: float) -> tuple[int, float]:
     """Snap a requested --sf to whole sf0.1 replicas; the SNAPPED sf
@@ -121,6 +189,14 @@ def main() -> None:
     }
     if errors:
         full["errors"] = errors
+    prev_ratio = None
+    if (args.sf is None and not args.only and not args.exclude
+            and not os.environ.get("SPARK_GRAFT_NO_PREV")):
+        spark.stop()  # free the box — the probe re-run needs it quiet
+        prev = _prev_same_box(timings)
+        if prev is not None:
+            full["prev_same_box"] = prev
+            prev_ratio = prev.get("ratio_current_over_prev")
     # A filtered run must not masquerade as the full suite's record.
     part = "_partial" if (args.only or args.exclude) else ""
     full_path = os.path.join(
@@ -131,11 +207,12 @@ def main() -> None:
     with open(full_path, "w") as f:
         f.write(json.dumps(full) + "\n")
     print(f"wrote {full_path} ({len(timings)} queries)", file=sys.stderr)
-    print(compact_line(total, timings, sf))
+    print(compact_line(total, timings, sf, prev_ratio=prev_ratio))
 
 
 def compact_line(total: float, timings: dict[str, float], sf: float,
-                 limit: int = TAIL_LIMIT) -> str:
+                 limit: int = TAIL_LIMIT,
+                 prev_ratio: float | None = None) -> str:
     """ONE JSON line guaranteed to fit the driver's tail capture.
 
     The driver records only the last ~2000 chars of stdout; rounds 1-4
@@ -153,6 +230,10 @@ def compact_line(total: float, timings: dict[str, float], sf: float,
         "n_queries": len(timings),
         "queries": {},
     }
+    if prev_ratio is not None:
+        # current probe time / same-box prev-round probe time: >1 =
+        # slower than last round ON THIS BOX (drift already factored)
+        base["prev_same_box_ratio"] = prev_ratio
     line = ""
     for nd in (3, 2):
         kept: dict[str, float] = {}

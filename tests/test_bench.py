@@ -82,3 +82,29 @@ def test_compact_line_fits_driver_tail_and_covers_graded_window():
     assert d["n_queries"] == len(names)
     graded = names[:50]
     assert all(g in d["queries"] for g in graded)
+
+
+def test_compact_line_carries_prev_same_box_ratio():
+    """The round-8 same-box drift baseline must survive the driver's
+    2000-char stdout tail: the ratio rides the compact line."""
+    import json
+    import random
+
+    from zolo_spark import parity_queries
+
+    rng = random.Random(7)
+    timings = {n: rng.random() * 30 for n in parity_queries.REGISTRY}
+    line = bench.compact_line(round(sum(timings.values()), 4), timings,
+                              0.1, prev_ratio=1.17)
+    d = json.loads(line)
+    assert d["prev_same_box_ratio"] == 1.17
+    assert len(line) <= bench.TAIL_LIMIT
+
+
+def test_prev_same_box_error_path_never_raises(monkeypatch):
+    """A missing/bad baseline commit yields an error record, not an
+    exception — the round's own bench record must never be lost to
+    the diagnostic."""
+    monkeypatch.setattr(bench, "PREV_ROUND_COMMIT", "0000000")
+    out = bench._prev_same_box({})
+    assert out["commit"] == "0000000" and "error" in out
