@@ -599,3 +599,95 @@ def test_watermark_twin_matches_pure_python_model(spark):
                (r["n_events"], round(r["total_value"], 6))
                for r in intraday.watermark_batch_twin(df).collect()}
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_session_late_twin_equals_streaming(spark, tmp_path):
+    """The oracled session-window late-data twin == the real
+    append-mode streaming sessionization when micro-batches are the
+    twin's arrival buckets (day files, every 7th event_id two days
+    late; gap 4h, delay 6h). The scenario engineers every branch:
+    watermark-dropped late rows, kept-late merges, a REOPENED session
+    (late row inside the span of an already-emitted session — the
+    case that forbids any single global sessionization restatement),
+    and withheld still-open sessions."""
+    import datetime as dt
+
+    from zolo_spark.streaming.intraday import session_late_twin
+
+    D = dt.datetime
+    rows = []
+
+    def add(eid, ts, uid, v=1.0):
+        assert (eid % 7 == 0) == rows_late, "id lateness mismatch"
+        rows.append((eid, ts, uid, v))
+
+    # u8 pins the global per-day max event time (23:59 each day) so
+    # watermarks are exact: wm(day-d batch) = day(d-1) 17:59.
+    rows_late = False
+    for d in (1, 2, 3, 4):
+        add(d, D(2024, 5, d, 23, 59), 8)
+    # u1: session A [10:00, 14:00) day1 — emitted in the day-2 batch
+    # (wm day1 17:59 >= 14:00). Merged pair on day2 22:00/23:30.
+    add(5, D(2024, 5, 1, 10, 0), 1)
+    add(6, D(2024, 5, 2, 22, 0), 1)
+    add(8, D(2024, 5, 2, 23, 30), 1)
+    # u1 REOPEN: event 14 (%7==0) ts day1 13:59:30 arrives day3;
+    # late filter keeps it (end 17:59:30 > wm_late(day3) = 17:59:00)
+    # but session A is GONE — a fresh overlapping session must emit.
+    rows_late = True
+    add(14, D(2024, 5, 1, 13, 59, 30), 1)
+    # u2 DROPPED: event 21 ts day1 05:00 arrives day3 (end 09:00 <=
+    # wm_late 17:59) — must vanish.
+    add(21, D(2024, 5, 1, 5, 0), 2)
+    # u2 kept-late MERGE: event 28 ts day2 21:30 arrives day4, lands
+    # within gap of u2's on-time day2 23:00 session (still in state).
+    add(28, D(2024, 5, 2, 21, 30), 2)
+    rows_late = False
+    add(9, D(2024, 5, 2, 23, 0), 2)
+    # u3 WITHHELD: day4 23:00 session end day5 03:00 > final wm
+    # (day4 17:59) — must NOT appear.
+    add(10, D(2024, 5, 4, 23, 0), 3)
+
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+    arr_day = F.dayofmonth("ts") + F.when(
+        F.col("event_id") % 7 == 0, 2).otherwise(0)
+    src = str(tmp_path / "sess_batches")
+    for b in range(1, 7):
+        part = df.filter(arr_day == b)
+        if part.count():
+            part.coalesce(1).write.parquet(f"{src}/b{b}")
+
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/b*"))
+    agg = (stream.withWatermark("ts", "6 hours")
+           .groupBy(F.session_window("ts", "4 hours").alias("s"), "user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value"), 6).cast("decimal(28,6)"))
+                .cast("double").alias("session_value"))
+           .select(F.col("s.start").alias("session_start"),
+                   F.col("s.end").alias("session_end"),
+                   "user_id", "n_events", "session_value"))
+    q = (agg.writeStream.outputMode("append")
+         .format("memory").queryName("sess_twin").start())
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM sess_twin").collect()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in emitted}
+    assert len(got) == len(emitted)  # append never re-emits
+    want = {tuple(r) for r in session_late_twin(df).collect()}
+    assert got == want and len(want) > 0
+
+    # branch signatures
+    starts = {(r[2], r[0]) for r in want}
+    sess_a = (D(2024, 5, 1, 10, 0), D(2024, 5, 1, 14, 0), 1, 1, 1.0)
+    reopened = (D(2024, 5, 1, 13, 59, 30), D(2024, 5, 1, 17, 59, 30),
+                1, 1, 1.0)
+    assert sess_a in want and reopened in want  # overlapping spans!
+    assert (2, D(2024, 5, 1, 5, 0)) not in starts        # dropped
+    assert (2, D(2024, 5, 2, 21, 30)) in starts          # merged late
+    merged = [r for r in want if r[2] == 2 and r[0] == D(2024, 5, 2, 21, 30)]
+    assert merged[0][3] == 2                             # n_events = 2
+    assert not any(r[2] == 3 for r in want)              # withheld

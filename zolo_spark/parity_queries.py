@@ -215,7 +215,16 @@ _GRADING_PRIORITY = [
     # and the full ARIMA grid job as the representative distributed
     # numpy job (rows-only by nature).
     "m_ses_fixed_alpha_fold", "m_holt_fixed_fold", "m_ar1_ols_fold",
-    "m_arima_fixed_fold", "m_ses_walk_forward", "m_holt_walk_forward",
+    # Round-8 rotation: m_ses_walk_forward (green r6∧r7, unchanged;
+    # the walk-forward machinery stays covered by m_holt_walk_forward
+    # and the SES family by fixed-fold + weekly-forecast) hands its
+    # slot to session_window_late_twin — the new chained per-bucket
+    # replay that value-oracles session-window late-data semantics
+    # (lag-1 late filter on pre-merge window end, merge-then-evict,
+    # session reopening), closing r7 VERDICT item 5 / What's-missing
+    # #2.
+    "m_arima_fixed_fold", "session_window_late_twin",
+    "m_holt_walk_forward",
     "m_ses_weekly_forecast", "m_holt_weekly_forecast",
     "m_arima_weekly_forecast",
     # Custom temporal / scale operators (6) — hash-oracled; the 50th

@@ -1464,3 +1464,109 @@ def watermark_batch_twin(spark, sf_dir):
     from .streaming.intraday import watermark_batch_twin as twin
 
     return twin(_t(spark, sf_dir, "events"))
+
+
+def _session_twin_oracle() -> str:
+    """Generate the chained-CTE replay of the session-window late-data
+    twin: one round per arrival bucket (the testdata's 30 event days +
+    the 2 trailing late-only buckets — verified to be exactly these 32
+    at sf0.01), each round = late-filter (lag-1 watermark vs the
+    pre-merge window end) → merge into state → per-user sessionize →
+    evict (end <= batch watermark, inclusive) — the same generated-
+    round technique as the BPE oracle. An already-emitted session is
+    gone from state, so a kept late row inside its span REOPENS a new
+    session, exactly as the engine does (r8 pinning experiments)."""
+    dates = ([f"2024-01-{d:02d}" for d in range(1, 32)]
+             + ["2024-02-01"])
+    anc = "TIMESTAMP '1900-01-01'"
+
+    def wm(upto: str) -> str:
+        return (f"coalesce((SELECT max(mx) FROM bmax "
+                f"WHERE arr < TIMESTAMP '{upto}') - INTERVAL 6 HOUR, {anc})")
+
+    # MATERIALIZED: the 32 rounds each scan tagged/bmax; inlining
+    # would open the parquet once per reference (EMFILE at round ~30)
+    parts = ["""WITH tagged AS MATERIALIZED (
+    SELECT event_id, ts, user_id, value,
+           date_trunc('day', ts) + CASE WHEN event_id % 7 = 0
+               THEN INTERVAL 2 DAY ELSE INTERVAL 0 DAY END AS arr
+    FROM events
+), bmax AS MATERIALIZED (
+    SELECT arr, max(date_trunc('milliseconds', ts)) AS mx
+    FROM tagged GROUP BY arr
+)"""]
+    prev = None
+    for i, d in enumerate(dates):
+        wl = wm(dates[i - 1]) if i >= 1 else anc
+        we = wm(d)
+        carry = (f"SELECT event_id, ts, user_id, value FROM {prev}\n"
+                 f"    UNION ALL\n    " if prev else "")
+        parts.append(f""", in{i} AS (
+    {carry}SELECT event_id, ts, user_id, value FROM tagged
+    WHERE arr = TIMESTAMP '{d}'
+      AND ts + INTERVAL 4 HOUR > {wl}
+), sd{i} AS MATERIALIZED (
+    SELECT *, SUM(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM (SELECT *, CASE WHEN ts >= coalesce(lag(ts) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id), {anc})
+              + INTERVAL 4 HOUR THEN 1 ELSE 0 END AS nf FROM in{i})
+), bd{i} AS MATERIALIZED (
+    SELECT user_id, sid, min(ts) AS sstart,
+           max(ts) + INTERVAL 4 HOUR AS send
+    FROM sd{i} GROUP BY user_id, sid
+), em{i} AS (
+    SELECT s.user_id, s.ts, s.value, b.sstart, {i} AS rnd
+    FROM sd{i} s JOIN bd{i} b USING (user_id, sid)
+    WHERE b.send <= {we}
+), st{i} AS MATERIALIZED (
+    SELECT s.event_id, s.ts, s.user_id, s.value
+    FROM sd{i} s JOIN bd{i} b USING (user_id, sid)
+    WHERE b.send > {we}
+)""")
+        prev = f"st{i}"
+    n = len(dates)
+    parts.append(f""", sdF AS MATERIALIZED (
+    SELECT *, SUM(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM (SELECT *, CASE WHEN ts >= coalesce(lag(ts) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id), {anc})
+              + INTERVAL 4 HOUR THEN 1 ELSE 0 END AS nf FROM {prev})
+), bdF AS MATERIALIZED (
+    SELECT user_id, sid, min(ts) AS sstart,
+           max(ts) + INTERVAL 4 HOUR AS send
+    FROM sdF GROUP BY user_id, sid
+), emF AS (
+    SELECT s.user_id, s.ts, s.value, b.sstart, {n} AS rnd
+    FROM sdF s JOIN bdF b USING (user_id, sid)
+    WHERE b.send <= (SELECT max(mx) FROM bmax) - INTERVAL 6 HOUR
+), allem AS (
+{chr(10).join(f'    SELECT * FROM em{i} UNION ALL' for i in range(n))}
+    SELECT * FROM emF
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 4 HOUR AS session_end,
+       user_id,
+       count(*)::BIGINT AS n_events,
+       SUM(round(value, 6)::DECIMAL(28,6))::DOUBLE AS session_value
+FROM allem GROUP BY user_id, sstart, rnd""")
+    return "".join(parts)
+
+
+@register("session_window_late_twin", oracle=_session_twin_oracle())
+def session_window_late_twin(spark, sf_dir):
+    """Deterministic batch twin of the append-mode SESSION-window
+    aggregation WITH watermark-dropped late data — the one streaming
+    shape that had no value oracle (its cross-batch merge semantics
+    were pytest-only through r7). Micro-batch = event-time day
+    bucket, every 7th event_id two buckets late, gap 4h, delay 6h.
+    Hash-gates the round-8 empirically-pinned semantics: lag-1 late
+    filter on the pre-merge window end, merge-then-evict within a
+    batch (inclusive end <= watermark), and session REOPENING after
+    emission — the chained per-bucket replay that a single global
+    sessionization cannot express. Streaming == twin on identical
+    buckets is pinned by pytest (dropped / kept-late / merged /
+    reopened / withheld branches)."""
+    from .streaming.intraday import session_late_twin
+
+    return session_late_twin(_t(spark, sf_dir, "events"))

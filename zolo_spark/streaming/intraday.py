@@ -157,6 +157,134 @@ def watermark_batch_twin(events: DataFrame, late_mod: int = 7,
     )
 
 
+def session_late_twin(events: DataFrame, gap_hours: int = 4,
+                      delay_hours: int = 6, late_mod: int = 7) -> DataFrame:
+    """Deterministic batch twin of the append-mode SESSION-window
+    aggregation WITH watermark-dropped late data — the last streaming
+    shape without a value oracle (r7 ROADMAP #3: the tumbling
+    restatement does NOT transfer, because a kept late row landing
+    within ``gap`` of an ALREADY-EMITTED session must REOPEN a new
+    session where global batch sessionization would merge — so the
+    twin replays the per-batch state chain instead of computing one
+    global sessionization).
+
+    Deterministic replay (same arrival model as
+    :func:`watermark_batch_twin`): micro-batch = event-time day
+    bucket, every ``late_mod``-th ``event_id`` arrives two buckets
+    late. The session semantics were pinned EMPIRICALLY on this
+    engine version (progress-log experiments, round 8):
+
+    * watermark in batch b = max ms-floored event time over batches
+      < b, minus the delay;
+    * the late filter tests the row's PRE-MERGE window end
+      (``ts + gap``) against the watermark lagged one further batch
+      (previous trigger's value) — same lag-1 rule as tumbling;
+    * kept rows merge into session state FIRST, then sessions whose
+      end <= the batch watermark are emitted and leave state
+      (inclusive — verified with an exact-equality probe); a kept
+      late row can merge into a session evicted in the same batch;
+    * a late row inside the span of an ALREADY-emitted session (but
+      past the late filter) starts a fresh session — the reopen case
+      that makes the global restatement impossible;
+    * the trailing no-data batch emits sessions with end <= the
+      final watermark (max over all batches - delay, inclusive);
+      later sessions are withheld.
+
+    Scale shape: the watermark table is one tiny per-day aggregate
+    (collected: 32 rows, bounded by the stream's day span — never
+    corpus-sized); the replay itself is ONE ``applyInPandas`` pass
+    partitioned by user (each user's chain replays independently
+    against the broadcast watermark list), and the session
+    aggregation is plain JVM-side groupBy with exact DECIMAL sums.
+    No driver loop over micro-batches, no per-batch Spark jobs."""
+    import pandas as pd
+
+    gap_us = gap_hours * 3_600_000_000
+    delay_us = delay_hours * 3_600_000_000
+    tagged = events.select(
+        "event_id", "ts", "user_id", "value",
+        (F.unix_micros(F.date_trunc("day", F.col("ts")))
+         + F.when(F.col("event_id") % late_mod == 0,
+                  F.lit(2 * 86_400_000_000)).otherwise(F.lit(0)))
+        .alias("_arr_us"),
+        F.unix_micros("ts").alias("_ts_us"),
+        (F.unix_micros(F.date_trunc("millisecond", F.col("ts"))))
+        .alias("_ts_ms_us"),
+    )
+    bmax = (tagged.groupBy("_arr_us")
+            .agg(F.max("_ts_ms_us").alias("_mx"))
+            .orderBy("_arr_us").collect())  # one row per arrival day
+    buckets: list[tuple[int, int | None, int | None]] = []
+    running: list[int] = []
+    for i, r in enumerate(bmax):
+        wm_evict = max(running) - delay_us if running else None
+        wm_late = (max(running[:-1]) - delay_us
+                   if len(running) >= 2 else None)
+        buckets.append((r["_arr_us"], wm_evict, wm_late))
+        running.append(r["_mx"])
+    final_wm = max(running) - delay_us
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        uid = pdf["user_id"].iloc[0]
+        by_arr: dict[int, list[tuple[int, int]]] = {}
+        for ts_us, eid, arr in zip(pdf["_ts_us"], pdf["event_id"],
+                                   pdf["_arr_us"]):
+            by_arr.setdefault(int(arr), []).append((int(ts_us), int(eid)))
+        state: list[tuple[int, int]] = []
+        out: list[tuple[int, int, int]] = []  # (event_id, sstart, rnd)
+
+        def evict(threshold: int, rnd: int) -> None:
+            nonlocal state
+            state.sort()
+            keep: list[tuple[int, int]] = []
+            cur: list[tuple[int, int]] = []
+            for row in state:
+                if cur and row[0] >= cur[-1][0] + gap_us:
+                    _flush(cur, threshold, rnd, keep)
+                    cur = []
+                cur.append(row)
+            if cur:
+                _flush(cur, threshold, rnd, keep)
+            state = keep
+
+        def _flush(sess, threshold, rnd, keep):
+            if sess[-1][0] + gap_us <= threshold:
+                out.extend((eid, sess[0][0], rnd) for _, eid in sess)
+            else:
+                keep.extend(sess)
+
+        for rnd, (arr, wm_evict, wm_late) in enumerate(buckets):
+            for ts_us, eid in by_arr.get(arr, ()):
+                if wm_late is None or ts_us + gap_us > wm_late:
+                    state.append((ts_us, eid))
+            if wm_evict is not None:
+                evict(wm_evict, rnd)
+        evict(final_wm, len(buckets))
+        return pd.DataFrame(
+            {"event_id": [o[0] for o in out],
+             "_sstart_us": [o[1] for o in out],
+             "_rnd": [o[2] for o in out]}
+        )
+
+    labels = tagged.groupBy("user_id").applyInPandas(
+        replay, "event_id long, _sstart_us long, _rnd int")
+    return (
+        events.select("event_id", "ts", "user_id", "value")
+        .join(labels, "event_id")
+        .groupBy("user_id", "_sstart_us", "_rnd")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr(f"INTERVAL {gap_hours} HOURS"))
+            .alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value"), 6).cast("decimal(28,6)"))
+            .cast("double").alias("session_value"),
+        )
+        .select("session_start", "session_end", "user_id",
+                "n_events", "session_value")
+    )
+
+
 def quittin_time_forecast(spark: SparkSession, windows_df: DataFrame,
                           alpha: float = 0.6) -> DataFrame:
     """Forecast the NEXT window's total per event_type: SES fold over
