@@ -1332,3 +1332,37 @@ def test_generational_cache_release(spark):
     assert len(jsc.getPersistentRDDs()) == grew
     cachereg.release()
     assert len(jsc.getPersistentRDDs()) == baseline
+
+
+def test_incremental_dedup_digest_mode_equivalent(spark):
+    """Round-8 (r7 VERDICT #7): class_key="digest" (one md5 per
+    shingle) must produce the same pairs as the default chain key,
+    including clone families split across the index/batch boundary
+    and shingles that would trick separator-joined keys."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma delta epsilon"),      # clone in index
+         (3, "totally different content here now"),
+         (4, "x-y z a b c d e f g")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon"),     # clone of 1,2
+         (11, "alpha beta gamma delta zeta"),        # near-dup
+         (12, "x y-z a b c d e f g")],               # separator trick
+        "doc_id long, text string")
+    outs = {}
+    for mode in ("chain", "digest"):
+        idx = dedup.build_dedup_index(corpus, class_key=mode)
+        out = dedup.incremental_minhash_dedup(batch, idx, class_key=mode)
+        outs[mode] = {tuple(r) for r in out.collect()}
+    assert outs["chain"] == outs["digest"]
+    pairs = {(r[0], r[1]) for r in outs["chain"]}
+    assert (1, 10) in pairs and (2, 10) in pairs   # cross-boundary clones
+    assert not any(12 in p and 4 in p and False for p in pairs)
+    # docs 4 and 12 have DIFFERENT shingle sets; neither key may merge
+    # them into one class (they can still near-dup via genuine jaccard)
+    cls4 = dedup.build_dedup_index(corpus.filter("doc_id=4"),
+                                   class_key="digest").select("cls").first()[0]
+    cls12 = dedup.build_dedup_index(batch.filter("doc_id=12"),
+                                    class_key="digest").select("cls").first()[0]
+    assert cls4 != cls12
