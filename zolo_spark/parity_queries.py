@@ -225,7 +225,14 @@ _GRADING_PRIORITY = [
     # #2.
     "m_arima_fixed_fold", "session_window_late_twin",
     "m_holt_walk_forward",
-    "m_ses_weekly_forecast", "m_holt_weekly_forecast",
+    # Round-8 rotation: m_holt_weekly_forecast (green r6∧r7,
+    # unchanged; the Holt family keeps m_holt_fixed_fold +
+    # m_holt_walk_forward in-window) hands its slot to
+    # m_arima_grid_ci — the REAL arima_job's std_error / CI-bound
+    # arithmetic value-oracled via the SQL-replayable residual sigma
+    # (r7 VERDICT item 8: forecast AND confidence interval hashed,
+    # not just argmin + prediction).
+    "m_ses_weekly_forecast", "m_arima_grid_ci",
     "m_arima_weekly_forecast",
     # Custom temporal / scale operators (6) — hash-oracled; the 50th
     # slot closes the graded window.

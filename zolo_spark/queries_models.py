@@ -272,6 +272,133 @@ def m_arima_grid_argmin(spark, sf_dir):
     )
 
 
+_ARIMA_SUBGRID_CTES = """
+WITH weekly AS (
+{FULL_WEEKLY}
+), series AS (
+    SELECT profile_name, list(weight ORDER BY week_date) AS ys,
+           count(*)::INT AS n
+    FROM weekly GROUP BY 1 HAVING count(*) > 5
+), grid(ord_idx, p, d, q) AS (
+    VALUES (0, 0, 0, 0), (1, 0, 1, 0), (2, 1, 0, 0), (3, 1, 1, 0)
+), hs AS (
+    SELECT profile_name, ys, n, ord_idx, p, d, q,
+           floor(0.75 * n)::INT AS split,
+           unnest(range(floor(0.75 * n)::BIGINT, n + 1))::INT AS h
+    FROM series CROSS JOIN grid
+    WHERE floor(0.75 * n)::INT - d >= CASE WHEN p = 1 THEN 4 ELSE 3 END
+), zs AS (
+    SELECT *,
+           CASE WHEN d = 1
+                THEN list_transform(range(2, h + 1), t -> ys[t] - ys[t-1])
+                ELSE ys[1:h] END AS z,
+           (h - d)::INT AS m
+    FROM hs
+), centered AS (
+    SELECT *, list_reduce(z, (a, b) -> a + b) / m AS mu FROM zs
+), fit AS (
+    SELECT *,
+        CASE WHEN p = 1 THEN list_reduce(list_transform(range(2, m + 1),
+            t -> (z[t-1] - mu) * (z[t] - mu)), (a, b) -> a + b) END AS sxy,
+        CASE WHEN p = 1 THEN list_reduce(list_transform(range(2, m + 1),
+            t -> (z[t-1] - mu) * (z[t-1] - mu)), (a, b) -> a + b) END AS sxx
+    FROM centered
+), preds AS (
+    SELECT *, CASE WHEN d = 1 THEN base + ys[h] ELSE base END AS pred
+    FROM (
+        SELECT *, CASE WHEN p = 0 THEN mu
+                       ELSE mu + (CASE WHEN sxx = 0 THEN 0 ELSE sxy / sxx END)
+                            * (z[m] - mu) END AS base
+        FROM fit
+    )
+), scored AS (
+    SELECT profile_name, ord_idx, p, d, q, n, split, h, pred,
+           CASE WHEN h < n THEN (ys[h+1] - pred) * (ys[h+1] - pred) END AS err
+    FROM preds
+), mses AS (
+    SELECT profile_name, ord_idx, p, d, q,
+           list_reduce(list(err ORDER BY h) FILTER (WHERE err IS NOT NULL),
+                       (a, b) -> a + b)
+               / (any_value(n) - any_value(split)) AS mse,
+           max(CASE WHEN h = n THEN pred END) AS prediction
+    FROM scored GROUP BY profile_name, ord_idx, p, d, q
+), best AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY profile_name
+                                 ORDER BY mse, ord_idx) AS rk
+    FROM mses
+)""".replace("{FULL_WEEKLY}", _FULL_WEEKLY_SQL)
+
+
+@register("m_arima_grid_ci", oracle=_ARIMA_SUBGRID_CTES + """
+, sig AS (
+    SELECT b.profile_name, b.p, b.d, b.q, b.prediction, s.ys, s.n
+    FROM best b JOIN series s USING (profile_name) WHERE b.rk = 1
+), sz AS (
+    SELECT *, CASE WHEN d = 1
+                   THEN list_transform(range(2, n + 1), t -> ys[t] - ys[t-1])
+                   ELSE ys END AS z,
+           (n - d)::INT AS m
+    FROM sig
+), scoef AS (
+    SELECT *, CASE WHEN p = 1 THEN
+                  (CASE WHEN sxx = 0 THEN 0 ELSE sxy / sxx END) END AS coef
+    FROM (
+        SELECT *,
+            CASE WHEN p = 1 THEN list_reduce(list_transform(range(2, m + 1),
+                t -> (z[t-1] - mu) * (z[t] - mu)), (a, b) -> a + b) END AS sxy,
+            CASE WHEN p = 1 THEN list_reduce(list_transform(range(2, m + 1),
+                t -> (z[t-1] - mu) * (z[t-1] - mu)), (a, b) -> a + b) END AS sxx
+        FROM (SELECT *, list_reduce(z, (a, b) -> a + b) / m AS mu FROM sz)
+    )
+), sres AS (
+    SELECT *, CASE WHEN p = 0
+                   THEN list_transform(z, v -> (v - mu) * (v - mu))
+                   ELSE list_transform(range(2, m + 1),
+                        t -> ((z[t] - mu) - coef * (z[t-1] - mu))
+                           * ((z[t] - mu) - coef * (z[t-1] - mu))) END AS r2,
+           CASE WHEN p = 0 THEN m ELSE m - 1 END AS nres
+    FROM scoef
+), ssig AS (
+    SELECT *, sqrt(list_reduce(r2, (a, b) -> a + b) / nres) AS sigma
+    FROM sres
+)
+SELECT profile_name,
+       '(' || p || ', ' || d || ', ' || q || ')' AS best_config,
+       round(prediction, 2) AS prediction,
+       round(sigma, 2) AS std_error,
+       round(prediction - 1.96 * sigma, 2) AS lower_bound,
+       round(prediction + 1.96 * sigma, 2) AS upper_bound,
+       TIMESTAMP '{START}' AS forecast_start
+FROM ssig
+""".replace("{START}", _FORECAST_START))
+def m_arima_grid_ci(spark, sf_dir):
+    """M6 value-gated end to end (r7 VERDICT #8): the REAL
+    ``arima_job`` — grid loop, argmin, AND the ``std_error`` /
+    ``lower_bound`` / ``upper_bound`` CI arithmetic
+    (``arima_models.py:216-217``) — over the closed-form sub-grid.
+    The residual sigma (``tsmodels._fold_sigma``: full-series
+    differenced/centered AR fit, sequential fold sums) replays in SQL
+    just like the walk-forward MSE, so the forecast AND its
+    confidence interval are hash-checked, shrinking the rows-only
+    surface of ``m_arima_weekly_forecast`` to the pinv-only stage-1
+    long-AR fit."""
+    from .models import tsmodels
+
+    out = grouped.arima_job(
+        _weekly_brand_revenue(spark, sf_dir), _FORECAST_START,
+        orders=list(tsmodels.FOLD_GRID),
+        walk_forward_fn=tsmodels.arima_fold_walk_forward,
+    )
+    return out.select(
+        "profile_name", "best_config",
+        F.round("prediction", 2).alias("prediction"),
+        F.round("std_error", 2).alias("std_error"),
+        F.round("lower_bound", 2).alias("lower_bound"),
+        F.round("upper_bound", 2).alias("upper_bound"),
+        "forecast_start",
+    )
+
+
 @register("m_holt_weekly_forecast", oracle=f"""
 WITH RECURSIVE weekly AS (
 {_FULL_WEEKLY_SQL}
