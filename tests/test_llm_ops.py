@@ -1366,3 +1366,87 @@ def test_incremental_dedup_digest_mode_equivalent(spark):
     cls12 = dedup.build_dedup_index(batch.filter("doc_id=12"),
                                     class_key="digest").select("cls").first()[0]
     assert cls4 != cls12
+
+
+def test_corpus_pipeline_codebook_is_bounded(spark, monkeypatch):
+    """r7 VERDICT #1 done-criterion guard: the pipeline's only driver
+    exchange is the kmeans codebook, and its k is capped at max_k —
+    never linear in the corpus. Captured by intercepting the trainer."""
+    from zolo_spark.llm import corpus as corpus_mod
+    from zolo_spark.llm import similarity as sim_mod
+
+    seen = {}
+    real = sim_mod.kmeans_train
+
+    def spy(df, k=8, iters=2, **kw):
+        seen["k"] = k
+        return real(df, k=k, iters=iters, **kw)
+
+    monkeypatch.setattr(sim_mod, "kmeans_train", spy)
+    docs = spark.createDataFrame(
+        [(i, f"unique doc text number {i} tail {i*13}", "en", "s", 30)
+         for i in range(1, 13)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    emb = spark.createDataFrame(
+        [(i, [float((i >> d) & 1) + 0.1 * i for d in range(4)])
+         for i in range(1, 13)],
+        "vec_id long, embedding array<double>")
+    corpus_mod.corpus_pipeline(docs, emb, cap=20, max_k=3,
+                               quality_min=0.0, min_tokens=1,
+                               max_punct=1.0).count()
+    assert seen["k"] == 3  # min(max(8, 12//64), max_k=3) -> capped
+
+
+def test_logreg_learns_separable_rule(spark):
+    """The distributed trainer recovers a linearly separable rule from
+    zero weights: y = 1 iff x1 > 0.5 on planted features."""
+    from zolo_spark.llm import classifier
+
+    rows = [(i, 1.0, (i % 10) / 10.0, 0.0, 0.0, 0.0, 0.0,
+             1.0 if (i % 10) / 10.0 > 0.5 else 0.0) for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, x0 double, x1 double, x2 double, x3 double,"
+              " x4 double, x5 double, label double")
+    w = classifier.logreg_train(df, iters=60, lr=8.0)
+    scored = classifier.classifier_scores(df, w)
+    got = {r["doc_id"]: r["score"] for r in scored.collect()}
+    acc = sum(
+        ((got[i] >= 0.5) == ((i % 10) / 10.0 > 0.5)) for i in range(200)
+    ) / 200
+    assert acc >= 0.9
+    assert w[1] > 0  # weight on the discriminative feature is positive
+
+
+def test_logreg_gradient_step_matches_numpy(spark):
+    """One GD step == the numpy reference with the same round-6 term
+    discipline — pins the DECIMAL-sum gradient arithmetic."""
+    import numpy as np
+
+    from zolo_spark.llm import classifier
+
+    rng = np.random.default_rng(5)
+    X = rng.uniform(0, 1, size=(50, 6)); X[:, 0] = 1.0
+    y = (X[:, 1] + 0.3 * X[:, 2] > 0.8).astype(float)
+    rows = [(i, *[float(v) for v in X[i]], float(y[i])) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, x0 double, x1 double, x2 double, x3 double,"
+              " x4 double, x5 double, label double")
+    w = classifier.logreg_train(df, iters=1, lr=4.0)
+    p = 1 / (1 + np.exp(-np.clip(X @ np.zeros(6), -30, 30)))
+    g = np.array([np.sum(np.round((p - y) * X[:, j], 6)) for j in range(6)]) / 50
+    expect = -4.0 * g
+    assert np.allclose(w, expect, atol=1e-9)
+
+
+def test_classifier_scoring_is_pure_codegen(spark):
+    """No Python in the inference row path: the scoring plan carries
+    no BatchEvalPython / ArrowEvalPython nodes."""
+    from zolo_spark.llm import classifier, text
+
+    docs = spark.createDataFrame(
+        [(i, f"some text number {i}") for i in range(10)],
+        "doc_id long, text string")
+    out = classifier.classifier_quality_filter(
+        text.text_stats(docs), [0.1] * 6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -9,6 +9,9 @@ operators a 100 TB LLM-data pipeline needs, built Spark-first:
   embedding-cosine near-dup.
 * :mod:`similarity` — brute-force cosine top-k (exact baseline) and
   coordinate-sign LSH bucketing (scale path).
+* :mod:`classifier` — distributed logistic-regression training
+  (map-side-combined gradient sums; the kmeans exchange shape) +
+  codegen corpus scoring: classifier-based filtering, DCLM-style.
 * :mod:`multimodal` — binary media columns with typed metadata and
   Arrow-batched decode/feature plumbing (decode stubbed: no media
   libs in this container; the Spark-side schema/batching is real).

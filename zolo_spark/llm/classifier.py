@@ -1,0 +1,122 @@
+"""Classifier-based quality filtering — the DCLM / fastText-distill
+pattern a modern LLM-data pipeline uses in place of (or after) pure
+heuristics: train a cheap linear classifier on labeled examples (here
+the heuristic gate acts as the teacher; in production the labels come
+from an LLM judge or curated seed sets), then score the whole corpus
+with a single codegen expression.
+
+Scale shape (the same as :func:`~zolo_spark.llm.similarity.
+kmeans_train`): each gradient-descent iteration is ONE scan with a
+map-side-combined d-dimensional aggregate — only the (d)-vector of
+gradient sums ever reaches the driver, and the updated weight vector
+is re-broadcast as literals in the next iteration's expression. No
+UDFs anywhere: features, sigmoid, gradient terms, and final scoring
+are all built-in expressions inside whole-stage codegen, so a 100 TB
+corpus scores at scan speed.
+
+Determinism (the DuckDB-oracle discipline): per-row gradient terms
+are rounded to 6 decimals and summed as DECIMAL(28,6) — exact and
+associative, so partition order cannot move a bit — divided once;
+weight updates replay as scalar SQL; the sigmoid input is clamped to
+[-30, 30] identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: feature column names produced by :func:`quality_features` (x0 = bias)
+FEATURE_COLS = ["x0", "x1", "x2", "x3", "x4", "x5"]
+
+SIGMOID_CLAMP = 30.0
+
+
+def quality_features(stats: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Numeric feature vector per document from the (already oracled)
+    :func:`~zolo_spark.llm.text.text_stats` table: bias, saturating
+    token-length, punctuation ratio, stopword ratio, saturating mean
+    token length, saturating char-length. All features live in [0, 1]
+    (no standardization pass needed) and are exact cross-engine: the
+    ratios are round-4 outputs, the lengths are integers."""
+    return stats.select(
+        id_col,
+        F.lit(1.0).alias("x0"),
+        (F.least(F.col("n_tokens_ws").cast("double"), F.lit(400.0))
+         / 400.0).alias("x1"),
+        F.col("punct_ratio").cast("double").alias("x2"),
+        F.col("stopword_ratio").cast("double").alias("x3"),
+        (F.least(F.col("mean_token_len").cast("double"), F.lit(20.0))
+         / 20.0).alias("x4"),
+        (F.least(F.col("n_chars").cast("double"), F.lit(2000.0))
+         / 2000.0).alias("x5"),
+    )
+
+
+def _logit(weights: list[float]) -> Column:
+    """Left-associated dot product w·x (same textual shape as the
+    oracle's ``w0*x0 + w1*x1 + ...``)."""
+    z = F.lit(float(weights[0])) * F.col(FEATURE_COLS[0])
+    for w, c in zip(weights[1:], FEATURE_COLS[1:]):
+        z = z + F.lit(float(w)) * F.col(c)
+    return z
+
+
+def sigmoid(z: Column) -> Column:
+    return 1.0 / (1.0 + F.exp(-F.greatest(
+        F.least(z, F.lit(SIGMOID_CLAMP)), F.lit(-SIGMOID_CLAMP))))
+
+
+def logreg_train(labeled: DataFrame, label_col: str = "label",
+                 iters: int = 30, lr: float = 4.0) -> list[float]:
+    """Full-batch gradient descent from w = 0: per iteration one scan
+    computes all d gradient components in a single aggregate
+    (``g_j = Σ round((p_i - y_i)·x_ij, 6) / n`` as exact DECIMAL
+    sums), the d-vector is collected, and ``w_j -= lr·g_j`` on the
+    driver. Deterministic end to end — the whole training loop
+    replays as chained scalar CTEs in SQL.
+
+    The labeled features frame is persisted for the loop (it feeds
+    ``iters`` scans; recomputing regex-heavy stats 30× would dominate)
+    under the generational ``logreg`` cache scope — at 100 TB this is
+    the materialized feature table every training run writes anyway.
+    Full-batch with a fixed small ``lr`` is the deterministic choice:
+    no minibatch RNG, no per-partition order dependence."""
+    from . import cachereg
+
+    cachereg.begin("logreg")
+    labeled = cachereg.persist(labeled, "logreg")
+    w = [0.0] * len(FEATURE_COLS)
+    for _ in range(iters):
+        p = sigmoid(_logit(w))
+        aggs = [
+            (F.sum(F.round((p - F.col(label_col)) * F.col(c), 6)
+                   .cast("decimal(28,6)")).cast("double")
+             / F.count(F.lit(1))).alias(f"g{j}")
+            for j, c in enumerate(FEATURE_COLS)
+        ]
+        row = labeled.agg(*aggs).collect()[0]  # d-vector, never rows
+        w = [w[j] - lr * row[f"g{j}"] for j in range(len(w))]
+    return w
+
+
+def classifier_scores(feats: DataFrame, weights: list[float],
+                      id_col: str = "doc_id") -> DataFrame:
+    """Score every document with the trained weights — one codegen
+    expression, no UDF, no shuffle: ``(id, score)`` with the score
+    rounded to 4 decimals (absorbs sub-ulp libm ``exp`` divergence
+    between engines)."""
+    return feats.select(
+        id_col, F.round(sigmoid(_logit(weights)), 4).alias("score"),
+    )
+
+
+def classifier_quality_filter(stats: DataFrame, weights: list[float],
+                              threshold: float = 0.5,
+                              id_col: str = "doc_id") -> DataFrame:
+    """(id, score, kept) over the full corpus — ``kept`` compares the
+    ROUNDED score (the cross-engine-stable value) to the threshold."""
+    scored = classifier_scores(quality_features(stats, id_col),
+                               weights, id_col)
+    return scored.select(
+        id_col, "score", (F.col("score") >= threshold).alias("kept"),
+    )

@@ -234,10 +234,16 @@ _GRADING_PRIORITY = [
     # not just argmin + prediction).
     "m_ses_weekly_forecast", "m_arima_grid_ci",
     "m_arima_weekly_forecast",
-    # Custom temporal / scale operators (6) — hash-oracled; the 50th
+    # Custom temporal / scale operators — hash-oracled; the 50th
     # slot closes the graded window.
+    # Round-8 rotation: attribution_left_outer (green r6∧r7,
+    # unchanged; attribution_interval_join keeps the interval-join
+    # machinery in-window) hands its slot to the new
+    # llm_quality_classifier — distributed logistic-regression
+    # training (30 value-oracled GD iterations, kmeans-style
+    # map-side-combined gradient sums) + codegen corpus scoring.
     "asof_join_backward", "sessionize_events",
-    "attribution_interval_join", "attribution_left_outer",
+    "attribution_interval_join", "llm_quality_classifier",
     "range_join_bucketed", "skew_hot_keys",
 ]
 
