@@ -312,3 +312,45 @@ def test_skew_profile_finds_planted_hot_key(spark):
     assert abs(out[0]["ratio_to_mean"] - round(60 / (100 / 41), 4)) < 1e-9
     # remaining slots: count-1 keys in ascending key order (tie pinned)
     assert [r["k"] for r in out[1:]] == [0, 1]
+
+
+# ------------------------------------------------------- portable HLL
+
+def test_hll_merge_equals_single_pass(spark):
+    """Sharded sketches merged with MAX must reproduce the single-pass
+    registers and hence the identical estimate — the algebraic
+    property that makes the sketch incremental at scale."""
+    from zolo_spark.ops import sketches
+
+    rows = [("g", i % 700) for i in range(3000)]
+    df = spark.createDataFrame(rows, "grp string, k long")
+    single = sketches.approx_distinct(df, "k", ["grp"]).collect()[0]
+    a = sketches.hll_registers(df.filter(F.col("k") % 2 == 0), "k", ["grp"])
+    b = sketches.hll_registers(df.filter(F.col("k") % 2 == 1), "k", ["grp"])
+    merged = sketches.hll_estimate(
+        sketches.hll_merge(a, b), ["grp"]).collect()[0]
+    assert merged["hll_distinct"] == single["hll_distinct"]
+
+
+def test_hll_accuracy_envelope(spark):
+    """m=256 ⇒ ~6.5% standard error; assert a generous 3-sigma bound
+    on a few cardinalities spanning the linear-counting crossover."""
+    from zolo_spark.ops import sketches
+
+    for n in (150, 1000, 20000):
+        df = spark.range(n).select(F.lit("g").alias("grp"),
+                                   F.col("id").alias("k"))
+        est = sketches.approx_distinct(df, "k", ["grp"]).collect()[0]
+        assert abs(est["hll_distinct"] - n) / n < 0.20, (n, est)
+
+
+def test_hll_register_bounds(spark):
+    """Registers live in [1, 25] and at most m rows per group."""
+    from zolo_spark.ops import sketches
+
+    df = spark.range(5000).select(F.lit("g").alias("grp"),
+                                  F.col("id").alias("k"))
+    regs = sketches.hll_registers(df, "k", ["grp"]).collect()
+    assert len(regs) <= 256
+    assert all(1 <= r["register"] <= 25 for r in regs)
+    assert all(0 <= r["idx"] < 256 for r in regs)

@@ -173,7 +173,15 @@ _GRADING_PRIORITY = [
     # generational cache-lifetime bookkeeping (code changed ⇒ prior
     # green rows no longer certify it).
     "llm_ngram_jaccard_pairs",
-    "llm_video_frames", "llm_bm25_topk",
+    # Round-8 rotation (cont.): llm_video_frames (green r5∧r6∧r7,
+    # multimodal.py untouched this round; codecs keep
+    # llm_multimodal_features + llm_jpeg_color_roundtrip in-window)
+    # hands its slot to a13_hll_distinct_portable — the engine-owned
+    # value-oracled HyperLogLog sketch (md5 registers, textual
+    # leftmost-1 rank, dyadic-exact harmonic sum), giving the
+    # approximate-aggregate family a hash-gated member next to the
+    # rows-only-by-nature a10.
+    "a13_hll_distinct_portable", "llm_bm25_topk",
     "llm_minhash_lsh_dedup", "llm_incremental_dedup",
     # Round-6 build: exact-dedup-first + uncapped LSH composition
     # (slot from the rotated-out probe_ts_epoch_us_cast).

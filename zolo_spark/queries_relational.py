@@ -1037,6 +1037,54 @@ def a10(spark, sf_dir):
     )
 
 
+@register("a13_hll_distinct_portable", oracle="""
+WITH h AS (
+    SELECT o_orderpriority AS grp,
+           ('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))::BIGINT AS h
+    FROM orders
+), r AS (
+    SELECT grp, h % 256 AS idx,
+           CASE WHEN h // 256 = 0 THEN 25
+                ELSE instr(lpad(bin(h // 256), 24, '0'), '1') END AS rho
+    FROM h
+), regs AS (
+    SELECT grp, idx, MAX(rho) AS register FROM r GROUP BY grp, idx
+), s AS (
+    SELECT grp,
+           SUM(power(0.5, register)) + (256 - COUNT(*)) * 1.0 AS ssum,
+           256 - COUNT(*) AS v
+    FROM regs GROUP BY grp
+), ex AS (
+    SELECT o_orderpriority AS grp,
+           COUNT(DISTINCT o_custkey)::BIGINT AS exact_distinct
+    FROM orders GROUP BY grp
+)
+SELECT s.grp AS o_orderpriority,
+       ROUND(CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                       / ssum <= 2.5 * 256.0 AND v > 0
+                  THEN 256.0 * ln(256.0 / v)
+                  ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                       / ssum END, 4) AS hll_distinct,
+       ex.exact_distinct
+FROM s JOIN ex ON s.grp = ex.grp
+""")
+def a13(spark, sf_dir):
+    """Portable HyperLogLog distinct — the engine-owned, VALUE-ORACLED
+    sibling of a10's native sketches: md5-derived 32-bit hash, m=256
+    registers via textual leftmost-1 rank (pure integer/string ops),
+    dyadic-exact harmonic sum, linear-counting fallback. Registers
+    merge with MAX across shards (pytest pins merge ≡ single pass), so
+    distinct counts stay incremental at 100 TB. Exact COUNT(DISTINCT)
+    rides along to exhibit the ~6.5% (1.04/√256) error envelope."""
+    from .ops import sketches
+
+    orders = _t(spark, sf_dir, "orders")
+    est = sketches.approx_distinct(orders, "o_custkey", ["o_orderpriority"])
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct"))
+    return est.join(exact, "o_orderpriority")
+
+
 @register("a11_grouping_sets", oracle="""
 SELECT o_orderstatus, o_orderpriority, ROUND(SUM(o_totalprice), 2) AS total
 FROM orders
