@@ -1450,3 +1450,51 @@ def test_classifier_scoring_is_pure_codegen(spark):
         text.text_stats(docs), [0.1] * 6)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------- DSIR
+
+def test_dsir_ranks_target_like_docs_first(spark):
+    """Docs sharing the target sample's vocabulary must outrank docs
+    with disjoint vocabulary, and weights must be monotone in rank."""
+    from pyspark.sql import functions as F
+
+    from zolo_spark.llm import dsir
+
+    target_text = "quantum flux capacitor resonance chamber"
+    noise_text = "banana apple orange pear grape melon"
+    rows = (
+        [(i, target_text) for i in range(5)]            # target sample
+        + [(10 + i, target_text) for i in range(3)]     # target-like
+        + [(20 + i, noise_text) for i in range(3)]      # off-domain
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.filter(F.col("doc_id") < 5).select("doc_id")
+    out = dsir.dsir_select(df, target, k=11).collect()
+    ranked = [r["doc_id"] for r in out]
+    # every target/target-like doc precedes every off-domain doc
+    assert max(ranked.index(d) for d in [10, 11, 12]) < min(
+        ranked.index(d) for d in [20, 21, 22])
+    ws = [r["dsir_weight"] for r in out]
+    assert ws == sorted(ws, reverse=True)
+
+
+def test_dsir_handles_empty_and_whitespace_docs(spark):
+    """n=0 token arrays (empty / all-space text) must not break the
+    bigram slice; such docs simply contribute no features."""
+    from pyspark.sql import functions as F
+
+    from zolo_spark.llm import dsir
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "   "), (4, "solo")],
+        "doc_id long, text string")
+    feats = dsir.hashed_ngram_features(df).collect()
+    ids = {r["doc_id"] for r in feats}
+    assert ids == {1, 4}
+    # doc 1: 2 unigrams + 1 bigram = 3 ngrams; doc 4: 1 unigram
+    assert sum(r["c"] for r in feats if r["doc_id"] == 1) == 3
+    assert sum(r["c"] for r in feats if r["doc_id"] == 4) == 1
+    target = df.filter(F.col("doc_id") == 1).select("doc_id")
+    out = dsir.dsir_select(df, target, k=10).collect()
+    assert {r["doc_id"] for r in out} == {1, 4}

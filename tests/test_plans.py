@@ -314,3 +314,23 @@ def test_watermark_twin_broadcasts_tiny_frames(spark):
     assert p.count("BroadcastExchange") >= 2
     assert "CartesianProduct" not in p
     assert n_shuffles(p) <= 4
+
+
+def test_dsir_topk_no_global_sort_and_broadcast_ratios(spark):
+    """DSIR's selection must plan as a partial top-k (TakeOrdered /
+    WindowGroupLimit) feeding the rank window — never a full global
+    sort of the corpus — and the bucket-sized ratio table must join
+    broadcast."""
+    from pyspark.sql import functions as F
+
+    from zolo_spark.llm import dsir
+
+    df = spark.createDataFrame(
+        [(i, f"token{i} shared words here") for i in range(40)],
+        "doc_id long, text string")
+    target = df.filter(F.col("doc_id") < 5).select("doc_id")
+    plan = dsir.dsir_select(df, target, k=10)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

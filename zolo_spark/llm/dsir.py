@@ -1,0 +1,133 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023).
+
+The pre-training data-selection method used to pick web documents
+that "look like" a trusted target domain: featurize every document as
+a bag of HASHED n-grams (unigrams + bigrams folded into a fixed
+number of buckets), fit two smoothed bag-of-ngrams distributions —
+``p̂`` over a target sample and ``q̂`` over the raw corpus — and score
+each document with its log importance weight
+
+    log w_i = Σ_b  c_ib · ( log p̂_b − log q̂_b )
+
+then keep the top-k (the deterministic analog of the paper's
+gumbel-top-k resampling; a salted-hash jitter column would restore
+sampling without losing replayability).
+
+Scale design:
+
+* featurization is explode → groupBy(doc, bucket) with map-side
+  combine — hot n-grams ("the") collapse per-partition before any
+  shuffle, and the per-doc feature vector is at most ``buckets`` rows;
+* both distributions are ONE aggregate each over the feature table,
+  producing ``buckets``-row frames — **broadcast** to the scoring
+  join, so the per-document weight costs zero shuffle beyond the
+  per-doc sum;
+* selection is a rank-filter (weight desc, doc_id) that Spark
+  executes as WindowGroupLimit — per-partition partial top-k, never a
+  full global sort of the corpus.
+
+Cross-engine determinism: bucket ids come from the first 4 hex chars
+of ``md5(ngram)`` (16 bits, folded mod ``buckets``); the per-bucket
+log-ratio is rounded to 6 decimals once, per-document terms
+``count · ratio`` are IEEE-identical doubles rounded to 6 and summed
+as DECIMAL(28,6) — exact and order-independent; ordering ties break
+on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+DEFAULT_BUCKETS = 256
+
+
+def _clean_tokens(text_col: str) -> Column:
+    return F.filter(F.split(F.lower(F.col(text_col)), " "),
+                    lambda x: x != "")
+
+
+def hashed_ngram_features(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """(id, bucket, c) — hashed unigram+bigram counts per document.
+
+    Tokens are lowercased whitespace splits with empties removed;
+    bigrams join adjacent clean tokens with a single space (so the
+    oracle's ``t[i] || ' ' || t[i+1]`` reproduces them byte-for-byte).
+    """
+    t = _clean_tokens(text_col)
+    n = F.size(t)
+    # slice() rejects negative lengths, so the n=0 (all-whitespace
+    # document) case needs an explicit empty-array branch.
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1),
+                   lambda a, b: F.concat(a, F.lit(" "), b)),
+    ).otherwise(F.array().cast("array<string>"))
+    ngrams = F.concat(t, bigrams)
+    bucket = (F.conv(F.substring(F.md5(F.col("ngram")), 1, 4), 16, 10)
+              .cast("long") % buckets)
+    return (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(ngrams).alias("ngram"))
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dsir_log_ratios(feats: DataFrame, target_ids: DataFrame,
+                    buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """(bucket, lr) — round-6 per-bucket log importance ratio between
+    the add-1-smoothed target and raw hashed-ngram distributions.
+
+    Both marginals are single aggregates over the feature table; the
+    result is ``buckets`` rows, meant to be broadcast.
+    """
+    raw = feats.groupBy("bucket").agg(F.sum("c").alias("rc"))
+    tgt = (feats.join(F.broadcast(target_ids), "doc_id")
+           .groupBy("bucket").agg(F.sum("c").alias("tc")))
+    marg = raw.join(F.broadcast(tgt), "bucket", "left").na.fill({"tc": 0})
+    totals = marg.agg(F.sum("rc").alias("R"), F.sum("tc").alias("T"))
+    b = float(buckets)
+    return (
+        marg.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                F.log((F.col("tc") + 1).cast("double")
+                      / (F.col("T") + b).cast("double"))
+                - F.log((F.col("rc") + 1).cast("double")
+                        / (F.col("R") + b).cast("double")),
+                6,
+            ).alias("lr"),
+        )
+    )
+
+
+def dsir_weights(feats: DataFrame, ratios: DataFrame) -> DataFrame:
+    """(doc_id, dsir_weight) — exact DECIMAL sum of round-6
+    ``count × log-ratio`` terms; the ratio table joins broadcast."""
+    return (
+        feats.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.round(F.col("c") * F.col("lr"), 6)
+                   .cast("decimal(28,6)")).alias("_w"))
+        .select("doc_id", F.col("_w").cast("double").alias("dsir_weight"))
+    )
+
+
+def dsir_select(df: DataFrame, target_ids: DataFrame, k: int = 100,
+                text_col: str = "text", id_col: str = "doc_id",
+                buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Top-k documents by DSIR importance weight: (doc_id,
+    dsir_weight, rank). Rank-filter — WindowGroupLimit partial top-k,
+    ties broken by doc_id."""
+    feats = hashed_ngram_features(df, text_col, id_col, buckets)
+    ratios = dsir_log_ratios(feats, target_ids, buckets)
+    w = dsir_weights(feats, ratios)
+    rank = F.row_number().over(
+        W.orderBy(F.col("dsir_weight").desc(), "doc_id"))
+    return (w.withColumn("rank", rank)
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "dsir_weight", "rank"))

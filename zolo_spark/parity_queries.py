@@ -181,7 +181,12 @@ _GRADING_PRIORITY = [
     # leftmost-1 rank, dyadic-exact harmonic sum), giving the
     # approximate-aggregate family a hash-gated member next to the
     # rows-only-by-nature a10.
-    "a13_hll_distinct_portable", "llm_bm25_topk",
+    # Round-8 rotation (cont.): llm_bm25_topk (green r5∧r6∧r7,
+    # retrieval.py untouched this round) hands its slot to
+    # llm_dsir_select — DSIR importance resampling (Xie et al. 2023):
+    # hashed unigram+bigram features, smoothed target-vs-raw log
+    # ratios, exact-DECIMAL importance weights, partial-top-k select.
+    "a13_hll_distinct_portable", "llm_dsir_select",
     "llm_minhash_lsh_dedup", "llm_incremental_dedup",
     # Round-6 build: exact-dedup-first + uncapped LSH composition
     # (slot from the rotated-out probe_ts_epoch_us_cast).

@@ -1400,6 +1400,68 @@ def llm_quality_classifier(spark, sf_dir):
     return classifier.classifier_quality_filter(stats, w)
 
 
+@register("llm_dsir_select", oracle="""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+    FROM documents
+), uni AS (
+    SELECT doc_id, unnest(t) AS ngram FROM toks
+), bi AS (
+    SELECT doc_id, t[i] || ' ' || t[i + 1] AS ngram
+    FROM toks, UNNEST(range(1, len(t))) AS u(i)
+), feat AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(ngram), 1, 4))::BIGINT % 256 AS bucket,
+           COUNT(*) AS c
+    FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+    GROUP BY 1, 2
+), tgt AS (
+    SELECT doc_id FROM documents WHERE length(text) >= 280
+), tb AS (
+    SELECT bucket, SUM(c) AS tc FROM feat JOIN tgt USING (doc_id)
+    GROUP BY bucket
+), rb AS (
+    SELECT bucket, SUM(c) AS rc FROM feat GROUP BY bucket
+), tot AS (
+    SELECT (SELECT SUM(rc) FROM rb) AS r_total,
+           (SELECT SUM(tc) FROM tb) AS t_total
+), ratio AS (
+    SELECT rb.bucket,
+           round(ln((COALESCE(tb.tc, 0) + 1)::DOUBLE
+                    / (tot.t_total + 256)::DOUBLE)
+                 - ln((rb.rc + 1)::DOUBLE
+                      / (tot.r_total + 256)::DOUBLE), 6) AS lr
+    FROM rb LEFT JOIN tb USING (bucket) CROSS JOIN tot
+), w AS (
+    SELECT f.doc_id, SUM(round(f.c * r.lr, 6)::DECIMAL(28,6)) AS wt
+    FROM feat f JOIN ratio r USING (bucket) GROUP BY f.doc_id
+)
+SELECT doc_id, wt::DOUBLE AS dsir_weight, rank FROM (
+    SELECT doc_id, wt,
+           ROW_NUMBER() OVER (ORDER BY wt::DOUBLE DESC, doc_id) AS rank
+    FROM w
+) WHERE rank <= 100
+""")
+def llm_dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): hashed unigram+bigram
+    bag-of-ngrams features (md5 → 256 buckets), add-1-smoothed
+    target-vs-raw log importance ratios, per-document importance
+    weights, top-100 resample. Target sample = long documents
+    (length ≥ 280, the corpus's one genuine signal — lang tags are
+    noise). The whole learn→weigh→select decision is value-hashed:
+    round-6 log-ratios, IEEE-identical count×ratio terms summed as
+    exact DECIMAL. Scale: marginals are two bucket-sized aggregates
+    joined broadcast; selection is a WindowGroupLimit rank-filter —
+    no global sort, no shuffle wider than the per-doc feature agg;
+    ``llm/dsir.py``."""
+    from .llm import dsir
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.length("text") >= 280).select("doc_id")
+    return dsir.dsir_select(docs, target, k=100)
+
+
 @register("llm_embedding_stats", oracle=f"""
 SELECT label,
        COUNT(*) AS n,
