@@ -1498,3 +1498,78 @@ def test_dsir_handles_empty_and_whitespace_docs(spark):
     target = df.filter(F.col("doc_id") == 1).select("doc_id")
     out = dsir.dsir_select(df, target, k=10).collect()
     assert {r["doc_id"] for r in out} == {1, 4}
+
+
+def test_logreg_ridge_update_matches_numpy(spark):
+    """One L2 iteration: w = -lr*(g + λ*0) first step, then the ridge
+    term bites on step two — replay both in numpy float64."""
+    import numpy as np
+
+    from zolo_spark.llm import classifier
+
+    rng = np.random.RandomState(7)
+    X = rng.uniform(0, 1, size=(40, 6)); X[:, 0] = 1.0
+    y = (X[:, 1] > 0.5).astype(float)
+    rows = [(i, *[float(v) for v in X[i]], float(y[i])) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, x0 double, x1 double, x2 double, x3 double,"
+              " x4 double, x5 double, label double")
+    got = classifier.logreg_train(df, iters=2, lr=4.0, l2=0.1)
+    w = np.zeros(6)
+    for _ in range(2):
+        p = 1 / (1 + np.exp(-np.clip(X @ w, -30, 30)))
+        g = np.array([np.sum(np.round((p - y) * X[:, j], 6))
+                      for j in range(6)]) / 40
+        w = np.array([w[j] - 4.0 * (g[j] + 0.1 * w[j]) for j in range(6)])
+    assert np.allclose(got, w, atol=1e-12)
+
+
+def test_ovr_predict_argmax_and_ties(spark):
+    """Argmax on rounded scores; exact ties go to the lowest class."""
+    from zolo_spark.llm import classifier
+
+    # weights chosen so doc features produce controllable scores:
+    # model c scores sigmoid(wc·x); with x=(1,0,...,0) score=sigmoid(w0)
+    df = spark.createDataFrame(
+        [(1, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0)],
+        "doc_id long, x0 double, x1 double, x2 double, x3 double,"
+        " x4 double, x5 double")
+    zero = [0.0] * 6
+    m_hi = [2.0] + [0.0] * 5
+    # distinct winner: class 1
+    out = classifier.ovr_predict(df, [zero, m_hi, zero]).collect()[0]
+    assert out["pred_class"] == 1 and out["s1"] > out["s0"]
+    # three-way tie -> class 0
+    out = classifier.ovr_predict(df, [zero, zero, zero]).collect()[0]
+    assert out["s0"] == out["s1"] == out["s2"] == 0.5
+    assert out["pred_class"] == 0
+    # tie between 1 and 2 beating 0 -> class 1
+    out = classifier.ovr_predict(df, [zero, m_hi, m_hi]).collect()[0]
+    assert out["pred_class"] == 1
+
+
+def test_train_ovr_learns_separable_classes(spark):
+    """Three linearly separable classes on x1 must be recovered with
+    high accuracy by the one-vs-rest ensemble."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from zolo_spark.llm import classifier
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(150):
+        c = i % 3
+        x = [0.1 + rng.uniform(-0.05, 0.05) for _ in range(3)]
+        x[c] = 0.9 + rng.uniform(-0.05, 0.05)  # one-hot-ish clusters
+        rows.append((i, 1.0, float(x[0]), float(x[1]), float(x[2]),
+                     0.0, 0.0, c))
+    df = spark.createDataFrame(
+        rows, "doc_id long, x0 double, x1 double, x2 double, x3 double,"
+              " x4 double, x5 double, cls int")
+    models = classifier.train_ovr(df, 3, iters=25, lr=4.0, l2=0.01)
+    pred = classifier.ovr_predict(df.drop("cls"), models)
+    acc = (pred.join(df.select("doc_id", "cls"), "doc_id")
+           .filter(F.col("pred_class") == F.col("cls")).count()) / 150
+    assert acc >= 0.9, acc

@@ -67,7 +67,8 @@ def sigmoid(z: Column) -> Column:
 
 
 def logreg_train(labeled: DataFrame, label_col: str = "label",
-                 iters: int = 30, lr: float = 4.0) -> list[float]:
+                 iters: int = 30, lr: float = 4.0,
+                 l2: float = 0.0) -> list[float]:
     """Full-batch gradient descent from w = 0: per iteration one scan
     computes all d gradient components in a single aggregate
     (``g_j = Σ round((p_i - y_i)·x_ij, 6) / n`` as exact DECIMAL
@@ -95,8 +96,58 @@ def logreg_train(labeled: DataFrame, label_col: str = "label",
             for j, c in enumerate(FEATURE_COLS)
         ]
         row = labeled.agg(*aggs).collect()[0]  # d-vector, never rows
-        w = [w[j] - lr * row[f"g{j}"] for j in range(len(w))]
+        if l2:
+            # ridge penalty: w_j -= lr·(g_j + λ·w_j); the λ=0 branch
+            # stays byte-identical to the original update so the
+            # existing oracle replay is untouched (and no −0.0 can
+            # leak from a 0.0·w term).
+            w = [w[j] - lr * (row[f"g{j}"] + l2 * w[j])
+                 for j in range(len(w))]
+        else:
+            w = [w[j] - lr * row[f"g{j}"] for j in range(len(w))]
     return w
+
+
+def train_ovr(labeled: DataFrame, n_classes: int, class_col: str = "cls",
+              iters: int = 15, lr: float = 4.0,
+              l2: float = 0.0) -> list[list[float]]:
+    """One-vs-rest multiclass: one binary ridge-regularized model per
+    class. The shared feature frame is persisted ONCE under the
+    ``logreg_ovr`` scope (regex-heavy stats are computed a single
+    time); each class's :func:`logreg_train` persists only its cheap
+    ``_y`` projection of those cached blocks, generationally released
+    by the next class. Total driver traffic is ``n_classes · iters``
+    d-vectors — independent of corpus size."""
+    from . import cachereg
+
+    cachereg.begin("logreg_ovr")
+    labeled = cachereg.persist(labeled, "logreg_ovr")
+    models = []
+    for c in range(n_classes):
+        binary = labeled.withColumn(
+            "_y", (F.col(class_col) == c).cast("double"))
+        models.append(logreg_train(binary, "_y", iters, lr, l2))
+    return models
+
+
+def ovr_predict(feats: DataFrame, models: list[list[float]],
+                id_col: str = "doc_id") -> DataFrame:
+    """(id, s0..s{k-1}, pred_class) — per-class sigmoid scores rounded
+    to 4 (the cross-engine-stable values) and an argmax on the ROUNDED
+    scores with ties broken toward the lowest class id, so the
+    decision replays exactly as a chained CASE in SQL. Pure codegen —
+    one projection, no shuffle."""
+    scores = [F.round(sigmoid(_logit(w)), 4).alias(f"s{c}")
+              for c, w in enumerate(models)]
+    scored = feats.select(id_col, *scores)
+    pred = None
+    n = len(models)
+    for c in range(n - 1):
+        later = [F.col(f"s{j}") for j in range(c + 1, n)]
+        cond = F.col(f"s{c}") >= F.greatest(*later) if len(later) > 1 \
+            else F.col(f"s{c}") >= later[0]
+        pred = pred.when(cond, c) if pred is not None else F.when(cond, c)
+    return scored.withColumn("pred_class", pred.otherwise(n - 1))
 
 
 def classifier_scores(feats: DataFrame, weights: list[float],

@@ -237,7 +237,15 @@ _GRADING_PRIORITY = [
     # session reopening), closing r7 VERDICT item 5 / What's-missing
     # #2.
     "m_arima_fixed_fold", "session_window_late_twin",
-    "m_holt_walk_forward",
+    # Round-8 rotation (cont.): m_holt_walk_forward (green
+    # r4∧r5∧r6∧r7, tsmodels.py untouched this round; the walk-forward
+    # fold machinery stays in-window via m_arima_fixed_fold and the
+    # Holt family via m_holt_fixed_fold) hands its slot to
+    # llm_logreg_ovr — one-vs-rest multiclass ridge logistic
+    # regression (3 classes × 15 GD iterations + argmax decision, all
+    # value-oracled), the L2 + multiclass extension of
+    # llm_quality_classifier.
+    "llm_logreg_ovr",
     # Round-8 rotation: m_holt_weekly_forecast (green r6∧r7,
     # unchanged; the Holt family keeps m_holt_fixed_fold +
     # m_holt_walk_forward in-window) hands its slot to

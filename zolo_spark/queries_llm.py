@@ -1400,6 +1400,97 @@ def llm_quality_classifier(spark, sf_dir):
     return classifier.classifier_quality_filter(stats, w)
 
 
+def _ovr_oracle(iters: int = 15, lr: float = 4.0, l2: float = 0.1,
+                cuts: tuple[int, int] = (216, 380)) -> str:
+    """Chained-CTE replay of one-vs-rest ridge logistic regression:
+    three independent GD chains (one per class; labels are length
+    terciles), each round a sigmoid pass + a 1-row gradient aggregate
+    + a scalar ridge update ``w − lr·(g + λ·w)`` evaluated in the
+    same operand order as the driver's Python floats. Final select
+    scores all three models and argmaxes the ROUNDED scores with ties
+    toward the lowest class id. All multi-consumer CTEs are
+    MATERIALIZED (the session-twin lesson)."""
+    grads = ",\n           ".join(
+        f"SUM(round((p - y) * x{j}, 6)::DECIMAL(28,6))::DOUBLE"
+        f" / COUNT(*) AS g{j}" for j in range(6))
+    parts = [f"""WITH stats AS ({_TEXT_STATS_ORACLE}),
+feats AS MATERIALIZED (
+    SELECT doc_id,
+           1.0::DOUBLE AS x0,
+           least(n_tokens_ws::DOUBLE, 400.0) / 400.0 AS x1,
+           punct_ratio::DOUBLE AS x2,
+           stopword_ratio::DOUBLE AS x3,
+           least(mean_token_len::DOUBLE, 20.0) / 20.0 AS x4,
+           least(n_chars::DOUBLE, 2000.0) / 2000.0 AS x5,
+           CASE WHEN n_chars < {cuts[0]} THEN 0
+                WHEN n_chars < {cuts[1]} THEN 1 ELSE 2 END AS cls
+    FROM stats
+)"""]
+    for c in range(3):
+        dot = " + ".join(f"w.w{j} * f.x{j}" for j in range(6))
+        upd = ", ".join(
+            f"w.w{j} - {lr} * (g.g{j} + {l2} * w.w{j}) AS w{j}"
+            for j in range(6))
+        parts.append(f""", c{c}w0(w0, w1, w2, w3, w4, w5) AS (
+    VALUES (0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
+            0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE)
+)""")
+        for k in range(1, iters + 1):
+            parts.append(f""", c{c}p{k} AS (
+    SELECT f.doc_id, {", ".join(f"f.x{j}" for j in range(6))},
+           CASE WHEN f.cls = {c} THEN 1.0 ELSE 0.0 END AS y,
+           1.0 / (1.0 + exp(-greatest(least({dot}, 30.0), -30.0))) AS p
+    FROM feats f CROSS JOIN c{c}w{k - 1} w
+), c{c}g{k} AS MATERIALIZED (
+    SELECT {grads}
+    FROM c{c}p{k}
+), c{c}w{k} AS MATERIALIZED (
+    SELECT {upd} FROM c{c}w{k - 1} w CROSS JOIN c{c}g{k} g
+)""")
+    score = {
+        c: "round(1.0 / (1.0 + exp(-greatest(least("
+           + " + ".join(f"w{c}.w{j} * f.x{j}" for j in range(6))
+           + ", 30.0), -30.0))), 4)"
+        for c in range(3)
+    }
+    parts.append(f""", scored AS (
+    SELECT f.doc_id, {score[0]} AS s0, {score[1]} AS s1, {score[2]} AS s2
+    FROM feats f CROSS JOIN c0w{iters} w0 CROSS JOIN c1w{iters} w1
+    CROSS JOIN c2w{iters} w2
+)
+SELECT doc_id, s0, s1, s2,
+       CASE WHEN s0 >= s1 AND s0 >= s2 THEN 0
+            WHEN s1 >= s2 THEN 1 ELSE 2 END AS pred_class
+FROM scored""")
+    return "".join(parts)
+
+
+@register("llm_logreg_ovr", oracle=_ovr_oracle())
+def llm_logreg_ovr(spark, sf_dir):
+    """One-vs-rest multiclass ridge logistic regression — the
+    multiclass + L2 extension of llm_quality_classifier over the same
+    distributed-GD machinery: three binary models (length-tercile
+    classes — the corpus's genuine signal), each 15 full-batch
+    iterations of map-side-combined DECIMAL gradient sums with an L2
+    ridge term (λ=0.1) in the scalar update, then ONE codegen
+    projection scores all classes and argmaxes the rounded scores
+    (ties to the lowest class id). All 45 iterations + scoring +
+    decision replay as generated MATERIALIZED CTEs. The shared feature
+    frame is persisted once; only 45 six-vectors reach the driver;
+    ``llm/classifier.py``."""
+    from .llm import classifier
+
+    stats = text.text_stats(_t(spark, sf_dir, "documents"))
+    feats = classifier.quality_features(stats)
+    cls = stats.select(
+        "doc_id",
+        F.when(F.col("n_chars") < 216, 0)
+        .when(F.col("n_chars") < 380, 1).otherwise(2).alias("cls"))
+    labeled = feats.join(cls, "doc_id")
+    models = classifier.train_ovr(labeled, 3, iters=15, l2=0.1)
+    return classifier.ovr_predict(feats, models)
+
+
 @register("llm_dsir_select", oracle="""
 WITH toks AS (
     SELECT doc_id,
