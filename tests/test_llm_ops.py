@@ -1573,3 +1573,32 @@ def test_train_ovr_learns_separable_classes(spark):
     acc = (pred.join(df.select("doc_id", "cls"), "doc_id")
            .filter(F.col("pred_class") == F.col("cls")).count()) / 150
     assert acc >= 0.9, acc
+
+
+def test_ccnet_buckets_tercile_semantics(spark):
+    """Bucket sizes are ~N/3 with head = lowest NLL, and boundary
+    rows (score == cut) land in the lower bucket."""
+    from zolo_spark.llm import lm
+
+    rows = [(i, float(i)) for i in range(9)]  # mean_nll 0..8
+    scores = spark.createDataFrame(rows, "doc_id long, mean_nll double")
+    out = {r["doc_id"]: r["bucket"]
+           for r in lm.perplexity_buckets(scores).collect()}
+    # terciles of 0..8: t1 = 8/3 ≈ 2.6667, t2 = 16/3 ≈ 5.3333
+    assert [out[i] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3)
+
+
+def test_ccnet_buckets_no_global_sort(spark):
+    """The bucket assignment must not plan a corpus-wide sort or
+    window — one aggregate + a broadcast join only."""
+    from zolo_spark.llm import lm
+
+    scores = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(50)],
+        "doc_id long, mean_nll double")
+    plan = lm.perplexity_buckets(scores)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -91,3 +91,33 @@ def perplexity_filter(df: DataFrame, lm: DataFrame, max_mean_nll: float,
         scores.filter(F.col("mean_nll") <= max_mean_nll).select(id_col),
         id_col,
     )
+
+
+def perplexity_buckets(scores: DataFrame,
+                       id_col: str = "doc_id") -> DataFrame:
+    """CCNet's head/middle/tail partition (Wenzek et al. 2020 §4.3):
+    bucket every document by which perplexity tercile it falls in —
+    ``head`` = most-fluent third, ``tail`` = least.  Input is the
+    :func:`doc_nll` output; returns ``(id, mean_nll, bucket)``.
+
+    The tercile cuts are ONE exact-percentile aggregate (a 2-value
+    frame, broadcast to the assignment projection) — no global sort
+    and no ntile over the corpus.  Exact ``percentile`` buffers the
+    score vector on the aggregating executor: fine for per-DOCUMENT
+    score counts (≤ ~10⁸); beyond that swap ``approx_percentile`` at
+    this seam — bucket semantics are unchanged.
+
+    Determinism: ``mean_nll`` is already round-4; the cuts are
+    round-4; the comparisons see identical doubles in both engines
+    (``1.0/3.0`` is written the same way on both sides).
+    """
+    cuts = scores.agg(
+        F.round(F.percentile("mean_nll", F.lit(1.0 / 3.0)), 4).alias("t1"),
+        F.round(F.percentile("mean_nll", F.lit(2.0 / 3.0)), 4).alias("t2"),
+    )
+    return scores.crossJoin(F.broadcast(cuts)).select(
+        id_col, "mean_nll",
+        F.when(F.col("mean_nll") <= F.col("t1"), "head")
+        .when(F.col("mean_nll") <= F.col("t2"), "middle")
+        .otherwise("tail").alias("bucket"),
+    )

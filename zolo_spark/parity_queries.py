@@ -253,7 +253,13 @@ _GRADING_PRIORITY = [
     # arithmetic value-oracled via the SQL-replayable residual sigma
     # (r7 VERDICT item 8: forecast AND confidence interval hashed,
     # not just argmin + prediction).
-    "m_ses_weekly_forecast", "m_arima_grid_ci",
+    # Round-8 rotation (cont.): m_ses_weekly_forecast (green
+    # r5∧r6∧r7, tsmodels.py untouched this round; the SES family
+    # keeps m_ses_fixed_alpha_fold in-window and the full-window job
+    # shape stays covered by the Holt fixed fold + ARIMA gates) hands
+    # its slot to llm_ccnet_buckets — the CCNet head/middle/tail
+    # perplexity-tercile partition over the unigram-LM scores.
+    "llm_ccnet_buckets", "m_arima_grid_ci",
     "m_arima_weekly_forecast",
     # Custom temporal / scale operators — hash-oracled; the 50th
     # slot closes the graded window.

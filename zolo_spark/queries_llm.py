@@ -1700,6 +1700,31 @@ def llm_unigram_nll(spark, sf_dir):
     return _lm.doc_nll(docs, _lm.unigram_lm(docs))
 
 
+@register("llm_ccnet_buckets", oracle=f"""
+WITH scores AS ({REGISTRY["llm_unigram_nll"].oracle}),
+cuts AS (
+    SELECT round(quantile_cont(mean_nll, 1.0/3.0), 4) AS t1,
+           round(quantile_cont(mean_nll, 2.0/3.0), 4) AS t2
+    FROM scores
+)
+SELECT doc_id, mean_nll,
+       CASE WHEN mean_nll <= t1 THEN 'head'
+            WHEN mean_nll <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scores CROSS JOIN cuts
+""")
+def llm_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail corpus partition (Wenzek et al. 2020):
+    perplexity terciles over the unigram-LM document scores. The cuts
+    are one exact-percentile aggregate broadcast to a codegen CASE —
+    no global sort, no ntile shuffle; at >10⁸ documents the seam swaps
+    in approx_percentile with unchanged bucket semantics. Assignment
+    compares round-4 scores to round-4 cuts, so the partition
+    value-hashes exactly; ``llm/lm.py:perplexity_buckets``."""
+    docs = _t(spark, sf_dir, "documents")
+    return _lm.perplexity_buckets(_lm.doc_nll(docs, _lm.unigram_lm(docs)))
+
+
 @register("llm_source_cap", oracle="""
 SELECT doc_id, lang, n_chars FROM documents
 QUALIFY row_number()
