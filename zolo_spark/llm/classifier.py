@@ -112,22 +112,39 @@ def train_ovr(labeled: DataFrame, n_classes: int, class_col: str = "cls",
               iters: int = 15, lr: float = 4.0,
               l2: float = 0.0) -> list[list[float]]:
     """One-vs-rest multiclass: one binary ridge-regularized model per
-    class. The shared feature frame is persisted ONCE under the
-    ``logreg_ovr`` scope (regex-heavy stats are computed a single
-    time); each class's :func:`logreg_train` persists only its cheap
-    ``_y`` projection of those cached blocks, generationally released
-    by the next class. Total driver traffic is ``n_classes · iters``
-    d-vectors — independent of corpus size."""
+    class, all trained JOINTLY — each iteration is a single scan of
+    the once-persisted feature frame computing all ``n_classes · d``
+    gradient components in one map-side-combined aggregate (the
+    classes share the scan; their math stays independent, so the
+    per-class SQL replay is unchanged). ``iters`` scans total instead
+    of ``n_classes · iters``; driver traffic is one
+    ``n_classes · d``-vector per iteration — independent of corpus
+    size."""
     from . import cachereg
 
     cachereg.begin("logreg_ovr")
     labeled = cachereg.persist(labeled, "logreg_ovr")
-    models = []
-    for c in range(n_classes):
-        binary = labeled.withColumn(
-            "_y", (F.col(class_col) == c).cast("double"))
-        models.append(logreg_train(binary, "_y", iters, lr, l2))
-    return models
+    d = len(FEATURE_COLS)
+    ws = [[0.0] * d for _ in range(n_classes)]
+    for _ in range(iters):
+        aggs = []
+        for c in range(n_classes):
+            p = sigmoid(_logit(ws[c]))
+            y = (F.col(class_col) == c).cast("double")
+            aggs += [
+                (F.sum(F.round((p - y) * F.col(col), 6)
+                       .cast("decimal(28,6)")).cast("double")
+                 / F.count(F.lit(1))).alias(f"g{c}_{j}")
+                for j, col in enumerate(FEATURE_COLS)
+            ]
+        row = labeled.agg(*aggs).collect()[0]  # n_classes·d, never rows
+        for c in range(n_classes):
+            if l2:
+                ws[c] = [ws[c][j] - lr * (row[f"g{c}_{j}"] + l2 * ws[c][j])
+                         for j in range(d)]
+            else:
+                ws[c] = [ws[c][j] - lr * row[f"g{c}_{j}"] for j in range(d)]
+    return ws
 
 
 def ovr_predict(feats: DataFrame, models: list[list[float]],
