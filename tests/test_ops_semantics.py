@@ -354,3 +354,61 @@ def test_hll_register_bounds(spark):
     assert len(regs) <= 256
     assert all(1 <= r["register"] <= 25 for r in regs)
     assert all(0 <= r["idx"] < 256 for r in regs)
+
+
+# ------------------------------------------- portable histogram quantile
+
+def test_histogram_quantile_accuracy_and_edges(spark):
+    """Estimates land within one bin width of the exact quantile;
+    degenerate (constant) groups return the constant."""
+    from zolo_spark.ops import sketches
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vals = [float(v) for v in rng.uniform(10, 510, 4000)]
+    rows = [("a", v) for v in vals] + [("const", 42.0)] * 50
+    df = spark.createDataFrame(rows, "grp string, x double")
+    out = {(r["grp"], r["q"]): r["quantile_est"]
+           for r in sketches.histogram_quantile(
+               df, "x", ["grp"], [0.25, 0.5, 0.75]).collect()}
+    bin_w = (max(vals) - min(vals)) / sketches.N_BINS
+    for q in (0.25, 0.5, 0.75):
+        exact = float(np.quantile(vals, q))
+        assert abs(out[("a", q)] - exact) <= bin_w + 1e-9, (q, exact)
+        assert out[("const", q)] == 42.0
+
+
+def test_histogram_bins_merge_additively(spark):
+    """Shard histograms binned against the same range frame sum to
+    the single-pass histogram — the incremental-ingest property."""
+    from pyspark.sql import functions as F
+
+    from zolo_spark.ops import sketches
+
+    df = spark.createDataFrame(
+        [("g", float(i % 97) + 0.5) for i in range(900)],
+        "grp string, x double")
+    rng = sketches.value_range(df, "x", ["grp"])
+    full = {(r["grp"], r["bin"]): r["cnt"]
+            for r in sketches.histogram_bins(df, "x", ["grp"], rng).collect()}
+    h1 = sketches.histogram_bins(
+        df.filter(F.col("x") < 50), "x", ["grp"], rng)
+    h2 = sketches.histogram_bins(
+        df.filter(F.col("x") >= 50), "x", ["grp"], rng)
+    merged = (h1.unionByName(h2)
+              .groupBy("grp", "bin").agg(F.sum("cnt").alias("cnt")))
+    got = {(r["grp"], r["bin"]): r["cnt"] for r in merged.collect()}
+    assert got == full
+
+
+def test_histogram_max_value_lands_in_last_bin(spark):
+    """x == hi must clamp into bin n_bins-1, never overflow."""
+    from zolo_spark.ops import sketches
+
+    df = spark.createDataFrame(
+        [("g", 0.0), ("g", 100.0)], "grp string, x double")
+    rng = sketches.value_range(df, "x", ["grp"])
+    bins = {r["x" if False else "bin"]
+            for r in sketches.histogram_bins(df, "x", ["grp"], rng).collect()}
+    assert bins == {0, sketches.N_BINS - 1}

@@ -110,3 +110,98 @@ def approx_distinct(df: DataFrame, key_col: str,
                     group_cols: list[str]) -> DataFrame:
     """End-to-end portable approximate COUNT(DISTINCT key) per group."""
     return hll_estimate(hll_registers(df, key_col, group_cols), group_cols)
+
+
+# ------------------------------------------------- histogram quantiles
+
+N_BINS = 128
+
+
+def value_range(df: DataFrame, val_col: str,
+                group_cols: list[str]) -> DataFrame:
+    """(group..., _lo, _hi, _n) — the per-group range frame the
+    histogram bins against. Sharded ingest computes this once over
+    the global keyspace (or fixes it a priori) so shard histograms
+    stay mergeable."""
+    return df.groupBy(*group_cols).agg(
+        F.min(F.col(val_col).cast("double")).alias("_lo"),
+        F.max(F.col(val_col).cast("double")).alias("_hi"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+
+
+def histogram_bins(df: DataFrame, val_col: str, group_cols: list[str],
+                   rng: DataFrame, n_bins: int = N_BINS) -> DataFrame:
+    """(group..., _lo, _hi, _n, bin, cnt) against a FIXED range frame.
+    Counts from disjoint shards binned against the same range ADD —
+    the additive-merge property pinned by pytest."""
+    x = F.col(val_col).cast("double")
+    width = (F.col("_hi") - F.col("_lo")) / n_bins
+    bin_id = F.least(
+        F.floor((x - F.col("_lo")) / width).cast("long"),
+        F.lit(n_bins - 1))
+    return (
+        df.join(F.broadcast(rng), group_cols)
+        .select(*group_cols, "_lo", "_hi", "_n",
+                F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+                .otherwise(bin_id).alias("bin"))
+        .groupBy(*group_cols, "_lo", "_hi", "_n", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantile(df: DataFrame, val_col: str, group_cols: list[str],
+                       quantiles: list[float],
+                       n_bins: int = N_BINS) -> DataFrame:
+    """Portable approximate quantiles via a fixed-bin equi-width
+    histogram — the mergeable, value-replayable alternative to both
+    exact ``percentile`` (which buffers every value on one executor)
+    and ``percentile_approx`` (whose KLL/GK sketch is
+    engine-internal, hence rows-only-gradable).
+
+    Two scans: (1) per-group min/max — a 2-double frame, broadcast;
+    (2) per-(group, bin) counts with map-side combine — at most
+    ``n_bins`` rows per group survive the shuffle.  The estimate
+    interpolates linearly inside the bin holding the target rank
+    ``q·n``.  Bin counts from disjoint shards ADD (same global
+    min/max), so the sketch is incremental the same way
+    :func:`hll_registers` is.  Error is bounded by the bin width —
+    (max−min)/n_bins — regardless of data size.
+
+    Determinism: bin ids are ``floor`` of identical IEEE doubles; the
+    cumulative sums are integer; the interpolation is one expression
+    tree evaluated on identical inputs in both engines; output
+    rounds to 4.  Returns (group..., q, quantile_est).
+    """
+    spark = df.sparkSession
+    rng = value_range(df, val_col, group_cols)
+    hist = histogram_bins(df, val_col, group_cols, rng, n_bins)
+    from pyspark.sql import Window as W
+
+    cum = F.sum("cnt").over(
+        W.partitionBy(*group_cols).orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, 0))
+    hist = hist.withColumn("cum", cum)
+    qf = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    target = F.col("q") * F.col("_n")
+    # the winning bin: lowest bin whose cumulative count reaches the
+    # target rank; min_by keeps its (cnt, cum, lo, hi) for interpolation
+    win = (
+        hist.crossJoin(F.broadcast(qf))
+        .filter(F.col("cum") >= target)
+        .groupBy(*group_cols, "q")
+        .agg(F.min_by(
+            F.struct("bin", "cnt", "cum", "_lo", "_hi", "_n"), F.col("bin")
+        ).alias("w"))
+        .select(*group_cols, "q", "w.*")
+    )
+    width_w = (F.col("_hi") - F.col("_lo")) / n_bins
+    est = (F.col("_lo") + width_w
+           * (F.col("bin")
+              + (F.col("q") * F.col("_n") - (F.col("cum") - F.col("cnt")))
+              / F.col("cnt")))
+    return win.select(
+        *group_cols, "q",
+        F.round(F.when(F.col("_hi") == F.col("_lo"), F.col("_lo"))
+                .otherwise(est), 4).alias("quantile_est"),
+    )

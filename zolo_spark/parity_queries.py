@@ -269,7 +269,12 @@ _GRADING_PRIORITY = [
     # llm_quality_classifier — distributed logistic-regression
     # training (30 value-oracled GD iterations, kmeans-style
     # map-side-combined gradient sums) + codegen corpus scoring.
-    "asof_join_backward", "sessionize_events",
+    # Round-8 rotation (cont.): sessionize_events (green r4-r7,
+    # ops/temporal.py untouched this round; session semantics stay
+    # in-window via session_window_late_twin and the watermark/
+    # monitor twins) hands its slot to a14_histogram_quantile_portable
+    # — the mergeable value-oracled quantile sketch beside a13's HLL.
+    "asof_join_backward", "a14_histogram_quantile_portable",
     "attribution_interval_join", "llm_quality_classifier",
     "range_join_bucketed", "skew_hot_keys",
 ]

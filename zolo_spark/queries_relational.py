@@ -1085,6 +1085,55 @@ def a13(spark, sf_dir):
     return est.join(exact, "o_orderpriority")
 
 
+@register("a14_histogram_quantile_portable", oracle="""
+WITH rng AS (
+    SELECT o_orderstatus AS grp, MIN(o_totalprice)::DOUBLE AS lo,
+           MAX(o_totalprice)::DOUBLE AS hi, COUNT(*) AS n
+    FROM orders GROUP BY 1
+), hist AS (
+    SELECT o.o_orderstatus AS grp, r.lo, r.hi, r.n,
+           CASE WHEN r.hi = r.lo THEN 0
+                ELSE least(floor((o.o_totalprice::DOUBLE - r.lo)
+                                 / ((r.hi - r.lo) / 128))::BIGINT, 127)
+           END AS bin,
+           COUNT(*) AS cnt
+    FROM orders o JOIN rng r ON o.o_orderstatus = r.grp
+    GROUP BY 1, 2, 3, 4, 5
+), cumh AS (
+    SELECT *, SUM(cnt) OVER (PARTITION BY grp ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM hist
+), qs AS (SELECT unnest([0.25, 0.5, 0.75]) AS q),
+win AS (
+    SELECT grp, q, bin, cnt, cum, lo, hi, n,
+           ROW_NUMBER() OVER (PARTITION BY grp, q ORDER BY bin) AS rk
+    FROM cumh CROSS JOIN qs
+    WHERE cum >= q * n
+)
+SELECT grp AS o_orderstatus, q,
+       ROUND(CASE WHEN hi = lo THEN lo
+             ELSE lo + ((hi - lo) / 128)
+                  * (bin + (q * n - (cum - cnt)) / cnt) END, 4)
+           AS quantile_est
+FROM win WHERE rk = 1
+""")
+def a14(spark, sf_dir):
+    """Portable histogram-quantile sketch — the value-oracled,
+    mergeable sibling of a10's percentile_approx (engine-internal
+    KLL) and a12's exact percentile (full-buffer): 128 equi-width
+    bins from one broadcast min/max pass, per-(group,bin) counts with
+    map-side combine (≤128 rows/group survive the shuffle), linear
+    interpolation inside the target-rank bin. Bin counts from
+    disjoint shards ADD, so quantiles stay incremental at 100 TB;
+    error ≤ bin width regardless of data size. Pytest pins merge ≡
+    single pass + accuracy vs exact; ``ops/sketches.py``."""
+    from .ops import sketches
+
+    orders = _t(spark, sf_dir, "orders")
+    return sketches.histogram_quantile(
+        orders, "o_totalprice", ["o_orderstatus"], [0.25, 0.5, 0.75])
+
+
 @register("a11_grouping_sets", oracle="""
 SELECT o_orderstatus, o_orderpriority, ROUND(SUM(o_totalprice), 2) AS total
 FROM orders
