@@ -1602,3 +1602,37 @@ def test_ccnet_buckets_no_global_sort(spark):
     assert "Window" not in plan
     assert "Exchange rangepartitioning" not in plan  # no global sort
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_minibatch_schedule_is_id_pure_and_converges(spark):
+    """The bucket schedule depends only on ids (stable under
+    resharding), empty buckets produce zero updates, and the trainer
+    still recovers a separable signal."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from zolo_spark.llm import classifier
+
+    rng = np.random.RandomState(5)
+    X = rng.uniform(0, 1, size=(200, 6)); X[:, 0] = 1.0
+    y = (X[:, 1] > 0.5).astype(float)
+    rows = [(i, *[float(v) for v in X[i]], float(y[i])) for i in range(200)]
+    schema = ("doc_id long, x0 double, x1 double, x2 double, x3 double,"
+              " x4 double, x5 double, label double")
+    df = spark.createDataFrame(rows, schema)
+    w1 = classifier.logreg_train_minibatch(df, iters=40, lr=2.0)
+    # resharded input -> identical weights (schedule is id-pure)
+    w2 = classifier.logreg_train_minibatch(df.repartition(7), iters=40,
+                                           lr=2.0)
+    assert w1 == w2
+    scored = classifier.classifier_scores(df, w1)
+    acc = (scored.join(df.select("doc_id", "label"), "doc_id")
+           .filter((F.col("score") >= 0.5).cast("double") == F.col("label"))
+           .count()) / 200
+    assert acc >= 0.8, acc
+    # ids outside every bucket k%4 never happens, but an EMPTY batch
+    # (iters beyond a tiny corpus's buckets) must not crash or NaN
+    tiny = spark.createDataFrame(rows[:2], schema)
+    w3 = classifier.logreg_train_minibatch(tiny, iters=8, lr=1.0)
+    assert all(v == v for v in w3)  # no NaN

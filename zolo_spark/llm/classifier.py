@@ -108,6 +108,47 @@ def logreg_train(labeled: DataFrame, label_col: str = "label",
     return w
 
 
+def logreg_train_minibatch(labeled: DataFrame, label_col: str = "label",
+                           iters: int = 20, lr: float = 1.0,
+                           n_buckets: int = 4,
+                           id_col: str = "doc_id") -> list[float]:
+    """Deterministic minibatch gradient descent: iteration ``k``
+    trains on the hash bucket ``k mod n_buckets`` of the corpus —
+    ``md5('mb-v1' || id) mod n_buckets``, the same salted-bucket
+    trick as :func:`~zolo_spark.llm.corpus.hash_split` — so the
+    minibatch schedule is a pure function of document ids: stable
+    under reruns, resharding, and engines (what RNG minibatches are
+    not), and the whole schedule replays as SQL. Each iteration
+    scans only ~1/n_buckets of the persisted feature blocks (Spark
+    prunes the rest at the cached-batch filter), cutting per-step
+    cost at 100 TB the way SGD is supposed to.
+    """
+    from . import cachereg
+
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("mb-v1"), F.col(id_col).cast("string"))),
+        1, 4), 16, 10).cast("long") % n_buckets)
+    cachereg.begin("logreg_mb")
+    labeled = cachereg.persist(
+        labeled.withColumn("_mb", bucket), "logreg_mb")
+    w = [0.0] * len(FEATURE_COLS)
+    for k in range(iters):
+        batch = labeled.filter(F.col("_mb") == k % n_buckets)
+        p = sigmoid(_logit(w))
+        aggs = [
+            (F.sum(F.round((p - F.col(label_col)) * F.col(c), 6)
+                   .cast("decimal(28,6)")).cast("double")
+             / F.count(F.lit(1))).alias(f"g{j}")
+            for j, c in enumerate(FEATURE_COLS)
+        ]
+        row = batch.agg(*aggs).collect()[0]
+        # an empty bucket (possible at tiny scale) contributes a zero
+        # update — mirrored by COALESCE(g, 0) in the SQL replay
+        w = [w[j] - lr * (row[f"g{j}"] if row[f"g{j}"] is not None else 0.0)
+             for j in range(len(w))]
+    return w
+
+
 def train_ovr(labeled: DataFrame, n_classes: int, class_col: str = "cls",
               iters: int = 15, lr: float = 4.0,
               l2: float = 0.0) -> list[list[float]]:

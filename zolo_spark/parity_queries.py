@@ -217,9 +217,14 @@ _GRADING_PRIORITY = [
     # rolling-hash span machinery).
     "llm_minhash_lsh_capped", "llm_simhash_neardup_wide",
     "llm_embedding_near_dup_8bit",
-    # llm_ivfpq_topk (late-r5 IVF×PQ composition) takes the slot of
-    # twice-green (r3∧r4) llm_decontaminate.
-    "llm_ivfpq_topk",
+    # Round-8 rotation (cont.): llm_ivfpq_topk (green r5∧r6∧r7; the
+    # r8 similarity.py edits touched only kmeans_train/semdedup, not
+    # the PQ/IVF regions — verified by diff hunks — and both halves
+    # of the composition stay in-window via llm_pq_encode +
+    # llm_sim_ivf_topk) hands its slot to llm_logreg_minibatch — the
+    # deterministic hash-bucket SGD schedule, value-oracled over 20
+    # rounds with empty-bucket zero-update semantics.
+    "llm_logreg_minibatch",
     # Model jobs (9): three exact cross-engine folds (SES, Holt, AR1),
     # the oracle-gated fixed-order ARIMA walk-forward, oracle-gated
     # bounded-window runs of the REAL ses_job/holt_job, the FULL-window

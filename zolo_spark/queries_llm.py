@@ -1465,6 +1465,81 @@ FROM scored""")
     return "".join(parts)
 
 
+def _logreg_mb_oracle(iters: int = 20, lr: float = 1.0,
+                      nb: int = 4) -> str:
+    """Chained-CTE replay of deterministic minibatch GD: round ``k``
+    aggregates gradients over hash bucket ``(k−1) mod nb`` only;
+    empty buckets coalesce to a zero update exactly as the driver
+    loop does."""
+    dot = " + ".join(f"w.w{j} * f.x{j}" for j in range(6))
+    grads = ",\n           ".join(
+        f"SUM(round((p - y) * x{j}, 6)::DECIMAL(28,6))::DOUBLE"
+        f" / COUNT(*) AS g{j}" for j in range(6))
+    upd = ", ".join(
+        f"w.w{j} - {lr} * COALESCE(g.g{j}, 0.0) AS w{j}" for j in range(6))
+    parts = [f"""WITH stats AS ({_TEXT_STATS_ORACLE}),
+feats AS MATERIALIZED (
+    SELECT doc_id,
+           1.0::DOUBLE AS x0,
+           least(n_tokens_ws::DOUBLE, 400.0) / 400.0 AS x1,
+           punct_ratio::DOUBLE AS x2,
+           stopword_ratio::DOUBLE AS x3,
+           least(mean_token_len::DOUBLE, 20.0) / 20.0 AS x4,
+           least(n_chars::DOUBLE, 2000.0) / 2000.0 AS x5,
+           CASE WHEN n_chars >= 280 THEN 1.0 ELSE 0.0 END AS y,
+           ('0x' || substr(md5('mb-v1' || doc_id::VARCHAR), 1, 4))::BIGINT
+               % {nb} AS mb
+    FROM stats
+), w0(w0, w1, w2, w3, w4, w5) AS (
+    VALUES (0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
+            0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE)
+)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""", p{k} AS (
+    SELECT f.*, 1.0 / (1.0 + exp(-greatest(least({dot}, 30.0), -30.0)))
+           AS p
+    FROM feats f CROSS JOIN w{k - 1} w
+    WHERE f.mb = {(k - 1) % nb}
+), g{k} AS MATERIALIZED (
+    SELECT {grads}
+    FROM p{k}
+), w{k} AS MATERIALIZED (
+    SELECT {upd} FROM w{k - 1} w CROSS JOIN g{k} g
+)""")
+    parts.append(f"""
+SELECT f.doc_id,
+       round(1.0 / (1.0 + exp(-greatest(least({dot}, 30.0), -30.0))), 4)
+           AS score,
+       (round(1.0 / (1.0 + exp(-greatest(least({dot}, 30.0), -30.0))), 4)
+           >= 0.5) AS kept
+FROM feats f CROSS JOIN w{iters} w""")
+    return "".join(parts)
+
+
+@register("llm_logreg_minibatch", oracle=_logreg_mb_oracle())
+def llm_logreg_minibatch(spark, sf_dir):
+    """Deterministic minibatch (SGD-style) training of the quality
+    classifier: iteration k descends on hash bucket k mod 4 of the
+    corpus — the salted-md5 bucket schedule is a pure function of
+    document ids, so the stochastic trainer is exactly replayable
+    (no RNG, no partition-order dependence) and each step scans only
+    ~1/4 of the persisted feature blocks, the per-step cost cut SGD
+    exists for. 20 value-oracled rounds + full-corpus scoring;
+    empty buckets replay as zero updates. Same teacher and scoring
+    seam as llm_quality_classifier;
+    ``llm/classifier.py:logreg_train_minibatch``."""
+    from .llm import classifier
+
+    stats = text.text_stats(_t(spark, sf_dir, "documents"))
+    labeled = classifier.quality_features(stats).join(
+        stats.select(
+            "doc_id",
+            (F.col("n_chars") >= 280).cast("double").alias("label")),
+        "doc_id")
+    w = classifier.logreg_train_minibatch(labeled, iters=20, lr=1.0)
+    return classifier.classifier_quality_filter(stats, w)
+
+
 @register("llm_logreg_ovr", oracle=_ovr_oracle())
 def llm_logreg_ovr(spark, sf_dir):
     """One-vs-rest multiclass ridge logistic regression — the
