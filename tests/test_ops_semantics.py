@@ -412,3 +412,48 @@ def test_histogram_max_value_lands_in_last_bin(spark):
     bins = {r["x" if False else "bin"]
             for r in sketches.histogram_bins(df, "x", ["grp"], rng).collect()}
     assert bins == {0, sketches.N_BINS - 1}
+
+
+# --------------------------------------------------------- z-order key
+
+def test_zorder_key_matches_reference_interleave(spark):
+    """Spark's generated integer expression equals a bit-twiddling
+    reference implementation on random 8-bit pairs."""
+    import random
+
+    from zolo_spark.ops.partitioning import zorder_key
+
+    random.seed(13)
+    pairs = [(random.randrange(256), random.randrange(256))
+             for _ in range(200)] + [(0, 0), (255, 255), (1, 0), (0, 1)]
+    df = spark.createDataFrame(pairs, "b0 long, b1 long")
+    got = {(r["b0"], r["b1"]): r["z"] for r in df.select(
+        "b0", "b1", zorder_key([F.col("b0"), F.col("b1")]).alias("z")
+    ).collect()}
+
+    def ref(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert all(got[(x, y)] == ref(x, y) for x, y in pairs)
+
+
+def test_zorder_buckets_bound_every_dimension(spark):
+    """Splitting the 16-bit keyspace at 8 bits fixes the top 4 bits
+    of BOTH dims: every bucket's per-dimension range is < 16 — the
+    pruning property that makes the layout useful."""
+    import random
+
+    from zolo_spark.ops.partitioning import zorder_layout_stats
+
+    random.seed(29)
+    rows = [(random.randrange(256), random.randrange(256))
+            for _ in range(5000)]
+    df = spark.createDataFrame(rows, "b0 long, b1 long")
+    stats = zorder_layout_stats(df, ["b0", "b1"]).collect()
+    assert len(stats) <= 256
+    for r in stats:
+        assert r["b0_hi"] - r["b0_lo"] < 16
+        assert r["b1_hi"] - r["b1_lo"] < 16

@@ -31,3 +31,52 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def zorder_key(bin_cols: list, bits: int = 8):
+    """Morton (Z-order) key over pre-binned integer dimensions — the
+    multi-dimensional clustering key behind Delta's OPTIMIZE ZORDER
+    and the layout a 100 TB warehouse wants when queries filter on
+    several columns at once: sorting files by the interleaved key
+    keeps every dimension's value range TIGHT within each file, so
+    min/max file statistics prune scans on ANY filtered dimension,
+    not just the leading sort column.
+
+    ``bin_cols`` are integer columns already normalized to
+    ``[0, 2^bits)`` (use :func:`~zolo_spark.ops.sketches.
+    histogram_bins`-style bucketing for doubles). The interleave is a
+    sum of ``bits × len(bin_cols)`` pure-integer terms —
+    ``((col // 2^i) % 2) · 2^(i·D + d)`` — whole-stage codegen in
+    Spark and byte-identical in ANSI SQL, no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    d_count = len(bin_cols)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for d, c in enumerate(bin_cols):
+            bit = F.shiftright(c.cast("long"), i) % 2
+            z = z + bit * F.lit(1 << (i * d_count + d)).cast("long")
+    return z
+
+
+def zorder_layout_stats(df: DataFrame, bin_cols: list[str],
+                        bits: int = 8, file_bits: int = 8) -> DataFrame:
+    """Per-"file" min/max bounds of every dimension after Z-order
+    layout: keys are bucketed into ``2^file_bits`` contiguous z-ranges
+    (a stand-in for range-partitioned files) and each bucket reports
+    its per-dimension bounds — exactly the footer statistics a reader
+    would prune against. Deterministic and SQL-replayable; the
+    locality property (bounded per-bucket ranges on EVERY dimension)
+    is pinned by pytest."""
+    from pyspark.sql import functions as F
+
+    z = zorder_key([F.col(c) for c in bin_cols], bits)
+    total_bits = bits * len(bin_cols)
+    bucket = F.shiftright(z, max(total_bits - file_bits, 0))
+    aggs = []
+    for c in bin_cols:
+        aggs += [F.min(c).alias(f"{c}_lo"), F.max(c).alias(f"{c}_hi")]
+    return (df.select(bucket.alias("zbucket"), *bin_cols)
+            .groupBy("zbucket")
+            .agg(F.count(F.lit(1)).alias("n"), *aggs))

@@ -279,7 +279,14 @@ _GRADING_PRIORITY = [
     # in-window via session_window_late_twin and the watermark/
     # monitor twins) hands its slot to a14_histogram_quantile_portable
     # — the mergeable value-oracled quantile sketch beside a13's HLL.
-    "asof_join_backward", "a14_histogram_quantile_portable",
+    # Round-8 rotation (cont.): asof_join_backward (green r4-r7,
+    # ops/temporal.py untouched this round; temporal-join machinery
+    # stays in-window via attribution_interval_join and
+    # range_join_bucketed) hands its slot to zorder_layout_bounds —
+    # the Morton multi-dim clustering layout with per-bucket pruning
+    # bounds, value-oracled via a generated integer-interleave
+    # expression.
+    "zorder_layout_bounds", "a14_histogram_quantile_portable",
     "attribution_interval_join", "llm_quality_classifier",
     "range_join_bucketed", "skew_hot_keys",
 ]

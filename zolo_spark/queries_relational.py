@@ -1134,6 +1134,67 @@ def a14(spark, sf_dir):
         orders, "o_totalprice", ["o_orderstatus"], [0.25, 0.5, 0.75])
 
 
+def _zorder_oracle() -> str:
+    """Replay of the 2-dim × 8-bit Morton interleave as a generated
+    integer expression: bit i of dim d lands at position 2i+d."""
+    terms = " + ".join(
+        f"((b{d} >> {i}) & 1) * {1 << (2 * i + d)}"
+        for i in range(8) for d in range(2))
+    return f"""
+WITH rng AS (
+    SELECT MIN(o_custkey)::DOUBLE AS klo, MAX(o_custkey)::DOUBLE AS khi,
+           MIN(o_totalprice)::DOUBLE AS plo, MAX(o_totalprice)::DOUBLE AS phi
+    FROM orders
+), binned AS (
+    SELECT least(floor((o_custkey::DOUBLE - klo)
+                       / ((khi - klo) / 256))::BIGINT, 255) AS b0,
+           least(floor((o_totalprice::DOUBLE - plo)
+                       / ((phi - plo) / 256))::BIGINT, 255) AS b1
+    FROM orders CROSS JOIN rng
+), z AS (
+    SELECT ({terms}) AS zkey, b0, b1 FROM binned
+)
+SELECT (zkey >> 8) AS zbucket, COUNT(*)::BIGINT AS n,
+       MIN(b0) AS b0_lo, MAX(b0) AS b0_hi,
+       MIN(b1) AS b1_lo, MAX(b1) AS b1_hi
+FROM z GROUP BY 1
+"""
+
+
+@register("zorder_layout_bounds", oracle=_zorder_oracle())
+def zorder_layout_bounds(spark, sf_dir):
+    """Z-order (Morton) multi-dimensional clustering — the data
+    layout a 100 TB warehouse uses so min/max file statistics prune
+    scans on EVERY filtered dimension (Delta OPTIMIZE ZORDER's key,
+    computed as pure-integer codegen — no UDF). The gate bins
+    (o_custkey, o_totalprice) to 8 bits each, interleaves, buckets
+    the keyspace into 256 contiguous z-ranges (stand-ins for
+    range-partitioned files), and emits each bucket's per-dimension
+    bounds — exactly the footer stats a reader prunes against; the
+    bounded-range locality property is pinned by pytest.
+    ``ops/partitioning.py:zorder_key``."""
+    from .ops import partitioning
+
+    orders = _t(spark, sf_dir, "orders")
+    rng = orders.agg(
+        F.min(F.col("o_custkey").cast("double")).alias("klo"),
+        F.max(F.col("o_custkey").cast("double")).alias("khi"),
+        F.min(F.col("o_totalprice").cast("double")).alias("plo"),
+        F.max(F.col("o_totalprice").cast("double")).alias("phi"),
+    )
+    binned = orders.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.floor((F.col("o_custkey").cast("double") - F.col("klo"))
+                    / ((F.col("khi") - F.col("klo")) / 256)).cast("long"),
+            F.lit(255).cast("long")).alias("b0"),
+        F.least(
+            F.floor((F.col("o_totalprice").cast("double") - F.col("plo"))
+                    / ((F.col("phi") - F.col("plo")) / 256)).cast("long"),
+            F.lit(255).cast("long")).alias("b1"),
+    )
+    return partitioning.zorder_layout_stats(binned, ["b0", "b1"])
+
+
 @register("a11_grouping_sets", oracle="""
 SELECT o_orderstatus, o_orderpriority, ROUND(SUM(o_totalprice), 2) AS total
 FROM orders
