@@ -1636,3 +1636,29 @@ def test_minibatch_schedule_is_id_pure_and_converges(spark):
     tiny = spark.createDataFrame(rows[:2], schema)
     w3 = classifier.logreg_train_minibatch(tiny, iters=8, lr=1.0)
     assert all(v == v for v in w3)  # no NaN
+
+
+def test_quality_ensemble_audits_every_doc_and_conjunction(spark):
+    """Every document gets a decision row; kept is the conjunction of
+    all three signal families (a doc failing only the classifier—or
+    only the bucket—must be dropped)."""
+    from zolo_spark.llm import corpus
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "walks back home through the quiet evening streets " * 4)
+    rows = ([(i, good + f" marker{i}") for i in range(8)]
+            + [(100, "!!! ??? ,,, ;;; ###")]          # heuristic fail
+            + [(101, "zz qq xx vv kk jj ww yy")])     # distributional odd
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in corpus.quality_ensemble(df, iters=5)
+           .collect()}
+    assert len(out) == 10                       # full audit, not survivors
+    assert out[100]["kept"] is False            # punct heuristic fails
+    for r in out.values():                      # conjunction honored
+        expect = (r["quality"] >= 0.5 and r["score"] >= 0.5
+                  and r["bucket"] != "tail")
+        # n_tokens/punct are folded into quality_filter thresholds the
+        # gate re-applies; kept can only be True if all visible
+        # signals pass
+        if r["kept"]:
+            assert expect

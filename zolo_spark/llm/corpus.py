@@ -661,3 +661,46 @@ def corpus_pipeline(docs: DataFrame, emb: DataFrame, *,
         surv4.select(id_col, "lang", source_col, "n_chars"),
         cap=cap, source_col=source_col,
     ).select(id_col, "lang", source_col, "n_chars")
+
+
+def quality_ensemble(docs: DataFrame, iters: int = 10) -> DataFrame:
+    """Multi-signal quality decision — the FineWeb/DCLM-style gate a
+    modern pipeline actually ships: a document survives only if the
+    RULE signal (heuristic thresholds over text_stats), the LEARNED
+    signal (logistic-regression score), and the DISTRIBUTIONAL signal
+    (CCNet perplexity bucket ≠ tail) all agree. Returns
+    ``(doc_id, quality, score, bucket, kept)`` for the whole corpus —
+    a decision audit, not just the survivors.
+
+    Composition of three individually-oracled stages (text_stats →
+    classifier, unigram LM → terciles); every signal and the final
+    conjunction replay in SQL, so the full decision is value-hashed.
+    Scale: the classifier adds ``iters`` scans of a persisted
+    doc-count×7 feature frame; the LM join is broadcast; the tercile
+    cuts are one 2-value aggregate; the final three-way join is
+    doc-keyed and co-partitioned by the first shuffle.
+    """
+    from . import classifier, lm
+    from .text import text_stats
+
+    stats = text_stats(docs)
+    feats = classifier.quality_features(stats)
+    labeled = feats.join(
+        stats.select(
+            "doc_id", (F.col("n_chars") >= 280).cast("double").alias("label")),
+        "doc_id")
+    w = classifier.logreg_train(labeled, iters=iters)
+    scored = classifier.classifier_scores(feats, w)
+    buckets = lm.perplexity_buckets(lm.doc_nll(docs, lm.unigram_lm(docs)))
+    heur = stats.select(
+        "doc_id", "quality", "n_tokens_ws", "punct_ratio")
+    return (
+        heur.join(scored, "doc_id")
+        .join(buckets.select("doc_id", "bucket"), "doc_id")
+        .select(
+            "doc_id", "quality", "score", "bucket",
+            ((F.col("quality") >= 0.5) & (F.col("n_tokens_ws") >= 5)
+             & (F.col("punct_ratio") <= 0.3) & (F.col("score") >= 0.5)
+             & (F.col("bucket") != "tail")).alias("kept"),
+        )
+    )

@@ -286,8 +286,14 @@ _GRADING_PRIORITY = [
     # the Morton multi-dim clustering layout with per-bucket pruning
     # bounds, value-oracled via a generated integer-interleave
     # expression.
+    # Round-8 rotation (cont.): attribution_interval_join (green
+    # r5∧r6∧r7, streaming/joins.py + ops/temporal.py untouched this
+    # round; interval-join machinery stays in-window via
+    # range_join_bucketed) hands its slot to llm_quality_ensemble —
+    # the three-signal (rule ∧ classifier ∧ perplexity-bucket)
+    # decision audit, value-hashed end to end.
     "zorder_layout_bounds", "a14_histogram_quantile_portable",
-    "attribution_interval_join", "llm_quality_classifier",
+    "llm_quality_ensemble", "llm_quality_classifier",
     "range_join_bucketed", "skew_hot_keys",
 ]
 

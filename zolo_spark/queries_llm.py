@@ -1800,6 +1800,82 @@ def llm_ccnet_buckets(spark, sf_dir):
     return _lm.perplexity_buckets(_lm.doc_nll(docs, _lm.unigram_lm(docs)))
 
 
+def _ensemble_oracle(iters: int = 10) -> str:
+    """Replay of the three-signal quality ensemble: the classifier's
+    GD chain (``iters`` rounds, the _logreg_oracle machinery), the
+    unigram-NLL tercile buckets, and the heuristic thresholds — one
+    conjunction per document."""
+    dot = " + ".join(f"w.w{j} * f.x{j}" for j in range(6))
+    grads = ",\n           ".join(
+        f"SUM(round((p - y) * x{j}, 6)::DECIMAL(28,6))::DOUBLE"
+        f" / COUNT(*) AS g{j}" for j in range(6))
+    upd = ", ".join(f"w.w{j} - 4.0 * g.g{j} AS w{j}" for j in range(6))
+    parts = [f"""WITH stats AS MATERIALIZED ({_TEXT_STATS_ORACLE}),
+feats AS MATERIALIZED (
+    SELECT doc_id,
+           1.0::DOUBLE AS x0,
+           least(n_tokens_ws::DOUBLE, 400.0) / 400.0 AS x1,
+           punct_ratio::DOUBLE AS x2,
+           stopword_ratio::DOUBLE AS x3,
+           least(mean_token_len::DOUBLE, 20.0) / 20.0 AS x4,
+           least(n_chars::DOUBLE, 2000.0) / 2000.0 AS x5,
+           CASE WHEN n_chars >= 280 THEN 1.0 ELSE 0.0 END AS y
+    FROM stats
+), w0(w0, w1, w2, w3, w4, w5) AS (
+    VALUES (0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
+            0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE)
+)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""", p{k} AS (
+    SELECT f.*, 1.0 / (1.0 + exp(-greatest(least({dot}, 30.0), -30.0)))
+           AS p
+    FROM feats f CROSS JOIN w{k - 1} w
+), g{k} AS MATERIALIZED (
+    SELECT {grads}
+    FROM p{k}
+), w{k} AS MATERIALIZED (
+    SELECT {upd} FROM w{k - 1} w CROSS JOIN g{k} g
+)""")
+    parts.append(f""", scored AS (
+    SELECT f.doc_id,
+           round(1.0 / (1.0 + exp(-greatest(least({dot}, 30.0), -30.0))), 4)
+               AS score
+    FROM feats f CROSS JOIN w{iters} w
+), nllscores AS ({REGISTRY["llm_unigram_nll"].oracle}),
+cuts AS (
+    SELECT round(quantile_cont(mean_nll, 1.0/3.0), 4) AS t1,
+           round(quantile_cont(mean_nll, 2.0/3.0), 4) AS t2
+    FROM nllscores
+), buckets AS (
+    SELECT doc_id,
+           CASE WHEN mean_nll <= t1 THEN 'head'
+                WHEN mean_nll <= t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM nllscores CROSS JOIN cuts
+)
+SELECT s.doc_id, s.quality, c.score, b.bucket,
+       (s.quality >= 0.5 AND s.n_tokens_ws >= 5 AND s.punct_ratio <= 0.3
+        AND c.score >= 0.5 AND b.bucket <> 'tail') AS kept
+FROM stats s
+JOIN scored c ON s.doc_id = c.doc_id
+JOIN buckets b ON s.doc_id = b.doc_id""")
+    return "".join(parts)
+
+
+@register("llm_quality_ensemble", oracle=_ensemble_oracle())
+def llm_quality_ensemble(spark, sf_dir):
+    """Multi-signal quality decision (the FineWeb/DCLM shape): rule
+    heuristics ∧ learned classifier score ∧ CCNet perplexity bucket —
+    a document survives only when all three signal families agree,
+    and the gate emits the full decision audit (every signal + the
+    conjunction) for the whole corpus, value-hashed end to end (10 GD
+    rounds, NLL terciles, thresholds). Scale: classifier scans a
+    persisted doc×7 frame, LM join is broadcast, cuts are one 2-value
+    aggregate, final join is doc-keyed;
+    ``llm/corpus.py:quality_ensemble``."""
+    return corpus.quality_ensemble(_t(spark, sf_dir, "documents"))
+
+
 @register("llm_source_cap", oracle="""
 SELECT doc_id, lang, n_chars FROM documents
 QUALIFY row_number()
