@@ -457,3 +457,36 @@ def test_zorder_buckets_bound_every_dimension(spark):
     for r in stats:
         assert r["b0_hi"] - r["b0_lo"] < 16
         assert r["b1_hi"] - r["b1_lo"] < 16
+
+
+# ------------------------------------------------------------ PSI drift
+
+def test_psi_zero_on_identical_and_large_on_shift(spark):
+    from zolo_spark.ops import sketches
+
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    vals = [float(v) for v in rng.uniform(0, 100, 2000)]
+    ref = spark.createDataFrame([("g", v) for v in vals], "grp string, x double")
+    # identical sample -> every term is exactly 0
+    out = sketches.psi_drift(ref, ref, "x", ["grp"]).collect()[0]
+    assert out["psi"] == 0.0
+    # shifted sample -> strong drift signal
+    cur = spark.createDataFrame(
+        [("g", v + 60.0) for v in vals], "grp string, x double")
+    out = sketches.psi_drift(ref, cur, "x", ["grp"]).collect()[0]
+    assert out["psi"] > 0.2, out["psi"]
+
+
+def test_psi_clamps_out_of_range_current_values(spark):
+    """Current values beyond the frozen reference range land in the
+    edge bins instead of vanishing or erroring."""
+    from zolo_spark.ops import sketches
+
+    ref = spark.createDataFrame(
+        [("g", float(v)) for v in range(0, 100)], "grp string, x double")
+    cur = spark.createDataFrame(
+        [("g", -500.0), ("g", 1e6)], "grp string, x double")
+    out = sketches.psi_drift(ref, cur, "x", ["grp"]).collect()
+    assert len(out) == 1 and out[0]["psi"] is not None

@@ -137,9 +137,12 @@ def histogram_bins(df: DataFrame, val_col: str, group_cols: list[str],
     the additive-merge property pinned by pytest."""
     x = F.col(val_col).cast("double")
     width = (F.col("_hi") - F.col("_lo")) / n_bins
-    bin_id = F.least(
-        F.floor((x - F.col("_lo")) / width).cast("long"),
-        F.lit(n_bins - 1))
+    # clamp BOTH ends: when binning a different sample against a fixed
+    # reference range (drift monitoring), values may fall outside it
+    bin_id = F.greatest(
+        F.least(F.floor((x - F.col("_lo")) / width).cast("long"),
+                F.lit(n_bins - 1)),
+        F.lit(0).cast("long"))
     return (
         df.join(F.broadcast(rng), group_cols)
         .select(*group_cols, "_lo", "_hi", "_n",
@@ -205,3 +208,50 @@ def histogram_quantile(df: DataFrame, val_col: str, group_cols: list[str],
         F.round(F.when(F.col("_hi") == F.col("_lo"), F.col("_lo"))
                 .otherwise(est), 4).alias("quantile_est"),
     )
+
+
+# --------------------------------------------------- distribution drift
+
+def psi_drift(ref: DataFrame, cur: DataFrame, val_col: str,
+              group_cols: list[str], n_bins: int = 10) -> DataFrame:
+    """Population Stability Index per group — the standard production
+    drift monitor between a REFERENCE snapshot of a metric and its
+    CURRENT distribution:  ``PSI = Σ_bins (q_b − p_b)·ln(q_b / p_b)``
+    (≈0 stable, ≳0.2 action).  Bins are fixed from the reference
+    range (the deployment convention: the monitor's bins are frozen
+    when the reference is taken), current values outside it clamp
+    into the edge bins; add-1 smoothing on counts keeps every term
+    finite, with ALL ``n_bins`` bins enumerated explicitly so both
+    engines see identical smoothed masses.
+
+    Scale: two histogram passes (≤ ``n_bins`` rows per group each),
+    tiny totals/grid frames joined broadcast, one exact-DECIMAL sum
+    of round-6 terms per group — the whole monitor is
+    O(data) + O(groups·bins), and the reference histogram can be a
+    PERSISTED table maintained incrementally (bin counts add, see
+    :func:`histogram_bins`), so production pays one scan of the
+    current window only.
+    """
+    spark = ref.sparkSession
+    rng = value_range(ref, val_col, group_cols)
+    rbin = (histogram_bins(ref, val_col, group_cols, rng, n_bins)
+            .select(*group_cols, "bin", F.col("cnt").alias("rc")))
+    cbin = (histogram_bins(cur, val_col, group_cols, rng, n_bins)
+            .select(*group_cols, "bin", F.col("cnt").alias("cc")))
+    rtot = rbin.groupBy(*group_cols).agg(F.sum("rc").alias("rtot"))
+    ctot = cbin.groupBy(*group_cols).agg(F.sum("cc").alias("ctot"))
+    grid = (rng.select(*group_cols)
+            .crossJoin(F.broadcast(
+                spark.range(n_bins).select(F.col("id").alias("bin")))))
+    joined = (
+        grid.join(F.broadcast(rbin), [*group_cols, "bin"], "left")
+        .join(F.broadcast(cbin), [*group_cols, "bin"], "left")
+        .join(F.broadcast(rtot), group_cols)
+        .join(F.broadcast(ctot), group_cols)
+        .na.fill({"rc": 0, "cc": 0})
+    )
+    p = (F.col("rc") + 1).cast("double") / (F.col("rtot") + n_bins).cast("double")
+    q = (F.col("cc") + 1).cast("double") / (F.col("ctot") + n_bins).cast("double")
+    term = F.round((q - p) * F.log(q / p), 6).cast("decimal(28,6)")
+    return (joined.groupBy(*group_cols)
+            .agg(F.round(F.sum(term).cast("double"), 6).alias("psi")))

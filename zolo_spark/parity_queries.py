@@ -204,7 +204,14 @@ _GRADING_PRIORITY = [
     # llm_quality_filter / llm_embedding_stats.
     # llm_duplicate_spans (late-r5 substring-dedup build) takes the
     # slot of twice-green (r3∧r4) llm_corpus_report.
-    "llm_dup_clusters", "llm_embedding_quantize",
+    # Round-8 rotation (cont.): llm_embedding_quantize (green
+    # r5∧r6∧r7; the r8 similarity.py edits touched only
+    # kmeans_train/semdedup — the int8-quantize region is untouched —
+    # and the quantization story stays in-window via llm_pq_encode)
+    # hands its slot to psi_drift_monitor — the Population Stability
+    # Index drift monitor over frozen reference histograms,
+    # value-oracled with add-1 smoothing and edge-bin clamping.
+    "llm_dup_clusters", "psi_drift_monitor",
     # Round-8 rotation: the three deployment-config variants
     # (llm_minhash_lsh_capped, llm_simhash_neardup_wide,
     # llm_embedding_near_dup_8bit) gained value oracles this round —

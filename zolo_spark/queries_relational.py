@@ -1195,6 +1195,72 @@ def zorder_layout_bounds(spark, sf_dir):
     return partitioning.zorder_layout_stats(binned, ["b0", "b1"])
 
 
+@register("psi_drift_monitor", oracle="""
+WITH ref AS (
+    SELECT o_orderstatus AS grp, o_totalprice::DOUBLE AS x FROM orders
+    WHERE o_orderdate < TIMESTAMP '1998-05-01'
+), cur AS (
+    SELECT o_orderstatus AS grp, o_totalprice::DOUBLE AS x FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-05-01'
+), rng AS (
+    SELECT grp, MIN(x) AS lo, MAX(x) AS hi FROM ref GROUP BY grp
+), rbin AS (
+    SELECT r.grp,
+           CASE WHEN g.hi = g.lo THEN 0
+                ELSE greatest(least(floor((r.x - g.lo)
+                     / ((g.hi - g.lo) / 10))::BIGINT, 9), 0) END AS bin,
+           COUNT(*) AS rc
+    FROM ref r JOIN rng g ON r.grp = g.grp GROUP BY 1, 2
+), cbin AS (
+    SELECT c.grp,
+           CASE WHEN g.hi = g.lo THEN 0
+                ELSE greatest(least(floor((c.x - g.lo)
+                     / ((g.hi - g.lo) / 10))::BIGINT, 9), 0) END AS bin,
+           COUNT(*) AS cc
+    FROM cur c JOIN rng g ON c.grp = g.grp GROUP BY 1, 2
+), rt AS (SELECT grp, SUM(rc)::BIGINT AS rtot FROM rbin GROUP BY grp),
+ct AS (SELECT grp, SUM(cc)::BIGINT AS ctot FROM cbin GROUP BY grp),
+grid AS (
+    SELECT rng.grp, u.i AS bin FROM rng, UNNEST(range(0, 10)) AS u(i)
+), terms AS (
+    SELECT grid.grp,
+           round((((COALESCE(cb.cc, 0) + 1)::DOUBLE / (ct.ctot + 10))
+                  - ((COALESCE(rb.rc, 0) + 1)::DOUBLE / (rt.rtot + 10)))
+                 * ln(((COALESCE(cb.cc, 0) + 1)::DOUBLE / (ct.ctot + 10))
+                      / ((COALESCE(rb.rc, 0) + 1)::DOUBLE
+                         / (rt.rtot + 10))), 6) AS term
+    FROM grid
+    LEFT JOIN rbin rb ON rb.grp = grid.grp AND rb.bin = grid.bin
+    LEFT JOIN cbin cb ON cb.grp = grid.grp AND cb.bin = grid.bin
+    JOIN rt ON rt.grp = grid.grp
+    JOIN ct ON ct.grp = grid.grp
+)
+SELECT grp AS o_orderstatus,
+       round(SUM(term::DECIMAL(28,6))::DOUBLE, 6) AS psi
+FROM terms GROUP BY grp
+""")
+def psi_drift_monitor(spark, sf_dir):
+    """Population Stability Index — the standard production drift
+    monitor between a frozen reference snapshot (orders before
+    1998-05-01) and the current window, per group: 10 fixed bins from
+    the reference range (out-of-range current values clamp into edge
+    bins), add-1 smoothing with ALL bins enumerated, exact-DECIMAL
+    sum of round-6 terms. Two histogram passes + broadcast-joined
+    totals/grid — O(data) + O(groups·bins); the reference histogram
+    persists and merges incrementally (bin counts add).
+    ``ops/sketches.py:psi_drift``."""
+    from .ops import sketches
+
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.to_timestamp(F.lit("1998-05-01"))
+    base = orders.select(
+        F.col("o_orderstatus"), F.col("o_totalprice"), F.col("o_orderdate"))
+    ref = base.filter(F.col("o_orderdate") < cut)
+    cur = base.filter(F.col("o_orderdate") >= cut)
+    return (sketches.psi_drift(ref, cur, "o_totalprice", ["o_orderstatus"])
+            .withColumnRenamed("psi", "psi"))
+
+
 @register("a11_grouping_sets", oracle="""
 SELECT o_orderstatus, o_orderpriority, ROUND(SUM(o_totalprice), 2) AS total
 FROM orders
