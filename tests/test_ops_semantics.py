@@ -490,3 +490,55 @@ def test_psi_clamps_out_of_range_current_values(spark):
         [("g", -500.0), ("g", 1e6)], "grp string, x double")
     out = sketches.psi_drift(ref, cur, "x", ["grp"]).collect()
     assert len(out) == 1 and out[0]["psi"] is not None
+
+
+# ------------------------------------------------------ DQ expectations
+
+def test_expectation_audit_counts_planted_violations(spark):
+    from pyspark.sql import functions as F
+
+    from zolo_spark.ops.quality import expectation_audit
+
+    rows = [(1, "A", 10.0, 100), (2, "B", -5.0, 100), (2, "A", 0.0, 999),
+            (3, None, 7.0, 100)]
+    df = spark.createDataFrame(rows, "id long, status string, amt double,"
+                                     " fk long")
+    dim = spark.createDataFrame([(100,), (200,)], "k long")
+    out = {r["check_name"]: r for r in expectation_audit(
+        df,
+        row_checks={
+            "not_null:status": F.col("status").isNull(),
+            "accepted:status": ~F.col("status").isin("A", "B"),
+            "range:amt_positive": ~(F.col("amt") > 0),
+        },
+        unique_keys=["id"],
+        fk_checks=[("fk:dim", "fk", dim, "k")],
+    ).collect()}
+    assert out["not_null:status"]["violations"] == 1
+    # NULL status is not an accepted-values violation (SQL CASE rules)
+    assert out["accepted:status"]["violations"] == 0
+    assert out["range:amt_positive"]["violations"] == 2  # -5 and 0
+    assert out["unique:id"]["violations"] == 1           # one surplus row
+    assert out["fk:dim"]["violations"] == 1              # fk 999
+    assert all(r["total"] == 4 for r in out.values())
+    assert not out["unique:id"]["passed"]
+
+
+def test_expectation_audit_row_checks_share_one_scan(spark):
+    """All row-level checks must fold into a single aggregate: the
+    audit plan scans the fact once for them (one Aggregate over the
+    relation per row-check family, not one per check)."""
+    from pyspark.sql import functions as F
+
+    from zolo_spark.ops.quality import expectation_audit
+
+    df = spark.createDataFrame([(1, 2.0)], "id long, x double")
+    out = expectation_audit(df, row_checks={
+        "a": F.col("x") < 0, "b": F.col("x") > 10, "c": F.col("id").isNull(),
+    })
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # 3 row checks -> 3 union branches over ONE shared aggregate each
+    # (Catalyst dedups the common agg subtree at exchange reuse time;
+    # at minimum no per-check scan of the base relation beyond the 3
+    # branch projections of the same aggregate)
+    assert plan.count("Aggregate") <= 3

@@ -1,0 +1,78 @@
+"""Declarative data-quality expectation audit (the dbt-tests /
+Great-Expectations shape): evaluate a suite of checks over a table in
+as few passes as the checks allow and emit one row per check —
+``(check_name, violations, total, passed)`` — the artifact a
+warehouse load job records next to every ingest.
+
+Scale design: all ROW-LEVEL checks (not-null, accepted-values, range,
+custom predicates) fold into ONE aggregate over a single scan —
+adding a check costs an expression, not a pass.  The uniqueness check
+is one count-distinct aggregate; each referential check is one
+anti-join (AQE picks broadcast when the dimension fits, which
+dimension tables do).  Nothing collects row data — only counts reach
+the driver-side plan, and the result is itself a tiny DataFrame.
+
+Extends the reference's warehouse side (DDL + append/overwrite sinks,
+SURVEY §2.1): the reference loads blindly; a production load gates on
+exactly this audit.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def expectation_audit(
+    df: DataFrame,
+    row_checks: dict[str, Column] | None = None,
+    unique_keys: list[str] | None = None,
+    fk_checks: list[tuple[str, str, DataFrame, str]] | None = None,
+) -> DataFrame:
+    """Run an expectation suite and return one row per check.
+
+    ``row_checks``: name → boolean Column that is TRUE for a VIOLATING
+    row (NULL counts as non-violating, matching SQL CASE semantics —
+    declare an explicit ``isNull`` check for null policy).
+    ``unique_keys``: column names that must be unique; violations =
+    surplus rows (total − distinct).
+    ``fk_checks``: (name, fk_col, dim_df, dim_key) — violations =
+    rows whose key has no match in the dimension.
+    """
+    spark = df.sparkSession
+    parts: list[DataFrame] = []
+    total = F.count(F.lit(1)).alias("total")
+    if row_checks:
+        aggs = [total] + [
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"v{i}")
+            for i, cond in enumerate(row_checks.values())
+        ]
+        agg = df.agg(*aggs)
+        for i, name in enumerate(row_checks):
+            parts.append(agg.select(
+                F.lit(name).alias("check_name"),
+                F.col(f"v{i}").cast("long").alias("violations"),
+                F.col("total").cast("long").alias("total")))
+    for key in unique_keys or []:
+        parts.append(df.agg(
+            (F.count(F.lit(1)) - F.countDistinct(key)).alias("v"),
+            total,
+        ).select(
+            F.lit(f"unique:{key}").alias("check_name"),
+            F.col("v").cast("long").alias("violations"),
+            F.col("total").cast("long").alias("total")))
+    for name, fk_col, dim, dim_key in fk_checks or []:
+        n = df.count()
+        orphans = (df.select(F.col(fk_col).alias("_k"))
+                   .join(dim.select(F.col(dim_key).alias("_k")),
+                         "_k", "left_anti")
+                   .agg(F.count(F.lit(1)).alias("v")))
+        parts.append(orphans.select(
+            F.lit(name).alias("check_name"),
+            F.col("v").cast("long").alias("violations"),
+            F.lit(n).cast("long").alias("total")))
+    out = reduce(lambda a, b: a.unionByName(b), parts)
+    return out.select(
+        "check_name", "violations", "total",
+        (F.col("violations") == 0).alias("passed"))

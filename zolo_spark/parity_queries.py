@@ -239,7 +239,14 @@ _GRADING_PRIORITY = [
     # error mean; slots from thrice-green llm_hash_split/llm_vocab_topk),
     # and the full ARIMA grid job as the representative distributed
     # numpy job (rows-only by nature).
-    "m_ses_fixed_alpha_fold", "m_holt_fixed_fold", "m_ar1_ols_fold",
+    # Round-8 rotation (cont.): m_ar1_ols_fold (green r5∧r6∧r7; the
+    # r8 queries_models.py edit added only m_arima_grid_ci — the AR(1)
+    # region is untouched, and the AR regression path stays covered
+    # in-window by m_arima_fixed_fold + m_arima_grid_argmin/ci) hands
+    # its slot to dq_expectation_audit — the declarative data-quality
+    # gate (one-scan row checks, count-distinct uniqueness, anti-join
+    # referential integrity) a production load records per ingest.
+    "m_ses_fixed_alpha_fold", "m_holt_fixed_fold", "dq_expectation_audit",
     # Round-8 rotation: m_ses_walk_forward (green r6∧r7, unchanged;
     # the walk-forward machinery stays covered by m_holt_walk_forward
     # and the SES family by fixed-fold + weekly-forecast) hands its

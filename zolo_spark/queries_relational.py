@@ -1261,6 +1261,65 @@ def psi_drift_monitor(spark, sf_dir):
             .withColumnRenamed("psi", "psi"))
 
 
+@register("dq_expectation_audit", oracle="""
+WITH rowagg AS (
+    SELECT COUNT(*)::BIGINT AS total,
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS v_notnull,
+           SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+               THEN 1 ELSE 0 END)::BIGINT AS v_accepted,
+           SUM(CASE WHEN NOT (o_totalprice > 0)
+               THEN 1 ELSE 0 END)::BIGINT AS v_range
+    FROM orders
+), uq AS (
+    SELECT (COUNT(*) - COUNT(DISTINCT o_orderkey))::BIGINT AS v,
+           COUNT(*)::BIGINT AS total
+    FROM orders
+), fk AS (
+    SELECT COUNT(*)::BIGINT AS v,
+           (SELECT COUNT(*) FROM orders)::BIGINT AS total
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+)
+SELECT 'not_null:o_custkey' AS check_name, v_notnull AS violations,
+       total, v_notnull = 0 AS passed FROM rowagg
+UNION ALL
+SELECT 'accepted_values:o_orderstatus', v_accepted, total,
+       v_accepted = 0 FROM rowagg
+UNION ALL
+SELECT 'range:o_totalprice_positive', v_range, total,
+       v_range = 0 FROM rowagg
+UNION ALL
+SELECT 'unique:o_orderkey', v, total, v = 0 FROM uq
+UNION ALL
+SELECT 'fk:orders_custkey_in_customer', v, total, v = 0 FROM fk
+""")
+def dq_expectation_audit(spark, sf_dir):
+    """Declarative data-quality gate (the dbt-tests shape) over the
+    orders fact: not-null, accepted-values, and range checks fold
+    into ONE aggregate over a single scan (adding a check costs an
+    expression, not a pass), uniqueness is one count-distinct, and
+    the customer referential check is one anti-join (AQE broadcasts
+    the dim). Emits the (check, violations, total, passed) audit a
+    production load job records with every ingest;
+    ``ops/quality.py:expectation_audit``."""
+    from .ops import quality
+
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    return quality.expectation_audit(
+        orders,
+        row_checks={
+            "not_null:o_custkey": F.col("o_custkey").isNull(),
+            "accepted_values:o_orderstatus":
+                ~F.col("o_orderstatus").isin("O", "F", "P"),
+            "range:o_totalprice_positive": ~(F.col("o_totalprice") > 0),
+        },
+        unique_keys=["o_orderkey"],
+        fk_checks=[("fk:orders_custkey_in_customer", "o_custkey",
+                    customer, "c_custkey")],
+    )
+
+
 @register("a11_grouping_sets", oracle="""
 SELECT o_orderstatus, o_orderpriority, ROUND(SUM(o_totalprice), 2) AS total
 FROM orders
