@@ -691,3 +691,27 @@ def test_session_late_twin_equals_streaming(spark, tmp_path):
     merged = [r for r in want if r[2] == 2 and r[0] == D(2024, 5, 2, 21, 30)]
     assert merged[0][3] == 2                             # n_events = 2
     assert not any(r[2] == 3 for r in want)              # withheld
+
+
+def test_streaming_hll_matches_batch_and_survives_replay(spark):
+    """Micro-batched register maintenance reproduces the single-pass
+    sketch exactly, and replaying a batch (at-least-once delivery)
+    changes nothing — MAX-merge idempotence."""
+    from zolo_spark.ops import sketches
+    from zolo_spark.streaming.dedup import (hll_register_sink,
+                                            streaming_distinct_counts)
+
+    rows = [("g", i % 400) for i in range(2000)]
+    df = spark.createDataFrame(rows, "grp string, k long")
+    batch_est = sketches.approx_distinct(df, "k", ["grp"]).collect()[0]
+
+    state: dict = {}
+    batches = [df.filter((F.col("k") % 3) == r) for r in range(3)]
+    for b in batches:
+        hll_register_sink(b, state, "k", ["grp"])
+    got = streaming_distinct_counts(state, ["grp"]).collect()[0]
+    assert got["hll_distinct"] == batch_est["hll_distinct"]
+
+    hll_register_sink(batches[1], state, "k", ["grp"])  # replay
+    again = streaming_distinct_counts(state, ["grp"]).collect()[0]
+    assert again["hll_distinct"] == batch_est["hll_distinct"]

@@ -31,3 +31,37 @@ def streaming_exact_dedup(docs: DataFrame, ts_col: str = "ts",
         fp.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["fp"])
     )
+
+
+def hll_register_sink(batch: DataFrame, state: dict, key_col: str,
+                      group_cols: list[str]) -> None:
+    """``foreachBatch`` body for streaming distinct-count maintenance:
+    each micro-batch's HLL registers MAX-merge into the running
+    register table — the incremental form of
+    :func:`zolo_spark.ops.sketches.approx_distinct`.
+
+    ``state["registers"]`` holds the merged register frame (in
+    production: a warehouse table MERGE'd on (group, idx) with
+    ``register = greatest(old, new)``; here an in-memory frame so the
+    stream≡batch equivalence is pytest-checkable). Because registers
+    are a commutative-idempotent MAX, replayed batches (at-least-once
+    sinks) cannot corrupt the count — the property that makes sketch
+    maintenance safe under streaming retry semantics.
+    """
+    from ..ops import sketches
+
+    regs = sketches.hll_registers(batch, key_col, group_cols)
+    prev = state.get("registers")
+    merged = regs if prev is None else sketches.hll_merge(prev, regs)
+    # materialize the tiny (groups×m) frame so the next batch's merge
+    # doesn't chain the whole stream's lineage
+    state["registers"] = batch.sparkSession.createDataFrame(
+        merged.collect(), merged.schema)
+
+
+def streaming_distinct_counts(state: dict,
+                              group_cols: list[str]) -> DataFrame:
+    """Current distinct-count estimates from the maintained registers."""
+    from ..ops import sketches
+
+    return sketches.hll_estimate(state["registers"], group_cols)
