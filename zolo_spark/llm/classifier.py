@@ -31,15 +31,8 @@ FEATURE_COLS = ["x0", "x1", "x2", "x3", "x4", "x5"]
 SIGMOID_CLAMP = 30.0
 
 
-def quality_features(stats: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Numeric feature vector per document from the (already oracled)
-    :func:`~zolo_spark.llm.text.text_stats` table: bias, saturating
-    token-length, punctuation ratio, stopword ratio, saturating mean
-    token length, saturating char-length. All features live in [0, 1]
-    (no standardization pass needed) and are exact cross-engine: the
-    ratios are round-4 outputs, the lengths are integers."""
-    return stats.select(
-        id_col,
+def _feature_exprs() -> list:
+    return [
         F.lit(1.0).alias("x0"),
         (F.least(F.col("n_tokens_ws").cast("double"), F.lit(400.0))
          / 400.0).alias("x1"),
@@ -49,7 +42,27 @@ def quality_features(stats: DataFrame, id_col: str = "doc_id") -> DataFrame:
          / 20.0).alias("x4"),
         (F.least(F.col("n_chars").cast("double"), F.lit(2000.0))
          / 2000.0).alias("x5"),
-    )
+    ]
+
+
+def quality_features(stats: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Numeric feature vector per document from the (already oracled)
+    :func:`~zolo_spark.llm.text.text_stats` table: bias, saturating
+    token-length, punctuation ratio, stopword ratio, saturating mean
+    token length, saturating char-length. All features live in [0, 1]
+    (no standardization pass needed) and are exact cross-engine: the
+    ratios are round-4 outputs, the lengths are integers."""
+    return stats.select(id_col, *_feature_exprs())
+
+
+def labeled_features(stats: DataFrame, label: Column,
+                     label_name: str = "label",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Features + a stats-derived label in ONE projection — no
+    feature⟗label self-join (which would shuffle the corpus once per
+    training run and leave the persisted training frame on the
+    shuffle partitioning instead of the scan's)."""
+    return stats.select(id_col, *_feature_exprs(), label.alias(label_name))
 
 
 def _logit(weights: list[float]) -> Column:
@@ -83,9 +96,13 @@ def logreg_train(labeled: DataFrame, label_col: str = "label",
     Full-batch with a fixed small ``lr`` is the deterministic choice:
     no minibatch RNG, no per-partition order dependence."""
     from . import cachereg
+    from ..ops.partitioning import fan_out
 
     cachereg.begin("logreg")
-    labeled = cachereg.persist(labeled, "logreg")
+    # the training frame usually derives from a narrow scan (one file
+    # at gate scale): widen it so the cache fill (regex-heavy stats)
+    # and every iteration's scan run at cluster parallelism
+    labeled = cachereg.persist(fan_out(labeled), "logreg")
     w = [0.0] * len(FEATURE_COLS)
     for _ in range(iters):
         p = sigmoid(_logit(w))
@@ -128,9 +145,11 @@ def logreg_train_minibatch(labeled: DataFrame, label_col: str = "label",
     bucket = (F.conv(F.substring(
         F.md5(F.concat(F.lit("mb-v1"), F.col(id_col).cast("string"))),
         1, 4), 16, 10).cast("long") % n_buckets)
+    from ..ops.partitioning import fan_out
+
     cachereg.begin("logreg_mb")
     labeled = cachereg.persist(
-        labeled.withColumn("_mb", bucket), "logreg_mb")
+        fan_out(labeled.withColumn("_mb", bucket)), "logreg_mb")
     w = [0.0] * len(FEATURE_COLS)
     for k in range(iters):
         batch = labeled.filter(F.col("_mb") == k % n_buckets)
@@ -162,9 +181,10 @@ def train_ovr(labeled: DataFrame, n_classes: int, class_col: str = "cls",
     ``n_classes · d``-vector per iteration — independent of corpus
     size."""
     from . import cachereg
+    from ..ops.partitioning import fan_out
 
     cachereg.begin("logreg_ovr")
-    labeled = cachereg.persist(labeled, "logreg_ovr")
+    labeled = cachereg.persist(fan_out(labeled), "logreg_ovr")
     d = len(FEATURE_COLS)
     ws = [[0.0] * d for _ in range(n_classes)]
     for _ in range(iters):

@@ -685,10 +685,8 @@ def quality_ensemble(docs: DataFrame, iters: int = 10) -> DataFrame:
 
     stats = text_stats(docs)
     feats = classifier.quality_features(stats)
-    labeled = feats.join(
-        stats.select(
-            "doc_id", (F.col("n_chars") >= 280).cast("double").alias("label")),
-        "doc_id")
+    labeled = classifier.labeled_features(
+        stats, (F.col("n_chars") >= 280).cast("double"))
     w = classifier.logreg_train(labeled, iters=iters)
     scored = classifier.classifier_scores(feats, w)
     buckets = lm.perplexity_buckets(lm.doc_nll(docs, lm.unigram_lm(docs)))

@@ -1391,11 +1391,8 @@ def llm_quality_classifier(spark, sf_dir):
     from .llm import classifier
 
     stats = text.text_stats(_t(spark, sf_dir, "documents"))
-    labeled = classifier.quality_features(stats).join(
-        stats.select(
-            "doc_id",
-            (F.col("n_chars") >= 280).cast("double").alias("label")),
-        "doc_id")
+    labeled = classifier.labeled_features(
+        stats, (F.col("n_chars") >= 280).cast("double"))
     w = classifier.logreg_train(labeled)
     return classifier.classifier_quality_filter(stats, w)
 
@@ -1531,11 +1528,8 @@ def llm_logreg_minibatch(spark, sf_dir):
     from .llm import classifier
 
     stats = text.text_stats(_t(spark, sf_dir, "documents"))
-    labeled = classifier.quality_features(stats).join(
-        stats.select(
-            "doc_id",
-            (F.col("n_chars") >= 280).cast("double").alias("label")),
-        "doc_id")
+    labeled = classifier.labeled_features(
+        stats, (F.col("n_chars") >= 280).cast("double"))
     w = classifier.logreg_train_minibatch(labeled, iters=20, lr=1.0)
     return classifier.classifier_quality_filter(stats, w)
 
@@ -1557,11 +1551,10 @@ def llm_logreg_ovr(spark, sf_dir):
 
     stats = text.text_stats(_t(spark, sf_dir, "documents"))
     feats = classifier.quality_features(stats)
-    cls = stats.select(
-        "doc_id",
+    labeled = classifier.labeled_features(
+        stats,
         F.when(F.col("n_chars") < 216, 0)
-        .when(F.col("n_chars") < 380, 1).otherwise(2).alias("cls"))
-    labeled = feats.join(cls, "doc_id")
+        .when(F.col("n_chars") < 380, 1).otherwise(2), "cls")
     models = classifier.train_ovr(labeled, 3, iters=15, l2=0.1)
     return classifier.ovr_predict(feats, models)
 
