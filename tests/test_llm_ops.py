@@ -1662,3 +1662,34 @@ def test_quality_ensemble_audits_every_doc_and_conjunction(spark):
         # signals pass
         if r["kept"]:
             assert expect
+
+
+def test_temperature_mix_flattens_skew_deterministically(spark):
+    """alpha=0.7 keeps the largest source at rate 1 and gives smaller
+    sources HIGHER rates (flattening); alpha=1 keeps natural
+    proportions (all rates 1); membership is id-pure."""
+    from pyspark.sql import functions as F
+
+    from zolo_spark.llm import corpus
+
+    rows = ([(i, "a") for i in range(800)]
+            + [(1000 + i, "b") for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = {r["lang"]: r for r in corpus.temperature_mix(df).collect()}
+    # flattening = keep ALL of the smallest source, downsample the big
+    assert out["b"]["rate"] == 1.0 and out["b"]["kept"] == 100
+    assert out["a"]["rate"] < 1.0
+    # expected a-rate: (800^0.7/800) / (100^0.7/100) = 8^-0.3
+    assert abs(out["a"]["rate"] - 8 ** -0.3) < 1e-4
+    # kept mix is less skewed than the natural 8:1
+    assert out["a"]["kept"] / out["b"]["kept"] < 800 / 100
+    # alpha=1 -> natural mix: every rate 1, everything kept
+    nat = {r["lang"]: r for r in corpus.temperature_mix(df, alpha=1.0)
+           .collect()}
+    assert all(r["rate"] == 1.0 and r["kept"] == r["n"]
+               for r in nat.values())
+    # id-pure: resharding changes nothing
+    again = {r["lang"]: r for r in corpus.temperature_mix(
+        df.repartition(13)).collect()}
+    assert {k: (v["kept"], v["rate"]) for k, v in again.items()} == \
+           {k: (v["kept"], v["rate"]) for k, v in out.items()}

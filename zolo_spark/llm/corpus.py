@@ -702,3 +702,45 @@ def quality_ensemble(docs: DataFrame, iters: int = 10) -> DataFrame:
              & (F.col("bucket") != "tail")).alias("kept"),
         )
     )
+
+
+def temperature_mix(df: DataFrame, alpha: float = 0.7,
+                    source_col: str = "lang",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Temperature-based source mixing (the T5/PaLM/mT5 recipe):
+    target mixture weights ``p_s ∝ n_s^α`` flatten the natural source
+    skew (α=1 keeps it, α=0 is uniform), and each source keeps a
+    deterministic salted-hash fraction of its documents sized so the
+    LARGEST implied rate is exactly 1 — no source is upsampled, the
+    mix is achieved purely by downsampling the rest (the batch
+    analog; upsampling is an epoch-repeat concern at training time).
+
+    Returns the per-source audit ``(source, n, rate, kept)`` —
+    membership itself is a pure function of ids (``md5('mix-v1'||id)``
+    bucket < round-6 rate · 10⁴), so reruns, reshards, and engines
+    agree row-for-row, the :func:`hash_split` discipline applied to
+    mixing. Scale: one count aggregate (sources ≪ corpus, broadcast
+    back), one codegen membership filter — no shuffle of the corpus.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n"))
+    # p_s ∝ n^alpha; rate_s = T·p_s/n_s with T chosen so max rate = 1
+    # ⇔ rate_s = (n_s^alpha/n_s) / max_t(n_t^alpha/n_t) — one window-free
+    # form via a broadcast scalar
+    weights = counts.select(
+        source_col, "n",
+        (F.pow(F.col("n").cast("double"), alpha)
+         / F.col("n").cast("double")).alias("_w"))
+    wmax = weights.agg(F.max("_w").alias("_wmax"))
+    rates = weights.crossJoin(F.broadcast(wmax)).select(
+        source_col, "n",
+        F.round(F.col("_w") / F.col("_wmax"), 6).alias("rate"))
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("mix-v1"), F.col(id_col).cast("string"))),
+        1, 4), 16, 10).cast("long") % 10000)
+    kept = (df.select(source_col, bucket.alias("_b"))
+            .join(F.broadcast(rates), source_col)
+            .filter(F.col("_b") < F.floor(F.col("rate") * 10000))
+            .groupBy(source_col)
+            .agg(F.count(F.lit(1)).alias("kept")))
+    return (rates.join(kept, source_col, "left").na.fill({"kept": 0})
+            .select(source_col, "n", "rate", "kept"))

@@ -191,9 +191,14 @@ _GRADING_PRIORITY = [
     # Round-6 build: exact-dedup-first + uncapped LSH composition
     # (slot from the rotated-out probe_ts_epoch_us_cast).
     "llm_dedup_pipeline",
-    # llm_training_mix (late-r5 end-to-end capstone) takes the slot
-    # of thrice-green (r2∧r3∧r4) llm_ngram_jaccard_pairs.
-    "llm_training_mix", "llm_simhash_neardup",
+    # Round-8 rotation (cont.): llm_training_mix (green r5∧r6∧r7;
+    # its region of corpus.py is untouched this round, every stage of
+    # the composition is individually oracled, and the capstone-
+    # composition shape stays in-window via the superset
+    # llm_corpus_pipeline) hands its slot to llm_temperature_mix —
+    # T5-style temperature source mixing (n^alpha weights, pure
+    # downsampling, id-pure membership), the mixing-machinery gate.
+    "llm_temperature_mix", "llm_simhash_neardup",
     # llm_pq_encode / llm_pq_adc_topk (late-r5 product-quantization
     # builds) take the slots of llm_sim_topk_cosine (r2∧r3∧r4) and
     # llm_pii_redact (r3∧r4).

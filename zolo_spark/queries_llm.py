@@ -1559,6 +1559,38 @@ def llm_logreg_ovr(spark, sf_dir):
     return classifier.ovr_predict(feats, models)
 
 
+@register("llm_temperature_mix", oracle="""
+WITH counts AS (
+    SELECT lang, COUNT(*)::BIGINT AS n FROM documents GROUP BY lang
+), weights AS (
+    SELECT lang, n, pow(n::DOUBLE, 0.7) / n::DOUBLE AS w FROM counts
+), wmax AS (
+    SELECT MAX(w) AS wmax FROM weights
+), rates AS (
+    SELECT lang, n, round(w / wmax, 6) AS rate
+    FROM weights CROSS JOIN wmax
+), kept AS (
+    SELECT d.lang, COUNT(*)::BIGINT AS kept
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE ('0x' || substr(md5('mix-v1' || d.doc_id::VARCHAR), 1, 4))::BIGINT
+          % 10000 < floor(r.rate * 10000)
+    GROUP BY d.lang
+)
+SELECT r.lang, r.n, r.rate, COALESCE(k.kept, 0)::BIGINT AS kept
+FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+""")
+def llm_temperature_mix(spark, sf_dir):
+    """T5-style temperature mixing (α=0.7): target weights ∝ n^α
+    flatten source skew; each source keeps a deterministic
+    salted-hash fraction sized so the largest rate is exactly 1 (pure
+    downsampling — no upsampled source). Membership is a pure
+    function of ids, so the mix is rerun/reshard/engine-stable; the
+    gate emits the per-source (n, rate, kept) audit. One count
+    aggregate broadcast back + one codegen filter — the corpus is
+    never shuffled; ``llm/corpus.py:temperature_mix``."""
+    return corpus.temperature_mix(_t(spark, sf_dir, "documents"))
+
+
 @register("llm_dsir_select", oracle="""
 WITH toks AS (
     SELECT doc_id,
