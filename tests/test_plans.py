@@ -334,3 +334,75 @@ def test_dsir_topk_no_global_sort_and_broadcast_ratios(spark):
     assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hll_plan_two_level_aggregate_no_udf(spark):
+    """The sketch is all codegen: register build is one partial-
+    aggregated shuffle on (group, idx), the estimate one more on
+    group — no Python eval nodes anywhere."""
+    from pyspark.sql import functions as F
+
+    from zolo_spark.ops import sketches
+
+    df = spark.createDataFrame([("g", i) for i in range(100)],
+                               "grp string, k long")
+    plan = sketches.approx_distinct(df, "k", ["grp"])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_histogram_quantile_no_global_sort(spark):
+    """Quantile estimation must never range-sort the data: min/max +
+    binned counts + a broadcast grid only."""
+    from zolo_spark.ops import sketches
+
+    df = spark.createDataFrame([("g", float(i)) for i in range(200)],
+                               "grp string, x double")
+    plan = sketches.histogram_quantile(df, "x", ["grp"], [0.5])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_psi_broadcasts_all_small_frames(spark):
+    """PSI's totals/grid/histogram joins are all broadcast — the only
+    non-broadcast exchanges are the two histogram aggregations."""
+    from zolo_spark.ops import sketches
+
+    ref = spark.createDataFrame([("g", float(i)) for i in range(300)],
+                                "grp string, x double")
+    cur = spark.createDataFrame([("g", float(i + 3)) for i in range(300)],
+                                "grp string, x double")
+    plan = sketches.psi_drift(ref, cur, "x", ["grp"])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zorder_stats_single_shuffle_pure_codegen(spark):
+    """The layout-stats pass is one hash aggregate over generated
+    integer expressions — no UDF, one exchange."""
+    from zolo_spark.ops.partitioning import zorder_layout_stats
+
+    df = spark.createDataFrame([(i % 256, (i * 7) % 256)
+                                for i in range(500)], "b0 long, b1 long")
+    plan = zorder_layout_stats(df, ["b0", "b1"])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_temperature_mix_never_shuffles_corpus(spark):
+    """Rates join broadcast back onto the corpus: the only exchanges
+    aggregate source-sized frames, and the membership filter is
+    codegen."""
+    from zolo_spark.llm import corpus
+
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 3)) for i in range(300)],
+        "doc_id long, lang string")
+    plan = corpus.temperature_mix(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan

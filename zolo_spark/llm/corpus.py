@@ -742,5 +742,6 @@ def temperature_mix(df: DataFrame, alpha: float = 0.7,
             .filter(F.col("_b") < F.floor(F.col("rate") * 10000))
             .groupBy(source_col)
             .agg(F.count(F.lit(1)).alias("kept")))
-    return (rates.join(kept, source_col, "left").na.fill({"kept": 0})
+    return (rates.join(F.broadcast(kept), source_col, "left")
+            .na.fill({"kept": 0})
             .select(source_col, "n", "rate", "kept"))
