@@ -362,3 +362,47 @@ def test_jpeg_decoder_strictness():
     out = multimodal.jpeg_decode(multimodal.jpeg_encode(smooth, 90))
     err = np.abs(out["pixels"].astype(int) - smooth.astype(int))
     assert err.max() <= 4
+
+
+@settings(**SETTINGS)
+@given(
+    keys=st.lists(st.integers(0, 100000), min_size=1, max_size=400),
+    split=st.integers(2, 5),
+)
+def test_hll_shard_merge_invariant(spark, keys, split):
+    """For ANY key multiset and ANY disjoint sharding, merged shard
+    sketches equal the single-pass sketch register-for-register —
+    the algebraic property incremental ingest relies on."""
+    from zolo_spark.ops import sketches
+
+    df = spark.createDataFrame([("g", k) for k in keys], "grp string, k long")
+    single = sorted(
+        (r["idx"], r["register"])
+        for r in sketches.hll_registers(df, "k", ["grp"]).collect())
+    shards = [df.filter(F.col("k") % split == i) for i in range(split)]
+    regs = [sketches.hll_registers(s, "k", ["grp"]) for s in shards]
+    nonempty = [r for r, s in zip(regs, shards) if s.count() > 0]
+    merged = sorted(
+        (r["idx"], r["register"])
+        for r in sketches.hll_merge(*nonempty).collect())
+    assert merged == single
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(st.floats(-1e5, 1e5, allow_nan=False, allow_infinity=False),
+                  min_size=3, max_size=300),
+)
+def test_histogram_quantiles_monotone_and_bounded(spark, vals):
+    """Estimates are monotone in q and always inside [min, max]."""
+    from zolo_spark.ops import sketches
+
+    df = spark.createDataFrame([("g", float(v)) for v in vals],
+                               "grp string, x double")
+    out = {r["q"]: r["quantile_est"]
+           for r in sketches.histogram_quantile(
+               df, "x", ["grp"], [0.1, 0.5, 0.9]).collect()}
+    assert out[0.1] <= out[0.5] <= out[0.9]
+    lo, hi = min(vals), max(vals)
+    # round-4 output can sit a hair outside the true extrema
+    assert lo - 1e-3 <= out[0.1] and out[0.9] <= hi + 1e-3
