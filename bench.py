@@ -45,7 +45,7 @@ TAIL_LIMIT = 1900
 # throwaway worktree and records both sides in BENCH_full.json, so a
 # reader can separate environment drift from real regression without
 # re-running anything. Update the commit each round.
-PREV_ROUND_COMMIT = "b678e16"  # round-7 record (VERDICT/BENCH_r07)
+PREV_ROUND_COMMIT = "0ef2982"  # round-8 record (VERDICT/BENCH_r08)
 PREV_PROBES = [
     "flagship_weekly_demand", "j1_left_join_header_details",
     "w2_group_count_filter", "sessionize_events",
@@ -55,12 +55,36 @@ PREV_PROBES = [
 ]
 
 
-def _prev_same_box(timings: dict[str, float]) -> dict | None:
+def _probe_run(workdir: str) -> dict | str:
+    """Run ``PREV_PROBES`` in a fresh cold process rooted at
+    ``workdir`` (its own bench.py, its own zolo_spark) and return the
+    per-query timings dict, or an error string. Both sides of the
+    drift ratio go through this SAME path so JVM/JIT warm-up cancels
+    out — the r8 version compared warm full-suite timings at HEAD
+    against a cold prev-round subprocess, biasing the ratio low."""
+    import subprocess
+
+    pat = "^(" + "|".join(PREV_PROBES) + ")$"
+    env = dict(os.environ, SPARK_GRAFT_NO_PREV="1")
+    r = subprocess.run(
+        [sys.executable, os.path.join(workdir, "bench.py"), "--only", pat],
+        capture_output=True, text=True, timeout=1200, env=env, cwd=workdir)
+    rec_path = os.path.join(workdir, "BENCH_full_partial.json")
+    if not os.path.exists(rec_path):
+        return f"probe bench wrote no record: {(r.stderr or '')[-200:]}"
+    with open(rec_path) as f:
+        rec = json.loads(f.read())
+    os.remove(rec_path)  # scratch record, not a run artifact
+    return rec.get("queries", {})
+
+
+def _prev_same_box() -> dict | None:
     """Re-run ``PREV_PROBES`` at ``PREV_ROUND_COMMIT`` in a detached
-    worktree (same box, same data, same invocation) and return
-    {commit, total, queries, ratio_current_over_prev}. Any failure
-    returns a dict with an ``error`` instead — the baseline is
-    diagnostic, never a reason to lose the round's record."""
+    worktree AND cold at HEAD (same box, same data, same cold-process
+    invocation) and return {commit, total, current_total, queries,
+    ratio_current_over_prev}. Any failure returns a dict with an
+    ``error`` instead — the baseline is diagnostic, never a reason to
+    lose the round's record."""
     import shutil
     import subprocess
 
@@ -76,25 +100,20 @@ def _prev_same_box(timings: dict[str, float]) -> dict | None:
         if r.returncode != 0:
             return {"commit": PREV_ROUND_COMMIT,
                     "error": f"worktree add failed: {r.stderr[:200]}"}
-        pat = "^(" + "|".join(PREV_PROBES) + ")$"
-        env = dict(os.environ, SPARK_GRAFT_NO_PREV="1")
-        r = subprocess.run(
-            [sys.executable, os.path.join(wt, "bench.py"), "--only", pat],
-            capture_output=True, text=True, timeout=1200, env=env, cwd=wt)
-        rec_path = os.path.join(wt, "BENCH_full_partial.json")
-        if not os.path.exists(rec_path):
-            return {"commit": PREV_ROUND_COMMIT,
-                    "error": f"prev bench wrote no record: "
-                             f"{(r.stderr or '')[-200:]}"}
-        prev = json.loads(open(rec_path).read())
-        cur = {n: timings[n] for n in PREV_PROBES if n in timings}
-        common = [n for n in cur if n in prev.get("queries", {})]
-        cur_t = round(sum(cur[n] for n in common), 4)
-        prev_t = round(sum(prev["queries"][n] for n in common), 4)
+        prev_q = _probe_run(wt)
+        if isinstance(prev_q, str):
+            return {"commit": PREV_ROUND_COMMIT, "error": f"prev: {prev_q}"}
+        cur_q = _probe_run(REPO)
+        if isinstance(cur_q, str):
+            return {"commit": PREV_ROUND_COMMIT, "error": f"head: {cur_q}"}
+        common = [n for n in PREV_PROBES if n in cur_q and n in prev_q]
+        cur_t = round(sum(cur_q[n] for n in common), 4)
+        prev_t = round(sum(prev_q[n] for n in common), 4)
         return {
             "commit": PREV_ROUND_COMMIT,
-            "queries": {n: prev["queries"][n] for n in common},
+            "queries": {n: prev_q[n] for n in common},
             "total": prev_t,
+            "current_queries": {n: cur_q[n] for n in common},
             "current_total": cur_t,
             "ratio_current_over_prev":
                 round(cur_t / prev_t, 4) if prev_t else None,
@@ -192,8 +211,8 @@ def main() -> None:
     prev_ratio = None
     if (args.sf is None and not args.only and not args.exclude
             and not os.environ.get("SPARK_GRAFT_NO_PREV")):
-        spark.stop()  # free the box — the probe re-run needs it quiet
-        prev = _prev_same_box(timings)
+        spark.stop()  # free the box — the probe re-runs need it quiet
+        prev = _prev_same_box()
         if prev is not None:
             full["prev_same_box"] = prev
             prev_ratio = prev.get("ratio_current_over_prev")

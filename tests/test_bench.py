@@ -106,5 +106,26 @@ def test_prev_same_box_error_path_never_raises(monkeypatch):
     exception — the round's own bench record must never be lost to
     the diagnostic."""
     monkeypatch.setattr(bench, "PREV_ROUND_COMMIT", "0000000")
-    out = bench._prev_same_box({})
+    out = bench._prev_same_box()
     assert out["commit"] == "0000000" and "error" in out
+
+
+def test_prev_same_box_compares_cold_to_cold(monkeypatch):
+    """r8 ADVICE: both sides of the drift ratio must come from the
+    SAME cold-process probe path — comparing the warm full-suite JVM
+    at HEAD against a cold prev-round subprocess biased the ratio low
+    by JIT warm-up. Intercept _probe_run and verify it runs for BOTH
+    the worktree and the repo HEAD."""
+    calls = []
+
+    def fake_probe(workdir):
+        calls.append(workdir)
+        return {n: 1.0 for n in bench.PREV_PROBES}
+
+    monkeypatch.setattr(bench, "_probe_run", fake_probe)
+    monkeypatch.setattr(bench, "PREV_ROUND_COMMIT", "HEAD")
+    out = bench._prev_same_box()
+    assert len(calls) == 2 and calls[1] == bench.REPO
+    assert calls[0] != bench.REPO  # first call = the prev worktree
+    assert out["ratio_current_over_prev"] == 1.0
+    assert out["total"] == out["current_total"] == len(bench.PREV_PROBES)
