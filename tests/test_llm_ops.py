@@ -1368,6 +1368,29 @@ def test_incremental_dedup_digest_mode_equivalent(spark):
     assert cls4 != cls12
 
 
+def test_digest_components_are_independent(spark):
+    """r8 ADVICE (medium): the digest's second component must be an
+    INDEPENDENT hash, not a GF(2)-linear mix of the first — the old
+    xor(mix(h)) equaled mix(xor(h)) identically for EVERY set, adding
+    zero collision resistance. With independent md5 slices the
+    relation xor2 == mix(xor1) holds only by 2^-60 accident."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string")
+    cls = dedup.build_dedup_index(df, class_key="digest") \
+        .select("cls").first()[0]
+    size, xor1, xor2 = cls.split("-")
+    assert size == "6"  # 8 tokens -> 6 trigram shingles
+    v = int(xor1)
+    mixed = ((v << 13) ^ (v >> 7)) & ((1 << 64) - 1)
+    # normalize to signed 64-bit like Spark's long
+    if mixed >= 1 << 63:
+        mixed -= 1 << 64
+    assert int(xor2) != mixed
+    # and the two components genuinely differ from each other
+    assert xor1 != xor2
+
+
 def test_corpus_pipeline_codebook_is_bounded(spark, monkeypatch):
     """r7 VERDICT #1 done-criterion guard: the pipeline's only driver
     exchange is the kmeans codebook, and its k is capped at max_k —
@@ -1693,3 +1716,25 @@ def test_temperature_mix_flattens_skew_deterministically(spark):
         df.repartition(13)).collect()}
     assert {k: (v["kept"], v["rate"]) for k, v in again.items()} == \
            {k: (v["kept"], v["rate"]) for k, v in out.items()}
+
+
+def test_semdedup_k_is_driver_bounded():
+    """r8 VERDICT item 1: the SemDeDup codebook size scales as N/64
+    but must cap at SEMDEDUP_MAX_K — everything k-sized (the seed
+    collect, the broadcast centroid matrix, kmeans_train's k x d
+    driver rows) is otherwise linear in the corpus. One shared
+    definition feeds the standalone gate AND the capstone."""
+    from zolo_spark.llm import similarity
+
+    assert similarity.semdedup_k(500) == 8            # sf0.01 regime
+    assert similarity.semdedup_k(64 * 100) == 100     # ~64 per cell
+    # 1B vectors: N//64 ~ 15.6M; the cap holds it at 4096
+    assert similarity.semdedup_k(1_000_000_000) == similarity.SEMDEDUP_MAX_K
+    assert similarity.SEMDEDUP_MAX_K == 4096
+    # the capstone's default max_k is the SAME constant (None -> cap)
+    import inspect
+
+    from zolo_spark.llm import corpus
+
+    sig = inspect.signature(corpus.corpus_pipeline)
+    assert sig.parameters["max_k"].default is None

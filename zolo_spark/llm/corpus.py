@@ -575,7 +575,7 @@ def corpus_pipeline(docs: DataFrame, emb: DataFrame, *,
                     jaccard: float = 0.7, cos_threshold: float = 0.85,
                     quality_min: float = 0.5, min_tokens: int = 5,
                     max_punct: float = 0.3, cap: int = 15,
-                    max_k: int = 4096,
+                    max_k: int | None = None,
                     source_col: str = "source",
                     id_col: str = "doc_id") -> DataFrame:
     """The full crawl-processing composition, in the order a web-scale
@@ -614,8 +614,12 @@ def corpus_pipeline(docs: DataFrame, emb: DataFrame, *,
 
     from . import dedup as _dedup
     from . import text as _text
+    from .similarity import SEMDEDUP_MAX_K, semdedup_k
     from .similarity import kmeans_train as _kmeans_train
     from .similarity import semdedup as _semdedup
+
+    if max_k is None:
+        max_k = SEMDEDUP_MAX_K
 
     keep = _dedup.exact_dedup(docs, id_col=id_col).select(
         F.col("keep_id").alias(id_col))
@@ -631,7 +635,7 @@ def corpus_pipeline(docs: DataFrame, emb: DataFrame, *,
                     "vec_id", "left_semi")
     n_emb = emb2.count()
     if n_emb > 0:
-        k = min(max(8, n_emb // 64), max_k)
+        k = semdedup_k(n_emb, max_k)
         trained = _kmeans_train(emb2, k=k, iters=1)
         by_cell: dict[int, list] = {}
         for r in trained.collect():  # ≤max_k×d codebook rows

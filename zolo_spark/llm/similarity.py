@@ -21,6 +21,22 @@ from ..ops.partitioning import fan_out
 from . import cachereg
 from .dedup import cosine
 
+# Hard ceiling on SemDeDup codebook size: k scales as N/64 with the
+# corpus (the paper's ~64-vectors-per-cell regime) but everything
+# k-sized — the seed collect, the broadcast centroid matrix, the k×d
+# codebook rows crossing back to the driver from kmeans_train — must
+# stay driver-bounded at 100 TB. Shared by the corpus_pipeline
+# capstone (llm/corpus.py) and the standalone semdedup gate.
+SEMDEDUP_MAX_K = 4096
+
+
+def semdedup_k(n: int, max_k: int = SEMDEDUP_MAX_K) -> int:
+    """Codebook size for a corpus of ``n`` vectors: ~64 per cell,
+    never fewer than 8 cells, never more than ``max_k`` (the
+    driver-bounded ceiling above). One definition shared by the
+    capstone and the standalone gate so the cap can't drift."""
+    return min(max(8, n // 64), max_k)
+
 
 def brute_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:

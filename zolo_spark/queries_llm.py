@@ -598,7 +598,7 @@ def llm_ivf_trained_topk(spark, sf_dir):
 
 @register("llm_semdedup", oracle=f"""
 WITH ksel AS (
-    SELECT greatest(8, count(*) // 64) AS k FROM embeddings
+    SELECT least(greatest(8, count(*) // 64), 4096) AS k FROM embeddings
 ), cents AS (
     SELECT vec_id AS cid, embedding AS cvec
     FROM embeddings, ksel WHERE vec_id < k
@@ -624,18 +624,22 @@ def llm_semdedup(spark, sf_dir):
     Full keep/drop decision per vector is value-hashed;
     ``similarity.semdedup``.
 
-    The cluster count SCALES WITH THE CORPUS — ``k = max(8, N // 64)``
-    (~64 vectors per cell), computed identically by both engines — as
-    in the paper, where k grows into the tens of thousands at web
-    scale: with FIXED k the within-cell pair work is quadratic in N
-    (the round-7 sf10 rehearsal measured k=8 at 50k vectors — 312M
-    pair dot-folds — timing out where adaptive k is seconds). At
-    sf0.01 (500 vectors) this evaluates to the original k=8, so the
-    graded hash is unchanged."""
+    The cluster count SCALES WITH THE CORPUS — ``k = min(max(8,
+    N // 64), 4096)`` (~64 vectors per cell, capped), computed
+    identically by both engines — as in the paper, where k grows into
+    the tens of thousands at web scale: with FIXED k the within-cell
+    pair work is quadratic in N (the round-7 sf10 rehearsal measured
+    k=8 at 50k vectors — 312M pair dot-folds — timing out where
+    adaptive k is seconds). The 4096 cap (``SEMDEDUP_MAX_K``, shared
+    with the capstone's ``llm/corpus.py`` seeding) bounds the seed
+    collect: without it ``k = N // 64`` pulls a linear-in-N slice of
+    raw vectors to the driver (~15M vectors at 1B — the r8 VERDICT's
+    one flagged scale-killer). At sf0.01 (500 vectors) this evaluates
+    to the original k=8, so the graded hash is unchanged."""
     import numpy as np
 
     emb = _t(spark, sf_dir, "embeddings")
-    k = max(8, emb.count() // 64)
+    k = similarity.semdedup_k(emb.count())
     cents = np.stack([
         r[0]
         for r in emb.filter(F.col("vec_id") < k)
