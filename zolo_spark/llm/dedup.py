@@ -427,17 +427,23 @@ def shingle_set_key(sh) -> Column:
 
 
 def shingle_set_digest(sh) -> Column:
-    """Cheap content-class key: ``size ‖ xor(h) ‖ xor(mix(h))`` over
-    60-bit per-element md5 prefixes — ONE md5 per element (the chain
-    key pays two, plus the 96-char re-hash per fold step; r7 priced
-    that at +46% incremental-ingest cost). Order-insensitive by
-    construction (xor is commutative — no sort needed), no separator
-    ambiguity (integers only), and overflow-free under ANSI mode (the
-    second component is a shift-mix xor, not a sum). Collision odds
-    ~2^-120 statistical rather than the chain's md5-strength; enable
-    via ``class_key="digest"``. A same-set pair also agrees on the 16
-    minhash signatures the verify path compares, so a false merge
-    needs a simultaneous 19-component collision.
+    """Cheap content-class key: ``size ‖ xor(h1) ‖ xor(h2)`` where h1
+    and h2 are INDEPENDENT 60-bit slices of one md5 per element
+    (chars 1-15 and 17-31 — the chain key pays two md5s plus the
+    96-char re-hash per fold step; r7 priced that at +46%
+    incremental-ingest cost). Order-insensitive by construction (xor
+    is commutative — no sort needed), no separator ambiguity (integers
+    only), overflow-free under ANSI mode. The two slices must be
+    independent hashes, NOT a derived mix: the r8 version's second
+    component ``xor(mix(h1))`` was GF(2)-linear (shift-xor commutes
+    with the xor fold), so it equaled ``mix(xor(h1))`` identically and
+    added ZERO bits — effective resistance was ~60 bits + set size,
+    birthday-colliding around 2^30 same-size sets (r8 ADVICE). With
+    independent slices, collision odds are ~2^-120 statistical rather
+    than the chain's md5-strength; enable via ``class_key="digest"``.
+    Note within-class pairs are emitted as jaccard-1.0 duplicates
+    WITHOUT minhash verification — the digest alone carries the
+    false-merge risk, which is why its strength matters.
 
     MEASURED (round 8, sf1 = 50k docs): the whole class-key stage is
     ~0.5-1 s of a ~14 s warm incremental run — the r7 "+46%
@@ -447,14 +453,14 @@ def shingle_set_digest(sh) -> Column:
     therefore STAYS "chain": md5-strength collision resistance at a
     cost that measurement shows is negligible; digest remains the
     dial for ingest paths that hash much longer documents."""
-    h = lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")  # noqa: E731
-    mix = lambda v: F.shiftleft(v, 13).bitwiseXOR(F.shiftrightunsigned(v, 7))  # noqa: E731
-    xor = F.aggregate(sh, F.lit(0).cast("long"),
-                      lambda acc, x: acc.bitwiseXOR(h(x)))
-    xmix = F.aggregate(sh, F.lit(0).cast("long"),
-                       lambda acc, x: acc.bitwiseXOR(mix(h(x))))
+    h1 = lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")  # noqa: E731
+    h2 = lambda x: F.conv(F.substring(F.md5(x), 17, 15), 16, 10).cast("long")  # noqa: E731
+    xor1 = F.aggregate(sh, F.lit(0).cast("long"),
+                       lambda acc, x: acc.bitwiseXOR(h1(x)))
+    xor2 = F.aggregate(sh, F.lit(0).cast("long"),
+                       lambda acc, x: acc.bitwiseXOR(h2(x)))
     return F.concat_ws("-", F.size(sh).cast("string"),
-                       xor.cast("string"), xmix.cast("string"))
+                       xor1.cast("string"), xor2.cast("string"))
 
 
 def incremental_minhash_dedup(new_df: DataFrame, index: DataFrame,

@@ -40,7 +40,6 @@ def expectation_audit(
     ``fk_checks``: (name, fk_col, dim_df, dim_key) — violations =
     rows whose key has no match in the dimension.
     """
-    spark = df.sparkSession
     parts: list[DataFrame] = []
     total = F.count(F.lit(1)).alias("total")
     if row_checks:
@@ -62,16 +61,26 @@ def expectation_audit(
             F.lit(f"unique:{key}").alias("check_name"),
             F.col("v").cast("long").alias("violations"),
             F.col("total").cast("long").alias("total")))
-    for name, fk_col, dim, dim_key in fk_checks or []:
-        n = df.count()
-        orphans = (df.select(F.col(fk_col).alias("_k"))
-                   .join(dim.select(F.col(dim_key).alias("_k")),
-                         "_k", "left_anti")
-                   .agg(F.count(F.lit(1)).alias("v")))
-        parts.append(orphans.select(
-            F.lit(name).alias("check_name"),
-            F.col("v").cast("long").alias("violations"),
-            F.lit(n).cast("long").alias("total")))
+    if fk_checks:
+        # ONE shared lazy totals frame — no eager df.count() action at
+        # construction time (an audit is a builder until its result is
+        # consumed), and no extra fact-table scan per referential
+        # check: every fk branch crossJoins the same 1-row aggregate,
+        # which AQE's exchange reuse evaluates once.
+        tot = df.agg(total)
+        for name, fk_col, dim, dim_key in fk_checks:
+            orphans = (df.select(F.col(fk_col).alias("_k"))
+                       .join(dim.select(F.col(dim_key).alias("_k")),
+                             "_k", "left_anti")
+                       .agg(F.count(F.lit(1)).alias("v")))
+            parts.append(orphans.crossJoin(tot).select(
+                F.lit(name).alias("check_name"),
+                F.col("v").cast("long").alias("violations"),
+                F.col("total").cast("long").alias("total")))
+    if not parts:
+        raise ValueError(
+            "expectation_audit called with no checks — pass at least "
+            "one of row_checks / unique_keys / fk_checks")
     out = reduce(lambda a, b: a.unionByName(b), parts)
     return out.select(
         "check_name", "violations", "total",
