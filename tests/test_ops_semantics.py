@@ -332,6 +332,24 @@ def test_hll_merge_equals_single_pass(spark):
     assert merged["hll_distinct"] == single["hll_distinct"]
 
 
+def test_hll_ignores_null_keys(spark):
+    """NULL keys must not perturb the sketch (COUNT(DISTINCT) ignores
+    NULLs): before the r9 fix a NULL key produced a (NULL idx, NULL
+    register) row that skewed the harmonic sum and linear-counting V."""
+    from zolo_spark.ops import sketches
+
+    rows = [("g", i % 50) for i in range(500)]
+    df = spark.createDataFrame(rows, "grp string, k long")
+    withnull = df.unionByName(
+        spark.createDataFrame([("g", None)] * 25, "grp string, k long"))
+    clean = sketches.approx_distinct(df, "k", ["grp"]).collect()[0]
+    dirty = sketches.approx_distinct(withnull, "k", ["grp"]).collect()[0]
+    assert dirty["hll_distinct"] == clean["hll_distinct"]
+    # and no NULL-index register row exists in the sketch itself
+    regs = sketches.hll_registers(withnull, "k", ["grp"])
+    assert regs.filter(F.col("idx").isNull()).count() == 0
+
+
 def test_hll_accuracy_envelope(spark):
     """m=256 ⇒ ~6.5% standard error; assert a generous 3-sigma bound
     on a few cardinalities spanning the linear-counting crossover."""
@@ -542,3 +560,59 @@ def test_expectation_audit_row_checks_share_one_scan(spark):
     # at minimum no per-check scan of the base relation beyond the 3
     # branch projections of the same aggregate)
     assert plan.count("Aggregate") <= 3
+
+
+# --------------------------------------------------- count-min sketch
+
+def test_countmin_merge_equals_single_pass(spark):
+    """Sharded sketches merged with SUM must reproduce the single-pass
+    cells exactly — the additive sibling of the HLL MAX-merge."""
+    from zolo_spark.ops import sketches
+
+    rows = [("g", i % 37) for i in range(1500)]
+    df = spark.createDataFrame(rows, "grp string, k long")
+    a = sketches.cm_sketch(df.filter(F.col("k") % 2 == 0), "k", ["grp"])
+    b = sketches.cm_sketch(df.filter(F.col("k") % 2 == 1), "k", ["grp"])
+    merged = {tuple(r) for r in sketches.cm_merge(a, b).collect()}
+    single = {tuple(r) for r in sketches.cm_sketch(df, "k", ["grp"]).collect()}
+    assert merged == single
+
+
+def test_countmin_never_undercounts_and_finds_hot_keys(spark):
+    """CM estimates are one-sided (collisions only inflate), the hot
+    key surfaces at rank 1 with its EXACT count when the sketch is
+    sparse, and NULL keys are ignored."""
+    from zolo_spark.ops import sketches
+
+    rows = ([("g", i % 40) for i in range(2000)]      # 40 keys x 50
+            + [("g", 999)] * 500                       # hot key
+            + [("g", None)] * 30)
+    df = spark.createDataFrame(rows, "grp string, k long")
+    truth = {r["k"]: r["cnt"] for r in
+             df.where(F.col("k").isNotNull())
+             .groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    cands = df.where(F.col("k").isNotNull()).select("grp", "k").distinct()
+    est = sketches.cm_lookup(
+        sketches.cm_sketch(df, "k", ["grp"]), cands, "k", ["grp"])
+    for r in est.collect():
+        assert r["cm_count"] >= truth[r["k"]]
+    hh = sketches.cm_heavy_hitters(df, "k", ["grp"], k=3).collect()
+    assert hh[0]["k"] == 999 and hh[0]["cm_count"] == 500
+    assert [r["rank"] for r in hh] == [1, 2, 3]
+    # depth>4 would need more hash material than one md5 provides
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sketches.cm_sketch(df, "k", ["grp"], depth=5)
+
+
+def test_countmin_lookup_of_absent_key_is_bounded(spark):
+    """A key never inserted estimates as min over its cells — 0 when
+    its cells are empty, never negative, never NULL."""
+    from zolo_spark.ops import sketches
+
+    df = spark.createDataFrame([("g", i) for i in range(20)],
+                               "grp string, k long")
+    sk = sketches.cm_sketch(df, "k", ["grp"])
+    probe = spark.createDataFrame([("g", 10_000_019)], "grp string, k long")
+    out = sketches.cm_lookup(sk, probe, "k", ["grp"]).collect()
+    assert len(out) == 1 and 0 <= out[0]["cm_count"] <= 20

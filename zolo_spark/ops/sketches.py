@@ -63,7 +63,12 @@ def hll_registers(df: DataFrame, key_col: str,
     """
     h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
                16, 10).cast("long")
-    df = df.select(*group_cols, h.alias("_h"))
+    # NULL keys would hash to a (NULL idx, NULL register) row that
+    # hll_estimate counts as an occupied register (COUNT(*)) while SUM
+    # skips its NULL term — skewing both the harmonic sum and the
+    # linear-counting V. COUNT(DISTINCT) ignores NULLs; so do we.
+    df = (df.where(F.col(key_col).isNotNull())
+          .select(*group_cols, h.alias("_h")))
     w = F.floor(F.col("_h") / M_REGISTERS).cast("long")
     rho = F.when(w == 0, F.lit(_MAX_RHO)).otherwise(
         F.instr(F.lpad(F.bin(w), _W_BITS, "0"), "1"))
@@ -255,3 +260,103 @@ def psi_drift(ref: DataFrame, cur: DataFrame, val_col: str,
     term = F.round((q - p) * F.log(q / p), 6).cast("decimal(28,6)")
     return (joined.groupBy(*group_cols)
             .agg(F.round(F.sum(term).cast("double"), 6).alias("psi")))
+
+
+# ------------------------------------------------ count-min / heavy keys
+
+CM_DEPTH = 4
+CM_WIDTH = 256
+
+
+def cm_sketch(df: DataFrame, key_col: str, group_cols: list[str],
+              depth: int = CM_DEPTH, width: int = CM_WIDTH) -> DataFrame:
+    """(group..., row, col, cnt) — a count-min sketch (Cormode &
+    Muthukrishnan 2005) of key frequencies per group.
+
+    The ``depth`` hash rows are INDEPENDENT 8-hex-char slices of ONE
+    md5 per key (chars 1-8, 9-16, 17-24, 25-32 — the same md5-derived
+    discipline as :func:`hll_registers`; md5's 32 hex chars fund up to
+    4 rows), each reduced mod ``width``.  One posexplode (×depth
+    pre-shuffle rows) then a map-side-combined COUNT shuffle on
+    (group, row, col): at most ``depth × width`` cells per group
+    survive, regardless of cardinality — the mergeable fixed-size
+    summary a 100 TB ingest maintains incrementally where an exact
+    per-key groupBy stops being affordable.  NULL keys are ignored
+    (COUNT semantics over a key that doesn't exist).
+    """
+    if depth > 4:
+        raise ValueError("depth > 4 needs more hash material than one md5")
+    md5 = F.md5(F.col(key_col).cast("string"))
+    cells = F.array(*[
+        F.conv(F.substring(md5, 1 + 8 * r, 8), 16, 10).cast("long") % width
+        for r in range(depth)
+    ])
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(*group_cols, F.posexplode(cells).alias("row", "col"))
+        .groupBy(*group_cols, "row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built over disjoint shards: cell counts ADD —
+    the algebraic property that makes the sketch incremental (the
+    additive sibling of :func:`hll_merge`'s MAX)."""
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    keys = [c for c in merged.columns if c != "cnt"]
+    return merged.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_lookup(sketch: DataFrame, keys: DataFrame, key_col: str,
+              group_cols: list[str], depth: int = CM_DEPTH,
+              width: int = CM_WIDTH) -> DataFrame:
+    """(group..., key, cm_count) — point estimates for a candidate key
+    frame: min over the ``depth`` cells the key hashes to (absent cell
+    = 0).  The sketch side is at most ``depth × width`` rows per group
+    — broadcast, so the lookup costs the candidates ONE broadcast join
+    + one (group, key) aggregate, never a shuffle of the corpus.
+    Estimates overcount (collisions only inflate cells), never
+    undercount — the classic one-sided CM guarantee."""
+    md5 = F.md5(F.col(key_col).cast("string"))
+    cells = F.array(*[
+        F.conv(F.substring(md5, 1 + 8 * r, 8), 16, 10).cast("long") % width
+        for r in range(depth)
+    ])
+    probes = keys.select(
+        *group_cols, F.col(key_col),
+        F.posexplode(cells).alias("row", "col"))
+    return (
+        probes.join(F.broadcast(sketch), [*group_cols, "row", "col"], "left")
+        .groupBy(*group_cols, key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_count"))
+    )
+
+
+def cm_heavy_hitters(df: DataFrame, key_col: str, group_cols: list[str],
+                     k: int = 10, depth: int = CM_DEPTH,
+                     width: int = CM_WIDTH) -> DataFrame:
+    """Top-k keys per group by count-min estimate — (group..., key,
+    cm_count, rank), rank ties broken by key for cross-engine
+    determinism.
+
+    Hot-key detection for :func:`skew_profile` / salted joins without
+    an exact per-key count: the sketch pass is fixed-size per group;
+    the candidate pass re-scans only (group, key) pairs — at 100 TB
+    the candidates are usually the CURRENT batch's keys probed against
+    a sketch merged over all history (:func:`cm_merge`), so no
+    historical data is ever re-scanned.  The rank filter sits directly
+    above its window, which Catalyst executes as a partial top-k
+    (WindowGroupLimit), never a global sort."""
+    from pyspark.sql import Window as W
+
+    sketch = cm_sketch(df, key_col, group_cols, depth, width)
+    cands = df.where(F.col(key_col).isNotNull()) \
+        .select(*group_cols, key_col).distinct()
+    est = cm_lookup(sketch, cands, key_col, group_cols, depth, width)
+    win = (W.partitionBy(*group_cols) if group_cols else W.partitionBy()) \
+        .orderBy(F.col("cm_count").desc(), F.col(key_col))
+    return (est.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k))

@@ -198,11 +198,29 @@ _GRADING_PRIORITY = [
     # llm_corpus_pipeline) hands its slot to llm_temperature_mix —
     # T5-style temperature source mixing (n^alpha weights, pure
     # downsampling, id-pure membership), the mixing-machinery gate.
-    "llm_temperature_mix", "llm_simhash_neardup",
+    # Round-9 rotation: llm_simhash_neardup (green r2–r8, seven
+    # rounds; the simhash machinery — pigeonhole chunk banding +
+    # bit_count verify — stays in-window via llm_simhash_neardup_wide,
+    # and the r9 dedup.py edit touched only the opt-in
+    # shingle_set_digest function, not the simhash region) hands its
+    # slot to a15_countmin_heavy_hitters — the ADDITIVE mergeable
+    # count-min sketch + top-k hot-key extraction completing the
+    # portable sketch family beside HLL (a13) and histogram quantiles
+    # (a14), per the r8 VERDICT item 6.
+    "llm_temperature_mix", "a15_countmin_heavy_hitters",
     # llm_pq_encode / llm_pq_adc_topk (late-r5 product-quantization
     # builds) take the slots of llm_sim_topk_cosine (r2∧r3∧r4) and
     # llm_pii_redact (r3∧r4).
-    "llm_embedding_near_dup", "llm_pq_encode", "llm_sim_ivf_topk",
+    # Round-9 rotation: llm_embedding_near_dup (green r2–r8, seven
+    # rounds; the embedding near-dup machinery — sign-LSH banding +
+    # cosine verify — stays in-window via llm_embedding_near_dup_8bit,
+    # and its dedup.py region is untouched this round) hands its slot
+    # to m_arima_weekly_forecast_subgrid — the full-grid ARIMA job's
+    # forecast/CI values hash-gated on brands whose argmin lands on
+    # the closed-form sub-grid (r8 VERDICT item 2 / r7 #8), shrinking
+    # the rows-only surface of m_arima_weekly_forecast to the
+    # numpy-pinv winners only.
+    "m_arima_weekly_forecast_subgrid", "llm_pq_encode", "llm_sim_ivf_topk",
     "llm_multimodal_features",
     # llm_embedding_quantize / llm_quantized_topk (int8 ANN scale
     # path, built mid-r5) take the slots of thrice-green singletons

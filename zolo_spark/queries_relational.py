@@ -1134,6 +1134,55 @@ def a14(spark, sf_dir):
         orders, "o_totalprice", ["o_orderstatus"], [0.25, 0.5, 0.75])
 
 
+@register("a15_countmin_heavy_hitters", oracle="""
+WITH rows4 AS (SELECT unnest([0, 1, 2, 3]) AS row),
+cells AS (
+    SELECT o_orderpriority AS grp, row,
+           ('0x' || substr(md5(o_custkey::VARCHAR), 1 + 8 * row, 8))::BIGINT
+               % 256 AS col
+    FROM orders CROSS JOIN rows4
+), sk AS (
+    SELECT grp, row, col, COUNT(*) AS cnt FROM cells GROUP BY 1, 2, 3
+), cand AS (
+    SELECT DISTINCT o_orderpriority AS grp, o_custkey AS k FROM orders
+), probe AS (
+    SELECT c.grp, c.k, r.row,
+           ('0x' || substr(md5(c.k::VARCHAR), 1 + 8 * r.row, 8))::BIGINT
+               % 256 AS col
+    FROM cand c CROSS JOIN rows4 r
+), est AS (
+    SELECT p.grp, p.k, MIN(coalesce(s.cnt, 0))::BIGINT AS cm_count
+    FROM probe p LEFT JOIN sk s
+      ON p.grp = s.grp AND p.row = s.row AND p.col = s.col
+    GROUP BY 1, 2
+)
+SELECT grp AS o_orderpriority, k AS o_custkey, cm_count, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
+          ORDER BY cm_count DESC, k) AS rank FROM est)
+WHERE rank <= 5
+""")
+def a15(spark, sf_dir):
+    """Portable count-min heavy hitters — the ADDITIVE member of the
+    sketch family (HLL a13 merges with MAX, histogram a14 and this
+    with SUM): depth-4 × width-256 cells from independent 8-hex
+    slices of ONE md5 per key, point estimate = min over the 4 cells
+    (one-sided: never undercounts), top-5 per group with key
+    tiebreak. Hot-key detection feeding skew_profile/salted_join at
+    100 TB without an exact per-key groupBy: the sketch is a fixed
+    ≤1024-row-per-group summary merged incrementally across ingest
+    (pytest pins shard-merge ≡ single pass), candidates are only the
+    probed batch's keys. ``ops/sketches.py``."""
+    from .ops import sketches
+
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        sketches.cm_heavy_hitters(orders, "o_custkey",
+                                  ["o_orderpriority"], k=5)
+        .select("o_orderpriority", "o_custkey", "cm_count",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def _zorder_oracle() -> str:
     """Replay of the 2-dim × 8-bit Morton interleave as a generated
     integer expression: bit i of dim d lands at position 2i+d."""
@@ -1749,18 +1798,27 @@ def watermark_batch_twin(spark, sf_dir):
     return twin(_t(spark, sf_dir, "events"))
 
 
+# Arrival buckets the generated session-twin oracle enumerates: the
+# testdata's 30 event days + the 2 trailing late-only buckets
+# (event_id % 7 == 0 arrives two buckets late). Shared with the gate,
+# which ASSERTS the live events table produces exactly this set before
+# grading — rows outside it would silently fall out of every enumerated
+# round and the hash would fail with no hint the ORACLE was truncated
+# (r8 ADVICE).
+_SESSION_TWIN_DATES = ([f"2024-01-{d:02d}" for d in range(1, 32)]
+                       + ["2024-02-01"])
+
+
 def _session_twin_oracle() -> str:
     """Generate the chained-CTE replay of the session-window late-data
-    twin: one round per arrival bucket (the testdata's 30 event days +
-    the 2 trailing late-only buckets — verified to be exactly these 32
-    at sf0.01), each round = late-filter (lag-1 watermark vs the
-    pre-merge window end) → merge into state → per-user sessionize →
-    evict (end <= batch watermark, inclusive) — the same generated-
-    round technique as the BPE oracle. An already-emitted session is
-    gone from state, so a kept late row inside its span REOPENS a new
-    session, exactly as the engine does (r8 pinning experiments)."""
-    dates = ([f"2024-01-{d:02d}" for d in range(1, 32)]
-             + ["2024-02-01"])
+    twin: one round per arrival bucket (``_SESSION_TWIN_DATES``), each
+    round = late-filter (lag-1 watermark vs the pre-merge window end)
+    → merge into state → per-user sessionize → evict (end <= batch
+    watermark, inclusive) — the same generated-round technique as the
+    BPE oracle. An already-emitted session is gone from state, so a
+    kept late row inside its span REOPENS a new session, exactly as
+    the engine does (r8 pinning experiments)."""
+    dates = _SESSION_TWIN_DATES
     anc = "TIMESTAMP '1900-01-01'"
 
     def wm(upto: str) -> str:
@@ -1849,7 +1907,30 @@ def session_window_late_twin(spark, sf_dir):
     emission — the chained per-bucket replay that a single global
     sessionization cannot express. Streaming == twin on identical
     buckets is pinned by pytest (dropped / kept-late / merged /
-    reopened / withheld branches)."""
+    reopened / withheld branches).
+
+    Guards its own oracle: the generated rounds enumerate exactly
+    ``_SESSION_TWIN_DATES``; if the live events table yields arrival
+    buckets outside that set (testdata span or late-arrival model
+    changed), fail HERE with a message naming the oracle — not with an
+    unexplained hash mismatch over a silently truncated stream."""
     from .streaming.intraday import session_late_twin
 
-    return session_late_twin(_t(spark, sf_dir, "events"))
+    events = _t(spark, sf_dir, "events")
+    actual = {
+        r["arr"].strftime("%Y-%m-%d")
+        for r in events.select(
+            (F.date_trunc("day", "ts")
+             + F.when(F.col("event_id") % 7 == 0,
+                      F.expr("INTERVAL 2 DAYS"))
+             .otherwise(F.expr("INTERVAL 0 DAYS"))).alias("arr")
+        ).distinct().collect()  # ≤ a few dozen day buckets
+    }
+    extra = actual - set(_SESSION_TWIN_DATES)
+    if extra:
+        raise AssertionError(
+            "session_window_late_twin ORACLE is stale: events produce "
+            f"arrival buckets {sorted(extra)} outside the enumerated "
+            "_SESSION_TWIN_DATES rounds — regenerate the oracle's date "
+            "list before grading")
+    return session_late_twin(events)
