@@ -334,6 +334,11 @@ def test_dsir_topk_no_global_sort_and_broadcast_ratios(spark):
     assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # r9: ratios + weights = exactly TWO passes over the exploded
+    # feature lineage. Three Generates = a marginal or totals stage
+    # re-scanning the corpus-sized feature table (the r8 shape that
+    # cost 148.7 s at sf10).
+    assert plan.count("Generate") <= 2
 
 
 def test_hll_plan_two_level_aggregate_no_udf(spark):

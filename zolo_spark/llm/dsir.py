@@ -81,17 +81,35 @@ def dsir_log_ratios(feats: DataFrame, target_ids: DataFrame,
     """(bucket, lr) — round-6 per-bucket log importance ratio between
     the add-1-smoothed target and raw hashed-ngram distributions.
 
-    Both marginals are single aggregates over the feature table; the
-    result is ``buckets`` rows, meant to be broadcast.
+    BOTH marginals come out of ONE aggregate over ONE scan of the
+    feature table: a broadcast-join flags target-member rows, then
+    conditional sums split raw vs target mass per bucket (the r8
+    version ran two separate aggregates — two full passes over the
+    hashed-n-gram frame, the largest non-codec line of the sf10
+    rehearsal at 148.7 s). The result is ``buckets`` rows, meant to
+    be broadcast.
     """
-    raw = feats.groupBy("bucket").agg(F.sum("c").alias("rc"))
-    tgt = (feats.join(F.broadcast(target_ids), "doc_id")
-           .groupBy("bucket").agg(F.sum("c").alias("tc")))
-    marg = raw.join(F.broadcast(tgt), "bucket", "left").na.fill({"tc": 0})
-    totals = marg.agg(F.sum("rc").alias("R"), F.sum("tc").alias("T"))
+    flag = F.broadcast(
+        target_ids.select("doc_id").withColumn("_t", F.lit(1)))
+    marg = (
+        feats.join(flag, "doc_id", "left")
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("rc"),
+             F.sum(F.when(F.col("_t") == 1, F.col("c"))
+                   .otherwise(0)).alias("tc"))
+    )
+    # Totals as a GLOBAL WINDOW over the ≤buckets-row marginal frame —
+    # a separate .agg() would re-execute marg's whole lineage (a
+    # second scan of the corpus-sized feature table); the window costs
+    # one single-partition exchange of ≤buckets rows.
+    totals = W.partitionBy()
     b = float(buckets)
     return (
-        marg.crossJoin(F.broadcast(totals))
+        marg.select(
+            "bucket", "rc", "tc",
+            F.sum("rc").over(totals).alias("R"),
+            F.sum("tc").over(totals).alias("T"),
+        )
         .select(
             "bucket",
             F.round(
