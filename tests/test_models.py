@@ -147,6 +147,21 @@ def test_arima_fold_walk_forward_matches_batched():
         tsmodels.arima_fold_walk_forward(np.ones(40), (0, 0, 1))
 
 
+def test_arima_hybrid_kernel_routes_by_order():
+    """The subgrid gate's kernel: bit-identical to the fold kernel on
+    FOLD_GRID orders (the oracle replays those), identical to the
+    batched solver elsewhere — so the full-grid job run with it is the
+    same job with oracle-matching arithmetic on the sub-grid."""
+    rng = np.random.default_rng(11)
+    y = np.abs(rng.normal(100, 20, size=60)).cumsum()
+    for order in tsmodels.FOLD_GRID:
+        assert tsmodels.arima_hybrid_walk_forward(y, order) == \
+            tsmodels.arima_fold_walk_forward(y, order)
+    for order in ((0, 0, 1), (2, 1, 2), (1, 0, 2)):
+        assert tsmodels.arima_hybrid_walk_forward(y, order) == \
+            tsmodels.arima_walk_forward(y, order)
+
+
 def test_holt_ses_walk_forward_batched_equals_sequential():
     rng = np.random.default_rng(3)
     for n in (6, 13, 41, 97):

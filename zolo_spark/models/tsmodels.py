@@ -522,6 +522,19 @@ def arima_fold_walk_forward(
     return mse, arima_fold_forecast(ys, order), _fold_sigma(ys, order)
 
 
+def arima_hybrid_walk_forward(
+    y, order: tuple[int, int, int], train_fraction: float = 0.75,
+) -> tuple[float, float, float]:
+    """Fold kernel on :data:`FOLD_GRID` orders (SQL-replayable
+    numerics), batched numpy elsewhere — pytest pins the two equal to
+    float tolerance on the shared orders, so a full-grid job run with
+    this kernel is the same job with oracle-matching arithmetic on the
+    sub-grid (the ``m_arima_weekly_forecast_subgrid`` gate's fit)."""
+    if tuple(order) in FOLD_GRID:
+        return arima_fold_walk_forward(y, order, train_fraction)
+    return arima_walk_forward(y, order, train_fraction)
+
+
 def _ar_residuals(zc: np.ndarray, m: int) -> np.ndarray:
     """Residuals of an AR(m) OLS fit, zero-padded to len(zc)."""
     n = len(zc)

@@ -399,6 +399,99 @@ def m_arima_grid_ci(spark, sf_dir):
     )
 
 
+# Brands whose FULL-grid (p,q ∈ 0..2, d ∈ 0..1) argmin lands on the
+# closed-form sub-grid at sf0.01 — MEASURED against the hybrid job
+# (fold kernels on FOLD_GRID orders, batched numpy elsewhere) on
+# 2026-08-15 and pinned here so the oracle can enumerate them (the
+# non-fold orders' MSEs are numpy-pinv fits no SQL replays, so the
+# restriction predicate itself is only verifiable by measurement).
+# STALENESS IS LOUD: if the engine's winner set drifts (testdata or
+# grid code change), the Spark side emits a different brand set than
+# the oracle's IN-list and the driver reports a row-count mismatch —
+# regenerate by rerunning the measurement in this docstring's gate.
+_SUBGRID_WINNER_BRANDS = (
+    "Brand#11", "Brand#12", "Brand#14", "Brand#18", "Brand#19",
+    "Brand#2", "Brand#20", "Brand#21", "Brand#22", "Brand#23",
+    "Brand#25", "Brand#3", "Brand#4", "Brand#6", "Brand#7",
+)
+
+
+@register("m_arima_weekly_forecast_subgrid", oracle=_ARIMA_SUBGRID_CTES + """
+, sig AS (
+    SELECT b.profile_name, b.p, b.d, b.q, b.prediction, s.ys, s.n
+    FROM best b JOIN series s USING (profile_name)
+    WHERE b.rk = 1 AND b.profile_name IN ({BRANDS})
+), sz AS (
+    SELECT *, CASE WHEN d = 1
+                   THEN list_transform(range(2, n + 1), t -> ys[t] - ys[t-1])
+                   ELSE ys END AS z,
+           (n - d)::INT AS m
+    FROM sig
+), scoef AS (
+    SELECT *, CASE WHEN p = 1 THEN
+                  (CASE WHEN sxx = 0 THEN 0 ELSE sxy / sxx END) END AS coef
+    FROM (
+        SELECT *,
+            CASE WHEN p = 1 THEN list_reduce(list_transform(range(2, m + 1),
+                t -> (z[t-1] - mu) * (z[t] - mu)), (a, b) -> a + b) END AS sxy,
+            CASE WHEN p = 1 THEN list_reduce(list_transform(range(2, m + 1),
+                t -> (z[t-1] - mu) * (z[t-1] - mu)), (a, b) -> a + b) END AS sxx
+        FROM (SELECT *, list_reduce(z, (a, b) -> a + b) / m AS mu FROM sz)
+    )
+), sres AS (
+    SELECT *, CASE WHEN p = 0
+                   THEN list_transform(z, v -> (v - mu) * (v - mu))
+                   ELSE list_transform(range(2, m + 1),
+                        t -> ((z[t] - mu) - coef * (z[t-1] - mu))
+                           * ((z[t] - mu) - coef * (z[t-1] - mu))) END AS r2,
+           CASE WHEN p = 0 THEN m ELSE m - 1 END AS nres
+    FROM scoef
+), ssig AS (
+    SELECT *, sqrt(list_reduce(r2, (a, b) -> a + b) / nres) AS sigma
+    FROM sres
+)
+SELECT profile_name,
+       '(' || p || ', ' || d || ', ' || q || ')' AS best_config,
+       round(prediction, 2) AS prediction,
+       round(sigma, 2) AS std_error,
+       round(prediction - 1.96 * sigma, 2) AS lower_bound,
+       round(prediction + 1.96 * sigma, 2) AS upper_bound,
+       TIMESTAMP '{START}' AS forecast_start
+FROM ssig
+""".replace("{START}", _FORECAST_START)
+   .replace("{BRANDS}",
+            ", ".join(f"'{b}'" for b in _SUBGRID_WINNER_BRANDS)))
+def m_arima_weekly_forecast_subgrid(spark, sf_dir):
+    """The FULL-grid ARIMA job's forecast values hash-gated wherever
+    SQL can reach them (r8 VERDICT item 2 / r7 #8): run the REAL
+    ``arima_job`` over the full reduced grid (18 orders — the same
+    grid as rows-only ``m_arima_weekly_forecast``) with the hybrid
+    kernel, then keep the brands whose FULL-grid argmin lands on the
+    closed-form sub-grid. For those brands the winning fit is a
+    sequential fold, so prediction, std_error, and both CI bounds
+    replay bit-equal in DuckDB; numpy-pinv winners stay rows-only in
+    the companion gate. Unlike ``m_arima_grid_ci`` (argmin among 4
+    fold orders only), this gate hashes the claim that the sub-grid
+    winner ALSO beat every q>0 order the full job tried."""
+    from .models import tsmodels
+
+    out = grouped.arima_job(
+        _weekly_brand_revenue(spark, sf_dir), _FORECAST_START,
+        orders=[(p, d, q) for p in range(0, 3) for d in range(0, 2)
+                for q in range(0, 3)],
+        walk_forward_fn=tsmodels.arima_hybrid_walk_forward,
+    )
+    fold = [str(o) for o in tsmodels.FOLD_GRID]
+    return out.filter(F.col("best_config").isin(fold)).select(
+        "profile_name", "best_config",
+        F.round("prediction", 2).alias("prediction"),
+        F.round("std_error", 2).alias("std_error"),
+        F.round("lower_bound", 2).alias("lower_bound"),
+        F.round("upper_bound", 2).alias("upper_bound"),
+        "forecast_start",
+    )
+
+
 @register("m_holt_weekly_forecast", oracle=f"""
 WITH RECURSIVE weekly AS (
 {_FULL_WEEKLY_SQL}
