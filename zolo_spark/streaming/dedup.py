@@ -65,3 +65,49 @@ def streaming_distinct_counts(state: dict,
     from ..ops import sketches
 
     return sketches.hll_estimate(state["registers"], group_cols)
+
+
+def minhash_index_sink(batch: DataFrame, state: dict,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       n: int = 3, threshold: float = 0.7,
+                       class_key: str = "chain") -> DataFrame:
+    """``foreachBatch`` body for streaming NEAR-dup index maintenance
+    — the MinHash sibling of :func:`hll_register_sink` (r8 VERDICT
+    item 5): dedup the arriving micro-batch against the running
+    signature index with
+    :func:`zolo_spark.llm.dedup.incremental_minhash_dedup` (batch×
+    index band join only — never index×index), then append the
+    batch's signatures to the index. Returns the batch's near-dup
+    pairs and accumulates them in ``state["pairs"]``.
+
+    Replay-idempotent for at-least-once sinks: arriving docs whose
+    ``doc_id`` is already indexed are dropped up front (anti-join on
+    the id — a redelivered micro-batch contributes zero new pairs and
+    zero index rows), mirroring the register-MAX idempotence of the
+    HLL sink. ``state["index"]`` is the signature table (in
+    production: the persisted warehouse index this module's batch
+    path maintains; here an in-memory frame lineage-cut per batch so
+    stream ≡ repeated-batch equivalence is pytest-checkable).
+    """
+    from ..llm import dedup
+
+    spark = batch.sparkSession
+    idx = state.get("index")
+    if idx is not None:
+        seen = idx.select(id_col)
+        batch = batch.join(seen, id_col, "left_anti")
+    new_idx = dedup.build_dedup_index(batch, text_col, id_col, n,
+                                      class_key)
+    if idx is None:
+        idx = spark.createDataFrame([], new_idx.schema)
+    pairs = dedup.incremental_minhash_dedup(
+        batch, idx, text_col, id_col, n, threshold, class_key)
+    # lineage-cut both running frames: without this every micro-batch
+    # chains the whole stream's plan (the localCheckpoint-per-round
+    # pattern from llm/corpus.py's label propagation)
+    state["index"] = idx.unionByName(new_idx).localCheckpoint()
+    pairs = pairs.localCheckpoint()
+    prev = state.get("pairs")
+    state["pairs"] = (pairs if prev is None
+                      else prev.unionByName(pairs).localCheckpoint())
+    return pairs
