@@ -231,6 +231,93 @@ class Warehouse:
         shutil.rmtree(trash)
         return files_before, self.file_stats(table)[0]
 
+    # ---------------------------------------------------------------
+    # Transactional append: manifest + watermark in ONE atomic rename.
+    # The reference's watermark lives in config.yml and commits AFTER
+    # the load (square_ETL.py:20-22,53-56), so a crash between the two
+    # re-extracts the window and appends duplicates (at-least-once,
+    # S10). Here the table's committed contents are DEFINED by a
+    # manifest file that also carries the watermark: data files are
+    # written invisible, then one os.replace of the manifest publishes
+    # files and watermark together — the crash window is closed by
+    # construction (the Iceberg/Delta snapshot-commit pattern; on an
+    # object store the rename becomes a conditional PUT of the
+    # manifest pointer).
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self.path(table), "_MANIFEST.json")
+
+    def _read_manifest(self, table: str) -> dict:
+        import json
+
+        p = self._manifest_path(table)
+        if not os.path.exists(p):
+            return {"files": [], "watermarks": {}}
+        with open(p) as f:
+            return json.load(f)
+
+    def append_commit(self, df: DataFrame, table: str,
+                      watermark_key: str | None = None,
+                      watermark_value: str | None = None) -> None:
+        """Exactly-once append: stage the batch's parquet under an
+        invisible batch directory, then publish (manifest file list +
+        watermark) with one atomic manifest rename. A crash at ANY
+        point before the rename leaves the watermark unmoved and the
+        staged files unreferenced, so the rerun re-extracts the same
+        window and commits it once — zero duplicates without
+        ``dedupe_on`` (pytest injects the crash)."""
+        import json
+        import uuid
+
+        want = schemas.WAREHOUSE_TABLES[table]
+        df = df.select([F.col(f.name).cast(f.dataType) for f in want.fields])
+        batch_dir = f"batch-{uuid.uuid4().hex}"
+        out = os.path.join(self.path(table), batch_dir)
+        df.write.mode("overwrite").parquet(out)
+        new_files = sorted(
+            os.path.join(batch_dir, fn) for fn in os.listdir(out)
+            if fn.endswith(".parquet"))
+        man = self._read_manifest(table)
+        man["files"] = man["files"] + new_files
+        if watermark_key is not None:
+            man["watermarks"][watermark_key] = watermark_value
+        tmp = self._manifest_path(table) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, self._manifest_path(table))  # THE commit point
+
+    def read_committed(self, table: str) -> DataFrame:
+        """The manifest-defined contents — staged-but-uncommitted
+        batch directories are invisible here by construction."""
+        man = self._read_manifest(table)
+        if not man["files"]:
+            return self.spark.createDataFrame(
+                [], schemas.WAREHOUSE_TABLES[table])
+        paths = [os.path.join(self.path(table), rel)
+                 for rel in man["files"]]
+        return self.spark.read.schema(
+            schemas.WAREHOUSE_TABLES[table]).parquet(*paths)
+
+    def committed_watermark(self, table: str, key: str,
+                            default: str = "1970-01-01T00:00:00") -> str:
+        """The watermark that committed WITH the data — the extract
+        lower bound a rerun must use for exactly-once semantics."""
+        return self._read_manifest(table)["watermarks"].get(key, default)
+
+    def vacuum_uncommitted(self, table: str) -> int:
+        """Remove staged batch directories no manifest references
+        (crash leftovers); returns the number removed. Safe at any
+        time: committed files are exactly the manifest's list."""
+        man = self._read_manifest(table)
+        live = {rel.split(os.sep)[0] for rel in man["files"]}
+        removed = 0
+        root = self.path(table)
+        for entry in os.listdir(root):
+            if entry.startswith("batch-") and entry not in live:
+                shutil.rmtree(os.path.join(root, entry))
+                removed += 1
+        return removed
+
     def _with_zorder_key(self, df: DataFrame, zorder_by: list[str],
                          bits: int) -> DataFrame:
         """Append ``_zkey``: Morton interleave of the z-order columns
