@@ -764,3 +764,33 @@ def test_streaming_minhash_index_matches_batch_and_survives_replay(spark):
     assert state["index"].count() == n_idx
     assert {(r["doc1"], r["doc2"])
             for r in state["pairs"].collect()} == want
+
+
+def test_streaming_countmin_matches_batch_and_dedups_redelivery(spark):
+    """The additive count-min sink must equal the single-pass sketch
+    after N micro-batches, and — since SUM is not idempotent — must
+    drop a redelivered batch id instead of double-counting."""
+    from zolo_spark.ops import sketches
+    from zolo_spark.streaming.dedup import (cm_register_sink,
+                                            streaming_heavy_hitters)
+
+    rows = [("g", i % 25) for i in range(1000)] + [("g", 777)] * 200
+    df = spark.createDataFrame(rows, "grp string, k long")
+    single = {tuple(r) for r in
+              sketches.cm_sketch(df, "k", ["grp"]).collect()}
+
+    state: dict = {}
+    batches = [df.filter((F.col("k") % 3) == r) for r in range(3)]
+    for i, b in enumerate(batches):
+        state["batch_id"] = i
+        cm_register_sink(b, state, "k", ["grp"])
+    assert {tuple(r) for r in state["sketch"].collect()} == single
+
+    state["batch_id"] = 1  # redelivery: must be a no-op
+    cm_register_sink(batches[1], state, "k", ["grp"])
+    assert {tuple(r) for r in state["sketch"].collect()} == single
+
+    cands = df.select("grp", "k").distinct()
+    est = {r["k"]: r["cm_count"] for r in streaming_heavy_hitters(
+        state, cands, "k", ["grp"]).collect()}
+    assert est[777] >= 200  # the hot key is visible from the stream

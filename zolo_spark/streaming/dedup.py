@@ -111,3 +111,48 @@ def minhash_index_sink(batch: DataFrame, state: dict,
     state["pairs"] = (pairs if prev is None
                       else prev.unionByName(pairs).localCheckpoint())
     return pairs
+
+
+def cm_register_sink(batch: DataFrame, state: dict, key_col: str,
+                     group_cols: list[str]) -> None:
+    """``foreachBatch`` body for streaming hot-key maintenance: each
+    micro-batch's count-min cells SUM-merge into the running sketch —
+    the additive sibling of :func:`hll_register_sink`, feeding
+    skew/salting decisions without an exact per-key count over
+    history.
+
+    Unlike MAX-merged HLL registers, SUM is NOT replay-idempotent, so
+    the sink tracks delivered batch ids (in production: the
+    foreachBatch ``batchId`` recorded in the same transactional
+    manifest as the sketch; here ``state["seen"]``) and drops
+    redeliveries before merging — the standard exactly-once recipe
+    for additive streaming aggregates.
+    """
+    from ..ops import sketches
+
+    # callers pass the foreachBatch batchId via state["batch_id"];
+    # standalone use falls back to a monotone counter
+    bid = state.pop("batch_id", None)
+    if bid is None:
+        bid = state.get("next_id", 0)
+        state["next_id"] = bid + 1
+    seen = state.setdefault("seen", set())
+    if bid in seen:
+        return
+    seen.add(bid)
+    sk = sketches.cm_sketch(batch, key_col, group_cols)
+    prev = state.get("sketch")
+    merged = sk if prev is None else sketches.cm_merge(prev, sk)
+    state["sketch"] = batch.sparkSession.createDataFrame(
+        merged.collect(), merged.schema)  # ≤ depth×width rows per group
+
+
+def streaming_heavy_hitters(state: dict, candidates: DataFrame,
+                            key_col: str,
+                            group_cols: list[str]) -> DataFrame:
+    """Point estimates for candidate keys against the maintained
+    sketch (see :func:`zolo_spark.ops.sketches.cm_lookup`)."""
+    from ..ops import sketches
+
+    return sketches.cm_lookup(state["sketch"], candidates, key_col,
+                              group_cols)
