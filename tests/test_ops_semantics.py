@@ -616,3 +616,29 @@ def test_countmin_lookup_of_absent_key_is_bounded(spark):
     probe = spark.createDataFrame([("g", 10_000_019)], "grp string, k long")
     out = sketches.cm_lookup(sk, probe, "k", ["grp"]).collect()
     assert len(out) == 1 and 0 <= out[0]["cm_count"] <= 20
+
+
+def test_targeted_salted_join_equals_plain_join(spark):
+    """Sketch-targeted salting must reproduce the plain join exactly
+    for every big-side-preserving how, while exploding only the hot
+    keys' dimension rows."""
+    from zolo_spark.ops import skew
+
+    big_rows = ([("k%d" % (i % 50), i) for i in range(2000)]
+                + [("hot", i) for i in range(3000)]
+                + [(None, -1)] * 5)
+    big = spark.createDataFrame(big_rows, "key string, v long")
+    small = spark.createDataFrame(
+        [("k%d" % i, "dim%d" % i) for i in range(40)] + [("hot", "dimH")],
+        "key string, label string")
+
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        want = {tuple(r) for r in big.join(small, "key", how).collect()}
+        got = {tuple(r) for r in skew.targeted_salted_join(
+            big, small, "key", n_salts=4, max_hot_keys=8, how=how
+        ).collect()}
+        assert got == want, how
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        skew.targeted_salted_join(big, small, "key", how="full_outer")

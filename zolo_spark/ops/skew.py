@@ -84,3 +84,48 @@ def skew_profile(df: DataFrame, key: str, k: int = 20) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col(key))
         .limit(k)
     )
+
+
+def targeted_salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    max_hot_keys: int = 64,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew join that salts ONLY the hot keys: detect the heaviest
+    ``max_hot_keys`` values of ``key`` with the count-min sketch
+    (:func:`zolo_spark.ops.sketches.cm_heavy_hitters` — fixed-size
+    summary, no exact per-key groupBy), route those rows through
+    :func:`salted_join` while the cold long tail takes the plain join.
+
+    This is the production shape at 100 TB: blanket salting explodes
+    the WHOLE small side ``n_salts``× (n× shuffle volume for keys that
+    never needed it); targeted salting explodes only the ≤
+    ``max_hot_keys`` hot keys' dimension rows, so the extra shuffle
+    volume is O(hot_keys × n_salts) rows regardless of corpus size.
+    The only driver exchange is the ≤``max_hot_keys`` hot-key list
+    (count-min estimates never undercount, so a genuinely hot key
+    cannot be missed by UNDER-estimation — at worst a lukewarm key is
+    salted needlessly). Output is exactly the plain join's for every
+    big-side-preserving ``how`` (pytest-pinned).
+    """
+    from .sketches import cm_heavy_hitters
+
+    if how.lower().replace("_", "") not in {h.replace("_", "")
+                                            for h in _SAFE_HOW}:
+        raise ValueError(
+            f"targeted_salted_join supports inner/left/semi/anti, got "
+            f"{how!r}: right/full outer would duplicate unmatched "
+            "small-side rows once per salt")
+    hot = [r[key] for r in
+           cm_heavy_hitters(big, key, [], k=max_hot_keys).collect()]
+    if not hot:
+        return big.join(small, key, how)
+    big_hot = big.filter(F.col(key).isin(hot))
+    big_cold = big.filter(~F.col(key).isin(hot) | F.col(key).isNull())
+    small_hot = small.filter(F.col(key).isin(hot))
+    cold = big_cold.join(small, key, how)
+    hot_joined = salted_join(big_hot, small_hot, key, n_salts, how)
+    return cold.unionByName(hot_joined)
