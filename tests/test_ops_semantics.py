@@ -642,3 +642,44 @@ def test_targeted_salted_join_equals_plain_join(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         skew.targeted_salted_join(big, small, "key", how="full_outer")
+
+
+# ------------------------------------------------------ bloom filter
+
+def test_bloom_no_false_negatives_and_idempotent_merge(spark):
+    """Present keys ALWAYS pass (the one-sided guarantee pruning
+    relies on); shard OR-merge == single pass AND re-merging a shard
+    is a no-op (idempotent — the property that lets a streaming sink
+    skip delivery dedup, unlike the additive count-min)."""
+    from zolo_spark.ops import sketches
+
+    dim = spark.createDataFrame([(i,) for i in range(0, 400, 2)], "k long")
+    fact = spark.createDataFrame(
+        [(i,) for i in range(400)] + [(None,)], "k long")
+    got = {r["k"] for r in sketches.bloom_prune(fact, dim, "k").collect()}
+    present = set(range(0, 400, 2))
+    assert present <= got            # no false negatives, ever
+    assert None not in got           # NULL is never "in" a set
+    fp_rate = len(got - present) / 200
+    assert fp_rate < 0.05            # m=8192, k=4, n=200 -> ~1e-4
+
+    a = sketches.bloom_build(dim.filter("k < 200"), "k", [])
+    b = sketches.bloom_build(dim.filter("k >= 200"), "k", [])
+    single = {tuple(r) for r in sketches.bloom_build(dim, "k", []).collect()}
+    merged = sketches.bloom_merge(a, b)
+    assert {tuple(r) for r in merged.collect()} == single
+    assert {tuple(r) for r in
+            sketches.bloom_merge(merged, b).collect()} == single
+
+
+def test_bloom_prune_is_codegen_joinless_on_fact(spark):
+    """The probe side must be a pure filter over a literal word array
+    — no join, no shuffle, no Python eval on the fact."""
+    from zolo_spark.ops import sketches
+
+    dim = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    fact = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    plan = sketches.bloom_prune(fact, dim, "k") \
+        ._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Join", "Exchange", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad

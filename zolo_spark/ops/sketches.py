@@ -360,3 +360,105 @@ def cm_heavy_hitters(df: DataFrame, key_col: str, group_cols: list[str],
         .orderBy(F.col("cm_count").desc(), F.col(key_col))
     return (est.withColumn("rank", F.row_number().over(win))
             .filter(F.col("rank") <= k))
+
+
+# ------------------------------------------------ bloom membership
+
+BLOOM_BITS = 8192     # m: filter width in bits (256 x 32-bit words)
+BLOOM_HASHES = 4      # k: independent 8-hex md5 slices, as in cm_sketch
+_BLOOM_WORD = 32      # word width; bits stay < 32 so every word is a
+                      # positive int in BOTH engines (1<<63 would wrap)
+
+
+def _bloom_positions(key_col: str, m_bits: int, k_hashes: int):
+    md5 = F.md5(F.col(key_col).cast("string"))
+    return [
+        F.conv(F.substring(md5, 1 + 8 * r, 8), 16, 10).cast("long") % m_bits
+        for r in range(k_hashes)
+    ]
+
+
+def bloom_build(df: DataFrame, key_col: str,
+                group_cols: list[str] | None = None,
+                m_bits: int = BLOOM_BITS,
+                k_hashes: int = BLOOM_HASHES) -> DataFrame:
+    """(group..., word_idx, word) — a Bloom filter over the keys,
+    packed into 32-bit words: k independent 8-hex md5 slices per key
+    (md5's 32 hex chars fund up to 4, the cm_sketch discipline), bit
+    positions OR-combined per word with one map-side-combined
+    ``bit_or`` shuffle. At most ``m_bits/32`` rows per group survive
+    regardless of cardinality. NULL keys are ignored (a NULL is never
+    "in" a set). Words OR-merge across shards (:func:`bloom_merge`) —
+    idempotent AND commutative, so streaming maintenance needs no
+    delivery dedup, unlike the additive count-min."""
+    if k_hashes > 4:
+        raise ValueError("k_hashes > 4 needs more hash material than one md5")
+    group_cols = group_cols or []
+    pos = F.explode(F.array(*_bloom_positions(key_col, m_bits, k_hashes)))
+    exploded = (df.where(F.col(key_col).isNotNull())
+                .select(*group_cols, pos.alias("p")))
+    # 2^(p%32) via float pow, exact below 2^52 and byte-identical in
+    # DuckDB (shiftleft with a COLUMN shift has no DataFrame surface)
+    return (
+        exploded.select(
+            *group_cols,
+            F.floor(F.col("p") / _BLOOM_WORD).cast("long").alias("word_idx"),
+            F.pow(F.lit(2.0), F.col("p") % _BLOOM_WORD)
+            .cast("long").alias("b"))
+        .groupBy(*group_cols, "word_idx")
+        .agg(F.bit_or("b").alias("word"))
+    )
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """OR-merge shard filters — the idempotent member of the sketch
+    family's merge trio (HLL MAX, count-min SUM, bloom OR)."""
+    merged = blooms[0]
+    for b in blooms[1:]:
+        merged = merged.unionByName(b)
+    keys = [c for c in merged.columns if c != "word"]
+    return merged.groupBy(*keys).agg(F.bit_or("word").alias("word"))
+
+
+def bloom_words_literal(bloom: DataFrame,
+                        m_bits: int = BLOOM_BITS) -> list[int]:
+    """Collect an UNGROUPED filter to a dense ``m_bits/32``-int word
+    list (missing words = 0) — a bounded driver exchange (256 ints at
+    the default width) that :func:`bloom_prune` embeds as a literal
+    array, the runtime-filter shape that needs NO join on the fact."""
+    words = [0] * (m_bits // _BLOOM_WORD)
+    for r in bloom.collect():  # ≤ m_bits/32 rows by construction
+        words[r["word_idx"]] = r["word"]
+    return words
+
+
+def bloom_might_contain(key_col: str, words: list[int],
+                        m_bits: int = BLOOM_BITS,
+                        k_hashes: int = BLOOM_HASHES):
+    """Boolean Column: all k bits set in the literal word array —
+    pure codegen (md5 + element_at + shiftright), zero joins, zero
+    shuffle on the probed side. One-sided: a present key ALWAYS
+    passes; an absent key passes with p ≈ (1-e^(-kn/m))^k."""
+    arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    cond = F.lit(True)
+    for p in _bloom_positions(key_col, m_bits, k_hashes):
+        word = F.element_at(arr, F.floor(p / _BLOOM_WORD).cast("int") + 1)
+        mask = F.pow(F.lit(2.0), p % _BLOOM_WORD).cast("long")
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    return cond
+
+
+def bloom_prune(fact: DataFrame, dim_keys: DataFrame, key_col: str,
+                m_bits: int = BLOOM_BITS,
+                k_hashes: int = BLOOM_HASHES) -> DataFrame:
+    """Pre-join pruning: drop fact rows whose key CANNOT be in the
+    dimension key set — the Bloom runtime-filter a 100 TB semi-join
+    pushes below the shuffle (Spark's own runtime filters / Iceberg
+    DPP shape). Build the filter over the (small) dimension side, ship
+    it as a literal array, filter the fact with pure codegen; the
+    survivors still need the real join (false positives pass), but
+    the shuffle now moves only plausibly-matching rows."""
+    words = bloom_words_literal(
+        bloom_build(dim_keys, key_col, [], m_bits, k_hashes), m_bits)
+    return fact.where(
+        bloom_might_contain(key_col, words, m_bits, k_hashes))

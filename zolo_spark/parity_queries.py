@@ -187,7 +187,16 @@ _GRADING_PRIORITY = [
     # hashed unigram+bigram features, smoothed target-vs-raw log
     # ratios, exact-DECIMAL importance weights, partial-top-k select.
     "a13_hll_distinct_portable", "llm_dsir_select",
-    "llm_minhash_lsh_dedup", "llm_incremental_dedup",
+    # Round-9 rotation: llm_minhash_lsh_dedup (green r2–r8, seven
+    # rounds; the LSH band machinery stays in-window via
+    # llm_minhash_lsh_capped, llm_incremental_dedup, and
+    # llm_dedup_pipeline, and its dedup.py region is untouched this
+    # round) hands its slot to a16_bloom_membership — the Bloom
+    # runtime-filter (semi-join pushdown) completing the portable
+    # sketch family's merge trio: HLL MAX, histogram/count-min SUM,
+    # bloom OR, with the one-sided membership guarantee value-hashed
+    # per key.
+    "a16_bloom_membership", "llm_incremental_dedup",
     # Round-6 build: exact-dedup-first + uncapped LSH composition
     # (slot from the rotated-out probe_ts_epoch_us_cast).
     "llm_dedup_pipeline",

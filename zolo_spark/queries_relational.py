@@ -1183,6 +1183,67 @@ def a15(spark, sf_dir):
     )
 
 
+@register("a16_bloom_membership", oracle="""
+WITH dimk AS (
+    SELECT DISTINCT s_suppkey AS k FROM supplier WHERE s_acctbal > 5000
+), rows4 AS (SELECT unnest([0, 1, 2, 3]) AS r),
+pos AS (
+    SELECT k, ('0x' || substr(md5(k::VARCHAR), 1 + 8 * r, 8))::BIGINT
+              % 8192 AS p
+    FROM dimk CROSS JOIN rows4
+), bloom AS (
+    SELECT p // 32 AS word_idx,
+           bit_or(CAST(pow(2, p % 32) AS BIGINT)) AS word
+    FROM pos GROUP BY 1
+), factk AS (
+    SELECT DISTINCT l_suppkey AS k FROM lineitem
+), fpos AS (
+    SELECT k, ('0x' || substr(md5(k::VARCHAR), 1 + 8 * r, 8))::BIGINT
+              % 8192 AS p
+    FROM factk CROSS JOIN rows4
+), checkbits AS (
+    SELECT f.k,
+           MIN(CASE WHEN (b.word & CAST(pow(2, f.p % 32) AS BIGINT)) <> 0
+                    THEN 1 ELSE 0 END) AS allset
+    FROM fpos f LEFT JOIN bloom b ON f.p // 32 = b.word_idx
+    GROUP BY f.k
+)
+SELECT c.k AS l_suppkey, (allset = 1) AS bloom_pass,
+       (d.k IS NOT NULL) AS present
+FROM checkbits c LEFT JOIN dimk d ON c.k = d.k
+""")
+def a16(spark, sf_dir):
+    """Bloom runtime-filter membership — the IDEMPOTENT member of the
+    portable sketch family (HLL MAX / histogram+count-min SUM / bloom
+    OR): k=4 independent 8-hex md5 slices per key into m=8192 bits
+    packed as 32-bit words, built over the filtered supplier keys and
+    probed by every distinct lineitem suppkey as a LITERAL word array
+    — pure codegen on the fact side, zero joins, zero shuffle (the
+    semi-join pushdown / DPP shape a 100 TB fact⋈dim wants below its
+    shuffle). Hash-gates bloom_pass AND exact membership per key, so
+    the one-sided guarantee (present ⇒ pass) is value-checked row by
+    row; ``ops/sketches.py`` (bloom_build/bloom_prune)."""
+    from .ops import sketches
+
+    sup = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (sup.filter(F.col("s_acctbal") > 5000)
+           .select(F.col("s_suppkey").alias("k")).distinct())
+    words = sketches.bloom_words_literal(
+        sketches.bloom_build(dim, "k", []))
+    factk = li.select(F.col("l_suppkey").alias("k")).distinct()
+    probed = factk.select(
+        F.col("k").alias("l_suppkey"),
+        sketches.bloom_might_contain("k", words).alias("bloom_pass"))
+    return (
+        probed.join(dim.select(F.col("k").alias("l_suppkey"),
+                               F.lit(1).alias("_p")),
+                    "l_suppkey", "left")
+        .select("l_suppkey", "bloom_pass",
+                F.col("_p").isNotNull().alias("present"))
+    )
+
+
 def _zorder_oracle() -> str:
     """Replay of the 2-dim × 8-bit Morton interleave as a generated
     integer expression: bit i of dim d lands at position 2i+d."""
