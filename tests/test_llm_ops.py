@@ -1738,3 +1738,37 @@ def test_semdedup_k_is_driver_bounded():
 
     sig = inspect.signature(corpus.corpus_pipeline)
     assert sig.parameters["max_k"].default is None
+
+
+def test_dsir_sample_is_seeded_weighted_and_reshard_stable(spark):
+    """Gumbel-top-k DSIR: deterministic per (id, seed) — reruns and
+    reshards agree exactly; different seeds draw different sets; the
+    draw is weight-BIASED (target-like docs selected far above their
+    count share) without being the deterministic argmax."""
+    from pyspark.sql import functions as F
+
+    from zolo_spark.llm import dsir
+
+    target_like = [(i, "machine learning models train on data")
+                   for i in range(20)]
+    noise = [(100 + i, f"random text number {i} about nothing")
+             for i in range(180)]
+    df = spark.createDataFrame(target_like + noise,
+                               "doc_id long, text string")
+    target = df.filter(F.col("doc_id") < 5).select("doc_id")
+
+    a = {r["doc_id"] for r in dsir.dsir_sample(df, target, k=30).collect()}
+    b = {r["doc_id"] for r in dsir.dsir_sample(df, target, k=30).collect()}
+    assert a == b  # rerun-stable
+    c = {r["doc_id"] for r in dsir.dsir_sample(
+        df.repartition(13), target, k=30).collect()}
+    assert a == c  # reshard-stable (id-pure noise)
+    d = {r["doc_id"] for r in dsir.dsir_sample(
+        df, target, k=30, seed=99).collect()}
+    assert a != d  # a different seed is a different draw
+    # weighted: target-like docs are 10% of the corpus but must
+    # dominate the draw (their log-w is far higher)
+    assert len([i for i in a if i < 100]) >= 15
+    # sampling, not argmax: the draw differs from deterministic top-k
+    topk = {r["doc_id"] for r in dsir.dsir_select(df, target, k=30).collect()}
+    assert a != topk

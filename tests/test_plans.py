@@ -411,3 +411,44 @@ def test_temperature_mix_never_shuffles_corpus(spark):
         .executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_countmin_heavy_hitters_plan_topk_broadcast_no_smj(spark):
+    """The hot-key extraction must plan as a partial top-k
+    (WindowGroupLimit / TakeOrdered) over a BROADCAST sketch lookup —
+    a SortMergeJoin against the ≤depth×width-row sketch or a global
+    sort of the candidates would be wrong at any scale."""
+    from pyspark.sql import functions as F
+
+    from zolo_spark.ops import sketches
+
+    df = spark.createDataFrame(
+        [("g", i % 40) for i in range(800)], "grp string, k long")
+    plan = sketches.cm_heavy_hitters(df, "k", ["grp"], k=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
+
+
+def test_dsir_sample_plan_matches_select_shape(spark):
+    """Gumbel sampling adds one codegen expression — the plan must
+    keep dsir_select's shape: partial top-k, broadcast ratio join, two
+    passes over the exploded feature lineage, no Python eval."""
+    from pyspark.sql import functions as F
+
+    from zolo_spark.llm import dsir
+
+    df = spark.createDataFrame(
+        [(i, f"token{i} shared words here") for i in range(40)],
+        "doc_id long, text string")
+    target = df.filter(F.col("doc_id") < 5).select("doc_id")
+    plan = dsir.dsir_sample(df, target, k=10)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Generate") <= 2
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
