@@ -1244,6 +1244,29 @@ def test_corpus_pipeline_partial_embedding_coverage(spark):
     assert ids == {1, 3, 4, 5, 6}  # 2 = semantic dup; 5,6 unembedded KEPT
 
 
+def test_corpus_pipeline_caps_thread_through_and_are_loose_noops(spark):
+    """r9 VERDICT item 3: the capped deployment configuration
+    (max_bucket + max_k) must run through the SIGNATURE, no code
+    edits, and caps looser than the data's bucket sizes must not
+    change the output (the recall trade only bites on genuinely hot
+    buckets)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "en", "s1", 22),
+         (2, "alpha beta gamma delta", "en", "s1", 22),   # exact dup
+         (3, "alpha beta gamma delta epsilon", "en", "s2", 30),  # near dup
+         (4, "wholly different text body here", "en", "s2", 31)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (3, [0.0, 1.0]), (4, [0.7, 0.7])],
+        "vec_id long, embedding array<double>")
+    kw = dict(cap=5, quality_min=0.0, min_tokens=1, max_punct=1.0)
+    want = {tuple(r) for r in
+            corpus.corpus_pipeline(docs, emb, **kw).collect()}
+    got = {tuple(r) for r in corpus.corpus_pipeline(
+        docs, emb, max_bucket=500, max_k=1024, **kw).collect()}
+    assert got == want and len(got) > 0
+
+
 def test_kmeans_train_sparse_offset_ids(spark):
     """Round-8 ADVICE: seeding is rank-based (the k lowest ids), so an
     id space that is sparse/offset (no ids < k) still yields exactly k
@@ -1500,6 +1523,27 @@ def test_dsir_ranks_target_like_docs_first(spark):
         ranked.index(d) for d in [20, 21, 22])
     ws = [r["dsir_weight"] for r in out]
     assert ws == sorted(ws, reverse=True)
+
+
+def test_dsir_target_duplicates_do_not_skew_ratios(spark):
+    """r9 ADVICE (dsir.py): duplicate doc_ids in target_ids must not
+    fan out the one-pass marginal's flag join — rc and tc (hence every
+    log-ratio) must match the deduplicated call exactly."""
+    from pyspark.sql import functions as F
+
+    from zolo_spark.llm import dsir
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i}") for i in range(8)],
+        "doc_id long, text string")
+    feats = dsir.hashed_ngram_features(df)
+    clean = df.filter(F.col("doc_id") < 3).select("doc_id")
+    dup = clean.union(clean).union(clean.limit(1))  # 3 → 7 rows
+    want = {r["bucket"]: r["lr"]
+            for r in dsir.dsir_log_ratios(feats, clean).collect()}
+    got = {r["bucket"]: r["lr"]
+           for r in dsir.dsir_log_ratios(feats, dup).collect()}
+    assert got == want
 
 
 def test_dsir_handles_empty_and_whitespace_docs(spark):

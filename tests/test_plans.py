@@ -433,6 +433,60 @@ def test_countmin_heavy_hitters_plan_topk_broadcast_no_smj(spark):
         assert bad not in plan
 
 
+def test_targeted_join_hot_key_probe_is_bounded(spark, tmp_path):
+    """r9 VERDICT item 5: the hot-key probe must not fall back to a
+    corpus-wide ``.distinct()`` at the default setting — with a
+    ``candidates`` frame the corpus is scanned exactly ONCE (the
+    fixed-size sketch pass), and ``targeted_salted_join`` defaults
+    ``candidates`` to the SMALL side's keys."""
+    from pyspark.sql import functions as F
+
+    from zolo_spark.ops import skew, sketches
+
+    p = str(tmp_path / "big")
+    spark.createDataFrame(
+        [("k%d" % (i % 50), i) for i in range(500)] + [("hot", -1)] * 200,
+        "key string, v long").write.parquet(p)
+    big = spark.read.parquet(p)
+    small = spark.createDataFrame(
+        [("k%d" % i, "d%d" % i) for i in range(10)] + [("hot", "dH")],
+        "key string, label string")
+
+    est = sketches.cm_heavy_hitters(
+        big, "key", [], k=8, candidates=small.select("key"))
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    # one parquet scan: the sketch. A second would be the corpus-wide
+    # distinct the bounded candidate pass exists to avoid.
+    assert plan.count("Scan parquet") == 1
+    # default = no candidates -> documented small-data fallback: the
+    # corpus IS the candidate frame (second scan)
+    fallback = sketches.cm_heavy_hitters(big, "key", [], k=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert fallback.count("Scan parquet") == 2
+
+    # targeted_salted_join's default candidate frame is the small side
+    seen = {}
+    real = sketches.cm_heavy_hitters
+
+    def capture(df, key_col, group_cols, **kw):
+        seen["candidates"] = kw.get("candidates")
+        return real(df, key_col, group_cols, **kw)
+
+    import zolo_spark.ops.sketches as sk_mod
+    orig = sk_mod.cm_heavy_hitters
+    sk_mod.cm_heavy_hitters = capture
+    try:
+        out = skew.targeted_salted_join(big, small, "key", n_salts=4,
+                                        max_hot_keys=8)
+        want = {tuple(r) for r in big.join(small, "key").collect()}
+        assert {tuple(r) for r in out.collect()} == want
+    finally:
+        sk_mod.cm_heavy_hitters = orig
+    cand_plan = seen["candidates"]._jdf.queryExecution() \
+        .analyzed().toString()
+    assert "parquet" not in cand_plan  # small-side keys, not the corpus
+
+
 def test_dsir_sample_plan_matches_select_shape(spark):
     """Gumbel sampling adds one codegen expression — the plan must
     keep dsir_select's shape: partial top-k, broadcast ratio join, two

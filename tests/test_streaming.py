@@ -794,3 +794,35 @@ def test_streaming_countmin_matches_batch_and_dedups_redelivery(spark):
     est = {r["k"]: r["cm_count"] for r in streaming_heavy_hitters(
         state, cands, "k", ["grp"]).collect()}
     assert est[777] >= 200  # the hot key is visible from the stream
+
+
+def test_cm_sink_auto_ids_never_collide_with_batch_ids(spark):
+    """r9 ADVICE (streaming/dedup.py): a caller that sets batch_id once
+    and then calls standalone must not get synthetic ids that collide
+    with real foreachBatch ids — batch 1 delivered AFTER an auto call
+    must still merge (the old monotone fallback started at 0,1,... and
+    silently dropped it)."""
+    from zolo_spark.ops import sketches
+    from zolo_spark.streaming.dedup import cm_register_sink
+
+    rows = [("g", i % 10) for i in range(300)]
+    df = spark.createDataFrame(rows, "grp string, k long")
+    b0 = df.filter((F.col("k") % 3) == 0)
+    b1 = df.filter((F.col("k") % 3) == 1)
+    b2 = df.filter((F.col("k") % 3) == 2)
+
+    state: dict = {}
+    state["batch_id"] = 0
+    cm_register_sink(b0, state, "k", ["grp"])   # real id 0 (consumed)
+    cm_register_sink(b1, state, "k", ["grp"])   # auto -> ("auto", 0)
+    state["batch_id"] = 1
+    cm_register_sink(b2, state, "k", ["grp"])   # real id 1: must merge
+
+    single = {tuple(r) for r in
+              sketches.cm_sketch(df, "k", ["grp"]).collect()}
+    assert {tuple(r) for r in state["sketch"].collect()} == single
+
+    # true redelivery of a real id still drops
+    state["batch_id"] = 1
+    cm_register_sink(b2, state, "k", ["grp"])
+    assert {tuple(r) for r in state["sketch"].collect()} == single

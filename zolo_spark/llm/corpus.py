@@ -576,6 +576,7 @@ def corpus_pipeline(docs: DataFrame, emb: DataFrame, *,
                     quality_min: float = 0.5, min_tokens: int = 5,
                     max_punct: float = 0.3, cap: int = 15,
                     max_k: int | None = None,
+                    max_bucket: int | None = None,
                     source_col: str = "source",
                     id_col: str = "doc_id") -> DataFrame:
     """The full crawl-processing composition, in the order a web-scale
@@ -583,9 +584,11 @@ def corpus_pipeline(docs: DataFrame, emb: DataFrame, *,
 
     1. exact dedup (fingerprint groupBy — linear, collapses clone mass
        so every later stage sees true density);
-    2. MinHash-LSH near-dup over the exact survivors, UNCAPPED (safe
-       only because of step 1), dropping the higher-id member of each
-       verified pair;
+    2. MinHash-LSH near-dup over the exact survivors — uncapped by
+       default (safe only because of step 1); ``max_bucket`` threads
+       the hot-bucket cap through for the capped deployment
+       configuration (a crawl whose clone mass is NOT exact-identical
+       still produces giant LSH buckets step 1 can't collapse);
     3. SemDeDup over the survivors' embeddings — codebook trained by
        the DISTRIBUTED :func:`~zolo_spark.llm.similarity.kmeans_train`
        (1 Lloyd iteration from the rank-seeded init; cluster count
@@ -625,7 +628,8 @@ def corpus_pipeline(docs: DataFrame, emb: DataFrame, *,
         F.col("keep_id").alias(id_col))
     surv1 = docs.join(keep, id_col, "left_semi")
     pairs = _dedup.minhash_lsh_dedup(surv1, id_col=id_col,
-                                     threshold=jaccard)
+                                     threshold=jaccard,
+                                     max_bucket=max_bucket)
     cachereg.begin("corpus_pipeline")
     surv2 = cachereg.persist(
         surv1.join(pairs.select(F.col("doc2").alias(id_col)),

@@ -91,8 +91,12 @@ def dsir_log_ratios(feats: DataFrame, target_ids: DataFrame,
     rehearsal at 148.7 s). The result is ``buckets`` rows, meant to
     be broadcast.
     """
+    # distinct BEFORE the flag join: duplicate ids in target_ids would
+    # fan out feats rows and inflate BOTH rc and tc (the two-aggregate
+    # r8 form kept rc immune to target duplicates; the one-pass join
+    # must stay membership-pure, not multiplicity-weighted).
     flag = F.broadcast(
-        target_ids.select("doc_id").withColumn("_t", F.lit(1)))
+        target_ids.select("doc_id").distinct().withColumn("_t", F.lit(1)))
     marg = (
         feats.join(flag, "doc_id", "left")
         .groupBy("bucket")

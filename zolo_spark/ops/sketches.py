@@ -337,23 +337,31 @@ def cm_lookup(sketch: DataFrame, keys: DataFrame, key_col: str,
 
 def cm_heavy_hitters(df: DataFrame, key_col: str, group_cols: list[str],
                      k: int = 10, depth: int = CM_DEPTH,
-                     width: int = CM_WIDTH) -> DataFrame:
+                     width: int = CM_WIDTH,
+                     candidates: DataFrame | None = None) -> DataFrame:
     """Top-k keys per group by count-min estimate — (group..., key,
     cm_count, rank), rank ties broken by key for cross-engine
     determinism.
 
     Hot-key detection for :func:`skew_profile` / salted joins without
-    an exact per-key count: the sketch pass is fixed-size per group;
-    the candidate pass re-scans only (group, key) pairs — at 100 TB
-    the candidates are usually the CURRENT batch's keys probed against
-    a sketch merged over all history (:func:`cm_merge`), so no
-    historical data is ever re-scanned.  The rank filter sits directly
-    above its window, which Catalyst executes as a partial top-k
-    (WindowGroupLimit), never a global sort."""
+    an exact per-key count: the sketch pass is fixed-size per group,
+    and only candidate keys are ranked.  ``candidates`` is the bounded
+    frame to probe — at 100 TB pass the CURRENT batch's keys (or the
+    dimension side's keys) against a sketch merged over all history
+    (:func:`cm_merge`), so no historical data is ever re-scanned.
+    When omitted, the candidate set falls back to an exact
+    ``.distinct()`` over the corpus keys — fine at small data, but at
+    scale that is the same shuffle class as the exact groupBy the
+    sketch exists to avoid, so large deployments should always pass
+    ``candidates``.  The rank filter sits directly above its window,
+    which Catalyst executes as a partial top-k (WindowGroupLimit),
+    never a global sort."""
     from pyspark.sql import Window as W
 
     sketch = cm_sketch(df, key_col, group_cols, depth, width)
-    cands = df.where(F.col(key_col).isNotNull()) \
+    if candidates is None:
+        candidates = df  # small-data fallback: exact distinct below
+    cands = candidates.where(F.col(key_col).isNotNull()) \
         .select(*group_cols, key_col).distinct()
     est = cm_lookup(sketch, cands, key_col, group_cols, depth, width)
     win = (W.partitionBy(*group_cols) if group_cols else W.partitionBy()) \

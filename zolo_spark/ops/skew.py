@@ -93,6 +93,8 @@ def targeted_salted_join(
     n_salts: int = 8,
     max_hot_keys: int = 64,
     how: str = "inner",
+    candidates: DataFrame | None = None,
+    cm_width: int | None = None,
 ) -> DataFrame:
     """Skew join that salts ONLY the hot keys: detect the heaviest
     ``max_hot_keys`` values of ``key`` with the count-min sketch
@@ -105,13 +107,28 @@ def targeted_salted_join(
     never needed it); targeted salting explodes only the ≤
     ``max_hot_keys`` hot keys' dimension rows, so the extra shuffle
     volume is O(hot_keys × n_salts) rows regardless of corpus size.
-    The only driver exchange is the ≤``max_hot_keys`` hot-key list
-    (count-min estimates never undercount, so a genuinely hot key
-    cannot be missed by UNDER-estimation — at worst a lukewarm key is
-    salted needlessly). Output is exactly the plain join's for every
-    big-side-preserving ``how`` (pytest-pinned).
+    The only driver exchange is the ≤``max_hot_keys`` hot-key list.
+
+    ``candidates`` bounds the hot-key probe.  The default is the
+    SMALL side's keys — a distinct over the dimension frame, never a
+    corpus-wide exchange.  A hot big-side key absent from ``small``
+    then takes the cold path: the output is still exactly the plain
+    join's (pytest-pinned for every big-side-preserving ``how``), it
+    just isn't salted — pass an explicit ``candidates`` frame (e.g.
+    the current batch's keys) if unmatched hot keys dominate the
+    shuffle too.
+
+    Count-min caveat: estimates are one-sided (never UNDER-count), so
+    a genuinely hot candidate can't be missed by under-estimation, but
+    collided COLD keys can be OVER-estimated above a real hot key and
+    evict it from the top-``max_hot_keys`` list when distinct-key
+    cardinality far exceeds the sketch's ``depth × width`` cells.  The
+    evicted key takes the unsalted cold path — output stays correct,
+    only the skew mitigation degrades.  Size ``cm_width`` toward the
+    candidate cardinality (default ``sketches.CM_WIDTH`` = 256 cells ×
+    4 rows) for high-cardinality keys.
     """
-    from .sketches import cm_heavy_hitters
+    from .sketches import CM_DEPTH, CM_WIDTH, cm_heavy_hitters
 
     if how.lower().replace("_", "") not in {h.replace("_", "")
                                             for h in _SAFE_HOW}:
@@ -119,8 +136,13 @@ def targeted_salted_join(
             f"targeted_salted_join supports inner/left/semi/anti, got "
             f"{how!r}: right/full outer would duplicate unmatched "
             "small-side rows once per salt")
+    if candidates is None:
+        candidates = small.select(key)
     hot = [r[key] for r in
-           cm_heavy_hitters(big, key, [], k=max_hot_keys).collect()]
+           cm_heavy_hitters(big, key, [], k=max_hot_keys,
+                            depth=CM_DEPTH,
+                            width=cm_width or CM_WIDTH,
+                            candidates=candidates).collect()]
     if not hot:
         return big.join(small, key, how)
     big_hot = big.filter(F.col(key).isin(hot))

@@ -2571,3 +2571,19 @@ def llm_corpus_pipeline(spark, sf_dir):
     (12 sources over, 8 within)."""
     t = lambda n: _t(spark, sf_dir, n)  # noqa: E731
     return corpus.corpus_pipeline(t("documents"), t("embeddings"), cap=23)
+
+
+@register("llm_corpus_pipeline_capped", oracle=None)
+def llm_corpus_pipeline_capped(spark, sf_dir):
+    """The capstone in its CAPPED deployment configuration (r9 VERDICT
+    item 3): hot-LSH-bucket cap ``max_bucket=500`` + SemDeDup codebook
+    cap ``max_k=1024`` threaded through ``corpus_pipeline``'s
+    signature — the dials a 100 TB crawl run sets, exercised without
+    code edits. Rows-only bench entry: the cap is a deliberate
+    recall-for-boundedness trade, so its output is config-dependent by
+    design (the uncapped sibling llm_corpus_pipeline carries the value
+    hash; pytest pins that sf0.01-scale results are unchanged by caps
+    this loose)."""
+    t = lambda n: _t(spark, sf_dir, n)  # noqa: E731
+    return corpus.corpus_pipeline(t("documents"), t("embeddings"), cap=23,
+                                  max_bucket=500, max_k=1024)

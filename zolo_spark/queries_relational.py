@@ -1042,6 +1042,9 @@ WITH h AS (
     SELECT o_orderpriority AS grp,
            ('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))::BIGINT AS h
     FROM orders
+    WHERE o_custkey IS NOT NULL  -- NULL keys never occupy a register
+                                 -- (COUNT DISTINCT semantics; matches
+                                 -- the engine's r9 NULL-key filter)
 ), r AS (
     SELECT grp, h % 256 AS idx,
            CASE WHEN h // 256 = 0 THEN 25

@@ -127,15 +127,21 @@ def cm_register_sink(batch: DataFrame, state: dict, key_col: str,
     manifest as the sketch; here ``state["seen"]``) and drops
     redeliveries before merging — the standard exactly-once recipe
     for additive streaming aggregates.
+
+    Callers pass the foreachBatch ``batchId`` via ``state["batch_id"]``
+    (consumed per call — foreachBatch sets it fresh every invocation);
+    standalone use falls back to a monotone counter whose ids live in
+    the ``("auto", n)`` namespace, so a caller that mixes modes (sets
+    ``batch_id`` once, then stops) can never collide a synthetic id
+    with a real batch id and silently double-count or double-drop.
     """
     from ..ops import sketches
 
-    # callers pass the foreachBatch batchId via state["batch_id"];
-    # standalone use falls back to a monotone counter
     bid = state.pop("batch_id", None)
     if bid is None:
-        bid = state.get("next_id", 0)
-        state["next_id"] = bid + 1
+        n = state.get("next_id", 0)
+        state["next_id"] = n + 1
+        bid = ("auto", n)  # disjoint from any caller-supplied batchId
     seen = state.setdefault("seen", set())
     if bid in seen:
         return

@@ -137,6 +137,12 @@ class Warehouse:
         analog (S7/S8 mapping, SURVEY §2.1). The dedupe read then also
         goes through JDBC so idempotency holds against the actual
         destination table."""
+        if jdbc_url is None and self._has_manifest(table):
+            raise ValueError(
+                f"table {table} is manifest-managed (append_commit); a "
+                "plain append would write files the manifest never "
+                "references — commit through append_commit instead"
+            )
         if dedupe_on:
             try:
                 src = (self.read_jdbc(jdbc_url, table) if jdbc_url
@@ -201,6 +207,14 @@ class Warehouse:
                 "bucketed tables carry their layout in the catalog; "
                 "compact via INSERT OVERWRITE to preserve the bucket spec"
             )
+        if self._has_manifest(table):
+            # Manifest tables must keep manifest + files consistent: a
+            # directory swap here would strand _MANIFEST.json in the
+            # __old dir and silently reset the committed watermark to
+            # epoch. Rewrite committed data as ONE new batch and
+            # republish the manifest atomically instead.
+            return self._compact_committed(
+                table, target_file_bytes, zorder_by, zorder_bits)
         files_before, total = self.file_stats(table)
         want = schemas.WAREHOUSE_TABLES[table]
         df = self.read(table)
@@ -246,6 +260,51 @@ class Warehouse:
 
     def _manifest_path(self, table: str) -> str:
         return os.path.join(self.path(table), "_MANIFEST.json")
+
+    def _has_manifest(self, table: str) -> bool:
+        return os.path.exists(self._manifest_path(table))
+
+    def _compact_committed(self, table: str, target_file_bytes: int,
+                           zorder_by: list[str] | None,
+                           zorder_bits: int) -> tuple[int, int]:
+        """Compact a manifest-managed table: rewrite the committed rows
+        into one right-sized batch directory, then publish a manifest
+        referencing only the new files (watermarks carried over) with
+        the same atomic rename ``append_commit`` uses. A crash at any
+        point leaves the old manifest (and its files) live; the staged
+        rewrite is garbage ``vacuum_uncommitted`` collects."""
+        import json
+        import uuid
+
+        man = self._read_manifest(table)
+        files_before = len(man["files"])
+        if files_before == 0:
+            return 0, 0
+        root = self.path(table)
+        total = sum(os.path.getsize(os.path.join(root, rel))
+                    for rel in man["files"])
+        df = self.read_committed(table)
+        if zorder_by:
+            df = self._with_zorder_key(df, zorder_by, zorder_bits)
+        n = max(1, math.ceil(total / target_file_bytes))
+        if zorder_by:
+            out = (df.repartitionByRange(n, "_zkey")
+                   .sortWithinPartitions("_zkey").drop("_zkey"))
+        else:
+            out = df.repartition(n)
+        batch_dir = f"batch-{uuid.uuid4().hex}"
+        out.write.mode("overwrite").parquet(os.path.join(root, batch_dir))
+        new_files = sorted(
+            os.path.join(batch_dir, fn)
+            for fn in os.listdir(os.path.join(root, batch_dir))
+            if fn.endswith(".parquet"))
+        new_man = {"files": new_files, "watermarks": man["watermarks"]}
+        tmp = self._manifest_path(table) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(new_man, f)
+        os.replace(tmp, self._manifest_path(table))  # THE commit point
+        self.vacuum_uncommitted(table)  # drop the superseded batches
+        return files_before, len(new_files)
 
     def _read_manifest(self, table: str) -> dict:
         import json
@@ -349,6 +408,13 @@ class Warehouse:
         """S8: ``to_sql(..., if_exists='replace')`` analog
         (``qb_customers_ETL.py:190``). ``jdbc_url`` routes to an
         external RDBMS (see :meth:`append`)."""
+        if jdbc_url is None and self._has_manifest(table):
+            raise ValueError(
+                f"table {table} is manifest-managed (append_commit); a "
+                "plain overwrite would delete _MANIFEST.json and reset "
+                "the committed watermark to epoch — rebuild through "
+                "append_commit, or remove the manifest explicitly first"
+            )
         if jdbc_url is not None:
             self._write_jdbc(df, table, "overwrite", jdbc_url)
         else:
