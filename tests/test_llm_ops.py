@@ -87,7 +87,10 @@ def test_collapse_first_dedup_equals_pairwise(spark, docs):
     ]
     corpus = spark.createDataFrame(rows, "doc_id long, text string")
 
-    fast = dedup.minhash_lsh_dedup(corpus)
+    # clone_free=False pins the COLLAPSE plan explicitly (this corpus
+    # is clone-dense so the adaptive default also picks it, but the
+    # pin must not depend on the measuring heuristic)
+    fast = dedup.minhash_lsh_dedup(corpus, clone_free=False)
     ref = dedup.minhash_lsh_dedup_pairwise(corpus)
     assert fast.schema == ref.schema
     fast_rows = {tuple(r) for r in fast.collect()}
@@ -97,7 +100,7 @@ def test_collapse_first_dedup_equals_pairwise(spark, docs):
     assert (0, 6, 1.0) in {(a, b, j) for a, b, j in fast_rows}
     assert all(5 not in (a, b) and 7 not in (a, b) for a, b, _ in fast_rows)
 
-    fast_s = dedup.simhash_neardup(corpus)
+    fast_s = dedup.simhash_neardup(corpus, clone_free=False)
     ref_s = dedup.simhash_neardup_pairwise(corpus)
     assert fast_s.schema == ref_s.schema
     assert ({tuple(r) for r in fast_s.collect()}
@@ -111,6 +114,39 @@ def test_collapse_first_dedup_equals_pairwise(spark, docs):
     cc_full = {(r["doc_id"], r["cluster_id"]) for r in corpus_mod.dup_clusters(
         ref.select("doc1", "doc2")).collect()}
     assert cc_star == cc_full
+
+
+def test_clone_free_fast_path_routing(spark, docs, monkeypatch):
+    """r9 VERDICT item 1: uncapped near-dup must skip the collapse
+    machinery on clone-free corpora (measured or declared) and keep it
+    on clone-dense ones and on every capped call — with identical
+    output either way."""
+    calls = []
+    real = dedup._content_classes
+    monkeypatch.setattr(dedup, "_content_classes",
+                        lambda *a, **k: calls.append(1) or real(*a, **k))
+
+    clone_free = spark.createDataFrame(
+        [(i, f"wholly distinct document number {i} tail {i * 13}")
+         for i in range(10)], "doc_id long, text string")
+    clone_dense = clone_free.union(clone_free.withColumn(
+        "doc_id", F.col("doc_id") + 100))  # every text twice
+
+    out_fast = {tuple(r) for r in
+                dedup.simhash_neardup(clone_free).collect()}
+    assert not calls                      # measured clone-free -> pairwise
+    dedup.minhash_lsh_dedup(clone_free).collect()
+    assert not calls
+    assert out_fast == {tuple(r) for r in dedup.simhash_neardup(
+        clone_free, clone_free=False).collect()}
+    assert len(calls) == 1                # explicit False -> collapse
+
+    dedup.simhash_neardup(clone_dense).collect()
+    assert len(calls) == 2                # measured clone-dense -> collapse
+    dedup.simhash_neardup(clone_free, max_bucket=50).collect()
+    assert len(calls) == 3                # capped -> always collapse
+    dedup.minhash_lsh_dedup(clone_free, max_bucket=50).collect()
+    assert len(calls) == 4
 
 
 def test_ngram_jaccard_pairs(spark, docs):

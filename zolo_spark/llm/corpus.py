@@ -627,9 +627,13 @@ def corpus_pipeline(docs: DataFrame, emb: DataFrame, *,
     keep = _dedup.exact_dedup(docs, id_col=id_col).select(
         F.col("keep_id").alias(id_col))
     surv1 = docs.join(keep, id_col, "left_semi")
+    # surv1 = exact survivors: distinct normalized text by
+    # construction, so the uncapped form skips the collapse machinery
+    # without measuring
     pairs = _dedup.minhash_lsh_dedup(surv1, id_col=id_col,
                                      threshold=jaccard,
-                                     max_bucket=max_bucket)
+                                     max_bucket=max_bucket,
+                                     clone_free=True)
     cachereg.begin("corpus_pipeline")
     surv2 = cachereg.persist(
         surv1.join(pairs.select(F.col("doc2").alias(id_col)),

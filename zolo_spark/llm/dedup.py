@@ -210,6 +210,30 @@ def jaccard_on_sets(pairs: DataFrame, sets: DataFrame,
     )
 
 
+# Below this distinct-content share the corpus counts as clone-dense
+# and the collapse-first machinery pays for itself; above it the class
+# collapse + pair re-expansion is pure overhead (measured 2.8× on the
+# clone-light sf0.1 corpus, r9 VERDICT item 1). 0.9 leaves margin for
+# the HLL estimator's ~2% relative error (rsd=0.02 below) — a corpus
+# that genuinely clears 0.9 gains little from collapsing anyway.
+CLONE_FREE_MIN_DISTINCT = 0.9
+
+
+def _likely_clone_free(df: DataFrame, text_col: str) -> bool:
+    """ONE map-side-combined aggregate — row count + HLL-approximate
+    distinct content fingerprints (~2% error) — deciding whether the
+    collapse-first machinery is worth its overhead.  The decision
+    affects only the PLAN: the collapse-first and pairwise forms are
+    bit-identical on any corpus (pytest-pinned), so a borderline
+    misfire costs time, never correctness."""
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(F.md5(F.col(text_col)), rsd=0.02)
+        .alias("d"),
+    ).first()
+    return r["n"] == 0 or r["d"] >= CLONE_FREE_MIN_DISTINCT * r["n"]
+
+
 def _content_classes(df: DataFrame, text_col: str, id_col: str):
     """(members, reps): exact-content classes keyed by md5 of the RAW
     text — identical text ⟹ identical shingles/signatures, so any
@@ -316,7 +340,8 @@ def minhash_lsh_cluster_edges(df: DataFrame, text_col: str = "text",
 def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3,
                       threshold: float = 0.7,
-                      max_bucket: int | None = None) -> DataFrame:
+                      max_bucket: int | None = None,
+                      clone_free: bool | None = None) -> DataFrame:
     """Full MinHash→LSH→verify near-dup pipeline, collapse-first.
 
     Identical-content docs are collapsed to one class representative
@@ -338,7 +363,23 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
     The shingle relation feeds the signature build AND both sides of
     the verification join; Spark replans common subtrees from scratch,
     so it is persisted — at scale this is the materialized shingle
-    index every dedup pass reuses."""
+    index every dedup pass reuses.
+
+    ``clone_free`` (r9 VERDICT item 1): on a corpus with ~zero exact
+    duplicates the collapse machinery (class build + pair
+    re-expansion) is pure overhead, so the UNCAPPED form routes to the
+    bit-identical pairwise plan — explicitly (``True``, e.g. after
+    :func:`exact_dedup`, whose survivors are distinct by construction)
+    or measured (``None`` → one :func:`_likely_clone_free` aggregate).
+    A capped call always stays collapse-first: ``max_bucket`` counts
+    DISTINCT contents, and the oracle of the capped gate replays
+    exactly that."""
+    if max_bucket is None:
+        if clone_free is None:
+            clone_free = _likely_clone_free(df, text_col)
+        if clone_free:
+            return minhash_lsh_dedup_pairwise(
+                df, text_col, id_col, n, threshold)
     members, rep_pairs, eligible = _minhash_rep_pairs(
         df, text_col, id_col, n, threshold, max_bucket)
     # eligible = classes whose rep produced a signature (≥1 shingle):
@@ -382,7 +423,11 @@ def dedup_pipeline(df: DataFrame, text_col: str = "text",
         F.col("keep_id").alias(id_col)
     )
     survivors = df.join(keep, id_col, "left_semi")
-    return minhash_lsh_dedup(survivors, text_col, id_col, n, threshold)
+    # exact survivors have distinct normalized (hence raw) text, so the
+    # collapse machinery has nothing to collapse — skip it AND the
+    # measuring aggregate
+    return minhash_lsh_dedup(survivors, text_col, id_col, n, threshold,
+                             clone_free=True)
 
 
 def build_dedup_index(df: DataFrame, text_col: str = "text",
@@ -631,7 +676,8 @@ def simhash_chunks(bits: int = SIMHASH_BITS,
 def simhash_neardup(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", bits: int = SIMHASH_BITS,
                     max_hamming: int = 2,
-                    max_bucket: int | None = None) -> DataFrame:
+                    max_bucket: int | None = None,
+                    clone_free: bool | None = None) -> DataFrame:
     """Near-dup pairs at Hamming distance ≤ ``max_hamming``:
     pigeonhole-banded candidate join (exact match on ≥1 signature
     chunk) then exact ``bit_count(xor)`` verify — the banding bounds
@@ -655,7 +701,20 @@ def simhash_neardup(df: DataFrame, text_col: str = "text",
     removes the O(clone-family²) banded-join volume that made the
     uncapped 16-bit configuration quadratic at the sf10 rehearsal —
     the residual quadratic term is in DISTINCT near-identical
-    contents, which the chunk-bit/width dials above govern."""
+    contents, which the chunk-bit/width dials above govern.
+
+    ``clone_free`` (r9 VERDICT item 1): the collapse overhead is real
+    on clone-light corpora (2.8× at sf0.1), so the uncapped form
+    routes to the bit-identical pairwise plan when the corpus is
+    known (``True``) or measured (``None``) to have ~zero exact-dup
+    mass; capped calls stay collapse-first (the cap counts distinct
+    contents)."""
+    if max_bucket is None:
+        if clone_free is None:
+            clone_free = _likely_clone_free(df, text_col)
+        if clone_free:
+            return simhash_neardup_pairwise(
+                df, text_col, id_col, bits, max_hamming)
     members, reps = _content_classes(df, text_col, id_col)
     hashed = fan_out(reps).select(
         F.col(id_col).alias("doc_id"),
