@@ -273,6 +273,72 @@ def test_kafka_source_raises_actionable_error_without_connector(spark):
         sources.kafka_events_stream(spark, "localhost:9092", "events")
 
 
+def test_kafka_wire_parse_to_window_to_sink_e2e(spark, tmp_path):
+    """r9 VERDICT item 6 (Kafka e2e, sandbox-adapted): no connector
+    jar and no network exist here (COVERAGE.md), so exercise EVERY
+    stage downstream of the socket end to end — the connector's exact
+    wire schema (binary key/value + topic/partition/offset/timestamp)
+    streamed from files, through parse_kafka_wire (the SAME function
+    kafka_events_stream returns), into a watermarked tumbling window,
+    out through a memory sink — and pin the result to the batch
+    computation on the decoded rows. Also pins the connector-standard
+    permissive behavior: a malformed value → all-NULL row, dropped by
+    the window's groupBy on a NULL ts."""
+    import datetime as dt
+    import json
+
+    from zolo_spark.streaming import sources
+
+    rows, wire = [], []
+    for i in range(40):
+        ts = dt.datetime(2024, 5, 1, 8 + (i % 6), 5 * (i % 12))
+        rec = {"event_id": i, "ts": ts.isoformat(sep=" "),
+               "user_id": i % 7, "event_type": f"type_{i % 3}",
+               "value": 0.25 * (i % 8), "props": json.dumps({"k": i % 10})}
+        rows.append((i, ts, i % 7, f"type_{i % 3}", 0.25 * (i % 8),
+                     rec["props"]))
+        wire.append((str(i).encode(), json.dumps(rec).encode(),
+                     "events", i % 4, i, ts))
+    wire.append((b"bad", b"{not json", "events", 0, 999,
+                 dt.datetime(2024, 5, 1, 9)))  # malformed value
+    wire_schema = ("key binary, value binary, topic string, "
+                   "partition int, offset long, timestamp timestamp")
+    src = str(tmp_path / "kafka_wire")
+    spark.createDataFrame(wire, wire_schema).coalesce(2).write.parquet(src)
+
+    raw = (spark.readStream.schema(wire_schema)
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    events = sources.parse_kafka_wire(raw)
+    assert events.isStreaming
+    assert [f.name for f in events.schema.fields] == \
+        [f.name for f in intraday.EVENTS_SCHEMA.fields]
+    q = (intraday.tumbling_windows(events, window="1 hour",
+                                   watermark="0 seconds")
+         .writeStream.outputMode("complete")
+         .format("memory").queryName("kafka_wire_t").start())
+    try:
+        q.processAllAvailable()
+        got = {(r["window_start"], r["event_type"]):
+               (r["n_events"], r["total_value"])
+               for r in spark.table("kafka_wire_t").collect()}
+    finally:
+        q.stop()
+
+    batch = spark.createDataFrame(rows, intraday.EVENTS_SCHEMA)
+    want = {(r["window_start"], r["event_type"]):
+            (r["n_events"], r["total_value"])
+            for r in (batch.groupBy(F.window("ts", "1 hour").alias("w"),
+                                    "event_type")
+                      .agg(F.count(F.lit(1)).alias("n_events"),
+                           F.sum(F.round(F.col("value"), 6)
+                                 .cast("decimal(28,6)"))
+                           .cast("double").alias("total_value"))
+                      .select(F.col("w.start").alias("window_start"),
+                              "event_type", "n_events", "total_value")
+                      .collect())}
+    assert got == want and len(got) > 3  # malformed row contributed 0
+
+
 def test_streaming_exact_dedup_first_seen_wins(spark, tmp_path):
     """Stream of docs with planted dups → exactly one survivor per
     content fingerprint, matching the batch exact_dedup group set."""

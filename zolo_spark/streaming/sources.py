@@ -17,6 +17,24 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .intraday import EVENTS_SCHEMA
 
 
+def parse_kafka_wire(raw: DataFrame) -> DataFrame:
+    """Kafka wire rows (binary ``value`` holding a JSON-encoded events
+    record, per the connector's fixed output schema) → typed events
+    rows. Factored out of :func:`kafka_events_stream` so everything
+    downstream of the socket — binary decode, JSON parse, schema
+    projection, then any window/sink — is exercised END TO END by
+    pytest through a file-source stream carrying the identical wire
+    schema (this container has no Kafka connector jar and no network
+    to fetch one; see COVERAGE.md). A malformed value parses to a NULL
+    struct → an all-NULL row, Kafka-connector-standard permissive
+    behavior the e2e pins."""
+    return (
+        raw.select(F.from_json(F.col("value").cast("string"), EVENTS_SCHEMA)
+                   .alias("e"))
+        .select("e.*")
+    )
+
+
 def kafka_events_stream(spark: SparkSession, bootstrap_servers: str,
                         topic: str, starting_offsets: str = "latest") -> DataFrame:
     """Kafka transport for the events stream: value is a JSON-encoded
@@ -40,11 +58,7 @@ def kafka_events_stream(spark: SparkSession, bootstrap_servers: str,
             "Kafka connector unavailable — add "
             "org.apache.spark:spark-sql-kafka-0-10_2.13 to spark.jars.packages"
         ) from e
-    return (
-        raw.select(F.from_json(F.col("value").cast("string"), EVENTS_SCHEMA)
-                   .alias("e"))
-        .select("e.*")
-    )
+    return parse_kafka_wire(raw)
 
 
 def rate_events_stream(spark: SparkSession, rows_per_second: int = 1000,
