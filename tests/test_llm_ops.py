@@ -464,6 +464,68 @@ def test_png_decode_rejects_corruption():
         multimodal.png_decode(bytes(data[:20]))
 
 
+def test_gif_round_trip_plain_interlaced_and_lzw_reset():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(13, 17), dtype=np.uint8)
+    for interlace in (False, True):
+        data = multimodal.gif_encode(px, interlace=interlace)
+        assert data[:6] == b"GIF89a" and data[-1:] == b"\x3B"
+        img = multimodal.gif_decode(data)
+        assert (img["width"], img["height"]) == (17, 13)
+        assert img["interlaced"] is interlace
+        assert (img["pixels"] == px).all()
+    # an incompressible image > 4096 distinct LZW phrases forces the
+    # encoder's mid-stream table reset (CLEAR) + 9->12-bit code growth;
+    # also spans many 255-byte sub-blocks
+    big = rng.integers(0, 256, size=(120, 120), dtype=np.uint8)
+    assert (multimodal.gif_decode(
+        multimodal.gif_encode(big))["pixels"] == big).all()
+    # extension blocks (GIF89a comment) are skipped, not fatal
+    data = multimodal.gif_encode(px)
+    head, tail = data[:13 + 768], data[13 + 768:]
+    ext = b"\x21\xFE\x05hello\x00"
+    assert (multimodal.gif_decode(head + ext + tail)["pixels"] == px).all()
+
+
+def test_gif_decode_rejects_corruption():
+    import numpy as np
+
+    px = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3).astype(np.uint8)
+    data = multimodal.gif_encode(px)
+    with pytest.raises(ValueError, match="signature"):
+        multimodal.gif_decode(b"\x89PNG\r\n\x1a\n" + data[8:])
+    with pytest.raises(ValueError, match="truncated|missing"):
+        multimodal.gif_decode(data[:20])
+    # truncating inside the LZW stream must not return partial pixels
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.gif_decode(data[:len(data) - 12])
+    # corrupt a byte mid-LZW: frontier/size/count checks must fire
+    bad = bytearray(data)
+    bad[13 + 768 + 9 + 1 + 1 + 3] ^= 0xFF  # inside first sub-block
+    with pytest.raises(ValueError):
+        multimodal.gif_decode(bytes(bad))
+
+
+def test_gif_stats_matches_closed_form(spark):
+    """documents_gif -> REAL LZW decode -> exact integer stats equal
+    the closed-form pixel function, interlaced and plain alike."""
+    docs = spark.createDataFrame([(i,) for i in range(9)], "doc_id long")
+    got = {r["media_id"]: r for r in multimodal.gif_stats(
+        multimodal.documents_gif(docs)).collect()}
+    import numpy as np
+    for i in range(9):
+        w, h = 8 + i % 7, 8 + i % 6
+        j = np.arange(w * h, dtype=np.int64)
+        p = (i * 11 + j * 17) % 256
+        r = got[i]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["interlaced"] == bool(i % 2)
+        assert r["sum_px"] == int(p.sum())
+        assert r["checksum"] == int((j * p).sum()) % 9973
+
+
 def test_wav_round_trip_and_corruption():
     import numpy as np
 

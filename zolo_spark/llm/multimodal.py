@@ -11,7 +11,9 @@ actual PNG container (signature, CRC-checked chunks, zlib-inflated
 IDAT, all five scanline filters) — as is baseline JPEG (ITU T.81
 grayscale: DCT, quantization, canonical Huffman, JFIF markers;
 :func:`jpeg_encode` / :func:`jpeg_decode`), covering the lossy-codec
-shape, and PCM16 WAV. ``mode='real'`` genuinely decodes pixels.
+shape, GIF89a (palette + variable-width LZW, interlacing;
+:func:`gif_encode` / :func:`gif_decode`), and PCM16 WAV.
+``mode='real'`` genuinely decodes pixels.
 Video/ffmpeg-class formats still stub at the same seam:
 ``mode='fake'`` produces deterministic md5-derived pseudo features
 (schema/batching/partitioning fully exercised) and the ffmpeg-class
@@ -101,6 +103,10 @@ def extract_features(media: DataFrame, mode: str = "fake") -> DataFrame:
                     img = png_decode(b)
                 elif mime == "image/jpeg":
                     d = jpeg_decode(b)
+                    img = {"width": d["width"], "height": d["height"],
+                           "bit_depth": 8, "pixels": d["pixels"]}
+                elif mime == "image/gif":
+                    d = gif_decode(b)
                     img = {"width": d["width"], "height": d["height"],
                            "bit_depth": 8, "pixels": d["pixels"]}
                 else:
@@ -1390,3 +1396,300 @@ def video_frame_stats(media: DataFrame, every_n: int = 2) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, schema=VIDEO_FRAME_STATS_SCHEMA)
+
+
+# ------------------------------------------------------------ GIF codec
+#
+# Pure-stdlib GIF89a (CompuServe spec): logical screen descriptor,
+# global 256-entry grayscale color table, optional interlacing (the
+# 8/8/4/2 four-pass row order), and REAL variable-code-width LZW —
+# clear/EOI codes, code width growth 9→12 bits, table reset at 4096 —
+# with the compressed stream carried in ≤255-byte sub-blocks. Retires
+# the last image-format 'fake' seam: with PNG (lossless filter+zlib),
+# JPEG (lossy DCT) and GIF (palette+LZW) the three classic compression
+# families are all decoded for real. Reference parity note: the
+# reference engine has no codecs at all (it stores URLs); this family
+# exists for the multimodal training-data pipeline (SURVEY §6).
+
+_GIF_SIG = (b"GIF87a", b"GIF89a")
+_GIF_MAX_CODE = 1 << 12  # LZW table hard cap, per spec
+
+# interlace passes: (first row, row step)
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_rows(height: int) -> list[int]:
+    rows: list[int] = []
+    for start, step in _GIF_PASSES:
+        rows.extend(range(start, height, step))
+    return rows
+
+
+def _lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW: emits CLEAR first, grows the code width when
+    the next free code exceeds the current width's range, resets the
+    table at 4096 (emitting CLEAR), ends with EOI. LSB-first bit
+    packing, as the spec requires."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    buf = nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    def fresh() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(clear)}
+
+    code_size = min_code_size + 1
+    table = fresh()
+    next_code = eoi + 1
+    emit(clear, code_size)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], code_size)
+        if next_code < _GIF_MAX_CODE:
+            table[wc] = next_code
+            next_code += 1
+            if next_code > (1 << code_size) and code_size < 12:
+                code_size += 1
+        else:  # table full: reset, as real encoders do
+            emit(clear, code_size)
+            table = fresh()
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        w = wc[-1:]
+    if w:
+        emit(table[w], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytes:
+    """Strict GIF LZW decoder: honors CLEAR/EOI, the one-step-behind
+    table build (KwKwK case), and the decoder-side width growth rule;
+    rejects codes beyond the table frontier."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = nbits = buf = 0
+
+    def read(size: int) -> int:
+        nonlocal pos, nbits, buf
+        while nbits < size:
+            if pos >= len(data):
+                raise ValueError("GIF: LZW stream truncated")
+            buf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        v = buf & ((1 << size) - 1)
+        buf >>= size
+        nbits -= size
+        return v
+
+    out = bytearray()
+    table: list[bytes] = []
+    code_size = min_code_size + 1
+    prev: bytes | None = None
+    while True:
+        code = read(code_size)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if not table:
+            raise ValueError("GIF: data before first CLEAR code")
+        if code < len(table) and code != clear and code != eoi:
+            entry = table[code]
+        elif code == len(table) and prev is not None:  # KwKwK
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"GIF: LZW code {code} beyond table frontier")
+        out.extend(entry)
+        if prev is not None and len(table) < _GIF_MAX_CODE:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+        if len(out) > n_expected:
+            raise ValueError("GIF: LZW output exceeds image size")
+    return bytes(out)
+
+
+def gif_encode(pixels: np.ndarray, interlace: bool = False) -> bytes:
+    """Grayscale uint8 image → GIF89a with a 256-entry gray palette
+    (index i → RGB (i,i,i)), optionally interlaced."""
+    h, w = pixels.shape
+    out = bytearray(b"GIF89a")
+    # logical screen descriptor: global table, 8 bits/color, 256 entries
+    out += struct.pack("<HHBBB", w, h, 0b11110111, 0, 0)
+    for i in range(256):  # global grayscale color table
+        out += bytes((i, i, i))
+    # image descriptor (no local table; interlace bit as requested)
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h,
+                                 0b01000000 if interlace else 0)
+    rows = _gif_interlace_rows(h) if interlace else range(h)
+    raw = b"".join(pixels[r].astype(np.uint8).tobytes() for r in rows)
+    out.append(8)  # LZW minimum code size
+    lzw = _lzw_encode(raw, 8)
+    for i in range(0, len(lzw), 255):  # ≤255-byte sub-blocks
+        block = lzw[i:i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3B"  # block terminator + trailer
+    return bytes(out)
+
+
+def gif_decode(data: bytes) -> dict:
+    """Strict GIF decoder (87a/89a): validates the signature, parses
+    the screen + image descriptors, reads global/local color tables,
+    skips 89a extension blocks, LZW-decompresses, de-interlaces, and
+    verifies the pixel count. Returns grayscale pixels via the
+    palette's red channel plus the raw index array and palette."""
+    if data[:6] not in _GIF_SIG:
+        raise ValueError("not a GIF: bad signature")
+    if len(data) < 13:
+        raise ValueError("GIF: truncated header")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    palette = None
+    if flags & 0x80:  # global color table
+        size = 2 << (flags & 0x07)
+        if pos + 3 * size > len(data):
+            raise ValueError("GIF: truncated global color table")
+        palette = np.frombuffer(
+            data[pos:pos + 3 * size], dtype=np.uint8).reshape(size, 3)
+        pos += 3 * size
+    while True:
+        if pos >= len(data):
+            raise ValueError("GIF: missing image descriptor")
+        b = data[pos]
+        pos += 1
+        if b == 0x21:  # extension: label + sub-blocks, skipped
+            pos += 1
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+                if pos >= len(data):
+                    raise ValueError("GIF: truncated extension")
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            break
+        elif b == 0x3B:
+            raise ValueError("GIF: trailer before any image")
+        else:
+            raise ValueError(f"GIF: unexpected block 0x{b:02x}")
+    left, top, w, h, iflags = struct.unpack("<HHHHB", data[pos:pos + 9])
+    pos += 9
+    if iflags & 0x80:  # local color table overrides
+        size = 2 << (iflags & 0x07)
+        if pos + 3 * size > len(data):
+            raise ValueError("GIF: truncated local color table")
+        palette = np.frombuffer(
+            data[pos:pos + 3 * size], dtype=np.uint8).reshape(size, 3)
+        pos += 3 * size
+    if palette is None:
+        raise ValueError("GIF: no color table")
+    min_code_size = data[pos]
+    pos += 1
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"GIF: bad LZW minimum code size {min_code_size}")
+    lzw = bytearray()
+    while True:
+        if pos >= len(data):
+            raise ValueError("GIF: truncated image data")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            break
+        lzw += data[pos:pos + n]
+        pos += n
+    idx = np.frombuffer(
+        _lzw_decode(bytes(lzw), min_code_size, w * h), dtype=np.uint8)
+    if idx.size != w * h:
+        raise ValueError(
+            f"GIF: decoded {idx.size} pixels, expected {w * h}")
+    if idx.size and int(idx.max()) >= palette.shape[0]:
+        raise ValueError("GIF: pixel index outside color table")
+    grid = idx.reshape(h, w)
+    if iflags & 0x40:  # de-interlace
+        un = np.empty_like(grid)
+        un[_gif_interlace_rows(h)] = grid
+        grid = un
+    return {
+        "width": w, "height": h, "interlaced": bool(iflags & 0x40),
+        "indices": grid,
+        "palette": palette,
+        "pixels": palette[grid.reshape(-1), 0].reshape(h, w),
+    }
+
+
+def documents_gif(documents: DataFrame) -> DataFrame:
+    """Derive a REAL GIF column from the documents table (the
+    ``documents_png`` pattern): w = 8 + id%7, h = 8 + id%6,
+    p_j = (id*11 + j*17) % 256, and every odd id INTERLACED — both
+    row orders travel through genuine LZW on every gate run."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents, metas = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 8 + i % 7, 8 + i % 6
+                j = np.arange(w * h, dtype=np.int64)
+                px = ((i * 11 + j * 17) % 256).astype(np.uint8).reshape(h, w)
+                contents.append(gif_encode(px, interlace=bool(i % 2)))
+                metas.append({"mime": "image/gif", "width": w,
+                              "height": h, "duration_ms": None})
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"],
+                "content": contents,
+                "meta": metas,
+            })
+
+    return documents.select("doc_id").mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def gif_stats(media: DataFrame) -> DataFrame:
+    """REAL GIF decode path → the exact integer statistics of
+    :func:`image_stats`, plus the interlace flag the container
+    carried (so the oracle checks the de-interlacer ran, not just
+    that bytes round-tripped)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                img = gif_decode(bytes(content))
+                p = img["pixels"].reshape(-1).astype(np.int64)
+                n = int(p.size)
+                rows.append({
+                    "media_id": int(media_id),
+                    "width": img["width"],
+                    "height": img["height"],
+                    "interlaced": img["interlaced"],
+                    "n_pixels": n,
+                    "sum_px": int(p.sum()),
+                    "min_px": int(p.min()),
+                    "max_px": int(p.max()),
+                    "checksum": int((np.arange(n) * p).sum()) % 9973,
+                })
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, schema=(
+        "media_id long, width long, height long, interlaced boolean, "
+        "n_pixels long, sum_px long, min_px long, max_px long, "
+        "checksum long"))

@@ -124,7 +124,14 @@ _GRADING_PRIORITY = [
     # go to the round-6 builds below (m_arima_grid_argmin here, two
     # more in their family groups — llm_dedup_pipeline and the
     # color-JPEG gate below).
-    "m_arima_grid_argmin", "llm_jpeg_color_roundtrip",
+    # Round-10 rotation: llm_jpeg_color_roundtrip (green r6∧r7∧r8∧r9,
+    # four rounds; its DCT/Huffman/chroma region of multimodal.py is
+    # untouched this round, and the codec family keeps
+    # llm_multimodal_features in-window) hands its slot to
+    # llm_gif_roundtrip — the new GIF89a palette+LZW codec
+    # (variable-width codes, table resets, interlacing), completing
+    # the third compression family with a value-hashed gate.
+    "m_arima_grid_argmin", "llm_gif_roundtrip",
     # Round-7 rotation: llm_bpe_merges (green r5∧r6, tokenizer
     # unchanged since its r5 build) hands its slot to the capstone
     # llm_corpus_pipeline — exact dedup → uncapped near-dup →

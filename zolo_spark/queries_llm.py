@@ -772,6 +772,46 @@ def llm_multimodal(spark, sf_dir):
     )
 
 
+@register("llm_gif_roundtrip", oracle="""
+WITH dims AS (
+    SELECT doc_id, 8 + doc_id % 7 AS w, 8 + doc_id % 6 AS h,
+           doc_id % 2 = 1 AS interlaced
+    FROM documents
+), px AS (
+    SELECT doc_id, w, h, interlaced,
+           list_transform(range(0, (w*h)::INT),
+                          j -> (doc_id*11 + j*17) % 256) AS ps
+    FROM dims
+)
+SELECT doc_id AS media_id,
+       w AS width, h AS height, interlaced, w*h AS n_pixels,
+       list_sum(ps)::BIGINT AS sum_px,
+       list_aggregate(ps, 'min') AS min_px,
+       list_aggregate(ps, 'max') AS max_px,
+       (list_sum(list_transform(range(0, (w*h)::INT),
+                 j -> j * ((doc_id*11 + j*17) % 256))) % 9973)::BIGINT
+           AS checksum
+FROM px
+""")
+def llm_gif_roundtrip(spark, sf_dir):
+    """GIF89a encode→container→LZW decode, value-oracled (r9 VERDICT
+    stretch item 8 — retires the last image-format 'fake' seam): each
+    document becomes a genuine GIF (logical screen descriptor, global
+    gray palette, variable-width 9→12-bit LZW with CLEAR/EOI and
+    mid-stream table resets, ≤255-byte sub-blocks), odd ids
+    INTERLACED so the four-pass row reorder is hash-checked too. The
+    decoder reconstructs the indices through the palette; emitted
+    statistics are exact integer math against the closed-form pixel
+    function — the ``llm_multimodal_features`` pattern, third
+    compression family (palette+LZW beside PNG's filter+zlib and
+    JPEG's DCT+Huffman)."""
+    media = multimodal.documents_gif(_t(spark, sf_dir, "documents"))
+    return multimodal.gif_stats(media).select(
+        "media_id", "width", "height", "interlaced", "n_pixels",
+        "sum_px", "min_px", "max_px", "checksum",
+    )
+
+
 @register("llm_image_resize", oracle="""
 WITH dims AS (
     SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h FROM documents
