@@ -168,7 +168,8 @@ def lsh_candidate_pairs(sigs: DataFrame, k: int = N_MINHASH,
 
 
 def jaccard_verify(pairs: DataFrame, shingles: DataFrame,
-                   threshold: float = 0.7) -> DataFrame:
+                   threshold: float = 0.7,
+                   scope: str | None = None) -> DataFrame:
     """Exact Jaccard on candidate pairs only: |A∩B| via per-doc
     shingle-set arrays + ``array_intersect``, |A∪B| = |A|+|B|-|A∩B|.
 
@@ -177,8 +178,27 @@ def jaccard_verify(pairs: DataFrame, shingles: DataFrame,
     through a (doc2, shingle) key; this one shuffles |pairs| rows
     carrying the set arrays, and the intersection runs JVM-side per
     row. Counts are integers, so the jaccard value is bit-identical
-    to the exploded form (and to the DuckDB oracle's join-count)."""
-    sets = shingles.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh"))
+    to the exploded form (and to the DuckDB oracle's join-count).
+
+    Set arrays are built ONLY for docs the pair list references
+    (left-semi on the candidate ids): aggregating the whole corpus's
+    shingle lists is exactly the memory shape that cannot survive
+    scale — the r10 sf30 rehearsal OOM'd the old full-corpus
+    collect_list on 1.5M docs when the candidate set was EMPTY.
+    ``scope`` names the caller's :mod:`cachereg` generation so the
+    pair lineage (a band self-join) isn't re-executed for the
+    candidate-id pass."""
+    if scope is not None:
+        pairs = cachereg.persist(pairs, scope)
+    cand_docs = (
+        pairs.select(F.col("doc1").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc2").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        shingles.join(cand_docs, "doc_id", "left_semi")
+        .groupBy("doc_id").agg(F.collect_list("shingle").alias("sh"))
+    )
     return jaccard_on_sets(pairs, sets, threshold)
 
 
@@ -309,7 +329,7 @@ def _minhash_rep_pairs(df: DataFrame, text_col: str, id_col: str,
                           "minhash")
     sigs = minhash_signatures(sh)
     pairs = lsh_candidate_pairs(sigs, max_bucket=max_bucket)
-    rep_pairs = jaccard_verify(pairs, sh, threshold)
+    rep_pairs = jaccard_verify(pairs, sh, threshold, scope="minhash")
     return members, rep_pairs, sigs.select("doc_id")
 
 
@@ -399,7 +419,7 @@ def minhash_lsh_dedup_pairwise(df: DataFrame, text_col: str = "text",
     sh = cachereg.persist(doc_shingles(df, text_col, id_col, n),
                           "minhash_pairwise")
     pairs = lsh_candidate_pairs(minhash_signatures(sh), max_bucket=max_bucket)
-    return jaccard_verify(pairs, sh, threshold)
+    return jaccard_verify(pairs, sh, threshold, scope="minhash_pairwise")
 
 
 def dedup_pipeline(df: DataFrame, text_col: str = "text",
@@ -596,12 +616,21 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     removal — the O(N²) guard), then exact Jaccard."""
     cachereg.begin("ngram")
     sh = cachereg.persist(doc_shingles(df, text_col, id_col, n), "ngram")
-    rare = (
+    # Anti-join the OVER-cap side: stop-shingles (df > max_df) are the
+    # Zipf head — few and bounded-ish — while the under-cap side is
+    # nearly ALL distinct shingles and grows with the corpus. The r10
+    # sf30 rehearsal killed the old broadcast(under-cap) semi-join at
+    # a >1 GiB driver collect (spark.driver.maxResultSize); same
+    # bounded-side discipline as source_cap / lsh hot buckets. No
+    # broadcast hint: AQE converts the anti-join to broadcast at
+    # runtime when the stop list is small, and degrades to a shuffle
+    # join instead of a driver OOM when it is not.
+    hot = (
         sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
+        .filter(F.col("df") > max_df)
         .select("shingle")
     )
-    sh_rare = sh.join(F.broadcast(rare), "shingle")
+    sh_rare = sh.join(hot, "shingle", "left_anti")
     pairs = (
         sh_rare.alias("a")
         .join(
@@ -612,7 +641,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
-    return jaccard_verify(pairs, sh, threshold)
+    return jaccard_verify(pairs, sh, threshold, scope="ngram")
 
 
 # ------------------------------------------------------------- simhash
