@@ -373,6 +373,65 @@ def test_append_commit_exactly_once_across_crash(spark, wh, monkeypatch):
     assert wh.read_committed("items").count() == 2
 
 
+def test_square_transactional_pair_commit_exactly_once(spark, wh, store,
+                                                       monkeypatch):
+    """r9 ROADMAP item 7: the square ETL's transactional mode routes
+    the PAIR (details + header) and the watermark through ONE
+    Warehouse.commit_tx, with the extract lower bound read back from
+    the tx log. A crash inside the commit leaves both tables AND the
+    watermark unmoved; the rerun commits the pair exactly once with
+    no dedupe key — the cross-table atomicity two per-table manifest
+    commits cannot give."""
+    import os as _os
+
+    payloads = fixtures.square_payments(n=8)
+    windows = []
+
+    def factory(s, e):
+        windows.append((s, e))
+        return fixtures.square_fetcher(payloads)
+
+    square_etl.run(spark, wh, store, factory, transactional=True)
+    n_det = wh.read_committed_tx("square_trans_details").count()
+    n_hdr = wh.read_committed_tx("square_trans").count()
+    assert n_hdr == 8 and n_det > 0
+    wm1 = wh.committed_watermark_tx(square_etl.WATERMARK_KEY)
+    assert wm1 != "1970-01-01T00:00:00"
+    # first window started at epoch; the YAML store was never touched
+    assert windows[0][0] == "1970-01-01T00:00:00"
+    assert store.get(square_etl.WATERMARK_KEY) == "1970-01-01T00:00:00"
+
+    # crash INSIDE the tx commit: parquet staged, log rename dies
+    real_replace = _os.replace
+    def boom(src, dst):
+        if "_TXLOG" in dst:
+            raise OSError("injected crash before tx publish")
+        return real_replace(src, dst)
+    monkeypatch.setattr("os.replace", boom)
+    with pytest.raises(OSError):
+        square_etl.run(spark, wh, store, factory, transactional=True)
+    monkeypatch.setattr("os.replace", real_replace)
+
+    # nothing moved: tables at the old snapshot, watermark unmoved,
+    # so the rerun's window lower bound is STILL wm1...
+    assert wh.read_committed_tx("square_trans").count() == n_hdr
+    assert wh.committed_watermark_tx(square_etl.WATERMARK_KEY) == wm1
+    square_etl.run(spark, wh, store, factory, transactional=True)
+    assert windows[-2][0] == wm1 and windows[-1][0] == wm1
+    # ...and the rerun committed the pair exactly once: one extra
+    # window's worth of rows, not two
+    assert wh.read_committed_tx("square_trans").count() == 2 * n_hdr
+    assert wh.read_committed_tx("square_trans_details").count() == 2 * n_det
+    assert wh.committed_watermark_tx(square_etl.WATERMARK_KEY) > wm1
+
+    # the crash's staged-but-unreferenced batches are vacuumable and
+    # invisible either way
+    removed = wh.vacuum_uncommitted_tx(
+        ["square_trans", "square_trans_details"])
+    assert removed == 2
+    assert wh.read_committed_tx("square_trans").count() == 2 * n_hdr
+
+
 def test_manifest_table_guards_and_compaction(spark, wh):
     """r9 ADVICE (warehouse.py): compact/append/overwrite must not be
     allowed to strand or delete _MANIFEST.json (the old directory swap

@@ -112,6 +112,7 @@ def run(
     store: WatermarkStore,
     fetcher_factory: Callable[[str, str], Callable],
     idempotent: bool = False,
+    transactional: bool = False,
 ) -> None:
     """Full job (``square_ETL.py:40-56``): watermark window → extract →
     transform → append loads → watermark commit.
@@ -119,7 +120,29 @@ def run(
     Default semantics are the reference's at-least-once (a crash
     between load and watermark commit duplicates the window on rerun);
     ``idempotent=True`` anti-joins already-loaded payment_ids first
-    (exactly-once on rerun, S10 upgrade)."""
+    (exactly-once on rerun, S10 upgrade).
+
+    ``transactional=True`` closes the loop from sink to source
+    (r9 ROADMAP item 7): the extract lower bound comes from the
+    warehouse tx log's committed watermark — not the side-channel
+    YAML — and details + header + watermark publish in ONE atomic
+    ``Warehouse.commit_tx``. A crash at any point leaves both tables
+    and the watermark unmoved, so the rerun re-extracts the same
+    window and commits the PAIR exactly once, with no ``dedupe_on``
+    key needed (the per-table ``append_commit`` cannot give this:
+    two manifests reopen the crash window between their renames)."""
+    if transactional:
+        start = warehouse.committed_watermark_tx(WATERMARK_KEY)
+        end = WatermarkStore.now_iso()
+        raw = extract(spark, fetcher_factory(start, end))
+        details, trans = transform(raw)
+        logger.info("date_range for this ETL (UTC): %s - %s", start, end)
+        warehouse.commit_tx(
+            {"square_trans_details": details, "square_trans": trans},
+            {WATERMARK_KEY: end},
+        )
+        logger.info("Committed square pair + watermark transactionally")
+        return
     start, end = extract_window(store, WATERMARK_KEY)
     raw = extract(spark, fetcher_factory(start, end))
     details, trans = transform(raw)

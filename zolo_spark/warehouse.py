@@ -363,6 +363,100 @@ class Warehouse:
         lower bound a rerun must use for exactly-once semantics."""
         return self._read_manifest(table)["watermarks"].get(key, default)
 
+    # ---------------------------------------------------------------
+    # Multi-table transactional commit: ONE warehouse-level tx log.
+    # The per-table manifest (append_commit) closes the crash window
+    # for a single table, but the reference ETLs load header+details
+    # PAIRS from one extract — two per-table commits reopen the window
+    # between them (crash ⇒ details committed, header not, watermark
+    # ambiguous). The tx log is the multi-table extension: every
+    # table's staged files and the watermark publish in ONE atomic
+    # os.replace of _TXLOG.json (on an object store: one conditional
+    # PUT of the log pointer), so the pair + watermark are
+    # all-or-nothing by construction.
+
+    def _txlog_path(self) -> str:
+        return os.path.join(self.root, "_TXLOG.json")
+
+    def _read_txlog(self) -> dict:
+        import json
+
+        p = self._txlog_path()
+        if not os.path.exists(p):
+            return {"txs": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def commit_tx(self, frames: dict[str, DataFrame],
+                  watermarks: dict[str, str] | None = None) -> None:
+        """Atomically append every frame to its table AND publish the
+        watermarks: stage each table's parquet under an invisible
+        batch directory, then append one tx record to the log with a
+        single atomic rename. A crash at ANY point before the rename
+        leaves every table unchanged and every watermark unmoved —
+        the rerun re-extracts the same window and commits the whole
+        pair exactly once (pytest injects the crash)."""
+        import json
+        import uuid
+
+        staged: dict[str, list[str]] = {}
+        for table, df in frames.items():
+            want = schemas.WAREHOUSE_TABLES[table]
+            df = df.select([F.col(f.name).cast(f.dataType)
+                            for f in want.fields])
+            batch_dir = f"batch-{uuid.uuid4().hex}"
+            out = os.path.join(self.path(table), batch_dir)
+            df.write.mode("overwrite").parquet(out)
+            staged[table] = sorted(
+                os.path.join(batch_dir, fn) for fn in os.listdir(out)
+                if fn.endswith(".parquet"))
+        log = self._read_txlog()
+        log["txs"].append({"tables": staged,
+                           "watermarks": dict(watermarks or {})})
+        tmp = self._txlog_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(log, f)
+        os.replace(tmp, self._txlog_path())  # THE commit point
+
+    def read_committed_tx(self, table: str) -> DataFrame:
+        """The tx-log-defined contents of ``table`` — staged batches
+        from unfinished commits are invisible by construction."""
+        files = [rel for tx in self._read_txlog()["txs"]
+                 for rel in tx["tables"].get(table, [])]
+        if not files:
+            return self.spark.createDataFrame(
+                [], schemas.WAREHOUSE_TABLES[table])
+        return self.spark.read.schema(schemas.WAREHOUSE_TABLES[table]) \
+            .parquet(*[os.path.join(self.path(table), rel) for rel in files])
+
+    def committed_watermark_tx(self, key: str,
+                               default: str = "1970-01-01T00:00:00") -> str:
+        """The last committed value of ``key`` across the tx history —
+        by construction the watermark that published WITH its data."""
+        val = default
+        for tx in self._read_txlog()["txs"]:
+            if key in tx["watermarks"]:
+                val = tx["watermarks"][key]
+        return val
+
+    def vacuum_uncommitted_tx(self, tables: list[str]) -> int:
+        """Remove staged batch directories under ``tables`` that no tx
+        references (crash leftovers); returns the number removed."""
+        live: set[tuple[str, str]] = set()
+        for tx in self._read_txlog()["txs"]:
+            for t, rels in tx["tables"].items():
+                live.update((t, rel.split(os.sep)[0]) for rel in rels)
+        removed = 0
+        for t in tables:
+            root = self.path(t)
+            if not os.path.isdir(root):
+                continue
+            for entry in os.listdir(root):
+                if entry.startswith("batch-") and (t, entry) not in live:
+                    shutil.rmtree(os.path.join(root, entry))
+                    removed += 1
+        return removed
+
     def vacuum_uncommitted(self, table: str) -> int:
         """Remove staged batch directories no manifest references
         (crash leftovers); returns the number removed. Safe at any
