@@ -146,7 +146,15 @@ def test_clone_free_fast_path_routing(spark, docs, monkeypatch):
     dedup.simhash_neardup(clone_free, max_bucket=50).collect()
     assert len(calls) == 3                # capped -> always collapse
     dedup.minhash_lsh_dedup(clone_free, max_bucket=50).collect()
-    assert len(calls) == 4
+    assert len(calls) == 4                # capped, undeclared -> collapse
+    # capped + DECLARED clone-free: doc-level and content-level bucket
+    # widths coincide on a distinct corpus, so the capped pairwise
+    # plan is taken (no collapse) with identical output
+    want = {tuple(r) for r in dedup.minhash_lsh_dedup(
+        clone_free, max_bucket=50).collect()}
+    got = {tuple(r) for r in dedup.minhash_lsh_dedup(
+        clone_free, max_bucket=50, clone_free=True).collect()}
+    assert len(calls) == 5 and got == want
 
 
 def test_ngram_jaccard_pairs(spark, docs):

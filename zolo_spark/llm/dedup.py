@@ -167,9 +167,17 @@ def lsh_candidate_pairs(sigs: DataFrame, k: int = N_MINHASH,
     )
 
 
+# Shingle-relation size above which jaccard_verify prunes its set
+# build to candidate docs (the full-corpus collect_list OOM'd the
+# sf30 rehearsal at ~60M rows; at ~2M rows the full aggregate is
+# faster than the prune's bookkeeping).
+JACCARD_PRUNE_MIN_SHINGLES = 5_000_000
+
+
 def jaccard_verify(pairs: DataFrame, shingles: DataFrame,
                    threshold: float = 0.7,
-                   scope: str | None = None) -> DataFrame:
+                   scope: str | None = None,
+                   prune: bool | None = None) -> DataFrame:
     """Exact Jaccard on candidate pairs only: |A∩B| via per-doc
     shingle-set arrays + ``array_intersect``, |A∪B| = |A|+|B|-|A∩B|.
 
@@ -180,14 +188,25 @@ def jaccard_verify(pairs: DataFrame, shingles: DataFrame,
     row. Counts are integers, so the jaccard value is bit-identical
     to the exploded form (and to the DuckDB oracle's join-count).
 
-    Set arrays are built ONLY for docs the pair list references
-    (left-semi on the candidate ids): aggregating the whole corpus's
-    shingle lists is exactly the memory shape that cannot survive
-    scale — the r10 sf30 rehearsal OOM'd the old full-corpus
-    collect_list on 1.5M docs when the candidate set was EMPTY.
-    ``scope`` names the caller's :mod:`cachereg` generation so the
-    pair lineage (a band self-join) isn't re-executed for the
-    candidate-id pass."""
+    Above ``JACCARD_PRUNE_MIN_SHINGLES`` rows, set arrays are built
+    ONLY for docs the pair list references (left-semi on the
+    candidate ids): aggregating the whole corpus's shingle lists is
+    exactly the memory shape that cannot survive scale — the r10
+    sf30 rehearsal OOM'd the full-corpus collect_list on 1.5M docs
+    when the candidate set was EMPTY. Below the threshold the
+    full-corpus aggregate is cheaper (the prune costs a pair-lineage
+    persist + an extra distinct; measured +40% on the sf0.1 LSH
+    verify), so the size of the (persisted, about-to-be-consumed)
+    shingle relation decides — one count, output identical either
+    way. ``scope`` names the caller's :mod:`cachereg` generation so
+    the pruning path's pair lineage (a band self-join) isn't
+    re-executed for the candidate-id pass; ``prune`` forces."""
+    if prune is None:
+        prune = shingles.count() >= JACCARD_PRUNE_MIN_SHINGLES
+    if not prune:
+        sets = shingles.groupBy("doc_id").agg(
+            F.collect_list("shingle").alias("sh"))
+        return jaccard_on_sets(pairs, sets, threshold)
     if scope is not None:
         pairs = cachereg.persist(pairs, scope)
     cand_docs = (
@@ -391,15 +410,17 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
     bit-identical pairwise plan — explicitly (``True``, e.g. after
     :func:`exact_dedup`, whose survivors are distinct by construction)
     or measured (``None`` → one :func:`_likely_clone_free` aggregate).
-    A capped call always stays collapse-first: ``max_bucket`` counts
-    DISTINCT contents, and the oracle of the capped gate replays
-    exactly that."""
-    if max_bucket is None:
-        if clone_free is None:
-            clone_free = _likely_clone_free(df, text_col)
-        if clone_free:
-            return minhash_lsh_dedup_pairwise(
-                df, text_col, id_col, n, threshold)
+    A capped call stays collapse-first UNLESS the caller DECLARES
+    ``clone_free=True``: ``max_bucket`` counts DISTINCT contents, and
+    only on a declared-distinct corpus do doc-level and content-level
+    bucket widths provably coincide (the measured decision has HLL
+    error, so a borderline corpus must not flip cap semantics — it
+    keeps the collapse plan the capped gate's oracle replays)."""
+    if clone_free is None and max_bucket is None:
+        clone_free = _likely_clone_free(df, text_col)  # measured
+    if clone_free is True:
+        return minhash_lsh_dedup_pairwise(
+            df, text_col, id_col, n, threshold, max_bucket=max_bucket)
     members, rep_pairs, eligible = _minhash_rep_pairs(
         df, text_col, id_col, n, threshold, max_bucket)
     # eligible = classes whose rep produced a signature (≥1 shingle):
