@@ -469,3 +469,131 @@ def test_manifest_table_guards_and_compaction(spark, wh):
     # committed appends still work on the compacted layout
     wh.append_commit(batch(5), "items", "last_update_items", "2024-01-05")
     assert wh.read_committed("items").count() == 5
+
+
+def test_tx_table_guards_checkpoint_and_compaction(spark, wh):
+    """r10 ADVICE (warehouse.py): the manifest-era maintenance ops
+    must not reason about tx-managed tables from the (absent)
+    manifest — vacuum_uncommitted read the empty-manifest default and
+    deleted every committed batch the tx log referenced; compact's
+    directory swap would strand the log's relative paths; plain
+    append/overwrite checked only _has_manifest. Also pins the tx-log
+    checkpoint (unbounded-growth fix) and the log-published tx
+    compaction."""
+    import os as _os
+
+    def batch(i):
+        return spark.createDataFrame(
+            [(f"p{i}", "v", i, "sq", "qb", "sh", "cat", "whole", 12.0, 1)],
+            schemas.WAREHOUSE_TABLES["items"])
+
+    for i in range(4):  # 4 one-row txs
+        wh.commit_tx({"items": batch(i)},
+                     {"last_update_items": f"2024-01-0{i + 1}"})
+    assert wh.read_committed_tx("items").count() == 4
+
+    # plain writes refuse — they'd bypass (append) or delete
+    # (overwrite) the log-referenced batches
+    with pytest.raises(ValueError, match="tx-managed"):
+        wh.append(batch(9), "items")
+    with pytest.raises(ValueError, match="tx-managed"):
+        wh.overwrite(batch(9), "items")
+    # the two log subsystems must not fork one table's contents
+    with pytest.raises(ValueError, match="tx-managed"):
+        wh.append_commit(batch(9), "items", "last_update_items", "2024-02-01")
+    prof = spark.createDataFrame(
+        [(1, "house", "med", 1, 1, "ET", "washed", 100.0,
+          None, None, None, None, None, None)],
+        schemas.WAREHOUSE_TABLES["coffee_profiles"])
+    wh.append_commit(prof, "coffee_profiles")
+    with pytest.raises(ValueError, match="manifest-managed"):
+        wh.commit_tx({"coffee_profiles": prof})
+
+    # vacuum on a tx table routes to the tx-aware path: an orphan
+    # (crash leftover) goes, the 4 committed batches stay — the old
+    # manifest-default read deleted all of them
+    _os.makedirs(_os.path.join(wh.path("items"), "batch-deadbeef"))
+    assert wh.vacuum_uncommitted("items") == 1
+    assert wh.read_committed_tx("items").count() == 4
+
+    # checkpoint folds history, readers unchanged
+    assert wh.checkpoint_txlog() == 4
+    assert len(wh._read_txlog()["txs"]) == 1
+    assert wh.read_committed_tx("items").count() == 4
+    assert wh.committed_watermark_tx("last_update_items") == "2024-01-04"
+    assert wh.checkpoint_txlog() == 1  # idempotent no-op
+
+    # compact rewrites committed rows as ONE new batch and republishes
+    # through the log's own atomic rename; watermark survives
+    files_before, files_after = wh.compact("items")
+    assert files_before >= 4 and files_after < files_before
+    got = wh.read_committed_tx("items")
+    assert got.count() == 4
+    assert got.select("product_name").distinct().count() == 4
+    assert wh.committed_watermark_tx("last_update_items") == "2024-01-04"
+    assert wh.vacuum_uncommitted("items") == 0
+    # tx commits still work on the compacted layout
+    wh.commit_tx({"items": batch(5)}, {"last_update_items": "2024-01-05"})
+    assert wh.read_committed_tx("items").count() == 5
+
+
+@pytest.mark.parametrize("etl,payload_fn,pager,hdr_table,det_table", [
+    (shopify_etl, fixtures.shopify_orders,
+     lambda p: fixtures.count_page_fetchers(p, shopify_etl.PAGE_SIZE),
+     "shopify_trans", "shopify_trans_details"),
+    (quickbooks_etl, fixtures.qb_invoices,
+     lambda p: fixtures.start_position_fetchers(p, quickbooks_etl.PAGE_SIZE),
+     "qb_trans", "qb_trans_details"),
+])
+def test_pair_etls_transactional_commit_exactly_once(
+        spark, wh, store, monkeypatch, etl, payload_fn, pager,
+        hdr_table, det_table):
+    """r10 VERDICT item 2 / reference ``shopify_ETL.py:201-206`` +
+    ``quickbooks_ETL.py:235-240``: the other two header+details ETLs
+    have the same crash-duplicates window square's transactional mode
+    closed — pin the commit_tx routing for both: a crash inside the
+    tx commit leaves both tables and the watermark unmoved, and the
+    rerun commits the pair exactly once."""
+    import os as _os
+
+    payloads = payload_fn()
+    windows = []
+
+    def factory(s, e):
+        windows.append((s, e))
+        return pager(payloads)
+
+    etl.run(spark, wh, store, factory, transactional=True)
+    n_hdr = wh.read_committed_tx(hdr_table).count()
+    n_det = wh.read_committed_tx(det_table).count()
+    assert n_hdr == len(payloads) and n_det > 0
+    wm1 = wh.committed_watermark_tx(etl.WATERMARK_KEY)
+    assert wm1 != "1970-01-01T00:00:00"
+    # first window started at epoch; the YAML store was never touched
+    assert windows[0][0] == "1970-01-01T00:00:00"
+    assert store.get(etl.WATERMARK_KEY) == "1970-01-01T00:00:00"
+
+    # crash INSIDE the tx commit: parquet staged, log rename dies
+    real_replace = _os.replace
+
+    def boom(src, dst):
+        if "_TXLOG" in dst:
+            raise OSError("injected crash before tx publish")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr("os.replace", boom)
+    with pytest.raises(OSError):
+        etl.run(spark, wh, store, factory, transactional=True)
+    monkeypatch.setattr("os.replace", real_replace)
+
+    # nothing moved → the rerun's lower bound is STILL wm1 and the
+    # pair lands exactly once more
+    assert wh.read_committed_tx(hdr_table).count() == n_hdr
+    assert wh.committed_watermark_tx(etl.WATERMARK_KEY) == wm1
+    etl.run(spark, wh, store, factory, transactional=True)
+    assert windows[-2][0] == wm1 and windows[-1][0] == wm1
+    assert wh.read_committed_tx(hdr_table).count() == 2 * n_hdr
+    assert wh.read_committed_tx(det_table).count() == 2 * n_det
+    assert wh.committed_watermark_tx(etl.WATERMARK_KEY) > wm1
+    # the crashed run's two staged batches are vacuumable leftovers
+    assert wh.vacuum_uncommitted_tx([hdr_table, det_table]) == 2

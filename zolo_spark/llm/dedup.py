@@ -167,11 +167,28 @@ def lsh_candidate_pairs(sigs: DataFrame, k: int = N_MINHASH,
     )
 
 
-# Shingle-relation size above which jaccard_verify prunes its set
-# build to candidate docs (the full-corpus collect_list OOM'd the
-# sf30 rehearsal at ~60M rows; at ~2M rows the full aggregate is
-# faster than the prune's bookkeeping).
-JACCARD_PRUNE_MIN_SHINGLES = 5_000_000
+# Shingle-plan size estimate above which jaccard_verify prunes its
+# set build to candidate docs (the full-corpus collect_list OOM'd the
+# sf30 rehearsal at ~60M shingle rows; at ~2M rows the full aggregate
+# is faster than the prune's bookkeeping). The estimate is Catalyst's
+# free sizeInBytes, which pre-materialization tracks the source scan
+# (measured ≈1 byte of estimate per shingle row at sf0.001/0.01/0.1,
+# linear in corpus scale), so the threshold sits mid-way in the
+# 2M–60M dead zone in the same units as the old row count.
+JACCARD_PRUNE_MIN_EST = 5_000_000
+
+
+def _plan_size_estimate(df: DataFrame) -> int:
+    """Catalyst's sizeInBytes estimate of the optimized plan — FREE
+    (no Spark job; the r10 version ran an eager ``count()`` per
+    verify call, one whole extra job paid by every LSH/ngram caller).
+    Used only to pick between two bit-identical plans, so estimate
+    error costs time, never correctness. A frame whose cache already
+    materialized reports real cached bytes (~50-100× the scan
+    estimate) and flips to the prune path early — the scale-safe
+    direction; every engine caller decides before materializing."""
+    return int(df._jdf.queryExecution().optimizedPlan()
+               .stats().sizeInBytes())
 
 
 def jaccard_verify(pairs: DataFrame, shingles: DataFrame,
@@ -188,21 +205,22 @@ def jaccard_verify(pairs: DataFrame, shingles: DataFrame,
     row. Counts are integers, so the jaccard value is bit-identical
     to the exploded form (and to the DuckDB oracle's join-count).
 
-    Above ``JACCARD_PRUNE_MIN_SHINGLES`` rows, set arrays are built
-    ONLY for docs the pair list references (left-semi on the
-    candidate ids): aggregating the whole corpus's shingle lists is
-    exactly the memory shape that cannot survive scale — the r10
+    Above ``JACCARD_PRUNE_MIN_EST`` of plan-size estimate, set arrays
+    are built ONLY for docs the pair list references (left-semi on
+    the candidate ids): aggregating the whole corpus's shingle lists
+    is exactly the memory shape that cannot survive scale — the r10
     sf30 rehearsal OOM'd the full-corpus collect_list on 1.5M docs
     when the candidate set was EMPTY. Below the threshold the
     full-corpus aggregate is cheaper (the prune costs a pair-lineage
     persist + an extra distinct; measured +40% on the sf0.1 LSH
-    verify), so the size of the (persisted, about-to-be-consumed)
-    shingle relation decides — one count, output identical either
-    way. ``scope`` names the caller's :mod:`cachereg` generation so
-    the pruning path's pair lineage (a band self-join) isn't
+    verify), so Catalyst's free sizeInBytes estimate of the shingle
+    plan decides — NO extra job, output identical either way (the r10
+    eager ``count()`` here was the per-call job the r11 round
+    removed). ``scope`` names the caller's :mod:`cachereg` generation
+    so the pruning path's pair lineage (a band self-join) isn't
     re-executed for the candidate-id pass; ``prune`` forces."""
     if prune is None:
-        prune = shingles.count() >= JACCARD_PRUNE_MIN_SHINGLES
+        prune = _plan_size_estimate(shingles) >= JACCARD_PRUNE_MIN_EST
     if not prune:
         sets = shingles.groupBy("doc_id").agg(
             F.collect_list("shingle").alias("sh"))
@@ -581,15 +599,28 @@ def incremental_minhash_dedup(new_df: DataFrame, index: DataFrame,
         keyfn = (shingle_set_key if class_key == "chain"
                  else shingle_set_digest)
         index = index.withColumn("cls", keyfn("sh"))
-    all_idx = index.unionByName(new_idx)
+    # all_idx feeds the class build AND (through rep_idx) both band
+    # sides and both jaccard set sides — FIVE consumers. Unpersisted,
+    # Spark recomputes the whole index lineage (shingle explode,
+    # collect_list, 16 minhash folds, the md5-chain class key) once
+    # per consumer; that recompute was the bulk of the gate's
+    # 3.5→10 s six-round creep (r11 bisect: warm call dropped
+    # 8.6→~2 s with these two persists). In production the corpus
+    # side is a materialized parquet table, so these persists cache
+    # a cheap scan, not a recompute — and the new-batch side they
+    # also cover is small by definition.
+    all_idx = cachereg.persist(index.unionByName(new_idx),
+                               "incremental_dedup")
     classed = all_idx.withColumn("_cls", F.col("cls"))
     rep_of = classed.groupBy("_cls").agg(F.min("doc_id").alias("rep"))
     members = cachereg.persist(
         classed.join(rep_of, "_cls").select("doc_id", "rep"),
         "incremental_dedup")
-    rep_idx = all_idx.join(
-        rep_of.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
-    )
+    rep_idx = cachereg.persist(
+        all_idx.join(
+            rep_of.select(F.col("rep").alias("doc_id")),
+            "doc_id", "left_semi"),
+        "incremental_dedup")
     # classes containing ≥1 batch member form the "new" side
     new_reps = (
         members.join(new_ids, "doc_id", "left_semi")

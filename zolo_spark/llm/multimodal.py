@@ -1581,10 +1581,15 @@ def gif_decode(data: bytes) -> dict:
         pos += 1
         if b == 0x21:  # extension: label + sub-blocks, skipped
             pos += 1
-            while data[pos] != 0:
-                pos += 1 + data[pos]
+            # bounds-check BEFORE each length-byte read: a stream cut
+            # exactly at a sub-block length byte must surface as the
+            # decoder's documented ValueError, not IndexError
+            while True:
                 if pos >= len(data):
                     raise ValueError("GIF: truncated extension")
+                if data[pos] == 0:
+                    break
+                pos += 1 + data[pos]
             pos += 1
         elif b == 0x2C:  # image descriptor
             break
@@ -1592,6 +1597,8 @@ def gif_decode(data: bytes) -> dict:
             raise ValueError("GIF: trailer before any image")
         else:
             raise ValueError(f"GIF: unexpected block 0x{b:02x}")
+    if pos + 9 > len(data):
+        raise ValueError("GIF: truncated image descriptor")
     left, top, w, h, iflags = struct.unpack("<HHHHB", data[pos:pos + 9])
     pos += 9
     if iflags & 0x80:  # local color table overrides
@@ -1603,6 +1610,8 @@ def gif_decode(data: bytes) -> dict:
         pos += 3 * size
     if palette is None:
         raise ValueError("GIF: no color table")
+    if pos >= len(data):
+        raise ValueError("GIF: truncated image data")
     min_code_size = data[pos]
     pos += 1
     if not 2 <= min_code_size <= 11:

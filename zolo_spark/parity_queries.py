@@ -236,8 +236,16 @@ _GRADING_PRIORITY = [
     # the closed-form sub-grid (r8 VERDICT item 2 / r7 #8), shrinking
     # the rows-only surface of m_arima_weekly_forecast to the
     # numpy-pinv winners only.
-    "m_arima_weekly_forecast_subgrid", "llm_pq_encode", "llm_sim_ivf_topk",
-    "llm_multimodal_features",
+    # Round-11 rotation: llm_sim_ivf_topk (green r3–r10, eight
+    # rounds; similarity.py's IVF region is untouched this round and
+    # the IVF machinery stays in-window via llm_ivf_trained_topk +
+    # llm_pq_encode) hands its slot to llm_corpus_pipeline_capped —
+    # the capstone's CAPPED deployment configuration, newly sharing
+    # the uncapped sibling's value oracle (the loose caps provably
+    # never bind at the graded scales; r10 VERDICT item 4 closed the
+    # last rows-only deployment variant).
+    "m_arima_weekly_forecast_subgrid", "llm_pq_encode",
+    "llm_corpus_pipeline_capped", "llm_multimodal_features",
     # llm_embedding_quantize / llm_quantized_topk (int8 ANN scale
     # path, built mid-r5) take the slots of thrice-green singletons
     # llm_quality_filter / llm_embedding_stats.

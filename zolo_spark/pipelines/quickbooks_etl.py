@@ -85,7 +85,28 @@ def run(
     warehouse: Warehouse,
     store: WatermarkStore,
     fetchers_factory: Callable[[str, str], tuple[Callable, Callable]],
+    transactional: bool = False,
 ) -> None:
+    """Watermark window → extract → transform → pair load → watermark.
+
+    Default semantics are the reference's at-least-once
+    (``quickbooks_ETL.py:235-240``: two appends, then the watermark);
+    ``transactional=True`` publishes the invoice header+details pair
+    and the watermark in ONE atomic ``Warehouse.commit_tx``, with the
+    extract lower bound read from the tx log — crash anywhere, rerun
+    commits the pair exactly once (see the square ETL, r10)."""
+    if transactional:
+        start = warehouse.committed_watermark_tx(WATERMARK_KEY)
+        end = WatermarkStore.now_iso()
+        fetch_count, fetch_page = fetchers_factory(start, end)
+        details, trans = transform(extract(spark, fetch_count, fetch_page))
+        logger.info("date_range for this ETL (UTC): %s - %s", start, end)
+        warehouse.commit_tx(
+            {"qb_trans_details": details, "qb_trans": trans},
+            {WATERMARK_KEY: end},
+        )
+        logger.info("Committed quickbooks pair + watermark transactionally")
+        return
     start, end = extract_window(store, WATERMARK_KEY)
     fetch_count, fetch_page = fetchers_factory(start, end)
     details, trans = transform(extract(spark, fetch_count, fetch_page))

@@ -85,7 +85,30 @@ def run(
     warehouse: Warehouse,
     store: WatermarkStore,
     fetchers_factory: Callable[[str, str], tuple[Callable, Callable]],
+    transactional: bool = False,
 ) -> None:
+    """Watermark window → extract → transform → pair load → watermark.
+
+    Default semantics are the reference's at-least-once: the
+    header+details pair loads in two appends and the watermark commits
+    AFTER (``shopify_ETL.py:201-206``), so a crash between any two of
+    the three re-extracts the window and duplicates rows on rerun.
+    ``transactional=True`` routes the PAIR + watermark through ONE
+    atomic ``Warehouse.commit_tx`` with the extract lower bound read
+    back from the tx log — the same exactly-once upgrade the square
+    ETL got in r10 (the crash window exists identically here)."""
+    if transactional:
+        start = warehouse.committed_watermark_tx(WATERMARK_KEY)
+        end = WatermarkStore.now_iso()
+        fetch_count, fetch_page = fetchers_factory(start, end)
+        details, trans = transform(extract(spark, fetch_count, fetch_page))
+        logger.info("date_range for this ETL (UTC): %s - %s", start, end)
+        warehouse.commit_tx(
+            {"shopify_trans_details": details, "shopify_trans": trans},
+            {WATERMARK_KEY: end},
+        )
+        logger.info("Committed shopify pair + watermark transactionally")
+        return
     start, end = extract_window(store, WATERMARK_KEY)
     fetch_count, fetch_page = fetchers_factory(start, end)
     details, trans = transform(extract(spark, fetch_count, fetch_page))

@@ -2511,7 +2511,14 @@ def llm_training_mix(spark, sf_dir):
     return out.select("doc_id", "chunk_id", "n_tokens", "seq_id")
 
 
-@register("llm_corpus_pipeline", oracle=f"""
+# Shared by llm_corpus_pipeline AND its capped deployment variant:
+# at the graded scales the capped call's loose dials (max_bucket=500,
+# max_k=1024) never bind — no sf0.01 LSH bucket reaches 500 distinct
+# contents and the adaptive k stays well under 1024 — so the capped
+# output is bit-identical to the uncapped one (pytest pins this), and
+# ONE oracle hashes both (r10 VERDICT item 4; the r8 precedent
+# value-oracled every other deployment-config variant).
+_CORPUS_PIPELINE_ORACLE = f"""
 WITH surv AS (
     SELECT MIN(doc_id) AS doc_id
     FROM documents GROUP BY md5({_NORMALIZED})
@@ -2594,7 +2601,10 @@ SELECT d.doc_id, d.lang, d.source, d.n_chars
 FROM documents d JOIN kept USING (doc_id)
 QUALIFY row_number() OVER (PARTITION BY d.source
                            ORDER BY d.n_chars DESC, d.doc_id) <= 23
-""")
+"""
+
+
+@register("llm_corpus_pipeline", oracle=_CORPUS_PIPELINE_ORACLE)
 def llm_corpus_pipeline(spark, sf_dir):
     """THE capstone: the full crawl-processing chain a web-scale
     training-data build runs — exact dedup -> uncapped MinHash-LSH
@@ -2613,17 +2623,18 @@ def llm_corpus_pipeline(spark, sf_dir):
     return corpus.corpus_pipeline(t("documents"), t("embeddings"), cap=23)
 
 
-@register("llm_corpus_pipeline_capped", oracle=None)
+@register("llm_corpus_pipeline_capped", oracle=_CORPUS_PIPELINE_ORACLE)
 def llm_corpus_pipeline_capped(spark, sf_dir):
     """The capstone in its CAPPED deployment configuration (r9 VERDICT
     item 3): hot-LSH-bucket cap ``max_bucket=500`` + SemDeDup codebook
     cap ``max_k=1024`` threaded through ``corpus_pipeline``'s
     signature — the dials a 100 TB crawl run sets, exercised without
-    code edits. Rows-only bench entry: the cap is a deliberate
-    recall-for-boundedness trade, so its output is config-dependent by
-    design (the uncapped sibling llm_corpus_pipeline carries the value
-    hash; pytest pins that sf0.01-scale results are unchanged by caps
-    this loose)."""
+    code edits. Value-oracled with the SAME SQL as the uncapped
+    sibling (r10 VERDICT item 4): at the graded scales these loose
+    caps never bind — pytest pins capped == uncapped over the real
+    sf0.001 tables, and at sf0.01 the shared oracle itself is the
+    check (a binding cap would hash red) — so the hash gates the
+    deployment configuration a 100 TB user actually runs."""
     t = lambda n: _t(spark, sf_dir, n)  # noqa: E731
     return corpus.corpus_pipeline(t("documents"), t("embeddings"), cap=23,
                                   max_bucket=500, max_k=1024)

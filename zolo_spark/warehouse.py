@@ -143,6 +143,12 @@ class Warehouse:
                 "plain append would write files the manifest never "
                 "references — commit through append_commit instead"
             )
+        if jdbc_url is None and self._table_in_txlog(table):
+            raise ValueError(
+                f"table {table} is tx-managed (commit_tx); a plain "
+                "append would write files the tx log never references "
+                "— commit through commit_tx instead"
+            )
         if dedupe_on:
             try:
                 src = (self.read_jdbc(jdbc_url, table) if jdbc_url
@@ -214,6 +220,14 @@ class Warehouse:
             # epoch. Rewrite committed data as ONE new batch and
             # republish the manifest atomically instead.
             return self._compact_committed(
+                table, target_file_bytes, zorder_by, zorder_bits)
+        if self._table_in_txlog(table):
+            # Tx-managed tables carry their file lists (relative
+            # paths) in the warehouse tx log: the directory swap
+            # below would strand every committed batch the log
+            # references. Rewrite + republish through the log's own
+            # atomic rename instead (also checkpoints the log).
+            return self._compact_committed_tx(
                 table, target_file_bytes, zorder_by, zorder_bits)
         files_before, total = self.file_stats(table)
         want = schemas.WAREHOUSE_TABLES[table]
@@ -328,6 +342,12 @@ class Warehouse:
         import json
         import uuid
 
+        if self._table_in_txlog(table):
+            raise ValueError(
+                f"table {table} is tx-managed (commit_tx); a manifest "
+                "commit would fork its committed contents into two "
+                "disagreeing logs — keep committing through commit_tx"
+            )
         want = schemas.WAREHOUSE_TABLES[table]
         df = df.select([F.col(f.name).cast(f.dataType) for f in want.fields])
         batch_dir = f"batch-{uuid.uuid4().hex}"
@@ -399,6 +419,14 @@ class Warehouse:
         import json
         import uuid
 
+        for table in frames:
+            if self._has_manifest(table):
+                raise ValueError(
+                    f"table {table} is manifest-managed (append_commit); "
+                    "a tx commit would fork its committed contents into "
+                    "two disagreeing logs — keep committing through "
+                    "append_commit"
+                )
         staged: dict[str, list[str]] = {}
         for table, df in frames.items():
             want = schemas.WAREHOUSE_TABLES[table]
@@ -439,6 +467,102 @@ class Warehouse:
                 val = tx["watermarks"][key]
         return val
 
+    def _table_in_txlog(self, table: str) -> bool:
+        """True once any tx references ``table`` — its committed
+        contents are then DEFINED by the tx log, so the plain
+        directory-reasoning paths (append/overwrite/compact/vacuum)
+        must route through (or refuse on) the log."""
+        if not os.path.exists(self._txlog_path()):
+            return False
+        return any(table in tx["tables"]
+                   for tx in self._read_txlog()["txs"])
+
+    def checkpoint_txlog(self) -> int:
+        """Fold the whole tx history into ONE snapshot record and
+        publish it with the same atomic rename ``commit_tx`` uses;
+        returns the number of txs folded.
+
+        ``commit_tx`` rewrites the full log on every commit and the
+        readers rescan every historical tx, so an unbounded log makes
+        commit cost grow with ingest age — the manifest tables got
+        ``_compact_committed`` and this is the tx analog (Iceberg's
+        snapshot expiration / Delta's checkpoint). Folding preserves
+        reader semantics exactly: ``read_committed_tx`` concatenates
+        per-table file lists in log order and
+        ``committed_watermark_tx`` takes each key's LAST value, both
+        invariant under replacing the history with (concatenated
+        lists, last watermarks)."""
+        import json
+        import uuid
+
+        log = self._read_txlog()
+        n = len(log["txs"])
+        if n <= 1:
+            return n
+        snap = self._fold_txs(log["txs"])
+        tmp = self._txlog_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"txs": [snap]}, f)
+        os.replace(tmp, self._txlog_path())  # THE commit point
+        return n
+
+    @staticmethod
+    def _fold_txs(txs: list[dict]) -> dict:
+        """(concatenated per-table file lists, last-writer-wins
+        watermarks) — the reader-equivalent single-tx snapshot."""
+        tables: dict[str, list[str]] = {}
+        watermarks: dict[str, str] = {}
+        for tx in txs:
+            for t, rels in tx["tables"].items():
+                tables.setdefault(t, []).extend(rels)
+            watermarks.update(tx["watermarks"])
+        return {"tables": tables, "watermarks": watermarks}
+
+    def _compact_committed_tx(self, table: str, target_file_bytes: int,
+                              zorder_by: list[str] | None,
+                              zorder_bits: int) -> tuple[int, int]:
+        """Compact a tx-managed table: rewrite its committed rows into
+        one right-sized batch, then publish a checkpointed log whose
+        snapshot references only the new files (other tables' lists
+        and all watermarks carried over) with the tx log's own atomic
+        rename. A crash at any point leaves the old log (and its
+        files) live; the staged rewrite is garbage
+        ``vacuum_uncommitted_tx`` collects."""
+        import json
+        import uuid
+
+        log = self._read_txlog()
+        snap = self._fold_txs(log["txs"])
+        old_files = snap["tables"].get(table, [])
+        files_before = len(old_files)
+        if files_before == 0:
+            return 0, 0
+        root = self.path(table)
+        total = sum(os.path.getsize(os.path.join(root, rel))
+                    for rel in old_files)
+        df = self.read_committed_tx(table)
+        if zorder_by:
+            df = self._with_zorder_key(df, zorder_by, zorder_bits)
+        n = max(1, math.ceil(total / target_file_bytes))
+        if zorder_by:
+            out = (df.repartitionByRange(n, "_zkey")
+                   .sortWithinPartitions("_zkey").drop("_zkey"))
+        else:
+            out = df.repartition(n)
+        batch_dir = f"batch-{uuid.uuid4().hex}"
+        out.write.mode("overwrite").parquet(os.path.join(root, batch_dir))
+        new_files = sorted(
+            os.path.join(batch_dir, fn)
+            for fn in os.listdir(os.path.join(root, batch_dir))
+            if fn.endswith(".parquet"))
+        snap["tables"][table] = new_files
+        tmp = self._txlog_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"txs": [snap]}, f)
+        os.replace(tmp, self._txlog_path())  # THE commit point
+        self.vacuum_uncommitted_tx([table])  # drop superseded batches
+        return files_before, len(new_files)
+
     def vacuum_uncommitted_tx(self, tables: list[str]) -> int:
         """Remove staged batch directories under ``tables`` that no tx
         references (crash leftovers); returns the number removed."""
@@ -460,7 +584,13 @@ class Warehouse:
     def vacuum_uncommitted(self, table: str) -> int:
         """Remove staged batch directories no manifest references
         (crash leftovers); returns the number removed. Safe at any
-        time: committed files are exactly the manifest's list."""
+        time: committed files are exactly the manifest's list. A
+        tx-managed table routes to :meth:`vacuum_uncommitted_tx` —
+        reading the (absent) manifest's empty default here would
+        delete every committed batch the tx log references (r10
+        ADVICE)."""
+        if self._table_in_txlog(table):
+            return self.vacuum_uncommitted_tx([table])
         man = self._read_manifest(table)
         live = {rel.split(os.sep)[0] for rel in man["files"]}
         removed = 0
@@ -508,6 +638,13 @@ class Warehouse:
                 "plain overwrite would delete _MANIFEST.json and reset "
                 "the committed watermark to epoch — rebuild through "
                 "append_commit, or remove the manifest explicitly first"
+            )
+        if jdbc_url is None and self._table_in_txlog(table):
+            raise ValueError(
+                f"table {table} is tx-managed (commit_tx); a plain "
+                "overwrite would delete committed batches the tx log "
+                "references, leaving the log pointing at missing files "
+                "— rewrite through compact or a new tx instead"
             )
         if jdbc_url is not None:
             self._write_jdbc(df, table, "overwrite", jdbc_url)
