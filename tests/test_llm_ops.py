@@ -1945,3 +1945,69 @@ def test_dsir_sample_is_seeded_weighted_and_reshard_stable(spark):
     # sampling, not argmax: the draw differs from deterministic top-k
     topk = {r["doc_id"] for r in dsir.dsir_select(df, target, k=30).collect()}
     assert a != topk
+
+
+def test_dsir_domain_select_matches_single_domain_path(spark):
+    """A one-domain dsir_domain_select must reproduce dsir_select
+    exactly (same weights, same ranks) — the pivoted multi-domain
+    ratio/weight machinery is a pure generalization; and with two
+    domains each domain's scores are independent of the other's
+    presence (the raw marginal is shared, the target marginals are
+    per-domain)."""
+    from pyspark.sql import functions as F
+
+    from zolo_spark.llm import dsir
+
+    t1 = "quantum flux capacitor resonance chamber"
+    t2 = "banana apple orange pear grape melon"
+    rows = ([(i, t1) for i in range(4)] + [(10 + i, t2) for i in range(4)]
+            + [(20, t1 + " extra"), (21, t2 + " extra"),
+               (22, "wholly unrelated words here")])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    single = {(r["doc_id"], r["dsir_weight"], r["rank"])
+              for r in dsir.dsir_select(
+                  df, df.filter(F.col("doc_id") < 4).select("doc_id"),
+                  k=11).collect()}
+    tgt_a = (df.filter(F.col("doc_id") < 4)
+             .select("doc_id", F.lit("a").alias("domain")))
+    got_a = {(r["doc_id"], r["dsir_weight"], r["rank"])
+             for r in dsir.dsir_domain_select(df, tgt_a, {"a": 11})
+             .collect()}
+    assert got_a == single
+
+    # adding a second domain leaves domain a's scores untouched
+    tgt_ab = tgt_a.unionByName(
+        df.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 14))
+        .select("doc_id", F.lit("b").alias("domain")))
+    both = dsir.dsir_domain_select(df, tgt_ab, {"a": 11, "b": 3}).collect()
+    got_a2 = {(r["doc_id"], r["dsir_weight"], r["rank"])
+              for r in both if r["domain"] == "a"}
+    assert got_a2 == single
+    b_rows = [r for r in both if r["domain"] == "b"]
+    assert len(b_rows) == 3  # quota respected per domain
+    # domain b's top docs are the t2-vocabulary ones
+    assert {r["doc_id"] for r in b_rows} <= {10, 11, 12, 13, 21}
+
+
+def test_temperature_mix_members_matches_audit(spark):
+    """temperature_mix_members keeps exactly the rows the audit
+    counts (kept per source == count of member rows), and membership
+    is a pure function of ids (stable across calls)."""
+    from pyspark.sql import functions as F
+
+    from zolo_spark.llm import corpus
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 4 else "de") for i in range(200)],
+        "doc_id long, lang string")
+    audit = corpus.temperature_mix(df)
+    members = corpus.temperature_mix_members(df, audit)
+    got = {r["lang"]: r["n"] for r in
+           members.groupBy("lang").agg(
+               F.count(F.lit(1)).alias("n")).collect()}
+    want = {r["lang"]: r["kept"] for r in audit.collect()}
+    assert got == {k: v for k, v in want.items() if v > 0}
+    again = {tuple(r) for r in
+             corpus.temperature_mix_members(df, audit).collect()}
+    assert again == {tuple(r) for r in members.collect()}

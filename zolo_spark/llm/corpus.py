@@ -746,14 +746,28 @@ def temperature_mix(df: DataFrame, alpha: float = 0.7,
     rates = weights.crossJoin(F.broadcast(wmax)).select(
         source_col, "n",
         F.round(F.col("_w") / F.col("_wmax"), 6).alias("rate"))
-    bucket = (F.conv(F.substring(
-        F.md5(F.concat(F.lit("mix-v1"), F.col(id_col).cast("string"))),
-        1, 4), 16, 10).cast("long") % 10000)
-    kept = (df.select(source_col, bucket.alias("_b"))
-            .join(F.broadcast(rates), source_col)
-            .filter(F.col("_b") < F.floor(F.col("rate") * 10000))
+    kept = (temperature_mix_members(df, rates, source_col, id_col)
             .groupBy(source_col)
             .agg(F.count(F.lit(1)).alias("kept")))
     return (rates.join(F.broadcast(kept), source_col, "left")
             .na.fill({"kept": 0})
             .select(source_col, "n", "rate", "kept"))
+
+
+def temperature_mix_members(df: DataFrame, rates: DataFrame,
+                            source_col: str = "lang",
+                            id_col: str = "doc_id") -> DataFrame:
+    """The rows of ``df`` the temperature mix KEEPS — the same id-pure
+    membership rule :func:`temperature_mix` audits
+    (``md5('mix-v1'||id) bucket < round-6 rate · 10⁴``), exposed so
+    downstream stages (e.g. a per-domain DSIR selection feeding a
+    training mix) consume the membership itself, not just the audit.
+    ``rates`` = (source, rate) — typically :func:`temperature_mix`'s
+    output, broadcast here; one codegen filter, no corpus shuffle."""
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("mix-v1"), F.col(id_col).cast("string"))),
+        1, 4), 16, 10).cast("long") % 10000)
+    return (df.join(F.broadcast(rates.select(source_col, "rate")),
+                    source_col)
+            .filter(bucket < F.floor(F.col("rate") * 10000))
+            .drop("rate"))

@@ -200,3 +200,101 @@ def dsir_sample(df: DataFrame, target_ids: DataFrame, k: int = 100,
             .withColumn("rank", rank)
             .filter(F.col("rank") <= k)
             .select("doc_id", "dsir_weight", "gumbel_key", "rank"))
+
+
+def dsir_domain_ratios(feats: DataFrame, domain_targets: DataFrame,
+                       buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """(bucket, domain, lr) — per-DOMAIN add-1-smoothed log importance
+    ratios against the shared raw marginal (Xie et al. §experiments
+    fit one target distribution per domain; the raw distribution is
+    common). ``domain_targets`` = (doc_id, domain) exemplar rows; a
+    document may exemplify several domains.
+
+    Scale: the raw marginal is one bucket-sized aggregate; the target
+    marginals are one aggregate over the (broadcast-flagged) target
+    rows only; the full (domain × bucket) grid — absent buckets still
+    carry smoothed mass, the a14/PSI lesson — is ≤ domains·buckets
+    rows, window-summed per domain and meant to be broadcast."""
+    flag = F.broadcast(
+        domain_targets.select("doc_id", "domain").distinct())
+    rb = feats.groupBy("bucket").agg(F.sum("c").alias("rc"))
+    tb = (feats.join(flag, "doc_id")
+          .groupBy("domain", "bucket").agg(F.sum("c").alias("tc")))
+    doms = domain_targets.select("domain").distinct()
+    grid = (rb.crossJoin(F.broadcast(doms))
+            .join(tb, ["domain", "bucket"], "left")
+            .withColumn("tc", F.coalesce(F.col("tc"), F.lit(0))))
+    wdom = W.partitionBy("domain")
+    b = float(buckets)
+    return grid.select(
+        "domain", "bucket", "rc", "tc",
+        F.sum("rc").over(wdom).alias("R"),
+        F.sum("tc").over(wdom).alias("T"),
+    ).select(
+        "domain", "bucket",
+        F.round(
+            F.log((F.col("tc") + 1).cast("double")
+                  / (F.col("T") + b).cast("double"))
+            - F.log((F.col("rc") + 1).cast("double")
+                    / (F.col("R") + b).cast("double")),
+            6,
+        ).alias("lr"),
+    )
+
+
+def dsir_domain_weights(feats: DataFrame, ratios: DataFrame,
+                        domains: list[str]) -> DataFrame:
+    """(doc_id, domain, dsir_weight) — every document scored against
+    every domain's ratio table.
+
+    The ratio table is PIVOTED to one row per bucket (one lr column
+    per domain) before the broadcast join, so the corpus-sized
+    feature relation joins 1:1 and shuffles ONCE through a single
+    groupBy(doc_id) computing all domains' exact-DECIMAL sums; the
+    long shape comes back via ``stack`` over the per-document rows —
+    never a ×domains fan-out of the feature rows."""
+    piv = (ratios.groupBy("bucket").pivot("domain", domains)
+           .agg(F.first("lr")))
+    piv = piv.select(
+        "bucket",
+        *[F.col(f"`{d}`").alias(f"_lr{i}") for i, d in enumerate(domains)])
+    aggs = [
+        F.sum(F.round(F.col("c") * F.col(f"_lr{i}"), 6)
+              .cast("decimal(28,6)")).cast("double").alias(f"_w{i}")
+        for i in range(len(domains))
+    ]
+    wide = (feats.join(F.broadcast(piv), "bucket")
+            .groupBy("doc_id").agg(*aggs))
+    pairs = ", ".join(f"'{d}', _w{i}" for i, d in enumerate(domains))
+    return wide.selectExpr(
+        "doc_id",
+        f"stack({len(domains)}, {pairs}) AS (domain, dsir_weight)")
+
+
+def dsir_domain_select(df: DataFrame, domain_targets: DataFrame,
+                       quotas: dict[str, int],
+                       text_col: str = "text", id_col: str = "doc_id",
+                       buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Per-domain DSIR selection: top-``quotas[domain]`` documents by
+    each domain's importance weight — (domain, doc_id, dsir_weight,
+    rank). The per-domain rank filter sits directly above its window,
+    so Spark executes a per-partition partial top-k per domain
+    (WindowGroupLimit), never a global sort; ties break on doc_id.
+    Domains are the sorted quota keys; target rows for other domains
+    are ignored."""
+    domains = sorted(quotas)
+    cachereg.begin("dsir_domain")
+    feats = cachereg.persist(
+        hashed_ngram_features(df, text_col, id_col, buckets),
+        "dsir_domain")
+    targets = domain_targets.filter(F.col("domain").isin(domains))
+    ratios = dsir_domain_ratios(feats, targets, buckets)
+    w = dsir_domain_weights(feats, ratios, domains)
+    rank = F.row_number().over(
+        W.partitionBy("domain")
+        .orderBy(F.col("dsir_weight").desc(), "doc_id"))
+    qmap = F.create_map(
+        *[x for d in domains for x in (F.lit(d), F.lit(int(quotas[d])))])
+    return (w.withColumn("rank", rank)
+            .filter(F.col("rank") <= qmap[F.col("domain")])
+            .select("domain", "doc_id", "dsir_weight", "rank"))

@@ -258,7 +258,16 @@ _GRADING_PRIORITY = [
     # hands its slot to psi_drift_monitor — the Population Stability
     # Index drift monitor over frozen reference histograms,
     # value-oracled with add-1 smoothing and edge-bin clamping.
-    "llm_dup_clusters", "psi_drift_monitor",
+    # Round-11 rotation: llm_dup_clusters (green r2–r10, NINE rounds;
+    # its label-prop/star region of corpus.py is untouched this round
+    # and its input machinery — the minhash band join — is re-graded
+    # in-window via llm_incremental_dedup / llm_dedup_pipeline /
+    # llm_minhash_lsh_capped) hands its slot to llm_dsir_domain_mix —
+    # per-domain DSIR targets composing with temperature mixing (r10
+    # VERDICT item 7: the one DSIR capability real pipelines use that
+    # the engine lacked), value-hashed end to end beside its
+    # still-in-window sibling llm_dsir_select.
+    "llm_dsir_domain_mix", "psi_drift_monitor",
     # Round-8 rotation: the three deployment-config variants
     # (llm_minhash_lsh_capped, llm_simhash_neardup_wide,
     # llm_embedding_near_dup_8bit) gained value oracles this round —

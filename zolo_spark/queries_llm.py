@@ -1697,6 +1697,98 @@ def llm_dsir_select(spark, sf_dir):
     return dsir.dsir_select(docs, target, k=100)
 
 
+@register("llm_dsir_domain_mix", oracle="""
+WITH toks AS MATERIALIZED (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+    FROM documents
+), uni AS (
+    SELECT doc_id, unnest(t) AS ngram FROM toks
+), bi AS (
+    SELECT doc_id, t[i] || ' ' || t[i + 1] AS ngram
+    FROM toks, UNNEST(range(1, len(t))) AS u(i)
+), feat AS MATERIALIZED (
+    SELECT doc_id,
+           ('0x' || substr(md5(ngram), 1, 4))::BIGINT % 256 AS bucket,
+           COUNT(*) AS c
+    FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+    GROUP BY 1, 2
+), tgt AS MATERIALIZED (
+    SELECT doc_id, 'longform' AS domain FROM documents
+    WHERE length(text) >= 280
+    UNION ALL
+    SELECT doc_id, 'shortform' FROM documents WHERE length(text) < 120
+), rb AS (
+    SELECT bucket, SUM(c) AS rc FROM feat GROUP BY bucket
+), tb AS (
+    SELECT t.domain, f.bucket, SUM(f.c) AS tc
+    FROM feat f JOIN tgt t USING (doc_id) GROUP BY 1, 2
+), grid AS (
+    SELECT d.domain, rb.bucket, rb.rc, COALESCE(tb.tc, 0) AS tc
+    FROM rb CROSS JOIN (SELECT DISTINCT domain FROM tgt) d
+    LEFT JOIN tb ON tb.domain = d.domain AND tb.bucket = rb.bucket
+), ratio AS (
+    SELECT domain, bucket,
+           round(ln((tc + 1)::DOUBLE
+                    / (SUM(tc) OVER (PARTITION BY domain) + 256)::DOUBLE)
+                 - ln((rc + 1)::DOUBLE
+                      / (SUM(rc) OVER (PARTITION BY domain) + 256)::DOUBLE),
+                 6) AS lr
+    FROM grid
+), w AS (
+    SELECT f.doc_id, r.domain,
+           SUM(round(f.c * r.lr, 6)::DECIMAL(28,6)) AS wt
+    FROM feat f JOIN ratio r USING (bucket) GROUP BY 1, 2
+), sel AS MATERIALIZED (
+    SELECT * FROM (
+        SELECT doc_id, domain, wt,
+               ROW_NUMBER() OVER (PARTITION BY domain
+                                  ORDER BY wt::DOUBLE DESC, doc_id) AS rank
+        FROM w
+    ) WHERE rank <= CASE domain WHEN 'longform' THEN 150 ELSE 100 END
+), rates AS (
+    SELECT domain,
+           round((pow(n::DOUBLE, 0.7) / n::DOUBLE)
+                 / (SELECT MAX(pow(n::DOUBLE, 0.7) / n::DOUBLE)
+                    FROM (SELECT COUNT(*)::BIGINT AS n FROM sel
+                          GROUP BY domain)), 6) AS rate
+    FROM (SELECT domain, COUNT(*)::BIGINT AS n FROM sel GROUP BY domain)
+)
+SELECT s.domain, s.doc_id, s.wt::DOUBLE AS dsir_weight, s.rank
+FROM sel s JOIN rates r ON s.domain = r.domain
+WHERE ('0x' || substr(md5('mix-v1' || s.doc_id::VARCHAR), 1, 4))::BIGINT
+      % 10000 < floor(r.rate * 10000)
+""")
+def llm_dsir_domain_mix(spark, sf_dir):
+    """Per-DOMAIN DSIR composing with temperature mixing (r10 VERDICT
+    item 7; Xie et al. §experiments fit per-domain targets): two
+    exemplar distributions — longform (length ≥ 280) and shortform
+    (< 120) — each score the WHOLE corpus against the shared raw
+    marginal, per-domain quotas (150/100) select by rank, and the
+    selection feeds ``corpus.temperature_mix`` (α=0.7) whose id-pure
+    membership keeps the final mix. The full chain — per-domain
+    ratios (pivoted, ONE corpus shuffle for all domains), quota
+    top-k (per-domain WindowGroupLimit), n^α rates, salted-hash
+    membership — is value-hashed end to end; ``llm/dsir.py``
+    ``dsir_domain_select`` + ``llm/corpus.py``
+    ``temperature_mix_members``."""
+    from .llm import dsir
+
+    docs = _t(spark, sf_dir, "documents")
+    targets = (
+        docs.filter(F.length("text") >= 280)
+        .select("doc_id", F.lit("longform").alias("domain"))
+        .unionByName(
+            docs.filter(F.length("text") < 120)
+            .select("doc_id", F.lit("shortform").alias("domain")))
+    )
+    sel = dsir.dsir_domain_select(
+        docs, targets, {"longform": 150, "shortform": 100})
+    rates = corpus.temperature_mix(sel, source_col="domain")
+    return (corpus.temperature_mix_members(sel, rates, "domain")
+            .select("domain", "doc_id", "dsir_weight", "rank"))
+
+
 @register("llm_embedding_stats", oracle=f"""
 SELECT label,
        COUNT(*) AS n,
