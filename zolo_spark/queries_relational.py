@@ -1862,36 +1862,25 @@ def watermark_batch_twin(spark, sf_dir):
     return twin(_t(spark, sf_dir, "events"))
 
 
-# Arrival buckets the generated session-twin oracle enumerates: the
-# testdata's 30 event days + the 2 trailing late-only buckets
-# (event_id % 7 == 0 arrives two buckets late). Shared with the gate,
-# which ASSERTS the live events table produces exactly this set before
-# grading — rows outside it would silently fall out of every enumerated
-# round and the hash would fail with no hint the ORACLE was truncated
-# (r8 ADVICE).
-_SESSION_TWIN_DATES = ([f"2024-01-{d:02d}" for d in range(1, 32)]
-                       + ["2024-02-01"])
-
-
 def _session_twin_oracle() -> str:
-    """Generate the chained-CTE replay of the session-window late-data
-    twin: one round per arrival bucket (``_SESSION_TWIN_DATES``), each
-    round = late-filter (lag-1 watermark vs the pre-merge window end)
-    → merge into state → per-user sessionize → evict (end <= batch
-    watermark, inclusive) — the same generated-round technique as the
-    BPE oracle. An already-emitted session is gone from state, so a
+    """The chained per-bucket replay of the session-window late-data
+    twin as ONE recursive CTE whose round count is DATA-DRIVEN: the
+    rounds are exactly the arrival buckets the events table produces,
+    in order — the same per-bucket watermark list the engine collects
+    — so no enumerated date list and no staleness window exist (r10
+    VERDICT item 6; the r8–r10 form generated 32 date-pinned rounds
+    guarded by an assert). Each iteration = late-filter (lag-1
+    BUCKET watermark vs the pre-merge window end) → merge into state
+    → per-user sessionize → evict (end <= the batch watermark,
+    inclusive); an already-emitted session is gone from state, so a
     kept late row inside its span REOPENS a new session, exactly as
-    the engine does (r8 pinning experiments)."""
-    dates = _SESSION_TWIN_DATES
+    the engine does (r8 pinning experiments). The recursive working
+    table carries state rows ('st'), that round's emissions ('em' —
+    accumulated by the recursion's union), and one 'tick' row so an
+    all-dropped round cannot end the chain early; a trailing
+    no-arrival round (idx K+1) applies the final watermark."""
     anc = "TIMESTAMP '1900-01-01'"
-
-    def wm(upto: str) -> str:
-        return (f"coalesce((SELECT max(mx) FROM bmax "
-                f"WHERE arr < TIMESTAMP '{upto}') - INTERVAL 6 HOUR, {anc})")
-
-    # MATERIALIZED: the 32 rounds each scan tagged/bmax; inlining
-    # would open the parquet once per reference (EMFILE at round ~30)
-    parts = ["""WITH tagged AS MATERIALIZED (
+    return f"""WITH RECURSIVE tagged AS MATERIALIZED (
     SELECT event_id, ts, user_id, value,
            date_trunc('day', ts) + CASE WHEN event_id % 7 = 0
                THEN INTERVAL 2 DAY ELSE INTERVAL 0 DAY END AS arr
@@ -1899,63 +1888,74 @@ def _session_twin_oracle() -> str:
 ), bmax AS MATERIALIZED (
     SELECT arr, max(date_trunc('milliseconds', ts)) AS mx
     FROM tagged GROUP BY arr
-)"""]
-    prev = None
-    for i, d in enumerate(dates):
-        wl = wm(dates[i - 1]) if i >= 1 else anc
-        we = wm(d)
-        carry = (f"SELECT event_id, ts, user_id, value FROM {prev}\n"
-                 f"    UNION ALL\n    " if prev else "")
-        parts.append(f""", in{i} AS (
-    {carry}SELECT event_id, ts, user_id, value FROM tagged
-    WHERE arr = TIMESTAMP '{d}'
-      AND ts + INTERVAL 4 HOUR > {wl}
-), sd{i} AS MATERIALIZED (
-    SELECT *, SUM(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS UNBOUNDED PRECEDING) AS sid
-    FROM (SELECT *, CASE WHEN ts >= coalesce(lag(ts) OVER (
-              PARTITION BY user_id ORDER BY ts, event_id), {anc})
-              + INTERVAL 4 HOUR THEN 1 ELSE 0 END AS nf FROM in{i})
-), bd{i} AS MATERIALIZED (
-    SELECT user_id, sid, min(ts) AS sstart,
-           max(ts) + INTERVAL 4 HOUR AS send
-    FROM sd{i} GROUP BY user_id, sid
-), em{i} AS (
-    SELECT s.user_id, s.ts, s.value, b.sstart, {i} AS rnd
-    FROM sd{i} s JOIN bd{i} b USING (user_id, sid)
-    WHERE b.send <= {we}
-), st{i} AS MATERIALIZED (
-    SELECT s.event_id, s.ts, s.user_id, s.value
-    FROM sd{i} s JOIN bd{i} b USING (user_id, sid)
-    WHERE b.send > {we}
-)""")
-        prev = f"st{i}"
-    n = len(dates)
-    parts.append(f""", sdF AS MATERIALIZED (
-    SELECT *, SUM(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS UNBOUNDED PRECEDING) AS sid
-    FROM (SELECT *, CASE WHEN ts >= coalesce(lag(ts) OVER (
-              PARTITION BY user_id ORDER BY ts, event_id), {anc})
-              + INTERVAL 4 HOUR THEN 1 ELSE 0 END AS nf FROM {prev})
-), bdF AS MATERIALIZED (
-    SELECT user_id, sid, min(ts) AS sstart,
-           max(ts) + INTERVAL 4 HOUR AS send
-    FROM sdF GROUP BY user_id, sid
-), emF AS (
-    SELECT s.user_id, s.ts, s.value, b.sstart, {n} AS rnd
-    FROM sdF s JOIN bdF b USING (user_id, sid)
-    WHERE b.send <= (SELECT max(mx) FROM bmax) - INTERVAL 6 HOUR
-), allem AS (
-{chr(10).join(f'    SELECT * FROM em{i} UNION ALL' for i in range(n))}
-    SELECT * FROM emF
+), rounds AS MATERIALIZED (
+    -- one row per ACTUAL arrival bucket: lag-2 late watermark (wl),
+    -- lag-1 eviction watermark (we) — the engine's running-max list —
+    -- plus the trailing no-data round K+1 with the final watermark
+    SELECT arr, idx,
+           coalesce(max(mx) OVER (ORDER BY arr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+               - INTERVAL 6 HOUR, {anc}) AS wl,
+           coalesce(max(mx) OVER (ORDER BY arr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               - INTERVAL 6 HOUR, {anc}) AS we
+    FROM (SELECT arr, mx, row_number() OVER (ORDER BY arr) AS idx
+          FROM bmax)
+    UNION ALL
+    SELECT NULL::TIMESTAMP, (SELECT COUNT(*) FROM bmax) + 1, {anc},
+           (SELECT max(mx) FROM bmax) - INTERVAL 6 HOUR
+), chain AS (
+    SELECT 'tick' AS tag, 0::BIGINT AS rnd, NULL::BIGINT AS event_id,
+           NULL::TIMESTAMP AS ts, NULL::BIGINT AS user_id,
+           NULL::DOUBLE AS value, NULL::TIMESTAMP AS sstart
+    UNION ALL
+    SELECT x.tag, x.rnd, x.event_id, x.ts, x.user_id, x.value, x.sstart
+    FROM (
+        SELECT CASE WHEN send <= we THEN 'em' ELSE 'st' END AS tag,
+               idx AS rnd, event_id, ts, user_id, value, sstart
+        FROM (
+            SELECT s.*,
+                   min(ts) OVER (PARTITION BY user_id, sid) AS sstart,
+                   max(ts) OVER (PARTITION BY user_id, sid)
+                       + INTERVAL 4 HOUR AS send
+            FROM (
+                SELECT u0.*, SUM(nf) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM (
+                    SELECT u1.*, CASE WHEN ts >= coalesce(lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id),
+                        {anc}) + INTERVAL 4 HOUR THEN 1 ELSE 0 END AS nf
+                    FROM (
+                        SELECT c.event_id, c.ts, c.user_id, c.value,
+                               r.idx, r.we
+                        FROM chain c JOIN rounds r ON r.idx = c.rnd + 1
+                        WHERE c.tag = 'st'
+                        UNION ALL
+                        SELECT g.event_id, g.ts, g.user_id, g.value,
+                               r.idx, r.we
+                        FROM tagged g
+                        JOIN rounds r ON g.arr = r.arr
+                        JOIN (SELECT DISTINCT rnd FROM chain) p
+                          ON r.idx = p.rnd + 1
+                        WHERE g.ts + INTERVAL 4 HOUR > r.wl
+                    ) u1
+                ) u0
+            ) s
+        )
+        UNION ALL
+        SELECT 'tick', r.idx, NULL, NULL, NULL, NULL, NULL
+        FROM rounds r JOIN (SELECT DISTINCT rnd FROM chain) p
+          ON r.idx = p.rnd + 1
+    ) x
 )
 SELECT min(ts) AS session_start,
        max(ts) + INTERVAL 4 HOUR AS session_end,
        user_id,
        count(*)::BIGINT AS n_events,
        SUM(round(value, 6)::DECIMAL(28,6))::DOUBLE AS session_value
-FROM allem GROUP BY user_id, sstart, rnd""")
-    return "".join(parts)
+FROM chain WHERE tag = 'em'
+GROUP BY user_id, sstart, rnd"""
 
 
 @register("session_window_late_twin", oracle=_session_twin_oracle())
@@ -1973,28 +1973,11 @@ def session_window_late_twin(spark, sf_dir):
     buckets is pinned by pytest (dropped / kept-late / merged /
     reopened / withheld branches).
 
-    Guards its own oracle: the generated rounds enumerate exactly
-    ``_SESSION_TWIN_DATES``; if the live events table yields arrival
-    buckets outside that set (testdata span or late-arrival model
-    changed), fail HERE with a message naming the oracle — not with an
-    unexplained hash mismatch over a silently truncated stream."""
+    The oracle's rounds are DATA-DRIVEN (one recursive-CTE iteration
+    per actual arrival bucket — r10 VERDICT item 6), so any testdata
+    span or late-arrival-model change is replayed rather than
+    truncated; the r8–r10 enumerated date list and its staleness
+    assert are gone."""
     from .streaming.intraday import session_late_twin
 
-    events = _t(spark, sf_dir, "events")
-    actual = {
-        r["arr"].strftime("%Y-%m-%d")
-        for r in events.select(
-            (F.date_trunc("day", "ts")
-             + F.when(F.col("event_id") % 7 == 0,
-                      F.expr("INTERVAL 2 DAYS"))
-             .otherwise(F.expr("INTERVAL 0 DAYS"))).alias("arr")
-        ).distinct().collect()  # ≤ a few dozen day buckets
-    }
-    extra = actual - set(_SESSION_TWIN_DATES)
-    if extra:
-        raise AssertionError(
-            "session_window_late_twin ORACLE is stale: events produce "
-            f"arrival buckets {sorted(extra)} outside the enumerated "
-            "_SESSION_TWIN_DATES rounds — regenerate the oracle's date "
-            "list before grading")
-    return session_late_twin(events)
+    return session_late_twin(_t(spark, sf_dir, "events"))
