@@ -125,7 +125,8 @@ def banded_keys(sigs: DataFrame, k: int = N_MINHASH,
 
 def lsh_candidate_pairs(sigs: DataFrame, k: int = N_MINHASH,
                         band_size: int = BAND_SIZE,
-                        max_bucket: int | None = None) -> DataFrame:
+                        max_bucket: int | None = None,
+                        scope: str | None = None) -> DataFrame:
     """Docs colliding on ≥1 LSH band: band self-join with
     doc1 < doc2; distinct pairs.
 
@@ -140,6 +141,15 @@ def lsh_candidate_pairs(sigs: DataFrame, k: int = N_MINHASH,
     configuration (hash-identical to rounds 1-4)."""
     banded = banded_keys(sigs, k, band_size)
     if max_bucket is not None:
+        # The capped plan consumes ``banded`` THREE times — the
+        # hot-bucket aggregate plus both self-join sides. The join
+        # sides share one shuffle exchange (ReuseExchange), but the
+        # aggregate's partial-agg exchange is a different subtree, so
+        # unpersisted the whole sigs→bands lineage replans for it —
+        # the measured 15→19 s capped-vs-uncapped capstone gap.
+        # ``scope`` is the caller's :mod:`cachereg` generation.
+        if scope is not None:
+            banded = cachereg.persist(banded, scope)
         # ANTI-join against the OVER-cap bucket list: it is bounded
         # (≤ rows/max_bucket entries, so broadcastable) while the
         # surviving-bucket set is nearly the whole key space — a
@@ -365,7 +375,8 @@ def _minhash_rep_pairs(df: DataFrame, text_col: str, id_col: str,
     sh = cachereg.persist(doc_shingles(reps, text_col, id_col, n),
                           "minhash")
     sigs = minhash_signatures(sh)
-    pairs = lsh_candidate_pairs(sigs, max_bucket=max_bucket)
+    pairs = lsh_candidate_pairs(sigs, max_bucket=max_bucket,
+                                scope="minhash")
     rep_pairs = jaccard_verify(pairs, sh, threshold, scope="minhash")
     return members, rep_pairs, sigs.select("doc_id")
 
@@ -457,7 +468,9 @@ def minhash_lsh_dedup_pairwise(df: DataFrame, text_col: str = "text",
     cachereg.begin("minhash_pairwise")
     sh = cachereg.persist(doc_shingles(df, text_col, id_col, n),
                           "minhash_pairwise")
-    pairs = lsh_candidate_pairs(minhash_signatures(sh), max_bucket=max_bucket)
+    pairs = lsh_candidate_pairs(minhash_signatures(sh),
+                                max_bucket=max_bucket,
+                                scope="minhash_pairwise")
     return jaccard_verify(pairs, sh, threshold, scope="minhash_pairwise")
 
 
