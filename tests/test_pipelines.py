@@ -537,6 +537,70 @@ def test_tx_table_guards_checkpoint_and_compaction(spark, wh):
     assert wh.read_committed_tx("items").count() == 5
 
 
+def test_tx_time_travel_retention_and_expiry(spark, wh):
+    """r11 roadmap (Iceberg-parity finish): every commit is a
+    numbered version; ``read_committed_tx(as_of_version=)`` /
+    ``committed_watermark_tx(as_of_version=)`` reconstruct any
+    retained version; compaction publishes a REWRITE record so
+    pre-compaction versions stay readable from the superseded files;
+    ``checkpoint_txlog(retain_last=N)`` keeps an N-record time-travel
+    window and ``expire_snapshots`` is expire+orphan-GC in one call —
+    superseded batch dirs are deleted exactly when the last record
+    that could read them folds away."""
+
+    def batch(i):
+        return spark.createDataFrame(
+            [(f"p{i}", "v", i, "sq", "qb", "sh", "cat", "whole", 12.0, 1)],
+            schemas.WAREHOUSE_TABLES["items"])
+
+    for i in range(4):
+        wh.commit_tx({"items": batch(i)},
+                     {"last_update_items": f"2024-01-0{i + 1}"})
+    assert wh.current_tx_version() == 4
+    # time travel: table AND watermark as of version 2
+    assert wh.read_committed_tx("items", as_of_version=2).count() == 2
+    assert wh.committed_watermark_tx(
+        "last_update_items", as_of_version=2) == "2024-01-02"
+    assert wh.committed_watermark_tx(
+        "last_update_items", as_of_version=0) == "1970-01-01T00:00:00"
+    assert wh.read_committed_tx("items", as_of_version=0).count() == 0
+
+    # compaction appends a rewrite (v5): current reads use the new
+    # layout, pre-compaction versions still read the old files
+    files_before, files_after = wh.compact("items")
+    assert files_before >= 4 and files_after < files_before
+    assert wh.current_tx_version() == 5
+    assert wh.read_committed_tx("items").count() == 4
+    assert wh.read_committed_tx("items", as_of_version=3).count() == 3
+    # nothing is orphaned: historical records still reference the
+    # superseded batches (this is what funds the time travel)
+    assert wh.vacuum_uncommitted("items") == 0
+
+    # retention window of 2: fold v1-v3, keep [snap(v3), v4, v5]
+    folded, removed = wh.expire_snapshots(retain_last=2)
+    assert (folded, removed) == (3, 0)
+    assert wh.read_committed_tx("items", as_of_version=4).count() == 4
+    assert wh.read_committed_tx("items", as_of_version=3).count() == 3
+    with pytest.raises(ValueError, match="expired"):
+        wh.read_committed_tx("items", as_of_version=2)
+    with pytest.raises(ValueError, match="expired"):
+        wh.committed_watermark_tx("last_update_items", as_of_version=2)
+
+    # expire everything: the rewrite's replaces folds through, the 4
+    # pre-compaction batch dirs become orphans and are GC'd
+    folded2, removed2 = wh.expire_snapshots()
+    assert (folded2, removed2) == (3, 4)
+    assert wh.read_committed_tx("items").count() == 4
+    assert wh.committed_watermark_tx("last_update_items") == "2024-01-04"
+    with pytest.raises(ValueError, match="expired"):
+        wh.read_committed_tx("items", as_of_version=4)
+    # current version survives expiry; ingest continues from it
+    assert wh.current_tx_version() == 5
+    wh.commit_tx({"items": batch(5)}, {"last_update_items": "2024-01-06"})
+    assert wh.current_tx_version() == 6
+    assert wh.read_committed_tx("items").count() == 5
+
+
 @pytest.mark.parametrize("etl,payload_fn,pager,hdr_table,det_table", [
     (shopify_etl, fixtures.shopify_orders,
      lambda p: fixtures.count_page_fetchers(p, shopify_etl.PAGE_SIZE),

@@ -225,8 +225,9 @@ class Warehouse:
             # Tx-managed tables carry their file lists (relative
             # paths) in the warehouse tx log: the directory swap
             # below would strand every committed batch the log
-            # references. Rewrite + republish through the log's own
-            # atomic rename instead (also checkpoints the log).
+            # references. Rewrite + publish a REWRITE record through
+            # the log's own atomic rename instead (superseded files
+            # stay time-travel-readable until expire_snapshots).
             return self._compact_committed_tx(
                 table, target_file_bytes, zorder_by, zorder_bits)
         files_before, total = self.file_stats(table)
@@ -407,6 +408,47 @@ class Warehouse:
         with open(p) as f:
             return json.load(f)
 
+    @staticmethod
+    def _effective_txs(log: dict) -> list[tuple[int, dict]]:
+        """(version, tx) pairs in log order. Records written before
+        versioning get the implicit version prev+1 — monotone by
+        construction, so a legacy log time-travels by position."""
+        out, v = [], 0
+        for tx in log["txs"]:
+            v = tx.get("version", v + 1)
+            out.append((v, tx))
+        return out
+
+    @staticmethod
+    def _replay_files(txs: list[tuple[int, dict]], table: str,
+                      as_of_version: int | None = None) -> list[str]:
+        """The table's committed file list at ``as_of_version`` (or
+        now): walk records in order, a REWRITE record (compaction)
+        replaces the accumulated list, a plain tx extends it."""
+        files: list[str] = []
+        for v, tx in txs:
+            if as_of_version is not None and v > as_of_version:
+                break
+            if table in tx.get("replaces", []):
+                files = list(tx["tables"].get(table, []))
+            else:
+                files.extend(tx["tables"].get(table, []))
+        return files
+
+    def _check_retained(self, as_of_version: int | None,
+                        txs: list[tuple[int, dict]]) -> None:
+        """Raise if ``as_of_version`` predates the retained window —
+        a checkpoint SNAPSHOT record folds history, so versions below
+        its version are expired (Iceberg: unknown snapshot id)."""
+        if as_of_version is None or not txs:
+            return
+        v0, tx0 = txs[0]
+        if tx0.get("snapshot") and as_of_version < v0:
+            raise ValueError(
+                f"version {as_of_version} expired: the tx log's "
+                f"retained window starts at version {v0} "
+                "(checkpoint_txlog folded earlier history)")
+
     def commit_tx(self, frames: dict[str, DataFrame],
                   watermarks: dict[str, str] | None = None) -> None:
         """Atomically append every frame to its table AND publish the
@@ -439,18 +481,29 @@ class Warehouse:
                 os.path.join(batch_dir, fn) for fn in os.listdir(out)
                 if fn.endswith(".parquet"))
         log = self._read_txlog()
+        eff = self._effective_txs(log)
         log["txs"].append({"tables": staged,
-                           "watermarks": dict(watermarks or {})})
+                           "watermarks": dict(watermarks or {}),
+                           "version": (eff[-1][0] if eff else 0) + 1})
         tmp = self._txlog_path() + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(log, f)
         os.replace(tmp, self._txlog_path())  # THE commit point
 
-    def read_committed_tx(self, table: str) -> DataFrame:
+    def read_committed_tx(self, table: str,
+                          as_of_version: int | None = None) -> DataFrame:
         """The tx-log-defined contents of ``table`` — staged batches
-        from unfinished commits are invisible by construction."""
-        files = [rel for tx in self._read_txlog()["txs"]
-                 for rel in tx["tables"].get(table, [])]
+        from unfinished commits are invisible by construction.
+
+        ``as_of_version`` time-travels: the table as of that commit
+        version (Iceberg ``snapshot-id`` / Delta ``versionAsOf``).
+        Superseded files stay on disk until the retention window
+        moves past them (:meth:`expire_snapshots`), so any version
+        the log still holds is reconstructible; an expired version
+        raises."""
+        txs = self._effective_txs(self._read_txlog())
+        self._check_retained(as_of_version, txs)
+        files = self._replay_files(txs, table, as_of_version)
         if not files:
             return self.spark.createDataFrame(
                 [], schemas.WAREHOUSE_TABLES[table])
@@ -458,14 +511,27 @@ class Warehouse:
             .parquet(*[os.path.join(self.path(table), rel) for rel in files])
 
     def committed_watermark_tx(self, key: str,
-                               default: str = "1970-01-01T00:00:00") -> str:
+                               default: str = "1970-01-01T00:00:00",
+                               as_of_version: int | None = None) -> str:
         """The last committed value of ``key`` across the tx history —
-        by construction the watermark that published WITH its data."""
+        by construction the watermark that published WITH its data.
+        ``as_of_version`` reads the watermark as of that version."""
+        txs = self._effective_txs(self._read_txlog())
+        self._check_retained(as_of_version, txs)
         val = default
-        for tx in self._read_txlog()["txs"]:
+        for v, tx in txs:
+            if as_of_version is not None and v > as_of_version:
+                break
             if key in tx["watermarks"]:
                 val = tx["watermarks"][key]
         return val
+
+    def current_tx_version(self) -> int:
+        """The latest committed version (0 = empty log) — the handle a
+        caller snapshots BEFORE a batch of maintenance/ingest to read
+        consistent pre-state afterwards."""
+        txs = self._effective_txs(self._read_txlog())
+        return txs[-1][0] if txs else 0
 
     def _table_in_txlog(self, table: str) -> bool:
         """True once any tx references ``table`` — its committed
@@ -477,42 +543,63 @@ class Warehouse:
         return any(table in tx["tables"]
                    for tx in self._read_txlog()["txs"])
 
-    def checkpoint_txlog(self) -> int:
-        """Fold the whole tx history into ONE snapshot record and
-        publish it with the same atomic rename ``commit_tx`` uses;
-        returns the number of txs folded.
+    def checkpoint_txlog(self, retain_last: int = 0) -> int:
+        """Fold tx history older than the last ``retain_last`` records
+        into ONE snapshot record and publish it with the same atomic
+        rename ``commit_tx`` uses; returns the number of txs folded.
 
         ``commit_tx`` rewrites the full log on every commit and the
         readers rescan every historical tx, so an unbounded log makes
         commit cost grow with ingest age — the manifest tables got
         ``_compact_committed`` and this is the tx analog (Iceberg's
         snapshot expiration / Delta's checkpoint). Folding preserves
-        reader semantics exactly: ``read_committed_tx`` concatenates
-        per-table file lists in log order and
-        ``committed_watermark_tx`` takes each key's LAST value, both
-        invariant under replacing the history with (concatenated
-        lists, last watermarks)."""
+        CURRENT-reader semantics exactly (replaying the snapshot +
+        retained tail equals replaying the full history), while
+        ``retain_last`` keeps a time-travel window: every version in
+        the retained tail stays reconstructible via
+        ``read_committed_tx(as_of_version=...)``; versions folded
+        into the snapshot are expired and raise."""
         import json
         import uuid
 
         log = self._read_txlog()
-        n = len(log["txs"])
-        if n <= 1:
-            return n
-        snap = self._fold_txs(log["txs"])
+        eff = self._effective_txs(log)
+        cut = max(0, len(eff) - max(0, retain_last))
+        fold, keep = eff[:cut], eff[cut:]
+        if len(fold) <= 1:
+            return len(fold)
+        snap = self._fold_txs([tx for _, tx in fold])
+        snap["version"] = fold[-1][0]
+        snap["snapshot"] = True
         tmp = self._txlog_path() + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump({"txs": [snap]}, f)
+            json.dump({"txs": [snap] + [tx for _, tx in keep]}, f)
         os.replace(tmp, self._txlog_path())  # THE commit point
-        return n
+        return len(fold)
+
+    def expire_snapshots(self, retain_last: int = 0) -> tuple[int, int]:
+        """Iceberg's ``expireSnapshots`` + ``removeOrphanFiles`` as one
+        maintenance call: fold history past the retention window, then
+        drop batch directories no retained record references (files a
+        compaction REWRITE superseded become orphans exactly when the
+        last snapshot that could read them expires). Returns
+        (txs folded, batch dirs removed)."""
+        tables = {t for tx in self._read_txlog()["txs"]
+                  for t in tx["tables"]}
+        folded = self.checkpoint_txlog(retain_last)
+        return folded, self.vacuum_uncommitted_tx(sorted(tables))
 
     @staticmethod
     def _fold_txs(txs: list[dict]) -> dict:
-        """(concatenated per-table file lists, last-writer-wins
-        watermarks) — the reader-equivalent single-tx snapshot."""
+        """(replayed per-table file lists, last-writer-wins
+        watermarks) — the reader-equivalent single-tx snapshot. A
+        REWRITE record's ``replaces`` resets that table's list, same
+        as the live reader's replay."""
         tables: dict[str, list[str]] = {}
         watermarks: dict[str, str] = {}
         for tx in txs:
+            for t in tx.get("replaces", []):
+                tables[t] = []
             for t, rels in tx["tables"].items():
                 tables.setdefault(t, []).extend(rels)
             watermarks.update(tx["watermarks"])
@@ -522,18 +609,22 @@ class Warehouse:
                               zorder_by: list[str] | None,
                               zorder_bits: int) -> tuple[int, int]:
         """Compact a tx-managed table: rewrite its committed rows into
-        one right-sized batch, then publish a checkpointed log whose
-        snapshot references only the new files (other tables' lists
-        and all watermarks carried over) with the tx log's own atomic
-        rename. A crash at any point leaves the old log (and its
+        one right-sized batch, then APPEND a REWRITE record whose
+        ``replaces`` marker resets the table's file list going
+        forward (Iceberg's rewrite-data-files snapshot) with the tx
+        log's own atomic rename. Superseded batches stay on disk —
+        still referenced by the historical records, so pre-compaction
+        versions remain time-travel-readable until
+        :meth:`expire_snapshots` moves the retention window past
+        them. A crash at any point leaves the old log (and its
         files) live; the staged rewrite is garbage
         ``vacuum_uncommitted_tx`` collects."""
         import json
         import uuid
 
         log = self._read_txlog()
-        snap = self._fold_txs(log["txs"])
-        old_files = snap["tables"].get(table, [])
+        eff = self._effective_txs(log)
+        old_files = self._replay_files(eff, table)
         files_before = len(old_files)
         if files_before == 0:
             return 0, 0
@@ -555,12 +646,14 @@ class Warehouse:
             os.path.join(batch_dir, fn)
             for fn in os.listdir(os.path.join(root, batch_dir))
             if fn.endswith(".parquet"))
-        snap["tables"][table] = new_files
+        log["txs"].append({"tables": {table: new_files},
+                           "watermarks": {},
+                           "replaces": [table],
+                           "version": (eff[-1][0] if eff else 0) + 1})
         tmp = self._txlog_path() + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump({"txs": [snap]}, f)
+            json.dump(log, f)
         os.replace(tmp, self._txlog_path())  # THE commit point
-        self.vacuum_uncommitted_tx([table])  # drop superseded batches
         return files_before, len(new_files)
 
     def vacuum_uncommitted_tx(self, tables: list[str]) -> int:
