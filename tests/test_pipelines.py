@@ -601,6 +601,48 @@ def test_tx_time_travel_retention_and_expiry(spark, wh):
     assert wh.read_committed_tx("items").count() == 5
 
 
+def test_merge_tx_row_level_upsert(spark, wh):
+    """Warehouse.merge_tx = Delta MERGE on the tx log: matched rows
+    replaced, tombstoned rows deleted, new keys inserted, published
+    as one copy-on-write REWRITE record; the pre-merge version stays
+    time-travel-readable."""
+
+    def rows(*specs):
+        return spark.createDataFrame(
+            [(n, "v", q, "sq", "qb", "sh", "cat", "whole", p, 1)
+             for (n, q, p) in specs],
+            schemas.WAREHOUSE_TABLES["items"])
+
+    wh.commit_tx({"items": rows(("a", 1, 10.0), ("b", 2, 20.0),
+                                ("c", 3, 30.0))})
+    upd = rows(("b", 2, 99.0), ("d", 4, 40.0)).withColumn(
+        "_deleted", F.lit(False)).unionByName(
+        rows(("c", 3, 30.0)).withColumn("_deleted", F.lit(True)))
+    wh.merge_tx("items", upd, ["product_name"], delete_col="_deleted")
+
+    got = {r["product_name"]: r["weight"]
+           for r in wh.read_committed_tx("items").collect()}
+    assert got == {"a": 10.0, "b": 99.0, "d": 40.0}  # kept/updated/
+    # inserted; c deleted
+    # pre-merge version intact (copy-on-write, not in-place)
+    pre = {r["product_name"] for r in
+           wh.read_committed_tx("items", as_of_version=1).collect()}
+    assert pre == {"a", "b", "c"}
+    # manifest tables refuse (two logs must not fork one table)
+    prof = spark.createDataFrame(
+        [(1, "house", "med", 1, 1, "ET", "washed", 100.0,
+          None, None, None, None, None, None)],
+        schemas.WAREHOUSE_TABLES["coffee_profiles"])
+    wh.append_commit(prof, "coffee_profiles")
+    with pytest.raises(ValueError, match="manifest-managed"):
+        wh.merge_tx("coffee_profiles", prof, ["profile_id"])
+    # expiry GCs the pre-merge batch the rewrite superseded
+    folded, removed = wh.expire_snapshots()
+    assert folded == 2 and removed >= 1
+    assert {r["product_name"] for r in
+            wh.read_committed_tx("items").collect()} == {"a", "b", "d"}
+
+
 @pytest.mark.parametrize("etl,payload_fn,pager,hdr_table,det_table", [
     (shopify_etl, fixtures.shopify_orders,
      lambda p: fixtures.count_page_fetchers(p, shopify_etl.PAGE_SIZE),

@@ -18,11 +18,25 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def merge_upsert(target: DataFrame, updates: DataFrame,
-                 keys: list[str]) -> DataFrame:
+                 keys: list[str],
+                 delete_col: str | None = None) -> DataFrame:
     """MERGE: update-matched + insert-unmatched by ``keys``.
     ``updates`` wins on key collision; duplicate keys inside
-    ``updates`` must be pre-resolved by the caller."""
+    ``updates`` must be pre-resolved by the caller.
+
+    ``delete_col`` names a boolean tombstone column on ``updates``:
+    a matched key with a true tombstone is DELETED (Delta's ``WHEN
+    MATCHED ... DELETE``); an unmatched tombstone is a no-op insert
+    of nothing. The column is dropped from the output.
+
+    Scale shape: one anti-join (broadcastable when the update batch
+    is small — the CDC norm) + one union; no shuffle of the target
+    beyond the join."""
     kept = target.join(updates.select(*keys).distinct(), keys, "left_anti")
+    if delete_col is not None:
+        updates = updates.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
     return kept.unionByName(updates)
 
 

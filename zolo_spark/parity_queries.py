@@ -364,7 +364,14 @@ _GRADING_PRIORITY = [
     # decision audit, value-hashed end to end.
     "zorder_layout_bounds", "a14_histogram_quantile_portable",
     "llm_quality_ensemble", "llm_quality_classifier",
-    "range_join_bucketed", "skew_hot_keys",
+    # Round-11 rotation: skew_hot_keys (green r3–r10, EIGHT rounds;
+    # ops/skew.py is untouched this round and the hot-key machinery
+    # stays in-window via a15_countmin_heavy_hitters, whose sketch
+    # feeds the same targeted_salted_join decision) hands its slot to
+    # merge_upsert_twin — MERGE INTO semantics (matched update,
+    # tombstone delete, unmatched insert), the row-level CDC engine
+    # under the new Warehouse.merge_tx copy-on-write rewrite.
+    "range_join_bucketed", "merge_upsert_twin",
 ]
 
 

@@ -1781,6 +1781,73 @@ def scd2_batch_twin(spark, sf_dir):
                       "valid_from", "valid_to", "is_current")
 
 
+@register("merge_upsert_twin", oracle="""
+WITH t AS (
+    SELECT c_custkey AS cust_id, c_mktsegment AS segment,
+           round(c_acctbal::DECIMAL(18,2), 2)::DOUBLE AS balance
+    FROM customer
+), upd AS (
+    SELECT c_custkey AS cust_id,
+           c_mktsegment || '_V2' AS segment,
+           round(c_acctbal::DECIMAL(18,2) + 10, 2)::DOUBLE AS balance,
+           (c_custkey % 10 = 4) AS _deleted
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT c_custkey + 10000000, 'NEW_' || c_mktsegment,
+           round(c_acctbal::DECIMAL(18,2), 2)::DOUBLE, FALSE
+    FROM customer WHERE c_custkey % 100 = 0
+)
+SELECT cust_id, segment, balance
+FROM t WHERE cust_id NOT IN (SELECT cust_id FROM upd)   -- untouched
+UNION ALL
+SELECT cust_id, segment, balance
+FROM upd WHERE NOT _deleted   -- matched updates + unmatched inserts
+""")
+def merge_upsert_twin(spark, sf_dir):
+    """Batch twin of MERGE INTO (ops/merge.merge_upsert — the engine
+    under Warehouse.merge_tx's copy-on-write rewrite): one change
+    batch drives all three Delta-MERGE branches against the customer
+    dimension — WHEN MATCHED UPDATE (even keys get a new segment and
+    re-priced balance), WHEN MATCHED DELETE (tombstoned keys ending
+    in 4), WHEN NOT MATCHED INSERT (synthetic high keys) — and the
+    anti-join + tombstone-filter + union result is value-hashed
+    against the relational restatement. Reference parity: the
+    reference's loads are whole-table replaces
+    (bin/etl/*_ETL.py to_sql if_exists='replace'); this gate is the
+    row-level CDC semantics a warehouse needs once tables stop being
+    small enough to replace."""
+    from .ops.merge import merge_upsert
+
+    cust = _t(spark, sf_dir, "customer")
+    target = cust.select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round(_dec(F.col("c_acctbal")), 2).cast("double").alias("balance"),
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 2 == 0)
+        .select(
+            F.col("c_custkey").alias("cust_id"),
+            F.concat(F.col("c_mktsegment"), F.lit("_V2")).alias("segment"),
+            F.round(_dec(F.col("c_acctbal")) + 10, 2)
+            .cast("double").alias("balance"),
+            (F.col("c_custkey") % 10 == 4).alias("_deleted"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 100 == 0).select(
+                (F.col("c_custkey") + 10000000).alias("cust_id"),
+                F.concat(F.lit("NEW_"), F.col("c_mktsegment"))
+                .alias("segment"),
+                F.round(_dec(F.col("c_acctbal")), 2)
+                .cast("double").alias("balance"),
+                F.lit(False).alias("_deleted"),
+            )
+        )
+    )
+    return merge_upsert(target, updates, ["cust_id"],
+                        delete_col="_deleted")
+
+
 @register("monitor_batch_twin", oracle="""
 WITH b AS (
     SELECT event_type, date_trunc('day', ts) AS bk,

@@ -458,7 +458,6 @@ class Warehouse:
         leaves every table unchanged and every watermark unmoved —
         the rerun re-extracts the same window and commits the whole
         pair exactly once (pytest injects the crash)."""
-        import json
         import uuid
 
         for table in frames:
@@ -480,11 +479,23 @@ class Warehouse:
             staged[table] = sorted(
                 os.path.join(batch_dir, fn) for fn in os.listdir(out)
                 if fn.endswith(".parquet"))
+        self._append_tx_record(staged, dict(watermarks or {}))
+
+    def _append_tx_record(self, tables: dict[str, list[str]],
+                          watermarks: dict[str, str] | None = None,
+                          replaces: list[str] | None = None) -> None:
+        """Append one versioned record and publish with the log's
+        atomic rename — THE commit point for every tx-log mutation."""
+        import json
+        import uuid
+
         log = self._read_txlog()
         eff = self._effective_txs(log)
-        log["txs"].append({"tables": staged,
-                           "watermarks": dict(watermarks or {}),
-                           "version": (eff[-1][0] if eff else 0) + 1})
+        rec: dict = {"tables": tables, "watermarks": watermarks or {},
+                     "version": (eff[-1][0] if eff else 0) + 1}
+        if replaces:
+            rec["replaces"] = replaces
+        log["txs"].append(rec)
         tmp = self._txlog_path() + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(log, f)
@@ -619,11 +630,7 @@ class Warehouse:
         them. A crash at any point leaves the old log (and its
         files) live; the staged rewrite is garbage
         ``vacuum_uncommitted_tx`` collects."""
-        import json
-        import uuid
-
-        log = self._read_txlog()
-        eff = self._effective_txs(log)
+        eff = self._effective_txs(self._read_txlog())
         old_files = self._replay_files(eff, table)
         files_before = len(old_files)
         if files_before == 0:
@@ -640,21 +647,46 @@ class Warehouse:
                    .sortWithinPartitions("_zkey").drop("_zkey"))
         else:
             out = df.repartition(n)
-        batch_dir = f"batch-{uuid.uuid4().hex}"
-        out.write.mode("overwrite").parquet(os.path.join(root, batch_dir))
-        new_files = sorted(
-            os.path.join(batch_dir, fn)
-            for fn in os.listdir(os.path.join(root, batch_dir))
-            if fn.endswith(".parquet"))
-        log["txs"].append({"tables": {table: new_files},
-                           "watermarks": {},
-                           "replaces": [table],
-                           "version": (eff[-1][0] if eff else 0) + 1})
-        tmp = self._txlog_path() + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(log, f)
-        os.replace(tmp, self._txlog_path())  # THE commit point
+        new_files = self._stage_batch(out, table)
+        self._append_tx_record({table: new_files}, replaces=[table])
         return files_before, len(new_files)
+
+    def _stage_batch(self, df: DataFrame, table: str) -> list[str]:
+        """Write ``df`` under an invisible batch dir of ``table`` and
+        return the relative file list — staged, not yet committed."""
+        import uuid
+
+        batch_dir = f"batch-{uuid.uuid4().hex}"
+        out = os.path.join(self.path(table), batch_dir)
+        df.write.mode("overwrite").parquet(out)
+        return sorted(
+            os.path.join(batch_dir, fn) for fn in os.listdir(out)
+            if fn.endswith(".parquet"))
+
+    def merge_tx(self, table: str, updates: DataFrame, keys: list[str],
+                 delete_col: str | None = None) -> None:
+        """MERGE INTO a tx-managed table (Delta's ``MERGE`` /
+        Iceberg's copy-on-write row-level update): read the committed
+        contents, apply :func:`~zolo_spark.ops.merge.merge_upsert`
+        (matched rows replaced, tombstoned rows deleted, new keys
+        inserted), stage the merged table as ONE batch and publish a
+        REWRITE record with the log's atomic rename. A crash before
+        the rename leaves the table unchanged (the staged batch is
+        vacuum-collectable garbage); pre-merge versions stay
+        time-travel-readable until :meth:`expire_snapshots`."""
+        from .ops.merge import merge_upsert
+
+        if self._has_manifest(table):
+            raise ValueError(
+                f"table {table} is manifest-managed (append_commit); "
+                "merge through the manifest subsystem instead")
+        want = schemas.WAREHOUSE_TABLES[table]
+        cur = self.read_committed_tx(table)
+        merged = merge_upsert(cur, updates, keys, delete_col=delete_col)
+        merged = merged.select([F.col(f.name).cast(f.dataType)
+                                for f in want.fields])
+        new_files = self._stage_batch(merged, table)
+        self._append_tx_record({table: new_files}, replaces=[table])
 
     def vacuum_uncommitted_tx(self, tables: list[str]) -> int:
         """Remove staged batch directories under ``tables`` that no tx
