@@ -2011,3 +2011,71 @@ def test_temperature_mix_members_matches_audit(spark):
     again = {tuple(r) for r in
              corpus.temperature_mix_members(df, audit).collect()}
     assert again == {tuple(r) for r in members.collect()}
+
+
+def _lev(a: str, b: str) -> int:
+    """Textbook Wagner–Fischer — the test's independent truth."""
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[n]
+
+
+def test_edit_distance_pairs_matches_brute_force(spark):
+    """PassJoin blocking must be EXHAUSTIVE: on a deterministic
+    mixed-length corpus (substitutions, indels that shift every later
+    segment, equal-length families, strings shorter than d+1 whose
+    segments are zero-length), the blocked join equals the naive
+    all-pairs definition exactly — ids AND distances."""
+    base = ["spark engine", "spark engines", "spork engine",
+            "spark  engine", "sparkengine", "a", "ab", "b",
+            "data warehouse", "data warehoose", "dta warehouse",
+            "completely different string", ""]
+    rows = [(i, s) for i, s in enumerate(base)]
+    for d in (1, 2, 3):
+        want = {(i, j, _lev(a, b))
+                for i, a in rows for j, b in rows
+                if i < j and _lev(a, b) <= d}
+        df = spark.createDataFrame(rows, "doc_id long, s string")
+        got = {(r["doc1"], r["doc2"], r["dist"])
+               for r in dedup.edit_distance_pairs(
+                   df, str_col="s", max_dist=d).collect()}
+        assert got == want, f"d={d}: {got ^ want}"
+
+
+def test_edit_distance_pairs_null_and_types(spark):
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, None), (3, "abd")], "doc_id long, s string")
+    out = dedup.edit_distance_pairs(df, str_col="s", max_dist=1)
+    assert [f.simpleString() for f in out.schema.fields] == \
+        ["doc1:bigint", "doc2:bigint", "dist:bigint"]
+    assert [(r["doc1"], r["doc2"], r["dist"])
+            for r in out.collect()] == [(1, 3, 1)]
+
+
+def test_remove_duplicate_spans_splice(spark):
+    """Planted shared passage: covered tokens cut, clean docs pass
+    through byte-identical (original CASING preserved — spans are
+    positions from the lowercased gram pass), fully-covered docs
+    become '' but keep their row."""
+    shared = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, f"Alpha {shared} tail"),
+         (2, f"Beta {shared} coda"),
+         (3, "Entirely Unique Document Content"),
+         (4, shared.upper()),      # exact clone pair (5): fully covered
+         (5, shared.upper())],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["text_clean"], r["n_removed_tokens"])
+           for r in dedup.remove_duplicate_spans(df, n=10).collect()}
+    assert got[1] == ("Alpha tail", 10)
+    assert got[2] == ("Beta coda", 10)
+    assert got[3] == ("Entirely Unique Document Content", 0)
+    assert got[4] == ("", 10) and got[5] == ("", 10)
+    # one row per input document, always
+    assert set(got) == {1, 2, 3, 4, 5}

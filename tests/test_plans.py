@@ -506,3 +506,16 @@ def test_dsir_sample_plan_matches_select_shape(spark):
     assert plan.count("Generate") <= 2
     for bad in ("BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan
+
+
+def test_edit_distance_join_no_cartesian(spark):
+    """The PassJoin blocking must stay an equi-join on segment keys:
+    a CartesianProduct / BroadcastNestedLoopJoin here means the
+    blocking collapsed to naive all-pairs — the exact O(n²) the
+    operator exists to avoid at 100 TB."""
+    p = plan_of(q(spark, "llm_edit_distance_pairs"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # candidate generation joins on (L, i, c) — a hash-key join
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or \
+        "ShuffledHashJoin" in p

@@ -1161,3 +1161,154 @@ def winnow_fingerprints(df: DataFrame, k: int = 4, w: int = 4,
         ((h_sel + 1) * F.lit(_WINNOW_POS_BASE) - F.col("m")).alias("pos"),
         h_sel.alias("fp"),
     )
+
+
+# ----------------------------------------- edit-distance similarity join
+
+def edit_distance_pairs(df: DataFrame, str_col: str = "text",
+                        id_col: str = "doc_id",
+                        max_dist: int = 2) -> DataFrame:
+    """Exact edit-distance similarity self-join: every pair with
+    ``levenshtein ≤ max_dist``, PassJoin-style (Li, Deng & Feng,
+    VLDB 2011 — the partition-based signature scheme).
+
+    Blocking is EXHAUSTIVE, not probabilistic: each string is indexed
+    under its ``d+1`` even segments, and probes with every substring
+    that could equal a segment of a shorter-or-equal partner
+    (partner length window ``[m-d, m]``, start shift ``≤ d``). By
+    pigeonhole, ``≤ d`` edits cannot touch all ``d+1`` segments, and
+    the untouched segment appears in the partner shifted by at most
+    the net indel count before it (``≤ d``) — so every true pair
+    shares ≥ 1 ``(partner_len, segment_id, content)`` key from
+    within the shift window. That completeness is exactly what the
+    naive-O(n²) oracle value-hashes. Zero-length segments (strings
+    shorter than ``d+1``) emit empty-content keys that match any
+    aligned empty probe — wasteful-but-complete, and rare in real
+    corpora.
+
+    Scale shape: index emits ``d+1`` rows per string, probe
+    ``O(d²·(2d+1))`` — both linear in the corpus; the join shuffles
+    short substring keys, never documents; verification runs Spark's
+    thresholded codegen ``levenshtein`` (early exit past ``d``) once
+    per DISTINCT candidate pair. No driver state, no cartesian.
+    """
+    d = max_dist
+    k = d + 1
+    base = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.col(str_col).alias("s"))
+        .filter(F.col("s").isNotNull())
+        .withColumn("m", F.length("s"))
+    )
+
+    def seg_bounds(length_col, i: int):
+        """(start0, len) of segment i under the even partition of
+        ``length_col`` into k parts — first (L % k) parts get +1."""
+        b = F.floor(length_col / k).cast("int")
+        r = (length_col % k).cast("int")
+        ln = b + F.when(F.lit(i) < r, 1).otherwise(0)
+        st = F.lit(i) * b + F.least(F.lit(i), r)
+        return st, ln
+
+    idx_segs = []
+    for i in range(k):
+        st, ln = seg_bounds(F.col("m"), i)
+        idx_segs.append(F.struct(
+            F.lit(i).alias("i"),
+            F.col("s").substr(st + 1, ln).alias("c"),
+        ))
+    idx = base.select(
+        F.col("doc_id").alias("id_a"), F.col("m").alias("L"),
+        F.explode(F.array(*idx_segs)).alias("g"),
+    ).select("id_a", "L", F.col("g.i").alias("i"), F.col("g.c").alias("c"))
+
+    probe_keys = []
+    for delta in range(d + 1):
+        lp = F.col("m") - delta  # candidate partner length (≤ m)
+        for i in range(k):
+            st, ln = seg_bounds(lp, i)
+            for sh in range(-d, d + 1):
+                p = st + sh
+                # lp == 0 is a legal partner (the empty string: its
+                # distance to s is m, a true pair whenever m ≤ d)
+                ok = (lp >= 0) & (p >= 0) & (p + ln <= F.col("m"))
+                probe_keys.append(F.when(ok, F.struct(
+                    lp.cast("int").alias("L"), F.lit(i).alias("i"),
+                    F.col("s").substr(p + 1, ln).alias("c"),
+                )))
+    probe = base.select(
+        F.col("doc_id").alias("id_b"), F.col("m").alias("mb"),
+        F.explode(F.array_distinct(F.array_compact(
+            F.array(*probe_keys)))).alias("g"),
+    ).select("id_b", "mb", F.col("g.L").alias("L"),
+             F.col("g.i").alias("i"), F.col("g.c").alias("c"))
+
+    cand = (
+        idx.join(probe, ["L", "i", "c"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(F.least("id_a", "id_b").alias("doc1"),
+                F.greatest("id_a", "id_b").alias("doc2"))
+        .distinct()
+    )
+    s1 = base.select(F.col("doc_id").alias("doc1"), F.col("s").alias("s1"))
+    s2 = base.select(F.col("doc_id").alias("doc2"), F.col("s").alias("s2"))
+    return (
+        cand.join(s1, "doc1").join(s2, "doc2")
+        .withColumn("dist",
+                    F.levenshtein("s1", "s2", d).cast("long"))
+        .filter(F.col("dist") >= 0)  # thresholded kernel: -1 = past d
+        .select("doc1", "doc2", "dist")
+    )
+
+
+def remove_duplicate_spans(df: DataFrame, n: int = 10,
+                           min_count: int = 2,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """The cleaning pass over :func:`duplicate_spans` — substring
+    dedup as Lee et al. 2021 actually apply it: every token covered
+    by a repeated-passage span is CUT from the document, the rest is
+    rejoined in order. Returns one row per input document:
+    ``(id_col, text_clean, n_removed_tokens)`` — documents with no
+    spans pass through unchanged, a fully-covered document becomes
+    the empty string (still one row: downstream length/quality
+    filters decide its fate, not this operator).
+
+    Shape: the span detection is :func:`duplicate_spans` (one
+    gram-keyed shuffle); spans collapse to ≤ a-few-per-doc arrays
+    (one doc-keyed shuffle) and the splice itself is pure codegen —
+    per token, an ``exists`` probe over the doc's own span array
+    (O(tokens × spans), spans per doc are few by construction since
+    overlaps were merged). Original casing is preserved: spans are
+    token POSITIONS, valid in the original split because
+    lowercasing never changes tokenization."""
+    spans = duplicate_spans(df, n, min_count, text_col, id_col)
+    by_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(F.col("start_tok").alias("s"),
+                     F.col("end_tok").alias("e"))).alias("spans"))
+    toks = fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("t"),
+    )
+    joined = toks.join(by_doc, "doc_id", "left").select(
+        "doc_id", "t",
+        F.coalesce(
+            F.col("spans"),
+            F.array().cast("array<struct<s:bigint,e:bigint>>"),
+        ).alias("spans"),
+    )
+    idx = F.sequence(F.lit(0).cast("long"), F.size("t") - 1)
+    kept = F.filter(
+        idx,
+        lambda i: ~F.exists(
+            F.col("spans"), lambda sp: (i >= sp["s"]) & (i <= sp["e"])),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(
+            F.transform(kept, lambda i: F.element_at("t", (i + 1).cast("int"))),
+            " ").alias("text_clean"),
+        (F.size("t") - F.size(kept)).cast("long")
+        .alias("n_removed_tokens"),
+    )

@@ -158,7 +158,15 @@ _GRADING_PRIORITY = [
     # llm_source_cap, llm_incremental_dedup, and m_arima_grid_argmin
     # keep their slots BECAUSE their code changed this round (ADVICE
     # fixes) — prior green rows no longer certify them.
-    "llm_kmeans_train", "llm_ivf_trained_topk", "llm_source_cap",
+    # Round-11 rotation: llm_source_cap (green r5–r10, SIX rounds;
+    # its corpus.py region is untouched this round and the per-source
+    # cap machinery is re-graded in-window INSIDE both capstone gates
+    # — llm_corpus_pipeline / llm_corpus_pipeline_capped end with the
+    # same source_cap stage, oracled by the same QUALIFY twin) hands
+    # its slot to llm_edit_distance_pairs — the PassJoin exact
+    # edit-distance similarity join, whose naive-O(n²) oracle
+    # value-proves the pigeonhole blocking exhaustive.
+    "llm_kmeans_train", "llm_ivf_trained_topk", "llm_edit_distance_pairs",
     # LLM-data-pipeline family. llm_image_resize (real decode→box
     # resample→re-encode) and llm_video_frames (ZVID container parse +
     # per-frame decode) are round-5 builds taking the slots of
@@ -171,7 +179,15 @@ _GRADING_PRIORITY = [
     # (both green r5∧r6, unchanged) hand their slots to the two new
     # round-7 operators — winnowing fingerprints (rolling-hash MOSS
     # sketch) and SemDeDup (cluster-local semantic dedup).
-    "llm_winnow_fingerprints", "llm_semdedup",
+    # Round-11 rotation: llm_semdedup (green r7–r10, FOUR rounds;
+    # similarity.py's semdedup region is untouched this round and the
+    # SemDeDup machinery — nearest-centroid assignment + cell-local
+    # cosine drop — is re-graded in-window INSIDE both capstones,
+    # whose oracles replay the same assign/a1/u1/c1/semdrop chain)
+    # hands its slot to llm_remove_duplicate_spans — substring dedup
+    # APPLIED (Lee et al. 2021): the detect→cut chain value-hashed
+    # through the token splice.
+    "llm_winnow_fingerprints", "llm_remove_duplicate_spans",
     # Round-8 rotation: llm_image_resize (green r6∧r7, multimodal.py
     # untouched this round; the codec family keeps three in-window
     # representatives — llm_video_frames, llm_multimodal_features,
