@@ -703,3 +703,39 @@ def test_pair_etls_transactional_commit_exactly_once(
     assert wh.committed_watermark_tx(etl.WATERMARK_KEY) > wm1
     # the crashed run's two staged batches are vacuumable leftovers
     assert wh.vacuum_uncommitted_tx([hdr_table, det_table]) == 2
+
+
+def test_table_changes_cdf(spark, wh):
+    """table_changes = Delta's change data feed from time travel:
+    version-pair diff as inserts/deletes, and with keys= the matched
+    changed rows surface as update_preimage/update_postimage."""
+
+    def rows(*specs):
+        return spark.createDataFrame(
+            [(n, "v", q, "sq", "qb", "sh", "cat", "whole", p, 1)
+             for (n, q, p) in specs],
+            schemas.WAREHOUSE_TABLES["items"])
+
+    wh.commit_tx({"items": rows(("a", 1, 10.0), ("b", 2, 20.0))})  # v1
+    upd = rows(("b", 2, 99.0), ("c", 3, 30.0)).withColumn(
+        "_deleted", F.lit(False)).unionByName(
+        rows(("a", 1, 10.0)).withColumn("_deleted", F.lit(True)))
+    wh.merge_tx("items", upd, ["product_name"], delete_col="_deleted")  # v2
+
+    # set-diff form: the update shows as delete+insert
+    got = {(r["product_name"], r["weight"], r["_change_type"])
+           for r in wh.table_changes("items", 1, 2).collect()}
+    assert got == {("a", 10.0, "delete"), ("b", 20.0, "delete"),
+                   ("b", 99.0, "insert"), ("c", 30.0, "insert")}
+    # keyed form: b becomes an update pre/post pair
+    got = {(r["product_name"], r["weight"], r["_change_type"])
+           for r in wh.table_changes("items", 1, 2,
+                                     keys=["product_name"]).collect()}
+    assert got == {("a", 10.0, "delete"), ("c", 30.0, "insert"),
+                   ("b", 20.0, "update_preimage"),
+                   ("b", 99.0, "update_postimage")}
+    # identical versions diff to empty; expired versions raise
+    assert wh.table_changes("items", 2, 2).count() == 0
+    wh.expire_snapshots()
+    with pytest.raises(ValueError, match="expired"):
+        wh.table_changes("items", 1, 2)

@@ -537,6 +537,63 @@ class Warehouse:
                 val = tx["watermarks"][key]
         return val
 
+    def table_changes(self, table: str, from_version: int,
+                      to_version: int | None = None,
+                      keys: list[str] | None = None) -> DataFrame:
+        """Row-level diff between two committed versions — Delta's
+        change-data-feed analog, computed from the time-travel reads
+        (no per-commit change files needed): rows present at
+        ``to_version`` but not ``from_version`` are ``insert``s, the
+        reverse are ``delete``s; with ``keys``, a key on both sides
+        whose non-key columns changed surfaces as an
+        ``update_preimage``/``update_postimage`` pair instead of a
+        delete+insert. Output: the table's columns plus
+        ``_change_type``.
+
+        Both versions must be within the retained window
+        (:meth:`expire_snapshots`); the diff is two anti-joins (or
+        one full-outer with ``keys``) over the two snapshots — at
+        scale this reads only the two file lists, never the log
+        history between them."""
+        new = self.read_committed_tx(table, as_of_version=to_version)
+        old = self.read_committed_tx(table, as_of_version=from_version)
+        cols = new.columns
+        if keys:
+            val_cols = [c for c in cols if c not in keys]
+            changed = F.lit(False)
+            for c in val_cols:
+                changed = changed | ~F.col(f"n.{c}").eqNullSafe(
+                    F.col(f"o.{c}"))
+            # presence flags: NULL sentinel = that side has no row
+            # (a value column could be legitimately NULL)
+            n = (new.withColumn("_pn", F.lit(True)).alias("n")
+                 .join(old.withColumn("_po", F.lit(True)).alias("o"),
+                       keys, "full_outer"))
+            ins = n.filter(F.col("_po").isNull()).select(
+                *[F.col(f"n.{c}").alias(c) for c in cols],
+                F.lit("insert").alias("_change_type"))
+            dele = n.filter(F.col("_pn").isNull()).select(
+                *[F.col(f"o.{c}").alias(c) if c not in keys
+                  else F.col(c) for c in cols],
+                F.lit("delete").alias("_change_type"))
+            both = n.filter(F.col("_pn").isNotNull()
+                            & F.col("_po").isNotNull()).filter(changed)
+            pre = both.select(
+                *[F.col(f"o.{c}").alias(c) if c not in keys
+                  else F.col(c) for c in cols],
+                F.lit("update_preimage").alias("_change_type"))
+            post = both.select(
+                *[F.col(f"n.{c}").alias(c) if c not in keys
+                  else F.col(c) for c in cols],
+                F.lit("update_postimage").alias("_change_type"))
+            return ins.unionByName(dele).unionByName(pre) \
+                .unionByName(post)
+        ins = new.join(old, cols, "left_anti").select(
+            "*", F.lit("insert").alias("_change_type"))
+        dele = old.join(new, cols, "left_anti").select(
+            "*", F.lit("delete").alias("_change_type"))
+        return ins.unionByName(dele)
+
     def current_tx_version(self) -> int:
         """The latest committed version (0 = empty log) — the handle a
         caller snapshots BEFORE a batch of maintenance/ingest to read
