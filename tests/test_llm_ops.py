@@ -2079,3 +2079,24 @@ def test_remove_duplicate_spans_splice(spark):
     assert got[4] == ("", 10) and got[5] == ("", 10)
     # one row per input document, always
     assert set(got) == {1, 2, 3, 4, 5}
+
+
+def test_edit_distance_collapse_equals_pairwise_on_clones(spark):
+    """Collapse-first must be bit-identical to the pairwise PassJoin
+    on a clone-dense corpus (the 10×-replica rehearsal shape): clone
+    families expand to within-class distance-0 pairs, cross-class
+    pairs inherit the rep distance."""
+    rows = [(i, s) for i, s in enumerate(
+        ["alpha beta", "alpha beta", "alpha beta",   # 3-clone family
+         "alpha bets", "alpha bets",                 # 2-clone, dist 1
+         "gamma delta", "", ""])]                    # empty-string clones
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+    for d in (1, 2):
+        pw = {(r["doc1"], r["doc2"], r["dist"]) for r in
+              dedup.edit_distance_pairs_pairwise(
+                  df, "s", max_dist=d).collect()}
+        cf = {(r["doc1"], r["doc2"], r["dist"]) for r in
+              dedup.edit_distance_pairs(df, "s", max_dist=d).collect()}
+        assert cf == pw, f"d={d}: {cf ^ pw}"
+        # sanity: the clone family is fully connected at distance 0
+        assert {(0, 1, 0), (0, 2, 0), (1, 2, 0), (3, 4, 0)} <= cf
