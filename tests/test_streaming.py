@@ -892,3 +892,86 @@ def test_cm_sink_auto_ids_never_collide_with_batch_ids(spark):
     state["batch_id"] = 1
     cm_register_sink(b2, state, "k", ["grp"])
     assert {tuple(r) for r in state["sketch"].collect()} == single
+
+
+def test_streaming_upsert_sink_merges_and_survives_replay(spark, tmp_path):
+    """foreachBatch CDC upsert (streaming/cdc.upsert_sink →
+    Warehouse.merge_tx): batch 1 seeds the latest-state mirror, a
+    checkpoint-resumed restart applies only the new file (update +
+    tombstone delete + insert, intra-batch dups resolved to the last
+    change per key), REPLAYING a batch with a fresh checkpoint is a
+    no-op by merge algebra alone, and table_changes between the two
+    applied versions reads back exactly the stream's effect."""
+    from zolo_spark import schemas
+    from zolo_spark.streaming import cdc
+    from zolo_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.init()
+    src = str(tmp_path / "changes")
+
+    cols = [f.name for f in schemas.WAREHOUSE_TABLES["items"].fields]
+
+    def batch(*specs):
+        return spark.createDataFrame(
+            [(n, "v", q, "sq", "qb", "sh", "cat", "whole", p, 1, ts, dl)
+             for (n, q, p, ts, dl) in specs],
+            ", ".join(f"{c} {t}" for c, t in zip(
+                cols + ["ts", "_deleted"],
+                ["string", "string", "long", "string", "string", "string",
+                 "string", "string", "double", "long", "string", "boolean"]))
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    schema_str = ", ".join(
+        f"{c} {t}" for c, t in zip(
+            cols + ["ts", "_deleted"],
+            ["string", "string", "long", "string", "string", "string",
+             "string", "string", "double", "long", "timestamp", "boolean"]))
+
+    def run_stream(ckpt):
+        stream = (spark.readStream.schema(schema_str)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = cdc.upsert_sink(stream, wh, "items", ["product_name"],
+                            ckpt, delete_col="_deleted")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    b1 = batch(("a", 1, 10.0, "2024-01-01 10:00:00", False),
+               ("b", 2, 20.0, "2024-01-01 10:01:00", False))
+    b1.coalesce(1).write.mode("append").parquet(src)
+    run_stream(str(tmp_path / "ckpt"))
+    v1 = wh.current_tx_version()
+    assert {r["product_name"] for r in
+            wh.read_committed_tx("items").collect()} == {"a", "b"}
+
+    # batch 2: update b (two intra-batch changes - the LAST wins),
+    # tombstone a, insert c
+    b2 = batch(("b", 2, 55.0, "2024-01-02 09:00:00", False),
+               ("b", 2, 99.0, "2024-01-02 09:30:00", False),
+               ("a", 1, 10.0, "2024-01-02 09:10:00", True),
+               ("c", 3, 30.0, "2024-01-02 09:20:00", False))
+    b2.coalesce(1).write.mode("append").parquet(src)
+    run_stream(str(tmp_path / "ckpt"))  # resume: only the new file
+    v2 = wh.current_tx_version()
+
+    got = {r["product_name"]: r["weight"]
+           for r in wh.read_committed_tx("items").collect()}
+    assert got == {"b": 99.0, "c": 30.0}
+
+    # replay EVERYTHING with a fresh checkpoint: merge algebra makes
+    # re-application a no-op on the final state
+    run_stream(str(tmp_path / "ckpt2"))
+    got2 = {r["product_name"]: r["weight"]
+            for r in wh.read_committed_tx("items").collect()}
+    assert got2 == got
+
+    # the change feed between the two stream-applied versions IS the
+    # second batch's effect
+    cdf = {(r["product_name"], r["weight"], r["_change_type"])
+           for r in wh.table_changes("items", v1, v2,
+                                     keys=["product_name"]).collect()}
+    assert cdf == {("a", 10.0, "delete"), ("c", 30.0, "insert"),
+                   ("b", 20.0, "update_preimage"),
+                   ("b", 99.0, "update_postimage")}

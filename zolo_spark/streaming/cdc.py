@@ -96,3 +96,42 @@ def scd2_sink(changes: DataFrame, dim_path: str, checkpoint_dir: str,
         )
         .start()
     )
+
+
+def apply_upsert_batch(batch: DataFrame, wh, table: str,
+                       keys: list[str], ts_col: str = "ts",
+                       delete_col: str | None = None) -> None:
+    """Apply one change batch as a row-level MERGE into the
+    tx-managed warehouse table (SCD1 / latest-state mirror — the
+    other standard CDC target besides SCD2): intra-batch duplicates
+    resolve to the last change per key, then
+    ``Warehouse.merge_tx`` publishes the merge as one copy-on-write
+    REWRITE record. REPLAY-IDEMPOTENT by the merge algebra alone:
+    re-applying a batch replaces matched rows with the same values,
+    re-deletes already-absent keys (no-op), and re-inserts keys that
+    are now matched (same values again) — so at-least-once delivery
+    needs no batch-id ledger here, unlike the additive count-min
+    sink."""
+    if batch.isEmpty():
+        return
+    updates = _latest_per_key(batch, keys[0], ts_col).drop(ts_col)
+    wh.merge_tx(table, updates, keys, delete_col=delete_col)
+
+
+def upsert_sink(changes: DataFrame, wh, table: str, keys: list[str],
+                checkpoint_dir: str, ts_col: str = "ts",
+                delete_col: str | None = None):
+    """Drive a change stream into a latest-state warehouse table via
+    per-batch MERGE. Returns the started StreamingQuery; the
+    checkpoint resumes from the last committed offset, and each
+    applied batch is one tx-log version — ``table_changes`` between
+    two versions IS the change feed the stream produced."""
+    return (
+        changes.writeStream
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda b, _id: apply_upsert_batch(
+                b, wh, table, keys, ts_col, delete_col)
+        )
+        .start()
+    )
