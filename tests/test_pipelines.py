@@ -739,3 +739,60 @@ def test_table_changes_cdf(spark, wh):
     wh.expire_snapshots()
     with pytest.raises(ValueError, match="expired"):
         wh.table_changes("items", 1, 2)
+
+
+def test_tx_schema_evolution_add_column(spark, wh):
+    """add_column_tx = Iceberg's ADD COLUMN: one metadata-only tx
+    record, no file rewrite. Old files read the column as NULL, the
+    schema itself time-travels, merges and checkpoints carry the add,
+    and a second add of the same name raises."""
+
+    def rows(*specs, extra=None):
+        data = [(n, "v", q, "sq", "qb", "sh", "cat", "whole", p, 1)
+                for (n, q, p) in specs]
+        df = spark.createDataFrame(data, schemas.WAREHOUSE_TABLES["items"])
+        if extra is not None:
+            df = df.withColumn("discount", F.lit(extra).cast("double"))
+        return df
+
+    wh.commit_tx({"items": rows(("a", 1, 10.0))})          # v1: base
+    wh.add_column_tx("items", "discount", "double")        # v2: evolve
+    wh.commit_tx({"items": rows(("b", 2, 20.0), extra=0.25)})  # v3
+
+    got = {r["product_name"]: r["discount"]
+           for r in wh.read_committed_tx("items").collect()}
+    assert got == {"a": None, "b": 0.25}  # old file reads NULL
+    # the SCHEMA time-travels: v1 has no discount column
+    assert "discount" not in wh.read_committed_tx(
+        "items", as_of_version=1).columns
+    assert "discount" in wh.read_committed_tx(
+        "items", as_of_version=2).columns  # add visible before data
+
+    # a commit MISSING the added column fills NULL (evolution
+    # contract), and merge carries the column through
+    wh.commit_tx({"items": rows(("c", 3, 30.0))})          # v4, no col
+    upd = rows(("a", 1, 11.0), extra=0.5).withColumn(
+        "_deleted", F.lit(False))
+    wh.merge_tx("items", upd, ["product_name"], delete_col="_deleted")
+    got = {r["product_name"]: (r["weight"], r["discount"])
+           for r in wh.read_committed_tx("items").collect()}
+    assert got == {"a": (11.0, 0.5), "b": (20.0, 0.25),
+                   "c": (30.0, None)}
+
+    # compaction + full checkpoint fold preserve the evolved schema
+    wh.compact("items")
+    assert wh.expire_snapshots()[0] >= 2
+    got2 = {r["product_name"]: (r["weight"], r["discount"])
+            for r in wh.read_committed_tx("items").collect()}
+    assert got2 == got
+
+    with pytest.raises(ValueError, match="already exists"):
+        wh.add_column_tx("items", "discount", "double")
+    with pytest.raises(Exception):
+        wh.add_column_tx("items", "bad", "no_such_type")
+    # an add CLAIMS the table for the tx subsystem
+    wh.add_column_tx("coffee_profiles", "rating", "long")
+    with pytest.raises(ValueError, match="tx-managed"):
+        wh.append(spark.createDataFrame(
+            [], schemas.WAREHOUSE_TABLES["coffee_profiles"]),
+            "coffee_profiles")

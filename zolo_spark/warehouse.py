@@ -470,9 +470,7 @@ class Warehouse:
                 )
         staged: dict[str, list[str]] = {}
         for table, df in frames.items():
-            want = schemas.WAREHOUSE_TABLES[table]
-            df = df.select([F.col(f.name).cast(f.dataType)
-                            for f in want.fields])
+            df = self._cast_to(df, self._tx_schema(table))
             batch_dir = f"batch-{uuid.uuid4().hex}"
             out = os.path.join(self.path(table), batch_dir)
             df.write.mode("overwrite").parquet(out)
@@ -483,7 +481,8 @@ class Warehouse:
 
     def _append_tx_record(self, tables: dict[str, list[str]],
                           watermarks: dict[str, str] | None = None,
-                          replaces: list[str] | None = None) -> None:
+                          replaces: list[str] | None = None,
+                          schema_add: dict | None = None) -> None:
         """Append one versioned record and publish with the log's
         atomic rename — THE commit point for every tx-log mutation."""
         import json
@@ -495,6 +494,8 @@ class Warehouse:
                      "version": (eff[-1][0] if eff else 0) + 1}
         if replaces:
             rec["replaces"] = replaces
+        if schema_add:
+            rec["schema_add"] = schema_add
         log["txs"].append(rec)
         tmp = self._txlog_path() + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -514,12 +515,64 @@ class Warehouse:
         raises."""
         txs = self._effective_txs(self._read_txlog())
         self._check_retained(as_of_version, txs)
+        schema = self._tx_schema(table, txs, as_of_version)
         files = self._replay_files(txs, table, as_of_version)
         if not files:
-            return self.spark.createDataFrame(
-                [], schemas.WAREHOUSE_TABLES[table])
-        return self.spark.read.schema(schemas.WAREHOUSE_TABLES[table]) \
+            return self.spark.createDataFrame([], schema)
+        # Explicit schema over parquet: files written BEFORE a column
+        # add simply lack the column and read as NULL — the standard
+        # no-rewrite schema-evolution read (Iceberg/Delta add-column).
+        return self.spark.read.schema(schema) \
             .parquet(*[os.path.join(self.path(table), rel) for rel in files])
+
+    def _tx_schema(self, table: str,
+                   txs: list[tuple[int, dict]] | None = None,
+                   as_of_version: int | None = None):
+        """The table's EFFECTIVE schema at ``as_of_version`` (or
+        now): the static base schema plus every column added by an
+        ``add_column_tx`` record at or before that version — the
+        schema time-travels with the data."""
+        from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+        if txs is None:
+            txs = self._effective_txs(self._read_txlog())
+        fields = list(schemas.WAREHOUSE_TABLES[table].fields)
+        for v, tx in txs:
+            if as_of_version is not None and v > as_of_version:
+                break
+            for name, dtype in tx.get("schema_add", {}).get(table, []):
+                fields.append(StructField(
+                    name, _parse_datatype_string(dtype), True))
+        return StructType(fields)
+
+    def add_column_tx(self, table: str, name: str, dtype: str) -> None:
+        """Add a nullable column to a tx-managed table — Iceberg's
+        ``ALTER TABLE ADD COLUMN``: one metadata-only tx record, no
+        file rewrite. Existing files read the column as NULL; later
+        commits may supply it (absent columns in an incoming frame
+        fill NULL). The add participates in time travel: reads at a
+        version before the add see the old schema. Calling this on a
+        fresh table CLAIMS it for the tx subsystem (plain
+        append/overwrite will refuse from then on)."""
+        current = [f.name for f in self._tx_schema(table)]
+        if name in current:
+            raise ValueError(
+                f"column {name} already exists on {table}")
+        from pyspark.sql.types import _parse_datatype_string
+        _parse_datatype_string(dtype)  # validate eagerly, not at read
+        self._append_tx_record({}, schema_add={table: [[name, dtype]]})
+
+    @staticmethod
+    def _cast_to(df: DataFrame, schema) -> DataFrame:
+        """Project ``df`` onto ``schema``: present columns cast,
+        absent columns fill NULL (the add-column evolution
+        contract)."""
+        have = set(df.columns)
+        return df.select([
+            F.col(f.name).cast(f.dataType) if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ])
 
     def committed_watermark_tx(self, key: str,
                                default: str = "1970-01-01T00:00:00",
@@ -609,6 +662,7 @@ class Warehouse:
         if not os.path.exists(self._txlog_path()):
             return False
         return any(table in tx["tables"]
+                   or table in tx.get("schema_add", {})
                    for tx in self._read_txlog()["txs"])
 
     def checkpoint_txlog(self, retain_last: int = 0) -> int:
@@ -665,13 +719,19 @@ class Warehouse:
         as the live reader's replay."""
         tables: dict[str, list[str]] = {}
         watermarks: dict[str, str] = {}
+        schema_add: dict[str, list] = {}
         for tx in txs:
             for t in tx.get("replaces", []):
                 tables[t] = []
             for t, rels in tx["tables"].items():
                 tables.setdefault(t, []).extend(rels)
             watermarks.update(tx["watermarks"])
-        return {"tables": tables, "watermarks": watermarks}
+            for t, adds in tx.get("schema_add", {}).items():
+                schema_add.setdefault(t, []).extend(adds)
+        snap = {"tables": tables, "watermarks": watermarks}
+        if schema_add:
+            snap["schema_add"] = schema_add
+        return snap
 
     def _compact_committed_tx(self, table: str, target_file_bytes: int,
                               zorder_by: list[str] | None,
@@ -737,12 +797,19 @@ class Warehouse:
             raise ValueError(
                 f"table {table} is manifest-managed (append_commit); "
                 "merge through the manifest subsystem instead")
-        want = schemas.WAREHOUSE_TABLES[table]
+        want = self._tx_schema(table)
         cur = self.read_committed_tx(table)
-        merged = merge_upsert(cur, updates, keys, delete_col=delete_col)
-        merged = merged.select([F.col(f.name).cast(f.dataType)
-                                for f in want.fields])
-        new_files = self._stage_batch(merged, table)
+        # cast updates onto the evolved schema (absent added columns
+        # fill NULL) while carrying the tombstone column through
+        have = set(updates.columns)
+        sel = [F.col(f.name).cast(f.dataType) if f.name in have
+               else F.lit(None).cast(f.dataType).alias(f.name)
+               for f in want.fields]
+        if delete_col is not None:
+            sel.append(F.col(delete_col))
+        merged = merge_upsert(cur, updates.select(sel), keys,
+                              delete_col=delete_col)
+        new_files = self._stage_batch(self._cast_to(merged, want), table)
         self._append_tx_record({table: new_files}, replaces=[table])
 
     def vacuum_uncommitted_tx(self, tables: list[str]) -> int:
