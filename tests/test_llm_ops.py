@@ -2100,3 +2100,48 @@ def test_edit_distance_collapse_equals_pairwise_on_clones(spark):
         assert cf == pw, f"d={d}: {cf ^ pw}"
         # sanity: the clone family is fully connected at distance 0
         assert {(0, 1, 0), (0, 2, 0), (1, 2, 0), (3, 4, 0)} <= cf
+
+
+def test_epoch_mix_upsampling(spark):
+    """epoch_mix: rate 2.4 = two full epochs + a deterministic 0.4
+    pass; rate 1 (or absent) = exactly one epoch; rate < 1 downsamples
+    with the SAME membership rule as temperature_mix_members; rate 0
+    drops the source; output is reshard/rerun-stable."""
+    docs = spark.createDataFrame(
+        [(i, "wiki" if i < 100 else ("web" if i < 300 else "code"))
+         for i in range(400)], "doc_id long, lang string")
+    out = corpus.epoch_mix(docs, {"wiki": 2.4, "code": 0.5},
+                           source_col="lang")
+    per = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # wiki: 100 docs x (2 + ~0.4) epochs; hash fraction is exact-count
+    # deterministic, bounded loosely here, pinned exactly below
+    assert 200 < per["wiki"] < 280
+    assert per["web"] == 200          # absent => natural, one epoch
+    assert 30 < per["code"] < 70      # 100 docs x ~0.5
+    # epochs are 0..reps-1 per doc: every wiki doc has epochs {0,1}
+    # at least, and docs with the extra pass have {0,1,2}
+    eps = {r["doc_id"]: r["n"] for r in
+           out.filter(F.col("lang") == "wiki").groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(eps.values()) <= {2, 3} and len(eps) == 100
+    # fractional membership == the downsampling family's rule: the
+    # wiki docs granted a third epoch are EXACTLY the docs a 0.4-rate
+    # downsample keeps
+    third = {d for d, n in eps.items() if n == 3}
+    kept04 = {r["doc_id"] for r in corpus.temperature_mix_members(
+        docs.filter(F.col("lang") == "wiki"),
+        spark.createDataFrame([("wiki", 0.4)], "lang string, rate double"),
+        source_col="lang").collect()}
+    assert third == kept04
+    # reshard invariance
+    out2 = corpus.epoch_mix(docs.repartition(13), {"wiki": 2.4, "code": 0.5},
+                            source_col="lang")
+    assert {(r["doc_id"], r["epoch"]) for r in out.collect()} == \
+        {(r["doc_id"], r["epoch"]) for r in out2.collect()}
+    # rate 0 drops; rate exactly 2 gives two full epochs, no fraction
+    out3 = corpus.epoch_mix(docs, {"wiki": 0.0, "code": 2.0},
+                            source_col="lang")
+    per3 = {r["lang"]: r["n"] for r in
+            out3.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "wiki" not in per3 and per3["code"] == 200

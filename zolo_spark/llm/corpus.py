@@ -771,3 +771,52 @@ def temperature_mix_members(df: DataFrame, rates: DataFrame,
                     source_col)
             .filter(bucket < F.floor(F.col("rate") * 10000))
             .drop("rate"))
+
+
+def epoch_mix(df: DataFrame, weights: dict[str, float],
+              source_col: str = "lang",
+              id_col: str = "doc_id") -> DataFrame:
+    """Epoch-repeat UPSAMPLING — the other half of source mixing
+    (:func:`temperature_mix` only downsamples): each source's target
+    rate ``weights[s] ≥ 0`` may exceed 1, in which case every
+    document repeats ``floor(rate)`` times and one more epoch keeps a
+    deterministic salted-hash fraction ``frac(rate)`` of the ids —
+    the LLaMA-style "Wikipedia ×2.4" recipe, where 2.4 epochs means
+    two full passes plus a 0.4 pass. Sources absent from ``weights``
+    rate 1.0 (natural); rate < 1 degenerates to pure downsampling
+    with the SAME membership rule as ``temperature_mix_members``.
+
+    Output: the input rows replicated with an ``epoch`` column
+    (0-based; epoch 0 is the fractional pass for rates < 1, the
+    first full pass otherwise) — downstream packing/shuffling treats
+    (id, epoch) as the training-example key.
+
+    Determinism: repeat counts are a pure function of (source rate,
+    id) — ``md5('mix-v1'||id)`` bucket, the same salt as the
+    downsampling path, so a source at rate r and the same corpus
+    produce identical epochs on any engine, reshard, or rerun.
+    Scale: one broadcast rates join + a codegen
+    ``explode(sequence(...))`` — no corpus shuffle, output exactly
+    ``Σ_docs repeats`` rows."""
+    spark = df.sparkSession
+    rates = spark.createDataFrame(
+        [(s, float(r)) for s, r in weights.items()],
+        f"{source_col} string, _rate double")
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("mix-v1"), F.col(id_col).cast("string"))),
+        1, 4), 16, 10).cast("long") % 10000)
+    rate = F.coalesce(F.col("_rate"), F.lit(1.0))
+    # repeats = floor(rate) + (bucket < frac(rate)·10⁴); round-6 the
+    # fraction like every mixing rate so engines agree at the edge
+    frac = F.round(rate - F.floor(rate), 6)
+    reps = (F.floor(rate).cast("long")
+            + F.when(bucket < F.floor(frac * 10000), 1).otherwise(0))
+    return (
+        df.join(F.broadcast(rates), source_col, "left")
+        .withColumn("_reps", reps)
+        .filter(F.col("_reps") > 0)
+        .withColumn("epoch",
+                    F.explode(F.sequence(F.lit(0).cast("long"),
+                                         F.col("_reps") - 1)))
+        .drop("_rate", "_reps")
+    )

@@ -239,7 +239,14 @@ _GRADING_PRIORITY = [
     # count-min sketch + top-k hot-key extraction completing the
     # portable sketch family beside HLL (a13) and histogram quantiles
     # (a14), per the r8 VERDICT item 6.
-    "llm_temperature_mix", "a15_countmin_heavy_hitters",
+    # Round-11 rotation: llm_temperature_mix (green r8∧r9∧r10;
+    # its corpus.py region is untouched and the mixing machinery
+    # stays in-window TWICE over — llm_dsir_domain_mix composes
+    # temperature_mix_members directly, and the new gate's fractional
+    # pass IS the same id-salted membership rule, pinned by pytest)
+    # hands its slot to llm_epoch_mix — epoch-repeat UPSAMPLING (the
+    # LLaMA ×2.4 recipe), completing the mixing family's other half.
+    "llm_epoch_mix", "a15_countmin_heavy_hitters",
     # llm_pq_encode / llm_pq_adc_topk (late-r5 product-quantization
     # builds) take the slots of llm_sim_topk_cosine (r2∧r3∧r4) and
     # llm_pii_redact (r3∧r4).

@@ -2831,3 +2831,38 @@ def llm_remove_duplicate_spans(spark, sf_dir):
     detect→cut chain — gram positions, corpus count, interval merge,
     token splice — is value-hashed end to end."""
     return dedup.remove_duplicate_spans(_t(spark, sf_dir, "documents"))
+
+
+@register("llm_epoch_mix", oracle="""
+WITH rates AS (
+    SELECT * FROM (VALUES ('de', 2.4), ('zh', 0.5), ('fr', 3.0))
+    AS t(lang, rate)
+), b AS (
+    SELECT d.doc_id, d.lang,
+           ('0x' || substr(md5('mix-v1' || d.doc_id::VARCHAR), 1, 4))
+               ::BIGINT % 10000 AS bucket,
+           coalesce(r.rate, 1.0) AS rate
+    FROM documents d LEFT JOIN rates r ON d.lang = r.lang
+), reps AS (
+    SELECT doc_id, lang,
+           (floor(rate) + CASE WHEN bucket <
+                floor(round(rate - floor(rate), 6) * 10000)
+            THEN 1 ELSE 0 END)::BIGINT AS n_reps
+    FROM b
+)
+SELECT doc_id, lang, unnest(range(0, n_reps))::BIGINT AS epoch
+FROM reps WHERE n_reps > 0
+""")
+def llm_epoch_mix(spark, sf_dir):
+    """Epoch-repeat UPSAMPLING (``corpus.epoch_mix``) — the LLaMA-
+    style mix the downsampling-only temperature_mix can't express:
+    de ×2.4 (two full epochs + a deterministic 0.4 pass), fr ×3.0
+    (exactly three epochs, no fraction), zh ×0.5 (pure downsample —
+    SAME id-salted membership rule as temperature_mix_members, pinned
+    by pytest), en/es natural. One broadcast rates join + codegen
+    explode(sequence) — the corpus is never shuffled; every (doc,
+    epoch) row is a pure function of ids, value-hashed here."""
+    return corpus.epoch_mix(
+        _t(spark, sf_dir, "documents"),
+        {"de": 2.4, "zh": 0.5, "fr": 3.0},
+    ).select("doc_id", "lang", "epoch")
