@@ -401,16 +401,17 @@ def test_square_transactional_pair_commit_exactly_once(spark, wh, store,
     assert windows[0][0] == "1970-01-01T00:00:00"
     assert store.get(square_etl.WATERMARK_KEY) == "1970-01-01T00:00:00"
 
-    # crash INSIDE the tx commit: parquet staged, log rename dies
-    real_replace = _os.replace
+    # crash INSIDE the tx commit: parquet staged, the metadata-file
+    # publish (os.link CAS) dies
+    real_link = _os.link
     def boom(src, dst):
         if "_TXLOG" in dst:
             raise OSError("injected crash before tx publish")
-        return real_replace(src, dst)
-    monkeypatch.setattr("os.replace", boom)
+        return real_link(src, dst)
+    monkeypatch.setattr("os.link", boom)
     with pytest.raises(OSError):
         square_etl.run(spark, wh, store, factory, transactional=True)
-    monkeypatch.setattr("os.replace", real_replace)
+    monkeypatch.setattr("os.link", real_link)
 
     # nothing moved: tables at the old snapshot, watermark unmoved,
     # so the rerun's window lower bound is STILL wm1...
@@ -679,18 +680,19 @@ def test_pair_etls_transactional_commit_exactly_once(
     assert windows[0][0] == "1970-01-01T00:00:00"
     assert store.get(etl.WATERMARK_KEY) == "1970-01-01T00:00:00"
 
-    # crash INSIDE the tx commit: parquet staged, log rename dies
-    real_replace = _os.replace
+    # crash INSIDE the tx commit: parquet staged, the metadata-file
+    # publish (os.link CAS) dies
+    real_link = _os.link
 
     def boom(src, dst):
         if "_TXLOG" in dst:
             raise OSError("injected crash before tx publish")
-        return real_replace(src, dst)
+        return real_link(src, dst)
 
-    monkeypatch.setattr("os.replace", boom)
+    monkeypatch.setattr("os.link", boom)
     with pytest.raises(OSError):
         etl.run(spark, wh, store, factory, transactional=True)
-    monkeypatch.setattr("os.replace", real_replace)
+    monkeypatch.setattr("os.link", real_link)
 
     # nothing moved → the rerun's lower bound is STILL wm1 and the
     # pair lands exactly once more
@@ -796,3 +798,69 @@ def test_tx_schema_evolution_add_column(spark, wh):
         wh.append(spark.createDataFrame(
             [], schemas.WAREHOUSE_TABLES["coffee_profiles"]),
             "coffee_profiles")
+
+
+def test_tx_commit_cas_no_lost_updates(spark, wh):
+    """The metadata-generation CAS protocol must serialize concurrent
+    committers with NO lost updates — the single-file os.replace it
+    replaces was last-writer-wins. Deterministic interleaving: a
+    competing commit lands between a writer's log read and publish
+    (forced via a one-shot publish failure), and the loser's retry
+    must land AFTER it, both records intact. Then a thread storm as
+    the nondeterministic sweep."""
+    import threading
+
+    def batch(n, i):
+        return spark.createDataFrame(
+            [(f"{n}-{i}", "v", i, "sq", "qb", "sh", "cat", "whole",
+              1.0, 1)],
+            schemas.WAREHOUSE_TABLES["items"])
+
+    # deterministic interleaving: first publish attempt collides
+    real_publish = type(wh)._publish_txlog
+    state = {"fired": False}
+
+    def racing_publish(self, log):
+        if not state["fired"]:
+            state["fired"] = True
+            # competitor commits between our read and our publish
+            real_publish(self, {
+                "txs": self._read_txlog()["txs"] + [{
+                    "tables": {}, "watermarks": {"race": "won"},
+                    "version": self.current_tx_version() + 1}]})
+            raise FileExistsError  # what the real os.link would do
+        return real_publish(self, log)
+
+    type(wh)._publish_txlog = racing_publish
+    try:
+        wh.commit_tx({"items": batch("a", 1)}, {"k": "v1"})
+    finally:
+        type(wh)._publish_txlog = real_publish
+    # both the competitor's record AND the retried commit are present,
+    # serialized: competitor at v1, retried commit at v2
+    assert wh.committed_watermark_tx("race") == "won"
+    assert wh.committed_watermark_tx("k") == "v1"
+    assert wh.current_tx_version() == 2
+    assert wh.read_committed_tx("items").count() == 1
+
+    # thread storm: every commit must survive
+    errs = []
+
+    def worker(n):
+        try:
+            for i in range(4):
+                wh.commit_tx({"items": batch(n, i)})
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(f"w{t}",))
+               for t in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert wh.read_committed_tx("items").count() == 1 + 16
+    # versions are strictly increasing and dense from the storm's view
+    vs = [v for v, _ in wh._effective_txs(wh._read_txlog())]
+    assert vs == sorted(vs) and len(set(vs)) == len(vs)

@@ -392,21 +392,89 @@ class Warehouse:
     # between them (crash ⇒ details committed, header not, watermark
     # ambiguous). The tx log is the multi-table extension: every
     # table's staged files and the watermark publish in ONE atomic
-    # os.replace of _TXLOG.json (on an object store: one conditional
-    # PUT of the log pointer), so the pair + watermark are
+    # metadata-file publish, so the pair + watermark are
     # all-or-nothing by construction.
+    #
+    # Commit protocol (Iceberg's metadata.json chain): the current log
+    # is the HIGHEST-numbered _TXLOG.{n}.json; a writer stages the new
+    # log to a tmp file and publishes with os.link(tmp, next-number) —
+    # link fails atomically if another writer took that number, and
+    # the loser re-reads the (now longer) log and retries. That makes
+    # concurrent commit_tx calls SERIALIZABLE with no lost updates —
+    # os.replace of a single file was last-writer-wins. On an object
+    # store, os.link is the conditional PUT (If-None-Match) of the
+    # next metadata key. Legacy single-file _TXLOG.json logs are read
+    # as generation 0 and upgraded on the next publish.
+
+    _TXLOG_RETAIN_FILES = 3  # superseded metadata files kept for
+    #                          readers mid-flight; older ones GC'd on
+    #                          expire_snapshots
+
+    def _txlog_generations(self) -> list[tuple[int, str]]:
+        """Sorted (n, path) of every published metadata file."""
+        import re
+
+        out = []
+        if not os.path.isdir(self.root):
+            return out
+        for fn in os.listdir(self.root):
+            m = re.fullmatch(r"_TXLOG\.(\d+)\.json", fn)
+            if m:
+                out.append((int(m.group(1)), os.path.join(self.root, fn)))
+        legacy = os.path.join(self.root, "_TXLOG.json")
+        if os.path.exists(legacy):
+            out.append((0, legacy))
+        return sorted(out)
 
     def _txlog_path(self) -> str:
+        """The CURRENT log file (highest generation), or the legacy /
+        first-generation default when none is published yet."""
+        gens = self._txlog_generations()
+        if gens:
+            return gens[-1][1]
         return os.path.join(self.root, "_TXLOG.json")
 
     def _read_txlog(self) -> dict:
         import json
 
-        p = self._txlog_path()
-        if not os.path.exists(p):
-            return {"txs": []}
-        with open(p) as f:
-            return json.load(f)
+        # a generation can be GC'd between resolving the path and
+        # opening it (concurrent publishes past the retain window) —
+        # re-resolve rather than misreading "no log"
+        for _ in range(5):
+            p = self._txlog_path()
+            try:
+                with open(p) as f:
+                    return json.load(f)
+            except FileNotFoundError:
+                if not self._txlog_generations():
+                    break
+        return {"txs": []}
+
+    def _publish_txlog(self, log: dict) -> None:
+        """Atomically publish ``log`` as the next metadata generation
+        (compare-and-swap; raises ``FileExistsError`` to the caller's
+        retry loop if a concurrent writer took the number first)."""
+        import json
+        import uuid
+
+        gens = self._txlog_generations()
+        next_gen = (gens[-1][0] if gens else 0) + 1
+        tmp = os.path.join(self.root,
+                           f"_TXLOG.tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(log, f)
+        target = os.path.join(self.root, f"_TXLOG.{next_gen}.json")
+        try:
+            os.link(tmp, target)  # THE commit point (atomic CAS)
+        finally:
+            os.remove(tmp)
+        # drop superseded generations beyond the retain window; the
+        # legacy file is superseded the moment generation 1 exists
+        for n, p in gens[:-self._TXLOG_RETAIN_FILES or None]:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
 
     @staticmethod
     def _effective_txs(log: dict) -> list[tuple[int, dict]]:
@@ -483,24 +551,30 @@ class Warehouse:
                           watermarks: dict[str, str] | None = None,
                           replaces: list[str] | None = None,
                           schema_add: dict | None = None) -> None:
-        """Append one versioned record and publish with the log's
-        atomic rename — THE commit point for every tx-log mutation."""
-        import json
-        import uuid
-
-        log = self._read_txlog()
-        eff = self._effective_txs(log)
-        rec: dict = {"tables": tables, "watermarks": watermarks or {},
-                     "version": (eff[-1][0] if eff else 0) + 1}
-        if replaces:
-            rec["replaces"] = replaces
-        if schema_add:
-            rec["schema_add"] = schema_add
-        log["txs"].append(rec)
-        tmp = self._txlog_path() + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(log, f)
-        os.replace(tmp, self._txlog_path())  # THE commit point
+        """Append one versioned record and publish as the next
+        metadata generation — THE commit point for every tx-log
+        mutation. Optimistic concurrency: on a CAS collision (another
+        writer published first) the whole read-append-publish retries
+        against the fresh log, so concurrent commits serialize with
+        no lost updates."""
+        for _ in range(50):
+            log = self._read_txlog()
+            eff = self._effective_txs(log)
+            rec: dict = {"tables": tables,
+                         "watermarks": watermarks or {},
+                         "version": (eff[-1][0] if eff else 0) + 1}
+            if replaces:
+                rec["replaces"] = replaces
+            if schema_add:
+                rec["schema_add"] = schema_add
+            log["txs"].append(rec)
+            try:
+                self._publish_txlog(log)
+                return
+            except FileExistsError:
+                continue  # lost the CAS race: re-read and retry
+        raise RuntimeError(
+            "tx commit failed after 50 CAS retries - writer storm?")
 
     def read_committed_tx(self, table: str,
                           as_of_version: int | None = None) -> DataFrame:
@@ -667,8 +741,9 @@ class Warehouse:
 
     def checkpoint_txlog(self, retain_last: int = 0) -> int:
         """Fold tx history older than the last ``retain_last`` records
-        into ONE snapshot record and publish it with the same atomic
-        rename ``commit_tx`` uses; returns the number of txs folded.
+        into ONE snapshot record and publish it through the same CAS
+        metadata-generation protocol ``commit_tx`` uses; returns the
+        number of txs folded.
 
         ``commit_tx`` rewrites the full log on every commit and the
         readers rescan every historical tx, so an unbounded log makes
@@ -681,23 +756,24 @@ class Warehouse:
         the retained tail stays reconstructible via
         ``read_committed_tx(as_of_version=...)``; versions folded
         into the snapshot are expired and raise."""
-        import json
-        import uuid
-
-        log = self._read_txlog()
-        eff = self._effective_txs(log)
-        cut = max(0, len(eff) - max(0, retain_last))
-        fold, keep = eff[:cut], eff[cut:]
-        if len(fold) <= 1:
-            return len(fold)
-        snap = self._fold_txs([tx for _, tx in fold])
-        snap["version"] = fold[-1][0]
-        snap["snapshot"] = True
-        tmp = self._txlog_path() + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"txs": [snap] + [tx for _, tx in keep]}, f)
-        os.replace(tmp, self._txlog_path())  # THE commit point
-        return len(fold)
+        for _ in range(50):
+            log = self._read_txlog()
+            eff = self._effective_txs(log)
+            cut = max(0, len(eff) - max(0, retain_last))
+            fold, keep = eff[:cut], eff[cut:]
+            if len(fold) <= 1:
+                return len(fold)
+            snap = self._fold_txs([tx for _, tx in fold])
+            snap["version"] = fold[-1][0]
+            snap["snapshot"] = True
+            try:
+                self._publish_txlog(
+                    {"txs": [snap] + [tx for _, tx in keep]})
+                return len(fold)
+            except FileExistsError:
+                continue  # a commit landed mid-fold: refold over it
+        raise RuntimeError(
+            "tx checkpoint failed after 50 CAS retries")
 
     def expire_snapshots(self, retain_last: int = 0) -> tuple[int, int]:
         """Iceberg's ``expireSnapshots`` + ``removeOrphanFiles`` as one
