@@ -864,3 +864,31 @@ def test_tx_commit_cas_no_lost_updates(spark, wh):
     # versions are strictly increasing and dense from the storm's view
     vs = [v for v, _ in wh._effective_txs(wh._read_txlog())]
     assert vs == sorted(vs) and len(set(vs)) == len(vs)
+
+
+def test_read_between_on_tx_table_prunes_and_isolates(spark, wh):
+    """read_between on a tx-managed table must read the COMMITTED
+    file list (a raw directory read trips over batch-* nesting and
+    leaks staged uncommitted batches) and slice on the partition
+    timestamp."""
+    import os as _os
+
+    def hdr(pid, ts):
+        return spark.createDataFrame(
+            [(pid, ts, "other", 10.5, None, None)],
+            "payment_id string, created_at string, market string, "
+            "dollars double, tendered_cash double, returned_cash double",
+        ).withColumn("created_at", F.to_timestamp("created_at"))
+
+    wh.commit_tx({"square_trans": hdr("p1", "2018-03-01 13:00:00")})
+    wh.commit_tx({"square_trans": hdr("p2", "2019-07-01 13:00:00")})
+    # a staged-but-uncommitted batch (crash leftover) in the window
+    stray = wh._stage_batch(hdr("p3", "2018-03-02 13:00:00"),
+                            "square_trans")
+    assert stray  # exists on disk, referenced by no tx
+
+    got = {r["payment_id"] for r in wh.read_between(
+        "square_trans", "2018-01-01", "2019-01-01").collect()}
+    assert got == {"p1"}  # sliced; p2 out of window; p3 invisible
+    assert wh.read_committed_tx("square_trans").count() == 2
+    assert wh.vacuum_uncommitted("square_trans") == 1  # GC the stray

@@ -105,6 +105,13 @@ class Warehouse:
         want = schemas.WAREHOUSE_TABLES[table]
         if self._is_bucketed(table):
             df = self.spark.table(self._qualified(table))
+        elif self._table_in_txlog(table):
+            # tx-managed: committed file list only (a raw directory
+            # read would trip over batch-* nesting AND leak staged
+            # uncommitted batches). No _dt directories here — pruning
+            # comes from parquet footer min/max on the timestamp
+            # column, kept tight by the sort in commit_tx staging.
+            df = self.read_committed_tx(table)
         else:
             df = self.spark.read.schema(want).parquet(self.path(table))
         part_col = _PARTITIONED.get(table)
@@ -539,6 +546,13 @@ class Warehouse:
         staged: dict[str, list[str]] = {}
         for table, df in frames.items():
             df = self._cast_to(df, self._tx_schema(table))
+            part_col = _PARTITIONED.get(table)
+            if part_col is not None:
+                # cluster each staged batch on the slice column so
+                # every file's footer min/max is tight — that's what
+                # read_between prunes against on tx tables (no _dt
+                # directories here)
+                df = df.sortWithinPartitions(part_col)
             batch_dir = f"batch-{uuid.uuid4().hex}"
             out = os.path.join(self.path(table), batch_dir)
             df.write.mode("overwrite").parquet(out)
