@@ -892,3 +892,36 @@ def test_read_between_on_tx_table_prunes_and_isolates(spark, wh):
     assert got == {"p1"}  # sliced; p2 out of window; p3 invisible
     assert wh.read_committed_tx("square_trans").count() == 2
     assert wh.vacuum_uncommitted("square_trans") == 1  # GC the stray
+
+
+def test_auto_checkpoint_bounds_tx_log(spark, tmp_path):
+    """Opt-in auto-checkpoint: the log folds once it reaches N
+    records, keeping a retain-window for time travel; readers are
+    unaffected and batch dirs are NOT vacuumed automatically."""
+    wh = Warehouse(spark, str(tmp_path / "whac"),
+                   auto_checkpoint_every=6, auto_checkpoint_retain=3)
+    wh.init()
+
+    def batch(i):
+        return spark.createDataFrame(
+            [(f"p{i}", "v", i, "sq", "qb", "sh", "cat", "whole", 1.0, 1)],
+            schemas.WAREHOUSE_TABLES["items"])
+
+    for i in range(10):
+        wh.commit_tx({"items": batch(i)},
+                     {"wm": f"2024-01-{i + 1:02d}"})
+    # log stays bounded: ≤ 6 records (snapshot + retained tail +
+    # commits since the last fold)
+    assert len(wh._read_txlog()["txs"]) <= 6
+    assert wh.read_committed_tx("items").count() == 10
+    assert wh.committed_watermark_tx("wm") == "2024-01-10"
+    assert wh.current_tx_version() == 10
+    # recent versions stay time-travel-readable, folded ones raise
+    assert wh.read_committed_tx("items", as_of_version=9).count() == 9
+    with pytest.raises(ValueError, match="expired"):
+        wh.read_committed_tx("items", as_of_version=2)
+    # nothing auto-vacuumed: all 10 batch dirs still on disk
+    import os as _os
+    dirs = [d for d in _os.listdir(wh.path("items"))
+            if d.startswith("batch-")]
+    assert len(dirs) == 10

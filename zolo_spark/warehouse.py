@@ -55,11 +55,23 @@ class Warehouse:
     deploy scale (e.g. ~4096 for a 1 TB details table)."""
 
     def __init__(self, spark: SparkSession, root: str,
-                 bucketed: bool = False, buckets: int = 8):
+                 bucketed: bool = False, buckets: int = 8,
+                 auto_checkpoint_every: int | None = None,
+                 auto_checkpoint_retain: int = 10):
+        """``auto_checkpoint_every=N`` opts into tx-log maintenance on
+        ingest: after a commit, if the log holds ≥ N records, it is
+        folded down to an ``auto_checkpoint_retain``-record
+        time-travel window (Delta writes a checkpoint every 10
+        commits the same way). Off by default — explicit
+        ``checkpoint_txlog``/``expire_snapshots`` remain the
+        maintenance path, and auto mode never vacuums (dropping
+        batch dirs stays an explicit operator decision)."""
         self.spark = spark
         self.root = root
         self.bucketed = bucketed
         self.buckets = buckets
+        self.auto_checkpoint_every = auto_checkpoint_every
+        self.auto_checkpoint_retain = auto_checkpoint_retain
         # catalog namespace derived from the root path: two warehouses
         # in one session never collide
         self._db = "zolo_wh_" + re.sub(r"[^a-z0-9]+", "_", root.lower()).strip("_")
@@ -560,6 +572,10 @@ class Warehouse:
                 os.path.join(batch_dir, fn) for fn in os.listdir(out)
                 if fn.endswith(".parquet"))
         self._append_tx_record(staged, dict(watermarks or {}))
+        if (self.auto_checkpoint_every is not None
+                and len(self._read_txlog()["txs"])
+                >= self.auto_checkpoint_every):
+            self.checkpoint_txlog(retain_last=self.auto_checkpoint_retain)
 
     def _append_tx_record(self, tables: dict[str, list[str]],
                           watermarks: dict[str, str] | None = None,
