@@ -84,7 +84,15 @@ def _prev_same_box() -> dict | None:
     invocation) and return {commit, total, current_total, queries,
     ratio_current_over_prev}. Any failure returns a dict with an
     ``error`` instead — the baseline is diagnostic, never a reason to
-    lose the round's record."""
+    lose the round's record.
+
+    TWO rounds in MIRRORED order (prev, head, head, prev) with a
+    per-query MIN: a single prev-then-head pass put whichever side
+    ran later under whatever thermal/cache state the suite left
+    behind — measured ±25% ratio swings (0.77–1.23) across
+    back-to-back r11 runs, with the Python-UDF-heavy probes swinging
+    most. Mirroring cancels monotone drift to first order and the
+    min discards transient interference on either side."""
     import shutil
     import subprocess
 
@@ -106,6 +114,14 @@ def _prev_same_box() -> dict | None:
         cur_q = _probe_run(REPO)
         if isinstance(cur_q, str):
             return {"commit": PREV_ROUND_COMMIT, "error": f"head: {cur_q}"}
+        cur_q2 = _probe_run(REPO)  # mirrored second round
+        prev_q2 = _probe_run(wt)
+        if not isinstance(cur_q2, str):
+            cur_q = {n: min(cur_q[n], cur_q2.get(n, cur_q[n]))
+                     for n in cur_q}
+        if not isinstance(prev_q2, str):
+            prev_q = {n: min(prev_q[n], prev_q2.get(n, prev_q[n]))
+                      for n in prev_q}
         common = [n for n in PREV_PROBES if n in cur_q and n in prev_q]
         cur_t = round(sum(cur_q[n] for n in common), 4)
         prev_t = round(sum(prev_q[n] for n in common), 4)

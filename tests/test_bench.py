@@ -125,7 +125,11 @@ def test_prev_same_box_compares_cold_to_cold(monkeypatch):
     monkeypatch.setattr(bench, "_probe_run", fake_probe)
     monkeypatch.setattr(bench, "PREV_ROUND_COMMIT", "HEAD")
     out = bench._prev_same_box()
-    assert len(calls) == 2 and calls[1] == bench.REPO
+    # two MIRRORED rounds (prev, head, head, prev): both sides probe
+    # cold-subprocess twice so order/thermal bias cancels to first
+    # order and the per-query MIN drops transient interference
+    assert len(calls) == 4 and calls[1] == calls[2] == bench.REPO
     assert calls[0] != bench.REPO  # first call = the prev worktree
+    assert calls[3] == calls[0]
     assert out["ratio_current_over_prev"] == 1.0
     assert out["total"] == out["current_total"] == len(bench.PREV_PROBES)
