@@ -925,3 +925,26 @@ def test_auto_checkpoint_bounds_tx_log(spark, tmp_path):
     dirs = [d for d in _os.listdir(wh.path("items"))
             if d.startswith("batch-")]
     assert len(dirs) == 10
+
+
+def test_read_between_tx_pushes_timestamp_filter(spark, wh):
+    """The tx-table time-slice read must push the timestamp predicate
+    into the parquet scan (footer min/max pruning is all the pruning
+    a tx table has — no _dt directories), and the slice columns must
+    prune to the schema's fields."""
+    import contextlib
+    import io
+
+    df = spark.createDataFrame(
+        [("p1", "2018-03-01 13:00:00", "other", 10.5, None, None)],
+        "payment_id string, created_at string, market string, "
+        "dollars double, tendered_cash double, returned_cash double",
+    ).withColumn("created_at", F.to_timestamp("created_at"))
+    wh.commit_tx({"square_trans": df})
+    plan = io.StringIO()
+    with contextlib.redirect_stdout(plan):
+        wh.read_between("square_trans", "2018-01-01",
+                        "2019-01-01").explain("formatted")
+    p = plan.getvalue()
+    assert "PushedFilters" in p and "created_at" in \
+        p[p.index("PushedFilters"):p.index("PushedFilters") + 300]
