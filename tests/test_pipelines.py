@@ -948,3 +948,47 @@ def test_read_between_tx_pushes_timestamp_filter(spark, wh):
     p = plan.getvalue()
     assert "PushedFilters" in p and "created_at" in \
         p[p.index("PushedFilters"):p.index("PushedFilters") + 300]
+
+
+def test_restore_tx_rolls_back_without_copying(spark, wh):
+    """restore_tx = Delta RESTORE: a rewrite record re-referencing
+    the historical files — zero data copy, history preserved, vacuum
+    keeps the re-referenced batches, and the restore composes with
+    time travel and the change feed."""
+    import os as _os
+
+    def batch(i):
+        return spark.createDataFrame(
+            [(f"p{i}", "v", i, "sq", "qb", "sh", "cat", "whole", 1.0, 1)],
+            schemas.WAREHOUSE_TABLES["items"])
+
+    for i in range(3):
+        wh.commit_tx({"items": batch(i)})          # v1..v3
+    n_dirs = len([d for d in _os.listdir(wh.path("items"))
+                  if d.startswith("batch-")])
+    wh.restore_tx("items", 1)                      # v4 = state at v1
+    assert wh.current_tx_version() == 4
+    assert {r["product_name"] for r in
+            wh.read_committed_tx("items").collect()} == {"p0"}
+    # zero copy: no new batch dirs were written
+    assert len([d for d in _os.listdir(wh.path("items"))
+                if d.startswith("batch-")]) == n_dirs
+    # history preserved: the rolled-back-over versions still read
+    assert wh.read_committed_tx("items", as_of_version=3).count() == 3
+    # the change feed across the restore = the rollback's effect
+    cdf = {(r["product_name"], r["_change_type"]) for r in
+           wh.table_changes("items", 3, 4).collect()}
+    assert cdf == {("p1", "delete"), ("p2", "delete")}
+    # ingest continues; vacuum never touches the re-referenced batch
+    wh.commit_tx({"items": batch(9)})              # v5
+    assert wh.vacuum_uncommitted("items") == 0
+    assert {r["product_name"] for r in
+            wh.read_committed_tx("items").collect()} == {"p0", "p9"}
+    # expiring history GCs the batches only the dead versions used
+    folded, removed = wh.expire_snapshots()
+    assert removed == 2  # p1/p2 batches: referenced by no live record
+    assert {r["product_name"] for r in
+            wh.read_committed_tx("items").collect()} == {"p0", "p9"}
+    # restoring past the fold raises like any expired read
+    with pytest.raises(ValueError, match="expired"):
+        wh.restore_tx("items", 2)

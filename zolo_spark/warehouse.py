@@ -751,6 +751,23 @@ class Warehouse:
             "*", F.lit("delete").alias("_change_type"))
         return ins.unionByName(dele)
 
+    def restore_tx(self, table: str, to_version: int) -> None:
+        """Delta's ``RESTORE TABLE ... TO VERSION`` / Iceberg
+        rollback: make the table's CURRENT contents equal its state
+        at ``to_version`` by publishing a REWRITE record that
+        references the historical batch files — zero data copy, one
+        metadata commit. History is preserved (the restore is a NEW
+        version; the versions in between stay time-travel-readable
+        until expiry), and the restored record re-references the old
+        batch dirs, so vacuum keeps them live. ``to_version`` must be
+        within the retained window; the table's schema stays at its
+        CURRENT evolution (restored files predating an added column
+        read it as NULL, same as any old file)."""
+        txs = self._effective_txs(self._read_txlog())
+        self._check_retained(to_version, txs)
+        files = self._replay_files(txs, table, to_version)
+        self._append_tx_record({table: files}, replaces=[table])
+
     def current_tx_version(self) -> int:
         """The latest committed version (0 = empty log) — the handle a
         caller snapshots BEFORE a batch of maintenance/ingest to read
