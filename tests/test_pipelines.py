@@ -992,3 +992,28 @@ def test_restore_tx_rolls_back_without_copying(spark, wh):
     # restoring past the fold raises like any expired read
     with pytest.raises(ValueError, match="expired"):
         wh.restore_tx("items", 2)
+
+
+def test_tx_history_describes_operations(spark, wh):
+    """history() = DESCRIBE HISTORY: retained records typed as
+    commit / rewrite / snapshot, with file counts, watermarks, and
+    schema adds."""
+
+    def batch(i):
+        return spark.createDataFrame(
+            [(f"p{i}", "v", i, "sq", "qb", "sh", "cat", "whole", 1.0, 1)],
+            schemas.WAREHOUSE_TABLES["items"])
+
+    wh.commit_tx({"items": batch(0)}, {"wm": "2024-01-01"})
+    wh.add_column_tx("items", "discount", "double")
+    wh.commit_tx({"items": batch(1)})
+    wh.compact("items")                       # rewrite
+    wh.checkpoint_txlog(retain_last=2)        # fold v1-v2 into snap
+    h = {r["version"]: r for r in wh.history().collect()}
+    assert [h[v]["operation"] for v in sorted(h)] == \
+        ["snapshot", "commit", "rewrite"]
+    snap = h[min(h)]
+    assert snap["watermarks"] == {"wm": "2024-01-01"}
+    assert snap["schema_adds"] == {"items": ["discount"]}
+    assert h[max(h)]["operation"] == "rewrite" and \
+        h[max(h)]["tables"] == ["items"]

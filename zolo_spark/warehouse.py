@@ -768,6 +768,34 @@ class Warehouse:
         files = self._replay_files(txs, table, to_version)
         self._append_tx_record({table: files}, replaces=[table])
 
+    def history(self) -> DataFrame:
+        """Delta's ``DESCRIBE HISTORY`` for the warehouse tx log: one
+        row per retained record — ``(version, operation, tables,
+        n_files, watermarks, schema_adds)``. Operation is ``commit``
+        (plain append tx), ``rewrite`` (compaction / merge /
+        restore), or ``snapshot`` (checkpoint fold). Driver-local
+        frame: the log is metadata, never corpus-sized."""
+        rows = []
+        for v, tx in self._effective_txs(self._read_txlog()):
+            if tx.get("snapshot"):
+                op = "snapshot"
+            elif tx.get("replaces"):
+                op = "rewrite"
+            else:
+                op = "commit"
+            rows.append((
+                v, op, sorted(tx["tables"]),
+                sum(len(f) for f in tx["tables"].values()),
+                dict(tx.get("watermarks", {})),
+                {t: [n for n, _ in adds]
+                 for t, adds in tx.get("schema_add", {}).items()},
+            ))
+        return self.spark.createDataFrame(
+            rows,
+            "version long, operation string, tables array<string>, "
+            "n_files long, watermarks map<string,string>, "
+            "schema_adds map<string,array<string>>")
+
     def current_tx_version(self) -> int:
         """The latest committed version (0 = empty log) — the handle a
         caller snapshots BEFORE a batch of maintenance/ingest to read
