@@ -975,3 +975,66 @@ def test_streaming_upsert_sink_merges_and_survives_replay(spark, tmp_path):
     assert cdf == {("a", 10.0, "delete"), ("c", 30.0, "insert"),
                    ("b", 20.0, "update_preimage"),
                    ("b", 99.0, "update_postimage")}
+
+
+def test_tx_changes_streaming_source_round_trip(spark, tmp_path):
+    """The tx_changes streaming SOURCE (Spark 4 Python DataSource,
+    offsets = tx versions): appends arrive as insert rows stamped
+    with their commit version, a merge rewrite arrives as its exact
+    row-level diff (compaction emits nothing — same rows, new
+    files), and a checkpoint restart resumes from the recorded
+    version without re-emitting."""
+    from zolo_spark import schemas
+    from zolo_spark.sources.tx_changes_source import TxChangesDataSource
+    from zolo_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.init()
+    spark.dataSource.register(TxChangesDataSource)
+
+    def batch(*specs):
+        return spark.createDataFrame(
+            [(n, "v", q, "sq", "qb", "sh", "cat", "whole", p, 1)
+             for (n, q, p) in specs],
+            schemas.WAREHOUSE_TABLES["items"])
+
+    wh.commit_tx({"items": batch(("a", 1, 10.0), ("b", 2, 20.0))})  # v1
+    wh.commit_tx({"items": batch(("c", 3, 30.0))})                  # v2
+
+    cols = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                     for f in schemas.WAREHOUSE_TABLES["items"].fields)
+    schema = cols + ", _change_type string, _commit_version long"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (spark.readStream.format("tx_changes").schema(schema)
+             .option("root", wh.root).option("table", "items").load()
+             .writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    drain()
+    got = {(r["product_name"], r["_change_type"], r["_commit_version"])
+           for r in spark.read.parquet(sink).collect()}
+    assert got == {("a", "insert", 1), ("b", "insert", 1),
+                   ("c", "insert", 2)}
+
+    # merge rewrite (v3): update b, delete c, insert d -> exact diff;
+    # compaction (v4) emits nothing
+    upd = batch(("b", 2, 99.0), ("d", 4, 40.0)).withColumn(
+        "_deleted", F.lit(False)).unionByName(
+        batch(("c", 3, 30.0)).withColumn("_deleted", F.lit(True)))
+    wh.merge_tx("items", upd, ["product_name"], delete_col="_deleted")
+    wh.compact("items")
+    drain()  # checkpoint resume: only v3/v4
+    got2 = {(r["product_name"], r["weight"], r["_change_type"],
+             r["_commit_version"])
+            for r in spark.read.parquet(sink).collect()} - {
+        (n, w, c, v) for (n, c, v) in got for w in [10.0, 20.0, 30.0]}
+    assert got2 == {("b", 20.0, "delete", 3), ("b", 99.0, "insert", 3),
+                    ("c", 30.0, "delete", 3), ("d", 40.0, "insert", 3)}
