@@ -1017,3 +1017,86 @@ def test_tx_history_describes_operations(spark, wh):
     assert snap["schema_adds"] == {"items": ["discount"]}
     assert h[max(h)]["operation"] == "rewrite" and \
         h[max(h)]["tables"] == ["items"]
+
+
+def test_tx_model_random_walk(spark, wh):
+    """Model-based stress over the whole tx surface: a seeded random
+    walk of commit / merge / compact / restore / checkpoint ops,
+    with a pure-Python model tracking every version's expected state.
+    After every op the committed read must equal the model; retained
+    versions must time-travel to their recorded states."""
+    import random
+
+    rng = random.Random(11)
+    states: dict[int, dict] = {0: {}}   # version -> {name: weight}
+    v = 0
+
+    def df_of(d, tomb=()):
+        rows = [(n, "v", 1, "sq", "qb", "sh", "cat", "whole", w, 1,
+                 n in tomb)
+                for n, w in sorted(d.items())] or None
+        cols = ("product_name string, variant_name string, zolo_id long,"
+                " square_id string, quickbooks_id string, shopify_id "
+                "string, category_name string, form string, weight "
+                "double, profile_id long, _deleted boolean")
+        return spark.createDataFrame(rows or [], cols)
+
+    def check():
+        got = {r["product_name"]: r["weight"]
+               for r in wh.read_committed_tx("items").collect()}
+        assert got == states[v], f"v{v}: {got} != {states[v]}"
+
+    next_key = 0
+    for step in range(14):
+        op = rng.choice(["commit", "commit", "merge", "compact",
+                         "restore", "checkpoint"])
+        cur = dict(states[v])
+        if op == "commit":
+            fresh = {f"k{next_key + i}": float(rng.randint(1, 9))
+                     for i in range(rng.randint(1, 3))}
+            next_key += len(fresh)
+            wh.commit_tx({"items": df_of(fresh).drop("_deleted")})
+            v += 1
+            cur.update(fresh)
+        elif op == "merge":
+            upd = {k: cur[k] + 100.0
+                   for k in rng.sample(sorted(cur), min(2, len(cur)))}
+            tomb = set(rng.sample(sorted(cur), min(1, len(cur)))) - set(upd)
+            ins = {f"k{next_key}": 7.0}
+            next_key += 1
+            frame = df_of({**upd, **ins,
+                           **{t: cur[t] for t in tomb}}, tomb=tomb)
+            wh.merge_tx("items", frame, ["product_name"],
+                        delete_col="_deleted")
+            v += 1
+            cur.update(upd)
+            cur.update(ins)
+            for t in tomb:
+                cur.pop(t)
+        elif op == "compact":
+            if not cur:
+                continue
+            wh.compact("items")
+            v += 1  # rewrite record, same contents
+        elif op == "restore":
+            candidates = [w_ for w_ in states if w_ >= max(states) - 3]
+            tgt = rng.choice(candidates)
+            wh.restore_tx("items", tgt)
+            v += 1
+            cur = dict(states[tgt])
+        elif op == "checkpoint":
+            folded = wh.checkpoint_txlog(retain_last=5)
+            for w_ in list(states):
+                if w_ < v - 5 and folded > 1:
+                    states.pop(w_, None)
+            states[v] = cur
+            check()
+            continue
+        states[v] = cur
+        check()
+        # spot-check time travel on a still-retained version
+        live = [w_ for w_ in states if w_ >= max(0, v - 3)]
+        tgt = rng.choice(live)
+        got = {r["product_name"]: r["weight"] for r in
+               wh.read_committed_tx("items", as_of_version=tgt).collect()}
+        assert got == states[tgt], f"time travel v{tgt}"
