@@ -519,3 +519,13 @@ def test_edit_distance_join_no_cartesian(spark):
     # candidate generation joins on (L, i, c) — a hash-key join
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or \
         "ShuffledHashJoin" in p
+
+
+def test_epoch_mix_no_corpus_shuffle(spark):
+    """epoch_mix claims one broadcast rates join + codegen
+    explode(sequence) — a shuffle exchange here means the corpus
+    moved for a dimension-sized rates table."""
+    p = plan_of(q(spark, "llm_epoch_mix"))
+    assert n_shuffles(p) == 0, p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "Generate" in p  # the explode(sequence) epoch fan-out
