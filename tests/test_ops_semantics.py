@@ -683,3 +683,32 @@ def test_bloom_prune_is_codegen_joinless_on_fact(spark):
         ._jdf.queryExecution().executedPlan().toString()
     for bad in ("Join", "Exchange", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan, bad
+
+
+def test_time_weighted_avg_locf(spark):
+    """Hand-computed LOCF time-weighted average: value 10 holds 2 s,
+    value 20 holds 1 s -> twa = (10*2 + 20*1)/3; the last event
+    carries no weight; a single-event key has no observed time and
+    produces NO row; equal timestamps order by the id column."""
+    from zolo_spark.ops.temporal import time_weighted_avg
+
+    rows = [
+        (1, "a", "2024-01-01 00:00:00", 10.0),
+        (2, "a", "2024-01-01 00:00:02", 20.0),
+        (3, "a", "2024-01-01 00:00:03", 99.0),   # last: zero weight
+        (4, "b", "2024-01-01 00:00:00", 5.0),    # single event
+        # equal-ts pair: id 5 precedes id 6, so 7.0 holds 0 s and
+        # 9.0 holds 4 s
+        (5, "c", "2024-01-01 00:00:00", 7.0),
+        (6, "c", "2024-01-01 00:00:00", 9.0),
+        (7, "c", "2024-01-01 00:00:04", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, k string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["k"]: (r["twa"], r["observed_micros"]) for r in
+           time_weighted_avg(df, ["k"], ts_col="ts", val_col="value",
+                             id_col="event_id").collect()}
+    assert got["a"] == (round((10 * 2 + 20 * 1) / 3, 8), 3_000_000)
+    assert "b" not in got  # single event: no observed interval
+    assert got["c"] == (9.0, 4_000_000)

@@ -385,7 +385,16 @@ _GRADING_PRIORITY = [
     # range_join_bucketed) hands its slot to llm_quality_ensemble —
     # the three-signal (rule ∧ classifier ∧ perplexity-bucket)
     # decision audit, value-hashed end to end.
-    "zorder_layout_bounds", "a14_histogram_quantile_portable",
+    # Round-11 rotation: a14_histogram_quantile_portable (green
+    # r8∧r9∧r10; ops/sketches.py untouched this round and the
+    # portable-sketch family keeps THREE value-oracled members
+    # in-window — a13 HLL, a15 count-min, a16 bloom — while the
+    # histogram machinery's bin/interpolation arithmetic stays
+    # pytest-pinned) hands its slot to events_time_weighted_avg —
+    # the LOCF time-weighted average (TimescaleDB time_weight shape),
+    # the aggregation irregular telemetry needs that plain AVG gets
+    # wrong, exact-DECIMAL v·Δt arithmetic value-hashed.
+    "zorder_layout_bounds", "events_time_weighted_avg",
     "llm_quality_ensemble", "llm_quality_classifier",
     # Round-11 rotation: skew_hot_keys (green r3–r10, EIGHT rounds;
     # ops/skew.py is untouched this round and the hot-key machinery

@@ -2048,3 +2048,37 @@ def session_window_late_twin(spark, sf_dir):
     from .streaming.intraday import session_late_twin
 
     return session_late_twin(_t(spark, sf_dir, "events"))
+
+
+@register("events_time_weighted_avg", oracle="""
+WITH w AS (
+    SELECT event_type,
+           (epoch_us(lead(ts) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id))
+            - epoch_us(ts))::DECIMAL(16,0) AS dt,
+           round(value, 6)::DECIMAL(14,6) AS v
+    FROM events
+)
+SELECT event_type,
+       round(SUM((v::DECIMAL(21,6) * dt)::DECIMAL(38,6))::DOUBLE
+             / SUM(dt::BIGINT), 8) AS twa,
+       SUM(dt::BIGINT)::BIGINT AS observed_micros
+FROM w WHERE dt IS NOT NULL
+GROUP BY event_type
+""")
+def events_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average over irregular events
+    (``ops/temporal.time_weighted_avg`` — TimescaleDB's
+    ``time_weight('LOCF', ...)`` shape): each value holds until the
+    key's next event, the last event carries no weight, and the
+    average is exact-DECIMAL Σ v·Δt / Σ Δt in integer micros. A
+    plain AVG over-weights bursty periods — this is the aggregation
+    irregular telemetry actually wants at 100 TB. Equal timestamps
+    order by event_id for an engine-stable LOCF sequence; the
+    (14,6)×(16,0) product stays within DECIMAL(38,6) so both engines
+    sum the identical exact quantity."""
+    from .ops.temporal import time_weighted_avg
+
+    return time_weighted_avg(
+        _t(spark, sf_dir, "events"), keys=["event_type"],
+        ts_col="ts", val_col="value", id_col="event_id")
