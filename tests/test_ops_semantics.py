@@ -712,3 +712,54 @@ def test_time_weighted_avg_locf(spark):
     assert got["a"] == (round((10 * 2 + 20 * 1) / 3, 8), 3_000_000)
     assert "b" not in got  # single event: no observed interval
     assert got["c"] == (9.0, 4_000_000)
+
+
+def test_resample_locf_gapfill(spark):
+    """Gap-filled LOCF resample: a key with events at t=0 and t=25 s
+    on a 10 s grid emits buckets 0,10,20 carrying 1.0 (t=25 lands in
+    bucket 2's SUCCESSOR grid point only if the grid reaches it —
+    max bucket = floor(25/10) = 2, whose grid point 20 s precedes the
+    event, so it still carries 1.0); equal-(key,ts) events resolve to
+    the max id; grid points before a key's first event don't exist."""
+    from zolo_spark.ops.temporal import resample_locf
+
+    rows = [
+        (1, "a", "2024-01-01 00:00:00", 1.0),
+        (2, "a", "2024-01-01 00:00:25", 9.0),
+        (3, "b", "2024-01-01 00:00:10", 5.0),
+        (4, "b", "2024-01-01 00:00:10", 7.0),   # same ts: id 4 wins
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, k string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {(r["k"], str(r["bucket_ts"])): r["value"] for r in
+           resample_locf(df, ["k"], step_seconds=10, ts_col="ts",
+                         val_col="value", id_col="event_id").collect()}
+    assert got == {
+        ("a", "2024-01-01 00:00:00"): 1.0,
+        ("a", "2024-01-01 00:00:10"): 1.0,
+        ("a", "2024-01-01 00:00:20"): 1.0,
+        ("b", "2024-01-01 00:00:10"): 7.0,
+    }
+    # python-model equivalence on a denser deterministic series
+    import datetime as dt
+    events = [(i, "x",
+               f"2024-01-01 00:{i // 2:02d}:{(i * 17) % 60:02d}",
+               float(i)) for i in range(1, 25)]
+    df2 = spark.createDataFrame(
+        events, "event_id long, k string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got2 = {str(r["bucket_ts"]): r["value"] for r in
+            resample_locf(df2, ["k"], step_seconds=60, ts_col="ts",
+                          val_col="value", id_col="event_id").collect()}
+    parsed = sorted((dt.datetime.strptime(t, "%Y-%m-%d %H:%M:%S"), i, v)
+                    for i, _, t, v in events)
+    t0 = -(-int(parsed[0][0].timestamp()) // 60)  # ceil
+    t1 = int(parsed[-1][0].timestamp()) // 60
+    want = {}
+    for b in range(t0, t1 + 1):
+        ref = dt.datetime.utcfromtimestamp(b * 60)
+        best = max(((t, i, v) for t, i, v in parsed if t <= ref),
+                   key=lambda x: (x[0], x[1]))
+        want[str(ref)] = best[2]
+    assert got2 == want

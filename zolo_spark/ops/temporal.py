@@ -147,3 +147,71 @@ def time_weighted_avg(df: DataFrame, keys: list[str],
             F.col("_den").alias("observed_micros"),
         )
     )
+
+
+def resample_locf(df: DataFrame, keys: list[str],
+                  step_seconds: int,
+                  ts_col: str = "ts", val_col: str = "value",
+                  id_col: str | None = None) -> DataFrame:
+    """Gap-filled resampling to a regular grid — TimescaleDB's
+    ``time_bucket_gapfill(...) + locf(...)`` / QuestDB ``SAMPLE BY
+    FILL(PREV)``: per key, one row per ``step_seconds`` bucket from
+    the key's first event bucket through its last, carrying the most
+    recent value at-or-before each grid point
+    (last-observation-carried-forward). The grid starts at the first
+    bucket boundary AT OR AFTER the key's first event (ceil) and
+    ends at the last boundary at or before its last event, so every
+    grid point has a predecessor and every emitted row has a value
+    (TimescaleDB emits the leading partial bucket as NULL instead;
+    starting at ceil keeps the no-NULL contract without a lookback
+    argument). A key whose events all fall strictly inside one step
+    (no boundary in range) emits nothing.
+
+    Composition, not new machinery: the per-key grid is a codegen
+    ``explode(sequence(first, last, step))`` over one min/max
+    aggregate, and the carry is :func:`asof_join` — union-and-carry,
+    one shuffle, no pairwise blow-up. Output:
+    ``keys + (bucket_ts, value)``.
+
+    With multiple events in one bucket (or equal timestamps) the
+    LAST one at-or-before the grid point wins, ordered by
+    ``(ts, id_col)`` — pass the event id for an engine-stable
+    result."""
+    grid_step = F.lit(step_seconds)
+    bounds = df.groupBy(*keys).agg(
+        F.ceil(F.min(F.col(ts_col).cast("timestamp").cast("long"))
+               / grid_step).alias("_b0"),
+        F.floor(F.max(F.col(ts_col).cast("timestamp").cast("long"))
+                / grid_step).alias("_b1"),
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(F.sequence(F.col("_b0"), F.col("_b1")))
+        .alias("_bucket"),
+    ).select(
+        *keys,
+        (F.col("_bucket") * grid_step).cast("timestamp")
+        .alias("bucket_ts"),
+    )
+    # LOCF carry: order right-side events by (ts, id) so the latest
+    # event at-or-before each grid point wins deterministically
+    right = df.select(
+        *keys,
+        F.col(ts_col).cast("timestamp").alias("bucket_ts"),
+        F.col(val_col).alias("_val"),
+        *([F.col(id_col).alias("_id")] if id_col else []),
+    )
+    if len(keys) != 1:
+        raise ValueError("resample_locf: exactly one key column "
+                         "(asof_join carries by a single key)")
+    if id_col:
+        # collapse equal (key, ts) pairs to the max-id event first —
+        # asof_join's union-and-carry is then unambiguous
+        w = Window.partitionBy(*keys, "bucket_ts").orderBy(
+            F.col("_id").desc())
+        right = (right.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") == 1).drop("_rn", "_id"))
+    out = asof_join(grid, right, on="bucket_ts", by=keys[0],
+                    value_cols=["_val"])
+    return out.select(*keys, "bucket_ts",
+                      F.col("_val_r").alias(val_col))
