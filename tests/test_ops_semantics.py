@@ -763,3 +763,72 @@ def test_resample_locf_gapfill(spark):
                    key=lambda x: (x[0], x[1]))
         want[str(ref)] = best[2]
     assert got2 == want
+
+def test_resample_locf_no_boundary_in_range_emits_nothing(spark):
+    """A key whose events all fall strictly inside one step has
+    ceil(min) > floor(max); sequence() would default to step -1 and
+    emit a DESCENDING grid (NULL leading row + a row past the last
+    event). The bounds filter must drop such keys entirely."""
+    from zolo_spark.ops.temporal import resample_locf
+
+    rows = [
+        (1, "a", "2024-01-01 00:01:01", 1.0),
+        (2, "a", "2024-01-01 00:01:59", 2.0),   # both inside [60,120)
+        (3, "b", "2024-01-01 00:02:00", 5.0),   # exactly on boundary
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, k string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = resample_locf(df, ["k"], step_seconds=60, ts_col="ts",
+                        val_col="value", id_col="event_id").collect()
+    got = {(r["k"], str(r["bucket_ts"])): r["value"] for r in out}
+    assert got == {("b", "2024-01-01 00:02:00"): 5.0}
+    assert all(r["value"] is not None for r in out)
+
+
+def test_resample_locf_composite_key(spark):
+    """Multi-column ``keys`` partitions the grid and the carry by ALL
+    key columns — two series sharing the first key component must not
+    bleed values into each other."""
+    from zolo_spark.ops.temporal import resample_locf
+
+    rows = [
+        (1, "a", "x", "2024-01-01 00:00:00", 1.0),
+        (2, "a", "x", "2024-01-01 00:00:25", 9.0),
+        (3, "a", "y", "2024-01-01 00:00:00", 5.0),
+        (4, "a", "y", "2024-01-01 00:00:15", 6.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, k1 string, k2 string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {(r["k1"], r["k2"], str(r["bucket_ts"])): r["value"] for r in
+           resample_locf(df, ["k1", "k2"], step_seconds=10, ts_col="ts",
+                         val_col="value", id_col="event_id").collect()}
+    assert got == {
+        ("a", "x", "2024-01-01 00:00:00"): 1.0,
+        ("a", "x", "2024-01-01 00:00:10"): 1.0,
+        ("a", "x", "2024-01-01 00:00:20"): 1.0,
+        ("a", "y", "2024-01-01 00:00:00"): 5.0,
+        ("a", "y", "2024-01-01 00:00:10"): 5.0,
+    }
+
+
+def test_asof_join_composite_by_key(spark):
+    """asof_join with ``by`` as a list: the carry is scoped to the
+    full composite key."""
+    from zolo_spark.ops.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("a", "x", "2024-01-01 00:00:05"),
+         ("a", "y", "2024-01-01 00:00:05")],
+        "k1 string, k2 string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("a", "x", "2024-01-01 00:00:01", 10.0),
+         ("a", "y", "2024-01-01 00:00:02", 20.0)],
+        "k1 string, k2 string, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {(r["k1"], r["k2"]): r["v_r"] for r in
+           asof_join(left, right, on="ts", by=["k1", "k2"],
+                     value_cols=["v"]).collect()}
+    assert got == {("a", "x"): 10.0, ("a", "y"): 20.0}

@@ -25,22 +25,26 @@ def asof_join(
     left: DataFrame,
     right: DataFrame,
     on: str,
-    by: str,
+    by: str | list[str],
     value_cols: list[str],
     suffix: str = "_r",
 ) -> DataFrame:
     """Backward as-of join: for every left row, the most recent right
-    row with ``right.on <= left.on`` within the same ``by`` key; NULL
-    payload when no right row precedes."""
+    row with ``right.on <= left.on`` within the same ``by`` key(s);
+    NULL payload when no right row precedes. ``by`` may be a single
+    column name or a list (composite key — the window partitions by
+    all of them; no struct packing needed)."""
+    by_cols = [by] if isinstance(by, str) else list(by)
     l_tag = left.withColumn("_side", F.lit(1))
     r_cols = [F.col(c).alias(f"{c}{suffix}") for c in value_cols]
     r_tag = right.select(
-        F.col(by), F.col(on), F.lit(0).alias("_side"), *r_cols
+        *[F.col(b) for b in by_cols], F.col(on),
+        F.lit(0).alias("_side"), *r_cols
     )
     merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
     w = (
-        Window.partitionBy(by)
+        Window.partitionBy(*by_cols)
         .orderBy(F.col(on).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -118,6 +122,12 @@ def time_weighted_avg(df: DataFrame, keys: list[str],
     interval is unobserved) produces NO row: there is nothing to
     average. A key whose observed intervals are all zero-width
     (equal timestamps) yields NULL with observed_micros = 0.
+
+    Magnitude bound: values are carried as DECIMAL(14,6), so
+    ``|value|`` must be < 1e8 (the product precision 14+16+1 = 31
+    stays exact inside DECIMAL(38,6) only at that width). Larger
+    values raise under ANSI mode (Spark 4 default) rather than
+    silently dropping the term.
     """
     order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
     w = Window.partitionBy(*keys).orderBy(*order)
@@ -184,6 +194,12 @@ def resample_locf(df: DataFrame, keys: list[str],
         F.floor(F.max(F.col(ts_col).cast("timestamp").cast("long"))
                 / grid_step).alias("_b1"),
     )
+    # a key whose events all fall strictly inside one step has
+    # _b0 = ceil(min) > floor(max) = _b1; sequence(b0, b1) would
+    # default to step -1 and emit a DESCENDING grid (a NULL-value
+    # leading row plus rows past the last event) — drop those keys
+    # here so the docstring contract ("emits nothing") holds
+    bounds = bounds.filter(F.col("_b0") <= F.col("_b1"))
     grid = bounds.select(
         *keys,
         F.explode(F.sequence(F.col("_b0"), F.col("_b1")))
@@ -201,9 +217,6 @@ def resample_locf(df: DataFrame, keys: list[str],
         F.col(val_col).alias("_val"),
         *([F.col(id_col).alias("_id")] if id_col else []),
     )
-    if len(keys) != 1:
-        raise ValueError("resample_locf: exactly one key column "
-                         "(asof_join carries by a single key)")
     if id_col:
         # collapse equal (key, ts) pairs to the max-id event first —
         # asof_join's union-and-carry is then unambiguous
@@ -211,7 +224,7 @@ def resample_locf(df: DataFrame, keys: list[str],
             F.col("_id").desc())
         right = (right.withColumn("_rn", F.row_number().over(w))
                  .filter(F.col("_rn") == 1).drop("_rn", "_id"))
-    out = asof_join(grid, right, on="bucket_ts", by=keys[0],
+    out = asof_join(grid, right, on="bucket_ts", by=keys,
                     value_cols=["_val"])
     return out.select(*keys, "bucket_ts",
                       F.col("_val_r").alias(val_col))

@@ -124,6 +124,19 @@ class TxChangesStreamReader(SimpleDataSourceStreamReader):
         for v, tx in txs:
             if v <= start["version"] or v > end["version"]:
                 continue
+            if tx.get("snapshot"):
+                # checkpoint_txlog folded history PAST this stream's
+                # checkpointed offset: the snapshot is not a change,
+                # it's the whole table — emitting it would replay
+                # every row as an insert (silent full-table
+                # duplication). Mirror Warehouse._check_retained /
+                # Delta CDF's out-of-retention error instead.
+                raise RuntimeError(
+                    f"tx_changes: offset version {start['version']} of "
+                    f"table '{self.table}' was expired by "
+                    f"checkpoint_txlog (history folded into snapshot "
+                    f"version {v}); restart the stream from a fresh "
+                    f"checkpoint with start_version >= {v}")
             if self.table in tx.get("replaces", []):
                 # rewrite: full-row multiset diff of the snapshots
                 before = Counter(_rows(self.root, self.table,

@@ -29,13 +29,19 @@ from pyspark.sql.utils import AnalysisException
 from ..ops.merge import scd2_apply
 
 
-def _latest_per_key(batch: DataFrame, key: str, ts_col: str) -> DataFrame:
+def _latest_per_key(batch: DataFrame, key: str | list[str],
+                    ts_col: str) -> DataFrame:
     """Resolve intra-batch duplicates: last change per key wins
-    (ts desc, then deterministic tiebreak on the remaining columns)."""
+    (ts desc, then deterministic tiebreak on the remaining columns).
+    ``key`` may be a composite — the window partitions by ALL key
+    columns; partitioning by only the first would silently drop every
+    other change sharing that prefix before the merge."""
+    key_cols = [key] if isinstance(key, str) else list(key)
     order = [F.col(ts_col).desc()] + [
-        F.col(c).desc() for c in batch.columns if c not in (key, ts_col)
+        F.col(c).desc()
+        for c in batch.columns if c not in (*key_cols, ts_col)
     ]
-    w = Window.partitionBy(key).orderBy(*order)
+    w = Window.partitionBy(*key_cols).orderBy(*order)
     return (
         batch.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -114,7 +120,7 @@ def apply_upsert_batch(batch: DataFrame, wh, table: str,
     sink."""
     if batch.isEmpty():
         return
-    updates = _latest_per_key(batch, keys[0], ts_col).drop(ts_col)
+    updates = _latest_per_key(batch, keys, ts_col).drop(ts_col)
     wh.merge_tx(table, updates, keys, delete_col=delete_col)
 
 
