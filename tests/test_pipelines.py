@@ -1100,3 +1100,187 @@ def test_tx_model_random_walk(spark, wh):
         got = {r["product_name"]: r["weight"] for r in
                wh.read_committed_tx("items", as_of_version=tgt).collect()}
         assert got == states[tgt], f"time travel v{tgt}"
+
+def test_read_txlog_raises_when_generations_exist_but_unreadable(
+        spark, wh, monkeypatch):
+    """r11 ADVICE (warehouse.py): if 5 consecutive reads lose the
+    GC race while generations still exist, returning the empty log
+    would let the next commit publish a log containing only its own
+    tx — total history loss. The fallback must raise instead; only a
+    genuinely fresh warehouse gets {"txs": []}."""
+    import os as _os
+
+    def batch(i):
+        return spark.createDataFrame(
+            [(f"p{i}", "v", i, "sq", "qb", "sh", "cat", "whole", 12.0, 1)],
+            schemas.WAREHOUSE_TABLES["items"])
+
+    wh.commit_tx({"items": batch(0)})
+    # simulate the pathological race: the resolved path is always
+    # gone by open() time, but generations remain on disk
+    monkeypatch.setattr(
+        wh, "_txlog_path",
+        lambda: _os.path.join(wh.root, "_TXLOG.999999.json"))
+    with pytest.raises(RuntimeError, match="refusing"):
+        wh._read_txlog()
+
+    # a genuinely fresh warehouse still reads as empty
+    fresh = Warehouse(spark, wh.root + "_fresh")
+    fresh.init()
+    assert fresh._read_txlog() == {"txs": []}
+
+def test_merge_tx_prunes_untouched_files(spark, wh):
+    """File-pruned MERGE (r11 VERDICT item 3 — Delta/Iceberg MERGE
+    pruning): a merge whose update keys fall entirely inside one
+    committed batch's key range must re-reference every other batch's
+    files untouched (same relative paths, byte-identical on disk, NOT
+    rewritten) and rewrite only the intersecting file(s); the merged
+    contents equal the unpruned semantics."""
+    import hashlib
+    import os as _os
+
+    def batch(prefix):
+        return spark.createDataFrame(
+            [(f"{prefix}{i:02d}", "v", i, "sq", "qb", "sh", "cat",
+              "whole", float(i), 1) for i in range(10)],
+            schemas.WAREHOUSE_TABLES["items"]).coalesce(1)
+
+    for p in ("a", "b", "c"):   # three one-file batches, disjoint ranges
+        wh.commit_tx({"items": batch(p)})
+    files_before = wh._replay_files(
+        wh._effective_txs(wh._read_txlog()), "items")
+    assert len(files_before) == 3
+
+    def digest(rel):
+        with open(_os.path.join(wh.path("items"), rel), "rb") as f:
+            return hashlib.sha256(f.read()).hexdigest()
+
+    pre = {rel: digest(rel) for rel in files_before}
+    b_file = [rel for rel in files_before if "b05" in str(
+        spark.read.parquet(_os.path.join(wh.path("items"), rel))
+        .select("product_name").collect())][0]
+
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    # fresh StructType: .add() on the shared schema would MUTATE it
+    upd_schema = StructType(
+        list(schemas.WAREHOUSE_TABLES["items"].fields)
+        + [StructField("_deleted", BooleanType())])
+    upd = spark.createDataFrame(
+        [("b03", "v", 3, "sq", "qb", "sh", "cat", "whole", 103.0, 1, False),
+         ("b05", "v", 5, "sq", "qb", "sh", "cat", "whole", 5.0, 1, True),
+         ("zz1", "v", 99, "sq", "qb", "sh", "cat", "whole", 999.0, 1, False)],
+        upd_schema)
+    wh.merge_tx("items", upd, ["product_name"], delete_col="_deleted")
+
+    files_after = wh._replay_files(
+        wh._effective_txs(wh._read_txlog()), "items")
+    untouched = [rel for rel in files_before if rel != b_file]
+    # the a- and c-range files are re-referenced, not rewritten
+    for rel in untouched:
+        assert rel in files_after
+        assert digest(rel) == pre[rel]
+    # the b-range file was replaced by the staged rewrite
+    assert b_file not in files_after
+    assert len(files_after) > len(untouched)
+
+    got = {r["product_name"]: r["weight"]
+           for r in wh.read_committed_tx("items").collect()}
+    want = {f"{p}{i:02d}": float(i) for p in "ac" for i in range(10)}
+    want.update({f"b{i:02d}": float(i) for i in range(10) if i != 5})
+    want["b03"] = 103.0
+    want.pop("b05", None)
+    want["zz1"] = 999.0
+    assert got == want
+
+    # prune=False still produces the identical table (semantics twin)
+    wh2 = Warehouse(spark, wh.root + "_noprune")
+    wh2.init()
+    for p in ("a", "b", "c"):
+        wh2.commit_tx({"items": batch(p)})
+    wh2.merge_tx("items", upd, ["product_name"], delete_col="_deleted",
+                 prune=False)
+    got2 = {r["product_name"]: r["weight"]
+            for r in wh2.read_committed_tx("items").collect()}
+    assert got2 == got
+
+
+def test_merge_tx_prune_all_files_untouched_inserts_only(spark, wh):
+    """A merge whose keys match NO committed file (pure insert batch)
+    keeps every existing file untouched and stages only the
+    inserts."""
+    def batch(prefix):
+        return spark.createDataFrame(
+            [(f"{prefix}{i:02d}", "v", i, "sq", "qb", "sh", "cat",
+              "whole", float(i), 1) for i in range(5)],
+            schemas.WAREHOUSE_TABLES["items"]).coalesce(1)
+
+    wh.commit_tx({"items": batch("a")})
+    files_before = wh._replay_files(
+        wh._effective_txs(wh._read_txlog()), "items")
+    ins = spark.createDataFrame(
+        [("q99", "v", 1, "sq", "qb", "sh", "cat", "whole", 7.0, 1)],
+        schemas.WAREHOUSE_TABLES["items"])
+    wh.merge_tx("items", ins, ["product_name"])
+    files_after = wh._replay_files(
+        wh._effective_txs(wh._read_txlog()), "items")
+    assert set(files_before) <= set(files_after)
+    assert wh.read_committed_tx("items").count() == 6
+
+
+def test_merge_tx_concurrent_write_conflict(spark, wh):
+    """Write-write conflict detection (r11 VERDICT item 5): a REWRITE
+    built on a stale snapshot must raise ConcurrentWriteError when
+    the SAME table's committed files changed underneath it (Delta's
+    ConcurrentModificationException), while a concurrent commit to an
+    UNRELATED table retries through and both records land."""
+    from zolo_spark.warehouse import ConcurrentWriteError
+
+    def items(n, w=1.0):
+        return spark.createDataFrame(
+            [(n, "v", 1, "sq", "qb", "sh", "cat", "whole", w, 1)],
+            schemas.WAREHOUSE_TABLES["items"])
+
+    def profile(i):
+        return spark.createDataFrame(
+            [(i, "house", "med", 1, 1, "ET", "washed", 100.0,
+              None, None, None, None, None, None)],
+            schemas.WAREHOUSE_TABLES["coffee_profiles"])
+
+    wh.commit_tx({"items": items("a")})
+
+    real_publish = type(wh)._publish_txlog
+
+    def inject_commit(frames):
+        state = {"fired": False}
+
+        def racing(self, log):
+            if not state["fired"]:
+                state["fired"] = True
+                wh.commit_tx(frames)      # lands between read and publish
+                raise FileExistsError     # what the real os.link does
+            return real_publish(self, log)
+        return racing
+
+    # conflicting: competitor appends to the SAME table mid-merge
+    type(wh)._publish_txlog = inject_commit({"items": items("b")})
+    try:
+        with pytest.raises(ConcurrentWriteError, match="items"):
+            wh.merge_tx("items", items("a", 50.0), ["product_name"])
+    finally:
+        type(wh)._publish_txlog = real_publish
+    # the competitor's row is intact; the merge did NOT apply
+    got = {r["product_name"]: r["weight"]
+           for r in wh.read_committed_tx("items").collect()}
+    assert got == {"a": 1.0, "b": 1.0}
+
+    # non-conflicting: competitor writes a DIFFERENT table -> retry lands
+    type(wh)._publish_txlog = inject_commit({"coffee_profiles": profile(1)})
+    try:
+        wh.merge_tx("items", items("a", 50.0), ["product_name"])
+    finally:
+        type(wh)._publish_txlog = real_publish
+    got = {r["product_name"]: r["weight"]
+           for r in wh.read_committed_tx("items").collect()}
+    assert got == {"a": 50.0, "b": 1.0}
+    assert wh.read_committed_tx("coffee_profiles").count() == 1

@@ -1038,3 +1038,74 @@ def test_tx_changes_streaming_source_round_trip(spark, tmp_path):
         (n, w, c, v) for (n, c, v) in got for w in [10.0, 20.0, 30.0]}
     assert got2 == {("b", 20.0, "delete", 3), ("b", 99.0, "insert", 3),
                     ("c", 30.0, "delete", 3), ("d", 40.0, "insert", 3)}
+
+def test_upsert_batch_composite_key_keeps_all_changes(spark, tmp_path):
+    """r11 ADVICE (streaming/cdc.py): _latest_per_key partitioned by
+    only the FIRST key, so with a composite merge key all but one
+    change per first-key value was silently dropped before merge_tx.
+    Two same-product different-variation changes must BOTH land."""
+    from zolo_spark import schemas
+    from zolo_spark.streaming import cdc
+    from zolo_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.init()
+    cols = [f.name for f in schemas.WAREHOUSE_TABLES["items"].fields]
+    batch = spark.createDataFrame(
+        [("a", "x", 1, "sq", "qb", "sh", "cat", "whole", 10.0, 1,
+          "2024-01-01 10:00:00"),
+         ("a", "y", 2, "sq", "qb", "sh", "cat", "whole", 20.0, 1,
+          "2024-01-01 10:00:00"),
+         # intra-batch dup for (a, x): the later change wins
+         ("a", "x", 1, "sq", "qb", "sh", "cat", "whole", 99.0, 1,
+          "2024-01-01 11:00:00")],
+        ", ".join(f"{c} {t}" for c, t in zip(
+            cols + ["ts"],
+            ["string", "string", "long", "string", "string", "string",
+             "string", "string", "double", "long", "string"]))
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    cdc.apply_upsert_batch(
+        batch, wh, "items", ["product_name", "variant_name"])
+    got = {(r["product_name"], r["variant_name"]): r["weight"]
+           for r in wh.read_committed_tx("items").collect()}
+    assert got == {("a", "x"): 99.0, ("a", "y"): 20.0}
+
+
+def test_tx_changes_expired_offset_raises_not_duplicates(spark, tmp_path):
+    """r11 ADVICE (sources/tx_changes_source.py): when
+    checkpoint_txlog folds history past a stream's checkpointed
+    offset, the snapshot record must raise (expired offset, mirroring
+    Warehouse._check_retained) — treating it as a plain append would
+    re-emit the whole table as inserts, silently duplicating it. An
+    offset AT the snapshot version still streams the retained tail."""
+    from zolo_spark import schemas
+    from zolo_spark.sources.tx_changes_source import TxChangesStreamReader
+    from zolo_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.init()
+
+    def batch(n, q, p):
+        return spark.createDataFrame(
+            [(n, "v", q, "sq", "qb", "sh", "cat", "whole", p, 1)],
+            schemas.WAREHOUSE_TABLES["items"])
+
+    wh.commit_tx({"items": batch("a", 1, 10.0)})   # v1
+    wh.commit_tx({"items": batch("b", 2, 20.0)})   # v2
+    wh.commit_tx({"items": batch("c", 3, 30.0)})   # v3
+    wh.checkpoint_txlog(retain_last=1)             # fold v1-v2 -> snap v2
+
+    n_fields = len(schemas.WAREHOUSE_TABLES["items"].fields)
+
+    class _Schema:  # reader only uses len(schema.fields)
+        fields = [None] * (n_fields + 2)
+
+    reader = TxChangesStreamReader(
+        _Schema(), {"root": wh.root, "table": "items"})
+    # checkpointed at v1: v2's changes were folded away -> raise
+    with pytest.raises(RuntimeError, match="expired"):
+        list(reader.readBetweenOffsets({"version": 1}, {"version": 3}))
+    # checkpointed at the snapshot version: retained tail streams fine
+    rows = list(reader.readBetweenOffsets({"version": 2}, {"version": 3}))
+    assert {(r[0], r[-2], r[-1]) for r in rows} == {("c", "insert", 3)}

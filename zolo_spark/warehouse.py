@@ -45,6 +45,14 @@ _BUCKETED = {
 }
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A REWRITE (merge / compact / restore) was built from a snapshot
+    another writer has since changed — committing it would silently
+    drop the concurrent writer's rows. Delta raises
+    ``ConcurrentModificationException`` here; re-run the operation
+    against the current state."""
+
+
 class Warehouse:
     """Parquet-backed warehouse rooted at ``root``.
 
@@ -467,6 +475,17 @@ class Warehouse:
             except FileNotFoundError:
                 if not self._txlog_generations():
                     break
+        else:
+            # 5 consecutive reads lost the race while generations
+            # still exist — returning {"txs": []} here would let a
+            # commit built on the empty read publish a log containing
+            # only its own tx, silently discarding ALL committed
+            # history. Raise instead; only a genuinely fresh
+            # warehouse (no generations at all) gets the empty log.
+            raise RuntimeError(
+                "tx log unreadable after 5 retries while generations "
+                f"exist under {self.root}; refusing to treat the "
+                "warehouse as empty")
         return {"txs": []}
 
     def _publish_txlog(self, log: dict) -> None:
@@ -580,16 +599,38 @@ class Warehouse:
     def _append_tx_record(self, tables: dict[str, list[str]],
                           watermarks: dict[str, str] | None = None,
                           replaces: list[str] | None = None,
-                          schema_add: dict | None = None) -> None:
+                          schema_add: dict | None = None,
+                          expect_files: dict[str, list[str]] | None = None
+                          ) -> None:
         """Append one versioned record and publish as the next
         metadata generation — THE commit point for every tx-log
         mutation. Optimistic concurrency: on a CAS collision (another
         writer published first) the whole read-append-publish retries
         against the fresh log, so concurrent commits serialize with
-        no lost updates."""
+        no lost updates.
+
+        ``expect_files`` is the writer's READ SET (per-table committed
+        file lists its record was computed FROM). Every attempt —
+        including the first, and every CAS retry — re-replays those
+        tables against the fresh log and raises
+        :class:`ConcurrentWriteError` if any list changed: a REWRITE
+        record built on a stale snapshot would silently drop rows a
+        concurrent commit added (r11 VERDICT item 5 — Delta fails the
+        transaction when files it read were rewritten; appends to
+        UNRELATED tables still retry through)."""
         for _ in range(50):
             log = self._read_txlog()
             eff = self._effective_txs(log)
+            if expect_files is not None:
+                for t, read_set in expect_files.items():
+                    now = self._replay_files(eff, t)
+                    if now != read_set:
+                        raise ConcurrentWriteError(
+                            f"table {t}: committed files changed since "
+                            f"this rewrite's snapshot read ({len(read_set)}"
+                            f" -> {len(now)} files); re-run the "
+                            "merge/compact/restore against the current "
+                            "state")
             rec: dict = {"tables": tables,
                          "watermarks": watermarks or {},
                          "version": (eff[-1][0] if eff else 0) + 1}
@@ -766,7 +807,9 @@ class Warehouse:
         txs = self._effective_txs(self._read_txlog())
         self._check_retained(to_version, txs)
         files = self._replay_files(txs, table, to_version)
-        self._append_tx_record({table: files}, replaces=[table])
+        self._append_tx_record(
+            {table: files}, replaces=[table],
+            expect_files={table: self._replay_files(txs, table)})
 
     def history(self) -> DataFrame:
         """Delta's ``DESCRIBE HISTORY`` for the warehouse tx log: one
@@ -916,7 +959,8 @@ class Warehouse:
         else:
             out = df.repartition(n)
         new_files = self._stage_batch(out, table)
-        self._append_tx_record({table: new_files}, replaces=[table])
+        self._append_tx_record({table: new_files}, replaces=[table],
+                               expect_files={table: old_files})
         return files_before, len(new_files)
 
     def _stage_batch(self, df: DataFrame, table: str) -> list[str]:
@@ -931,25 +975,149 @@ class Warehouse:
             os.path.join(batch_dir, fn) for fn in os.listdir(out)
             if fn.endswith(".parquet"))
 
+    # cap on distinct update-key tuples collected to the driver for
+    # exact per-file pruning; above it, pruning falls back to the
+    # per-column min/max envelope (one tiny agg job)
+    _MERGE_PRUNE_MAX_KEYS = 100_000
+
+    def _file_key_stats(self, table: str, files: list[str],
+                        keys: list[str]) -> dict:
+        """Per-file min/max of the merge ``keys`` from the parquet
+        footers, read driver-side (the files are the warehouse's own
+        metadata-scale reads — Delta keeps these stats in the log;
+        footers are the no-log-format-change equivalent and exact).
+        Returns ``{rel: {col: (lo, hi) | None}}`` — ``None`` for a
+        column with no non-null values in the file (can never match a
+        join key), and ``{rel: None}`` for a file whose stats are
+        unusable (treated as touched). Parquet stat truncation only
+        WIDENS ranges (truncated min is a prefix ≤ real min; writers
+        bump the last byte of a truncated max), so pruning on them is
+        conservative-correct."""
+        import pyarrow.parquet as pq
+
+        out: dict = {}
+        for rel in files:
+            try:
+                md = pq.ParquetFile(
+                    os.path.join(self.path(table), rel)).metadata
+                ranges: dict = {}
+                for c in keys:
+                    idx = None
+                    for j in range(md.num_columns):
+                        if md.row_group(0).column(j).path_in_schema == c:
+                            idx = j
+                            break
+                    if idx is None:
+                        # column added after this file was written:
+                        # reads as all-NULL, can never match
+                        ranges[c] = None
+                        continue
+                    lo = hi = None
+                    for rg in range(md.num_row_groups):
+                        col = md.row_group(rg).column(idx)
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            if (st is not None and st.null_count
+                                    == md.row_group(rg).num_rows):
+                                continue  # all-NULL row group
+                            raise ValueError("no stats")
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                    ranges[c] = None if lo is None else (lo, hi)
+                out[rel] = ranges
+            except Exception:
+                out[rel] = None  # unusable stats: treat as touched
+        return out
+
+    def _prune_merge_files(self, table: str, files: list[str],
+                           keys: list[str], updates: DataFrame
+                           ) -> tuple[list[str], list[str]]:
+        """Split the committed ``files`` into ``(keep, touched)`` for
+        a merge of ``updates`` on ``keys``: a file is KEPT (referenced
+        untouched by the new REWRITE record, not rewritten) when its
+        footer key ranges prove no update key can match a row in it.
+        Exact per-tuple containment when the update key set is small
+        (the CDC norm — collected once, ≤ ``_MERGE_PRUNE_MAX_KEYS``);
+        per-column min/max envelope overlap otherwise. Conservative
+        everywhere: unusable stats or incomparable types ⇒ touched."""
+        stats = self._file_key_stats(table, files, keys)
+        rows = (updates.select(*keys).distinct()
+                .limit(self._MERGE_PRUNE_MAX_KEYS + 1).collect())
+        if len(rows) > self._MERGE_PRUNE_MAX_KEYS:
+            b = updates.agg(*[
+                f for c in keys
+                for f in (F.min(c).alias(f"_lo_{c}"),
+                          F.max(c).alias(f"_hi_{c}"))]).first()
+            # SQL NULL never equals a key: a NULL envelope means the
+            # updates have no non-null values for that column
+            ukeys = None
+            env = {c: (b[f"_lo_{c}"], b[f"_hi_{c}"]) for c in keys}
+        else:
+            # tuples with a NULL component can never match (join
+            # equality), drop them from the probe set
+            ukeys = [tuple(r) for r in rows
+                     if all(v is not None for v in r)]
+            env = None
+        keep: list[str] = []
+        touched: list[str] = []
+        for rel in files:
+            st = stats.get(rel)
+            if st is None:
+                touched.append(rel)
+                continue
+            try:
+                if any(st[c] is None for c in keys):
+                    keep.append(rel)  # a key col is all-NULL here
+                    continue
+                if ukeys is not None:
+                    hit = any(
+                        all(st[c][0] <= t[i] <= st[c][1]
+                            for i, c in enumerate(keys))
+                        for t in ukeys)
+                else:
+                    hit = all(
+                        env[c][0] is not None
+                        and not (env[c][1] < st[c][0]
+                                 or env[c][0] > st[c][1])
+                        for c in keys)
+            except TypeError:
+                hit = True  # incomparable stat/value types: rewrite
+            (touched if hit else keep).append(rel)
+        return keep, touched
+
     def merge_tx(self, table: str, updates: DataFrame, keys: list[str],
-                 delete_col: str | None = None) -> None:
+                 delete_col: str | None = None,
+                 prune: bool = True) -> None:
         """MERGE INTO a tx-managed table (Delta's ``MERGE`` /
-        Iceberg's copy-on-write row-level update): read the committed
-        contents, apply :func:`~zolo_spark.ops.merge.merge_upsert`
-        (matched rows replaced, tombstoned rows deleted, new keys
-        inserted), stage the merged table as ONE batch and publish a
-        REWRITE record with the log's atomic rename. A crash before
-        the rename leaves the table unchanged (the staged batch is
-        vacuum-collectable garbage); pre-merge versions stay
-        time-travel-readable until :meth:`expire_snapshots`."""
+        Iceberg's copy-on-write row-level update): rewrite ONLY the
+        committed files whose footer key ranges intersect the update
+        batch (:meth:`_prune_merge_files` — Delta/Iceberg MERGE file
+        pruning); every other file is re-referenced untouched by the
+        new REWRITE record. Matched rows are replaced, tombstoned
+        rows deleted, new keys inserted
+        (:func:`~zolo_spark.ops.merge.merge_upsert`); the rewritten
+        subset stages as ONE batch and publishes with the log's
+        atomic rename, carrying the snapshot's file list as the READ
+        SET — a concurrent commit to the same table between the
+        snapshot read and the publish raises
+        :class:`ConcurrentWriteError` instead of silently dropping
+        its rows. A crash before the rename leaves the table
+        unchanged (the staged batch is vacuum-collectable garbage);
+        pre-merge versions stay time-travel-readable until
+        :meth:`expire_snapshots`. At 100 TB this is THE difference
+        between a CDC micro-batch costing O(matched files) and
+        O(table): a key-clustered table (commit-time
+        ``sortWithinPartitions`` / z-order compaction) localizes each
+        batch to a handful of files."""
         from .ops.merge import merge_upsert
 
         if self._has_manifest(table):
             raise ValueError(
                 f"table {table} is manifest-managed (append_commit); "
                 "merge through the manifest subsystem instead")
-        want = self._tx_schema(table)
-        cur = self.read_committed_tx(table)
+        txs = self._effective_txs(self._read_txlog())
+        want = self._tx_schema(table, txs)
+        files = self._replay_files(txs, table)
         # cast updates onto the evolved schema (absent added columns
         # fill NULL) while carrying the tombstone column through
         have = set(updates.columns)
@@ -958,10 +1126,20 @@ class Warehouse:
                for f in want.fields]
         if delete_col is not None:
             sel.append(F.col(delete_col))
+        keep, touched = (self._prune_merge_files(table, files, keys,
+                                                 updates.select(sel))
+                         if prune and files else ([], list(files)))
+        if touched:
+            cur = self.spark.read.schema(want).parquet(
+                *[os.path.join(self.path(table), rel) for rel in touched])
+        else:
+            cur = self.spark.createDataFrame([], want)
         merged = merge_upsert(cur, updates.select(sel), keys,
                               delete_col=delete_col)
         new_files = self._stage_batch(self._cast_to(merged, want), table)
-        self._append_tx_record({table: new_files}, replaces=[table])
+        self._append_tx_record({table: keep + new_files},
+                               replaces=[table],
+                               expect_files={table: files})
 
     def vacuum_uncommitted_tx(self, tables: list[str]) -> int:
         """Remove staged batch directories under ``tables`` that no tx
