@@ -187,7 +187,13 @@ _GRADING_PRIORITY = [
     # hands its slot to llm_remove_duplicate_spans — substring dedup
     # APPLIED (Lee et al. 2021): the detect→cut chain value-hashed
     # through the token splice.
-    "llm_winnow_fingerprints", "llm_remove_duplicate_spans",
+    # Round-12 rotation: llm_winnow_fingerprints (green r7–r11, FIVE
+    # rounds; its rolling-hash region of dedup.py is untouched this
+    # round) hands its slot to events_resample_locf — the NEW gap-
+    # filled LOCF resampling gate (r11 VERDICT item 2: the only
+    # shipped operator the driver never hashed), whose oracle is
+    # DuckDB's native generate_series grid + ASOF LEFT JOIN.
+    "events_resample_locf", "llm_remove_duplicate_spans",
     # Round-8 rotation: llm_image_resize (green r6∧r7, multimodal.py
     # untouched this round; the codec family keeps three in-window
     # representatives — llm_video_frames, llm_multimodal_features,
@@ -209,7 +215,14 @@ _GRADING_PRIORITY = [
     # llm_dsir_select — DSIR importance resampling (Xie et al. 2023):
     # hashed unigram+bigram features, smoothed target-vs-raw log
     # ratios, exact-DECIMAL importance weights, partial-top-k select.
-    "a13_hll_distinct_portable", "llm_dsir_select",
+    # Round-12 rotation: a13_hll_distinct_portable (green r8–r11,
+    # FOUR rounds; sketches.py untouched this round) hands its slot
+    # back to asof_join_backward (green r2–r7, rotated out late-r7) —
+    # ops/temporal.asof_join itself changed this round (composite-key
+    # ``by`` generalization), so prior green rows no longer certify
+    # it; the resample_locf gate above exercises the same carry but
+    # the direct gate re-pins the single-key event path.
+    "asof_join_backward", "llm_dsir_select",
     # Round-9 rotation: llm_minhash_lsh_dedup (green r2–r8, seven
     # rounds; the LSH band machinery stays in-window via
     # llm_minhash_lsh_capped, llm_incremental_dedup, and

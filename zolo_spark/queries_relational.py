@@ -2082,3 +2082,50 @@ def events_time_weighted_avg(spark, sf_dir):
     return time_weighted_avg(
         _t(spark, sf_dir, "events"), keys=["event_type"],
         ts_col="ts", val_col="value", id_col="event_id")
+
+
+@register("events_resample_locf", oracle="""
+WITH bounds AS (
+    SELECT user_id,
+           ceil((epoch_us(min(ts)) // 1000000) / 21600.0)::BIGINT AS b0,
+           floor((epoch_us(max(ts)) // 1000000) / 21600.0)::BIGINT AS b1
+    FROM events GROUP BY user_id
+), grid AS (
+    SELECT user_id,
+           make_timestamp(unnest(generate_series(b0, b1)) * 21600
+                          * 1000000) AS bucket_ts
+    FROM bounds WHERE b0 <= b1
+), dedup AS (
+    SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+)
+SELECT g.user_id, g.bucket_ts, d.value
+FROM grid g
+ASOF LEFT JOIN dedup d
+  ON g.user_id = d.user_id AND g.bucket_ts >= d.ts
+""")
+def events_resample_locf(spark, sf_dir):
+    """Gap-filled LOCF resampling to a regular 6-hour grid
+    (``ops/temporal.resample_locf`` — TimescaleDB's
+    ``time_bucket_gapfill + locf`` / QuestDB ``SAMPLE BY
+    FILL(PREV)``): per user, one row per 21600 s bucket from the
+    first boundary at-or-after the user's first event (integer-second
+    ceil, mirroring the Spark long cast) through the last boundary
+    at-or-before its last event, carrying the most recent value
+    at-or-before each grid point; equal-(key, ts) events collapse to
+    the max event_id before the carry. Oracle = the same grid via
+    ``generate_series`` + DuckDB's native ASOF LEFT JOIN over the
+    collapsed events — an independent restatement of the
+    union-and-carry composition (one shuffle, no pairwise blow-up).
+    Note the r11-ADVICE no-boundary-in-range fix: a key whose events
+    all fall strictly inside one step emits nothing (b0 > b1 keys are
+    filtered, never fed to ``sequence``)."""
+    from .ops.temporal import resample_locf
+
+    return resample_locf(
+        _t(spark, sf_dir, "events"), keys=["user_id"],
+        step_seconds=21600, ts_col="ts", val_col="value",
+        id_col="event_id")
