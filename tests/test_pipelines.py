@@ -619,7 +619,12 @@ def test_merge_tx_row_level_upsert(spark, wh):
     upd = rows(("b", 2, 99.0), ("d", 4, 40.0)).withColumn(
         "_deleted", F.lit(False)).unionByName(
         rows(("c", 3, 30.0)).withColumn("_deleted", F.lit(True)))
-    wh.merge_tx("items", upd, ["product_name"], delete_col="_deleted")
+    # prune=False pins the classic whole-table copy-on-write + expiry
+    # GC path; the file-pruned default is covered by
+    # test_merge_tx_prunes_untouched_files (a pruned-in file keeps
+    # its batch dir live, so expiry removes nothing there)
+    wh.merge_tx("items", upd, ["product_name"], delete_col="_deleted",
+                prune=False)
 
     got = {r["product_name"]: r["weight"]
            for r in wh.read_committed_tx("items").collect()}
@@ -1048,8 +1053,8 @@ def test_tx_model_random_walk(spark, wh):
 
     next_key = 0
     for step in range(14):
-        op = rng.choice(["commit", "commit", "merge", "compact",
-                         "restore", "checkpoint"])
+        op = rng.choice(["commit", "commit", "merge", "merge_mor",
+                         "compact", "restore", "checkpoint"])
         cur = dict(states[v])
         if op == "commit":
             fresh = {f"k{next_key + i}": float(rng.randint(1, 9))
@@ -1058,7 +1063,7 @@ def test_tx_model_random_walk(spark, wh):
             wh.commit_tx({"items": df_of(fresh).drop("_deleted")})
             v += 1
             cur.update(fresh)
-        elif op == "merge":
+        elif op in ("merge", "merge_mor"):
             upd = {k: cur[k] + 100.0
                    for k in rng.sample(sorted(cur), min(2, len(cur)))}
             tomb = set(rng.sample(sorted(cur), min(1, len(cur)))) - set(upd)
@@ -1067,7 +1072,8 @@ def test_tx_model_random_walk(spark, wh):
             frame = df_of({**upd, **ins,
                            **{t: cur[t] for t in tomb}}, tomb=tomb)
             wh.merge_tx("items", frame, ["product_name"],
-                        delete_col="_deleted")
+                        delete_col="_deleted",
+                        mode="mor" if op == "merge_mor" else "cow")
             v += 1
             cur.update(upd)
             cur.update(ins)
@@ -1284,3 +1290,144 @@ def test_merge_tx_concurrent_write_conflict(spark, wh):
            for r in wh.read_committed_tx("items").collect()}
     assert got == {"a": 50.0, "b": 1.0}
     assert wh.read_committed_tx("coffee_profiles").count() == 1
+
+def _items_rows(spark, *specs):
+    return spark.createDataFrame(
+        [(n, "v", q, "sq", "qb", "sh", "cat", "whole", p, 1)
+         for (n, q, p) in specs],
+        schemas.WAREHOUSE_TABLES["items"])
+
+
+def _items_upd(spark, *specs):
+    """(name, qty, price, deleted) update frames with a tombstone."""
+    return spark.createDataFrame(
+        [(n, "v", q, "sq", "qb", "sh", "cat", "whole", p, 1, d)
+         for (n, q, p, d) in specs],
+        "product_name string, variant_name string, zolo_id long,"
+        " square_id string, quickbooks_id string, shopify_id string,"
+        " category_name string, form string, weight double,"
+        " profile_id long, _deleted boolean")
+
+
+def test_merge_tx_mor_twin_and_zero_rewrite(spark, wh, tmp_path):
+    """Merge-on-read deletion vectors: a mor-mode merge rewrites ZERO
+    committed data files (commit cost O(update batch)), reads are
+    bit-identical to the cow twin after every merge INCLUDING time
+    travel, later DVs supersede earlier postimages, and history shows
+    the merge_mor operation."""
+    cow = Warehouse(spark, str(tmp_path / "cow"))
+    cow.init()
+
+    seed = _items_rows(spark, ("a", 1, 10.0), ("b", 2, 20.0),
+                       ("c", 3, 30.0)).coalesce(1)
+    for w in (wh, cow):
+        w.commit_tx({"items": seed})
+
+    merges = [
+        # update b, delete c, insert d
+        _items_upd(spark, ("b", 2, 99.0, False), ("c", 3, 30.0, True),
+                   ("d", 4, 40.0, False)),
+        # update d again (supersedes the first merge's postimage),
+        # re-insert c
+        _items_upd(spark, ("d", 4, 44.0, False), ("c", 3, 33.0, False)),
+    ]
+
+    def snap(w, v=None):
+        return {r["product_name"]: r["weight"] for r in
+                w.read_committed_tx("items", as_of_version=v).collect()}
+
+    for i, upd in enumerate(merges):
+        files_before = wh._replay_files(
+            wh._effective_txs(wh._read_txlog()), "items")
+        wh.merge_tx("items", upd, ["product_name"],
+                    delete_col="_deleted", mode="mor")
+        cow.merge_tx("items", upd, ["product_name"],
+                     delete_col="_deleted")
+        files_after = wh._replay_files(
+            wh._effective_txs(wh._read_txlog()), "items")
+        # mor NEVER drops a committed data file — the list only grows
+        assert set(files_before) <= set(files_after)
+        assert snap(wh) == snap(cow), f"after merge {i}"
+
+    assert snap(wh) == {"a": 10.0, "b": 99.0, "c": 33.0, "d": 44.0}
+    # time travel through the DV stack matches the cow twin per version
+    for v in (1, 2, 3):
+        assert snap(wh, v) == snap(cow, v), f"as_of {v}"
+    ops = {r["version"]: r["operation"]
+           for r in wh.history().collect()}
+    assert ops[2] == "merge_mor" and ops[3] == "merge_mor"
+    # DV sidecars are committed files: vacuum must keep them
+    assert wh.vacuum_uncommitted_tx(["items"]) == 0
+    assert snap(wh) == snap(cow)
+
+
+def test_mor_checkpoint_blocks_until_compact_materializes(spark, wh):
+    """A tx-log checkpoint must not fold a LIVE deletion vector (the
+    fold flattens base-file versions, breaking DV application); after
+    compact materializes the DVs into a plain REWRITE, folding
+    proceeds and the contents are unchanged."""
+    wh.commit_tx({"items": _items_rows(spark, ("a", 1, 10.0))})
+    wh.commit_tx({"items": _items_rows(spark, ("b", 2, 20.0))})
+    wh.merge_tx("items", _items_upd(spark, ("a", 1, 11.0, False),
+                                    ("b", 2, 20.0, True)),
+                ["product_name"], delete_col="_deleted", mode="mor")
+    wh.commit_tx({"items": _items_rows(spark, ("e", 5, 50.0))})
+
+    # fold stops before the live-DV record: only the pre-DV prefix
+    assert wh.checkpoint_txlog() <= 2
+    got = {r["product_name"]: r["weight"]
+           for r in wh.read_committed_tx("items").collect()}
+    assert got == {"a": 11.0, "e": 50.0}
+
+    wh.compact("items")   # materializes; REWRITE clears the DVs
+    assert wh.checkpoint_txlog() > 1   # now folds the whole history
+    got2 = {r["product_name"]: r["weight"]
+            for r in wh.read_committed_tx("items").collect()}
+    assert got2 == got
+
+
+def test_mor_restore_materializes_dv_version(spark, wh):
+    """RESTORE to a version where deletion vectors were live can't be
+    file-list-only (files minus DV keys isn't expressible as a list);
+    it must materialize that snapshot exactly."""
+    wh.commit_tx({"items": _items_rows(spark, ("a", 1, 10.0),
+                                       ("b", 2, 20.0))})       # v1
+    wh.merge_tx("items", _items_upd(spark, ("b", 2, 99.0, False)),
+                ["product_name"], delete_col="_deleted",
+                mode="mor")                                     # v2
+    wh.merge_tx("items", _items_upd(spark, ("a", 1, 10.0, True)),
+                ["product_name"], delete_col="_deleted",
+                mode="mor")                                     # v3
+    assert {r["product_name"] for r in
+            wh.read_committed_tx("items").collect()} == {"b"}
+
+    wh.restore_tx("items", 2)  # DVs live at v2 -> materialized restore
+    got = {r["product_name"]: r["weight"]
+           for r in wh.read_committed_tx("items").collect()}
+    assert got == {"a": 10.0, "b": 99.0}
+    # the restore record cleared the DVs: folding now proceeds
+    assert wh.checkpoint_txlog() > 1
+    assert {r["product_name"]: r["weight"]
+            for r in wh.read_committed_tx("items").collect()} == got
+
+
+def test_tx_changes_source_raises_on_mor_record(spark, wh):
+    """The driver-side tx_changes stream reader doesn't join DV keys
+    against prior snapshots — it must raise an actionable error on a
+    merge-on-read record rather than emit a wrong (insert-only)
+    feed."""
+    from zolo_spark.sources.tx_changes_source import TxChangesStreamReader
+
+    wh.commit_tx({"items": _items_rows(spark, ("a", 1, 10.0))})
+    wh.merge_tx("items", _items_upd(spark, ("a", 1, 99.0, False)),
+                ["product_name"], delete_col="_deleted", mode="mor")
+
+    n_fields = len(schemas.WAREHOUSE_TABLES["items"].fields)
+
+    class _Schema:
+        fields = [None] * (n_fields + 2)
+
+    reader = TxChangesStreamReader(
+        _Schema(), {"root": wh.root, "table": "items"})
+    with pytest.raises(RuntimeError, match="merge-on-read"):
+        list(reader.readBetweenOffsets({"version": 1}, {"version": 2}))

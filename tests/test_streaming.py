@@ -1109,3 +1109,150 @@ def test_tx_changes_expired_offset_raises_not_duplicates(spark, tmp_path):
     # checkpointed at the snapshot version: retained tail streams fine
     rows = list(reader.readBetweenOffsets({"version": 2}, {"version": 3}))
     assert {(r[0], r[-2], r[-1]) for r in rows} == {("c", "insert", 3)}
+
+def test_cdc_loop_tx_changes_source_to_upsert_sink_mirror(spark, tmp_path):
+    """END-TO-END CDC loop (r11 VERDICT item 6): the tx_changes
+    streaming SOURCE tails one warehouse's tx log, and upsert_sink
+    MERGEs the change rows into a second warehouse — the full
+    replicate-a-table round trip a real user runs first. Within one
+    commit version a merge emits delete(preimage) + insert(postimage)
+    for an updated key; the apply sequences inserts above deletes at
+    the same version (the standard CDC apply ordering), so the mirror
+    equals the source after every drain, and the MIRROR's own change
+    feed reads back the replicated effect."""
+    from zolo_spark import schemas
+    from zolo_spark.sources.tx_changes_source import TxChangesDataSource
+    from zolo_spark.streaming import cdc
+    from zolo_spark.warehouse import Warehouse
+
+    src = Warehouse(spark, str(tmp_path / "src"))
+    src.init()
+    mirror = Warehouse(spark, str(tmp_path / "mirror"))
+    mirror.init()
+    spark.dataSource.register(TxChangesDataSource)
+
+    def batch(*specs):
+        return spark.createDataFrame(
+            [(n, "v", q, "sq", "qb", "sh", "cat", "whole", p, 1)
+             for (n, q, p) in specs],
+            schemas.WAREHOUSE_TABLES["items"])
+
+    src.commit_tx({"items": batch(("a", 1, 10.0), ("b", 2, 20.0))})  # v1
+    src.commit_tx({"items": batch(("c", 3, 30.0))})                  # v2
+
+    cols = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                     for f in schemas.WAREHOUSE_TABLES["items"].fields)
+    schema = cols + ", _change_type string, _commit_version long"
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        changes = (spark.readStream.format("tx_changes").schema(schema)
+                   .option("root", src.root).option("table", "items")
+                   .load()
+                   # CDC apply ordering: postimage insert outranks the
+                   # same version's preimage delete for one key
+                   .withColumn("_seq", F.col("_commit_version") * 2
+                               + F.when(F.col("_change_type") == "insert",
+                                        1).otherwise(0))
+                   .withColumn("_deleted",
+                               F.col("_change_type") == "delete")
+                   .drop("_change_type", "_commit_version"))
+        q = cdc.upsert_sink(changes, mirror, "items", ["product_name"],
+                            ckpt, ts_col="_seq", delete_col="_deleted")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def snapshot(wh):
+        return {(r["product_name"], r["weight"])
+                for r in wh.read_committed_tx("items").collect()}
+
+    drain()
+    assert snapshot(mirror) == snapshot(src) == {
+        ("a", 10.0), ("b", 20.0), ("c", 30.0)}
+    mv1 = mirror.current_tx_version()
+
+    # source-side merge: update b, delete c, insert d -> one REWRITE
+    upd = batch(("b", 2, 99.0), ("d", 4, 40.0)).withColumn(
+        "_deleted", F.lit(False)).unionByName(
+        batch(("c", 3, 30.0)).withColumn("_deleted", F.lit(True)))
+    src.merge_tx("items", upd, ["product_name"], delete_col="_deleted")
+
+    drain()  # checkpoint resume: replicates only the merge's diff
+    assert snapshot(mirror) == snapshot(src) == {
+        ("a", 10.0), ("b", 99.0), ("d", 40.0)}
+
+    # the MIRROR's change feed between its two applied versions IS the
+    # replicated effect
+    cdf = {(r["product_name"], r["weight"], r["_change_type"])
+           for r in mirror.table_changes(
+               "items", mv1, mirror.current_tx_version(),
+               keys=["product_name"]).collect()}
+    assert cdf == {("c", 30.0, "delete"), ("d", 40.0, "insert"),
+                   ("b", 20.0, "update_preimage"),
+                   ("b", 99.0, "update_postimage")}
+
+def test_upsert_sink_mor_mirror_equals_cow(spark, tmp_path):
+    """upsert_sink(mode='mor'): each streamed batch lands as a
+    merge-on-read record (zero file rewrites) and the mirror's
+    contents match the cow-mode sink batch-for-batch; compacting the
+    mor mirror materializes the DVs with identical contents."""
+    from zolo_spark import schemas
+    from zolo_spark.streaming import cdc
+    from zolo_spark.warehouse import Warehouse
+
+    mor = Warehouse(spark, str(tmp_path / "mor"))
+    mor.init()
+    cow = Warehouse(spark, str(tmp_path / "cow"))
+    cow.init()
+    src = str(tmp_path / "changes")
+    cols = [f.name for f in schemas.WAREHOUSE_TABLES["items"].fields]
+
+    def batch(*specs):
+        return spark.createDataFrame(
+            [(n, "v", q, "sq", "qb", "sh", "cat", "whole", p, 1, ts, dl)
+             for (n, q, p, ts, dl) in specs],
+            ", ".join(f"{c} {t}" for c, t in zip(
+                cols + ["ts", "_deleted"],
+                ["string", "string", "long", "string", "string", "string",
+                 "string", "string", "double", "long", "string", "boolean"]))
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    schema_str = ", ".join(
+        f"{c} {t}" for c, t in zip(
+            cols + ["ts", "_deleted"],
+            ["string", "string", "long", "string", "string", "string",
+             "string", "string", "double", "long", "timestamp", "boolean"]))
+
+    def run(wh, ckpt, mode):
+        stream = (spark.readStream.schema(schema_str)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = cdc.upsert_sink(stream, wh, "items", ["product_name"],
+                            ckpt, delete_col="_deleted", mode=mode)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def snap(wh):
+        return {(r["product_name"], r["weight"]) for r in
+                wh.read_committed_tx("items").collect()}
+
+    batch(("a", 1, 10.0, "2024-01-01 10:00:00", False),
+          ("b", 2, 20.0, "2024-01-01 10:01:00", False)
+          ).coalesce(1).write.mode("append").parquet(src)
+    batch(("b", 2, 99.0, "2024-01-02 09:00:00", False),
+          ("a", 1, 10.0, "2024-01-02 09:10:00", True),
+          ("c", 3, 30.0, "2024-01-02 09:20:00", False)
+          ).coalesce(1).write.mode("append").parquet(src)
+
+    run(mor, str(tmp_path / "ck_mor"), "mor")
+    run(cow, str(tmp_path / "ck_cow"), "cow")
+    assert snap(mor) == snap(cow) == {("b", 99.0), ("c", 30.0)}
+    # the mor sink appended records only — no REWRITE in its history
+    ops = {r["operation"] for r in mor.history().collect()}
+    assert "merge_mor" in ops and "rewrite" not in ops
+
+    mor.compact("items")
+    assert snap(mor) == snap(cow)

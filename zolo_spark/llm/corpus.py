@@ -298,7 +298,9 @@ def build_vocab(df: DataFrame, text_col: str = "text",
     )
     # take top_k FIRST (distributed TakeOrdered), then rank the small
     # result — a global row_number window would funnel the whole vocab
-    # through one partition
+    # through one partition. The unpartitioned window below is safe at
+    # any corpus size: its frame is the ≤top_k-row LIMIT result, never
+    # the vocab.
     top = dfreq.orderBy(F.col("df").desc(), F.col("token")).limit(top_k)
     w = Window.orderBy(F.col("df").desc(), F.col("token"))
     return top.withColumn("rank", F.row_number().over(w))

@@ -364,6 +364,11 @@ def cm_heavy_hitters(df: DataFrame, key_col: str, group_cols: list[str],
     cands = candidates.where(F.col(key_col).isNotNull()) \
         .select(*group_cols, key_col).distinct()
     est = cm_lookup(sketch, cands, key_col, group_cols, depth, width)
+    # the unpartitioned fallback window's frame is the CANDIDATE set,
+    # not the corpus — bounded by the caller's probe frame (a batch's
+    # keys / a dimension's keys); WindowGroupLimit turns the rank<=k
+    # filter into a partial top-k so even a generous candidate set
+    # never funnels through one partition as a full sort
     win = (W.partitionBy(*group_cols) if group_cols else W.partitionBy()) \
         .orderBy(F.col("cm_count").desc(), F.col(key_col))
     return (est.withColumn("rank", F.row_number().over(win))

@@ -137,6 +137,18 @@ class TxChangesStreamReader(SimpleDataSourceStreamReader):
                     f"checkpoint_txlog (history folded into snapshot "
                     f"version {v}); restart the stream from a fresh "
                     f"checkpoint with start_version >= {v}")
+            if tx.get("dv", {}).get(self.table):
+                # a merge-on-read record's row-level effect needs the
+                # DV keys joined against the prior snapshot — this
+                # driver-side reader doesn't implement that; stream
+                # CDC from cow-mode tables (or compact first, which
+                # materializes the DVs into a plain REWRITE diff)
+                raise RuntimeError(
+                    f"tx_changes: version {v} of table '{self.table}' "
+                    "is a merge-on-read record (deletion vectors); "
+                    "the streaming source supports cow-mode tables — "
+                    "compact the table to materialize DVs, then "
+                    "restart from a fresh checkpoint")
             if self.table in tx.get("replaces", []):
                 # rewrite: full-row multiset diff of the snapshots
                 before = Counter(_rows(self.root, self.table,

@@ -106,7 +106,8 @@ def scd2_sink(changes: DataFrame, dim_path: str, checkpoint_dir: str,
 
 def apply_upsert_batch(batch: DataFrame, wh, table: str,
                        keys: list[str], ts_col: str = "ts",
-                       delete_col: str | None = None) -> None:
+                       delete_col: str | None = None,
+                       mode: str = "cow") -> None:
     """Apply one change batch as a row-level MERGE into the
     tx-managed warehouse table (SCD1 / latest-state mirror — the
     other standard CDC target besides SCD2): intra-batch duplicates
@@ -121,23 +122,29 @@ def apply_upsert_batch(batch: DataFrame, wh, table: str,
     if batch.isEmpty():
         return
     updates = _latest_per_key(batch, keys, ts_col).drop(ts_col)
-    wh.merge_tx(table, updates, keys, delete_col=delete_col)
+    wh.merge_tx(table, updates, keys, delete_col=delete_col, mode=mode)
 
 
 def upsert_sink(changes: DataFrame, wh, table: str, keys: list[str],
                 checkpoint_dir: str, ts_col: str = "ts",
-                delete_col: str | None = None):
+                delete_col: str | None = None, mode: str = "cow"):
     """Drive a change stream into a latest-state warehouse table via
     per-batch MERGE. Returns the started StreamingQuery; the
     checkpoint resumes from the last committed offset, and each
     applied batch is one tx-log version — ``table_changes`` between
-    two versions IS the change feed the stream produced."""
+    two versions IS the change feed the stream produced.
+
+    ``mode="mor"`` applies each batch as a merge-on-read record
+    (deletion vector + postimage batch, zero file rewrites) — the
+    right shape for a high-frequency CDC mirror, compacted on a
+    schedule; note the tx_changes SOURCE can't tail a mor table until
+    it's compacted."""
     return (
         changes.writeStream
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
             lambda b, _id: apply_upsert_batch(
-                b, wh, table, keys, ts_col, delete_col)
+                b, wh, table, keys, ts_col, delete_col, mode)
         )
         .start()
     )

@@ -133,7 +133,11 @@ def watermark_batch_twin(events: DataFrame, late_mod: int = 7,
     )
     bmax = tagged.groupBy("_arr").agg(
         F.max(F.date_trunc("millisecond", F.col("ts"))).alias("_mx"))
-    # late-events watermark lags the eviction watermark by one batch
+    # late-events watermark lags the eviction watermark by one batch.
+    # The unpartitioned running-max window is safe at any event
+    # volume: its frame is bmax — ONE ROW PER ARRIVAL DAY (≤ the
+    # simulated calendar span, ~31 rows on the testdata), never the
+    # events themselves.
     run = Window.orderBy("_arr").rowsBetween(Window.unboundedPreceding, -2)
     wm = bmax.select(
         "_arr", (F.max("_mx").over(run) - delay).alias("_wm_before"))

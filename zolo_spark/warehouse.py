@@ -541,6 +541,48 @@ class Warehouse:
                 files.extend(tx["tables"].get(table, []))
         return files
 
+    @staticmethod
+    def _replay_file_versions(txs: list[tuple[int, dict]], table: str,
+                              as_of_version: int | None = None
+                              ) -> list[tuple[int, list[str]]]:
+        """Like :meth:`_replay_files` but keeps each surviving file's
+        COMMIT VERSION — the ``_fv`` a merge-on-read deletion vector
+        is applied against (a DV at version v deletes matching rows
+        only in files committed strictly before v). A REWRITE record
+        resets the segments to one (its own version); a checkpoint
+        snapshot contributes one segment at the snapshot version,
+        which is strictly below every retained DV's version, so
+        folding never changes DV application."""
+        segs: list[tuple[int, list[str]]] = []
+        for v, tx in txs:
+            if as_of_version is not None and v > as_of_version:
+                break
+            if table in tx.get("replaces", []):
+                segs = [(v, list(tx["tables"].get(table, [])))]
+            elif tx["tables"].get(table):
+                segs.append((v, list(tx["tables"][table])))
+        return [(v, fl) for v, fl in segs if fl]
+
+    @staticmethod
+    def _replay_dvs(txs: list[tuple[int, dict]], table: str,
+                    as_of_version: int | None = None
+                    ) -> list[tuple[int, list[str], list[str]]]:
+        """The table's LIVE deletion vectors at ``as_of_version`` (or
+        now): ``[(version, key_cols, dv_files)]`` in commit order. A
+        REWRITE record (compaction / restore / cow-merge) materializes
+        every earlier DV into its rewritten files, so it clears the
+        accumulated list — same replay rule as the file list."""
+        dvs: list[tuple[int, list[str], list[str]]] = []
+        for v, tx in txs:
+            if as_of_version is not None and v > as_of_version:
+                break
+            if table in tx.get("replaces", []):
+                dvs = []
+            if tx.get("dv", {}).get(table):
+                dvs.append((v, list(tx["dv_keys"][table]),
+                            list(tx["dv"][table])))
+        return dvs
+
     def _check_retained(self, as_of_version: int | None,
                         txs: list[tuple[int, dict]]) -> None:
         """Raise if ``as_of_version`` predates the retained window —
@@ -600,7 +642,9 @@ class Warehouse:
                           watermarks: dict[str, str] | None = None,
                           replaces: list[str] | None = None,
                           schema_add: dict | None = None,
-                          expect_files: dict[str, list[str]] | None = None
+                          expect_files: dict[str, list[str]] | None = None,
+                          dv: dict[str, list[str]] | None = None,
+                          dv_keys: dict[str, list[str]] | None = None
                           ) -> None:
         """Append one versioned record and publish as the next
         metadata generation — THE commit point for every tx-log
@@ -623,12 +667,17 @@ class Warehouse:
             eff = self._effective_txs(log)
             if expect_files is not None:
                 for t, read_set in expect_files.items():
-                    now = self._replay_files(eff, t)
+                    # the read set covers BOTH the file list and the
+                    # live deletion vectors: a concurrent pure-delete
+                    # MOR merge changes only the DVs, and a rewrite
+                    # published over it would silently resurrect the
+                    # deleted rows
+                    now = (self._replay_files(eff, t),
+                           self._replay_dvs(eff, t))
                     if now != read_set:
                         raise ConcurrentWriteError(
-                            f"table {t}: committed files changed since "
-                            f"this rewrite's snapshot read ({len(read_set)}"
-                            f" -> {len(now)} files); re-run the "
+                            f"table {t}: committed state changed since "
+                            "this rewrite's snapshot read; re-run the "
                             "merge/compact/restore against the current "
                             "state")
             rec: dict = {"tables": tables,
@@ -638,6 +687,9 @@ class Warehouse:
                 rec["replaces"] = replaces
             if schema_add:
                 rec["schema_add"] = schema_add
+            if dv:
+                rec["dv"] = dv
+                rec["dv_keys"] = dv_keys or {}
             log["txs"].append(rec)
             try:
                 self._publish_txlog(log)
@@ -664,11 +716,47 @@ class Warehouse:
         files = self._replay_files(txs, table, as_of_version)
         if not files:
             return self.spark.createDataFrame([], schema)
+        dvs = self._replay_dvs(txs, table, as_of_version)
+        if dvs:
+            return self._read_with_dvs(table, txs, schema, dvs,
+                                       as_of_version)
         # Explicit schema over parquet: files written BEFORE a column
         # add simply lack the column and read as NULL — the standard
         # no-rewrite schema-evolution read (Iceberg/Delta add-column).
         return self.spark.read.schema(schema) \
             .parquet(*[os.path.join(self.path(table), rel) for rel in files])
+
+    def _read_with_dvs(self, table: str, txs, schema, dvs,
+                       as_of_version: int | None) -> DataFrame:
+        """Merge-on-read: the committed files minus every live
+        deletion vector's matching keys. Each file segment reads
+        tagged with its COMMIT VERSION ``_fv``; a DV at version v
+        deletes matching rows only where ``_fv < v`` (a merge's own
+        postimage batch commits AT v, so it survives its own DV; a
+        later merge's DV supersedes earlier postimages). Each DV is a
+        key-list parquet, update-batch-sized, applied as one BROADCAST
+        left join + filter — the read never shuffles the base table.
+        The segment count is bounded by the retained record count
+        (checkpoints fold history; compaction collapses to one
+        segment and clears the DVs)."""
+        root = self.path(table)
+        segs = self._replay_file_versions(txs, table, as_of_version)
+        df = None
+        for v, fl in segs:
+            part = (self.spark.read.schema(schema)
+                    .parquet(*[os.path.join(root, rel) for rel in fl])
+                    .withColumn("_fv", F.lit(v)))
+            df = part if df is None else df.unionByName(part)
+        for v_dv, keys, dv_files in dvs:
+            dvk = (self.spark.read
+                   .parquet(*[os.path.join(root, rel) for rel in dv_files])
+                   .select(*keys).distinct()
+                   .withColumn("_dvhit", F.lit(True)))
+            df = (df.join(F.broadcast(dvk), keys, "left")
+                  .filter(~(F.col("_dvhit").eqNullSafe(True)
+                            & (F.col("_fv") < F.lit(v_dv))))
+                  .drop("_dvhit"))
+        return df.drop("_fv")
 
     def _tx_schema(self, table: str,
                    txs: list[tuple[int, dict]] | None = None,
@@ -807,9 +895,17 @@ class Warehouse:
         txs = self._effective_txs(self._read_txlog())
         self._check_retained(to_version, txs)
         files = self._replay_files(txs, table, to_version)
-        self._append_tx_record(
-            {table: files}, replaces=[table],
-            expect_files={table: self._replay_files(txs, table)})
+        read_set = {table: (self._replay_files(txs, table),
+                            self._replay_dvs(txs, table))}
+        if self._replay_dvs(txs, table, to_version):
+            # deletion vectors were live at the target version: a
+            # file-list-only record can't express "those files minus
+            # the DV keys", so materialize the target snapshot (the
+            # restore doubles as a compaction of that version)
+            snap = self.read_committed_tx(table, as_of_version=to_version)
+            files = self._stage_batch(snap, table)
+        self._append_tx_record({table: files}, replaces=[table],
+                               expect_files=read_set)
 
     def history(self) -> DataFrame:
         """Delta's ``DESCRIBE HISTORY`` for the warehouse tx log: one
@@ -824,6 +920,8 @@ class Warehouse:
                 op = "snapshot"
             elif tx.get("replaces"):
                 op = "rewrite"
+            elif tx.get("dv"):
+                op = "merge_mor"
             else:
                 op = "commit"
             rows.append((
@@ -878,6 +976,23 @@ class Warehouse:
             log = self._read_txlog()
             eff = self._effective_txs(log)
             cut = max(0, len(eff) - max(0, retain_last))
+            # a fold flattens every folded file to the snapshot's
+            # version, so it must not swallow a LIVE deletion vector:
+            # DV application compares file version < dv version, and
+            # flattening a still-live DV's base files to the snapshot
+            # version would stop (or wrongly start) its application.
+            # Folding is safe exactly up to the last prefix position
+            # where no table has a live DV (a later REWRITE — compact,
+            # restore, cow merge — clears DVs and re-opens folding).
+            live_dv: set = set()
+            safe = 0
+            for i, (_, tx) in enumerate(eff[:cut]):
+                for t in tx.get("replaces", []):
+                    live_dv.discard(t)
+                live_dv.update(tx.get("dv", {}))
+                if not live_dv:
+                    safe = i + 1
+            cut = safe
             fold, keep = eff[:cut], eff[cut:]
             if len(fold) <= 1:
                 return len(fold)
@@ -959,8 +1074,10 @@ class Warehouse:
         else:
             out = df.repartition(n)
         new_files = self._stage_batch(out, table)
-        self._append_tx_record({table: new_files}, replaces=[table],
-                               expect_files={table: old_files})
+        self._append_tx_record(
+            {table: new_files}, replaces=[table],
+            expect_files={table: (old_files,
+                                  self._replay_dvs(eff, table))})
         return files_before, len(new_files)
 
     def _stage_batch(self, df: DataFrame, table: str) -> list[str]:
@@ -1087,7 +1204,7 @@ class Warehouse:
 
     def merge_tx(self, table: str, updates: DataFrame, keys: list[str],
                  delete_col: str | None = None,
-                 prune: bool = True) -> None:
+                 prune: bool = True, mode: str = "cow") -> None:
         """MERGE INTO a tx-managed table (Delta's ``MERGE`` /
         Iceberg's copy-on-write row-level update): rewrite ONLY the
         committed files whose footer key ranges intersect the update
@@ -1108,16 +1225,30 @@ class Warehouse:
         between a CDC micro-batch costing O(matched files) and
         O(table): a key-clustered table (commit-time
         ``sortWithinPartitions`` / z-order compaction) localizes each
-        batch to a handful of files."""
+        batch to a handful of files.
+
+        ``mode="mor"`` is MERGE-ON-READ (Delta deletion vectors /
+        Iceberg merge-on-read / Hudi MOR): the merge writes ONLY the
+        postimage batch plus a key-list deletion vector — zero data
+        files rewritten, commit cost O(update batch) regardless of how
+        many files the keys touch. Readers apply the DV as a broadcast
+        anti-filter (:meth:`_read_with_dvs`); :meth:`compact` (or a
+        later cow-mode merge) materializes the DVs away. Choose mor
+        for update-heavy hot tables between compactions, cow for
+        read-heavy ones — the read result is bit-identical either
+        way (pinned by the mor/cow twin test)."""
         from .ops.merge import merge_upsert
 
         if self._has_manifest(table):
             raise ValueError(
                 f"table {table} is manifest-managed (append_commit); "
                 "merge through the manifest subsystem instead")
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"merge_tx mode must be cow|mor, got {mode}")
         txs = self._effective_txs(self._read_txlog())
         want = self._tx_schema(table, txs)
         files = self._replay_files(txs, table)
+        dvs = self._replay_dvs(txs, table)
         # cast updates onto the evolved schema (absent added columns
         # fill NULL) while carrying the tombstone column through
         have = set(updates.columns)
@@ -1126,20 +1257,46 @@ class Warehouse:
                for f in want.fields]
         if delete_col is not None:
             sel.append(F.col(delete_col))
-        keep, touched = (self._prune_merge_files(table, files, keys,
-                                                 updates.select(sel))
-                         if prune and files else ([], list(files)))
-        if touched:
-            cur = self.spark.read.schema(want).parquet(
-                *[os.path.join(self.path(table), rel) for rel in touched])
+        if mode == "mor":
+            upd = updates.select(sel)
+            # the DV lists EVERY update key (tombstoned or not): a
+            # matched key's old row must stop being visible whether it
+            # was updated or deleted; an unmatched key's DV entry
+            # matches nothing (the anti-join no-op, same as cow)
+            dv_df = upd.select(*keys).distinct()
+            data = (upd.filter(~F.coalesce(F.col(delete_col),
+                                           F.lit(False))).drop(delete_col)
+                    if delete_col is not None else upd)
+            new_files = self._stage_batch(self._cast_to(data, want), table)
+            dv_files = self._stage_batch(dv_df, table)
+            self._append_tx_record({table: new_files},
+                                   dv={table: dv_files},
+                                   dv_keys={table: list(keys)},
+                                   expect_files={table: (files, dvs)})
+            return
+        if dvs:
+            # live DVs: the pruned raw-file read would resurrect
+            # DV-deleted rows — read through the DV-aware path and let
+            # this cow merge double as the materializing compaction
+            # (its REWRITE record clears the DVs)
+            keep: list[str] = []
+            cur = self.read_committed_tx(table)
         else:
-            cur = self.spark.createDataFrame([], want)
+            keep, touched = (self._prune_merge_files(
+                table, files, keys, updates.select(sel))
+                if prune and files else ([], list(files)))
+            if touched:
+                cur = self.spark.read.schema(want).parquet(
+                    *[os.path.join(self.path(table), rel)
+                      for rel in touched])
+            else:
+                cur = self.spark.createDataFrame([], want)
         merged = merge_upsert(cur, updates.select(sel), keys,
                               delete_col=delete_col)
         new_files = self._stage_batch(self._cast_to(merged, want), table)
         self._append_tx_record({table: keep + new_files},
                                replaces=[table],
-                               expect_files={table: files})
+                               expect_files={table: (files, dvs)})
 
     def vacuum_uncommitted_tx(self, tables: list[str]) -> int:
         """Remove staged batch directories under ``tables`` that no tx
@@ -1147,6 +1304,9 @@ class Warehouse:
         live: set[tuple[str, str]] = set()
         for tx in self._read_txlog()["txs"]:
             for t, rels in tx["tables"].items():
+                live.update((t, rel.split(os.sep)[0]) for rel in rels)
+            for t, rels in tx.get("dv", {}).items():
+                # deletion-vector sidecars are committed files too
                 live.update((t, rel.split(os.sep)[0]) for rel in rels)
         removed = 0
         for t in tables:
