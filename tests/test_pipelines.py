@@ -1411,23 +1411,33 @@ def test_mor_restore_materializes_dv_version(spark, wh):
             for r in wh.read_committed_tx("items").collect()} == got
 
 
-def test_tx_changes_source_raises_on_mor_record(spark, wh):
-    """The driver-side tx_changes stream reader doesn't join DV keys
-    against prior snapshots — it must raise an actionable error on a
-    merge-on-read record rather than emit a wrong (insert-only)
-    feed."""
+def test_tx_changes_source_reads_mor_record_as_exact_diff(spark, wh):
+    """The tx_changes stream reader applies deletion vectors in its
+    pyarrow snapshot replay (mirroring Warehouse._read_with_dvs), so
+    a merge-on-read record streams as exactly its row-level effect —
+    the same feed a cow merge would produce — and a subsequent
+    compaction (which materializes the DVs) emits nothing."""
     from zolo_spark.sources.tx_changes_source import TxChangesStreamReader
 
-    wh.commit_tx({"items": _items_rows(spark, ("a", 1, 10.0))})
-    wh.merge_tx("items", _items_upd(spark, ("a", 1, 99.0, False)),
-                ["product_name"], delete_col="_deleted", mode="mor")
+    wh.commit_tx({"items": _items_rows(spark, ("a", 1, 10.0),
+                                       ("b", 2, 20.0))})          # v1
+    wh.merge_tx("items",
+                _items_upd(spark, ("a", 1, 99.0, False),
+                           ("b", 2, 20.0, True), ("c", 3, 30.0, False)),
+                ["product_name"], delete_col="_deleted", mode="mor")  # v2
 
-    n_fields = len(schemas.WAREHOUSE_TABLES["items"].fields)
+    schema = schemas.WAREHOUSE_TABLES["items"]
 
     class _Schema:
-        fields = [None] * (n_fields + 2)
+        fields = list(schema.fields) + [None, None]
 
     reader = TxChangesStreamReader(
         _Schema(), {"root": wh.root, "table": "items"})
-    with pytest.raises(RuntimeError, match="merge-on-read"):
-        list(reader.readBetweenOffsets({"version": 1}, {"version": 2}))
+    got = {(r[0], r[8], r[-2], r[-1]) for r in
+           reader.readBetweenOffsets({"version": 1}, {"version": 2})}
+    assert got == {("a", 99.0, "insert", 2), ("c", 30.0, "insert", 2),
+                   ("a", 10.0, "delete", 2), ("b", 20.0, "delete", 2)}
+
+    wh.compact("items")                                            # v3
+    assert list(reader.readBetweenOffsets(
+        {"version": 2}, {"version": 3})) == []

@@ -1096,10 +1096,8 @@ def test_tx_changes_expired_offset_raises_not_duplicates(spark, tmp_path):
     wh.commit_tx({"items": batch("c", 3, 30.0)})   # v3
     wh.checkpoint_txlog(retain_last=1)             # fold v1-v2 -> snap v2
 
-    n_fields = len(schemas.WAREHOUSE_TABLES["items"].fields)
-
-    class _Schema:  # reader only uses len(schema.fields)
-        fields = [None] * (n_fields + 2)
+    class _Schema:  # reader uses len(fields) + the table col names
+        fields = list(schemas.WAREHOUSE_TABLES["items"].fields) + [None] * 2
 
     reader = TxChangesStreamReader(
         _Schema(), {"root": wh.root, "table": "items"})
@@ -1192,6 +1190,15 @@ def test_cdc_loop_tx_changes_source_to_upsert_sink_mirror(spark, tmp_path):
     assert cdf == {("c", 30.0, "delete"), ("d", 40.0, "insert"),
                    ("b", 20.0, "update_preimage"),
                    ("b", 99.0, "update_postimage")}
+
+    # source-side MERGE-ON-READ: the stream reads the mor record as
+    # the same row-level diff, so the loop keeps replicating
+    upd2 = batch(("d", 4, 44.0)).withColumn("_deleted", F.lit(False))
+    src.merge_tx("items", upd2, ["product_name"],
+                 delete_col="_deleted", mode="mor")
+    drain()
+    assert snapshot(mirror) == snapshot(src) == {
+        ("a", 10.0), ("b", 99.0), ("d", 44.0)}
 
 def test_upsert_sink_mor_mirror_equals_cow(spark, tmp_path):
     """upsert_sink(mode='mor'): each streamed batch lands as a

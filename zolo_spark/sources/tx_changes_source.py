@@ -14,14 +14,17 @@ Per-record change rows:
 * a plain COMMIT record appends files — its changes are just those
   files' rows as ``insert`` (no diff computed; the append-only fast
   path that makes tailing an ingest table O(new data));
-* a REWRITE record (compaction / merge / restore) replaces the
-  table — its changes are the full-row set difference of the two
-  snapshots (``delete`` + ``insert``), computed driver-side with
-  pyarrow. Compactions therefore emit NO rows (same rows, new
-  files); merges emit exactly the row-level effect. This mirrors
-  Delta CDF without change files: appends are free, rewrites pay a
-  snapshot diff — fine at dimension scale, which is the CDC use
-  case (the same caveat ``streaming/cdc.py`` documents for SCD2).
+* a REWRITE record (compaction / cow merge / restore) or a
+  MERGE-ON-READ record (deletion vector + postimage batch) replaces
+  rows — its changes are the full-row set difference of the two
+  DV-APPLIED snapshots (``delete`` + ``insert``), computed
+  driver-side with pyarrow (``_snapshot_rows`` mirrors
+  ``Warehouse._read_with_dvs``). Compactions therefore emit NO rows
+  (same rows, new files); cow and mor merges emit exactly the same
+  row-level effect. This mirrors Delta CDF without change files:
+  appends are free, rewrites pay a snapshot diff — fine at dimension
+  scale, which is the CDC use case (the same caveat
+  ``streaming/cdc.py`` documents for SCD2).
 
 The reader runs on the driver (``SimpleDataSourceStreamReader``) and
 reads parquet with pyarrow — no SparkSession, no executors; the
@@ -73,16 +76,47 @@ def _effective(log: dict) -> list[tuple[int, dict]]:
     return out
 
 
-def _files_at(txs, table: str, version: int) -> list[str]:
-    files: list[str] = []
+def _key_tuples(root: str, table: str, files: list[str]) -> set[tuple]:
+    """The key tuples of a deletion-vector sidecar (its columns ARE
+    the merge keys, in order)."""
+    import pyarrow.parquet as pq
+
+    out: set[tuple] = set()
+    for rel in files:
+        t = pq.read_table(os.path.join(root, table, rel))
+        cols = [t.column(i).to_pylist() for i in range(t.num_columns)]
+        out.update(zip(*cols) if cols else [])
+    return out
+
+
+def _snapshot_rows(root: str, table: str, txs, version: int,
+                   n_cols: int, col_names: list[str]) -> "Counter":
+    """DV-applied row multiset at ``version`` — the pyarrow mirror of
+    ``Warehouse._read_with_dvs``: files keep their commit version, and
+    a deletion vector at v drops key-matching rows only from files
+    committed strictly before v."""
+    segs: list[tuple[int, list[str]]] = []   # (commit version, files)
+    dvs: list[tuple[int, list[str], list[str]]] = []
     for v, tx in txs:
         if v > version:
             break
         if table in tx.get("replaces", []):
-            files = list(tx["tables"].get(table, []))
-        else:
-            files.extend(tx["tables"].get(table, []))
-    return files
+            segs = [(v, list(tx["tables"].get(table, [])))]
+            dvs = []
+        elif tx["tables"].get(table):
+            segs.append((v, list(tx["tables"][table])))
+        if tx.get("dv", {}).get(table):
+            dvs.append((v, list(tx["dv_keys"][table]),
+                        list(tx["dv"][table])))
+    tagged = [(fv, r) for fv, fl in segs
+              for r in _rows(root, table, fl, n_cols)]
+    for v_dv, keys, dv_files in dvs:
+        kidx = [col_names.index(k) for k in keys]
+        kset = _key_tuples(root, table, dv_files)
+        tagged = [(fv, r) for fv, r in tagged
+                  if not (fv < v_dv
+                          and tuple(r[i] for i in kidx) in kset)]
+    return Counter(r for _, r in tagged)
 
 
 def _rows(root: str, table: str, files: list[str],
@@ -108,6 +142,7 @@ class TxChangesStreamReader(SimpleDataSourceStreamReader):
         self.start_version = int(options.get("start_version", "0"))
         # table columns = declared schema minus the 2 metadata cols
         self.n_cols = len(schema.fields) - 2
+        self.col_names = [f.name for f in schema.fields[:self.n_cols]]
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -137,26 +172,18 @@ class TxChangesStreamReader(SimpleDataSourceStreamReader):
                     f"checkpoint_txlog (history folded into snapshot "
                     f"version {v}); restart the stream from a fresh "
                     f"checkpoint with start_version >= {v}")
-            if tx.get("dv", {}).get(self.table):
-                # a merge-on-read record's row-level effect needs the
-                # DV keys joined against the prior snapshot — this
-                # driver-side reader doesn't implement that; stream
-                # CDC from cow-mode tables (or compact first, which
-                # materializes the DVs into a plain REWRITE diff)
-                raise RuntimeError(
-                    f"tx_changes: version {v} of table '{self.table}' "
-                    "is a merge-on-read record (deletion vectors); "
-                    "the streaming source supports cow-mode tables — "
-                    "compact the table to materialize DVs, then "
-                    "restart from a fresh checkpoint")
-            if self.table in tx.get("replaces", []):
-                # rewrite: full-row multiset diff of the snapshots
-                before = Counter(_rows(self.root, self.table,
-                                       _files_at(txs, self.table, prev_v),
-                                       self.n_cols))
-                after = Counter(_rows(self.root, self.table,
-                                      _files_at(txs, self.table, v),
-                                      self.n_cols))
+            if (self.table in tx.get("replaces", [])
+                    or tx.get("dv", {}).get(self.table)):
+                # rewrite OR merge-on-read: full-row multiset diff of
+                # the two DV-applied snapshots. For a mor record the
+                # diff is exactly (new postimage rows as inserts,
+                # DV-hit prior rows as deletes); compactions still
+                # emit nothing (same rows, new files).
+                before = _snapshot_rows(self.root, self.table, txs,
+                                        prev_v, self.n_cols,
+                                        self.col_names)
+                after = _snapshot_rows(self.root, self.table, txs, v,
+                                       self.n_cols, self.col_names)
                 for r, n in (after - before).items():
                     rows.extend([(*r, "insert", v)] * n)
                 for r, n in (before - after).items():

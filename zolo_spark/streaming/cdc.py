@@ -137,8 +137,8 @@ def upsert_sink(changes: DataFrame, wh, table: str, keys: list[str],
     ``mode="mor"`` applies each batch as a merge-on-read record
     (deletion vector + postimage batch, zero file rewrites) — the
     right shape for a high-frequency CDC mirror, compacted on a
-    schedule; note the tx_changes SOURCE can't tail a mor table until
-    it's compacted."""
+    schedule; the tx_changes SOURCE reads mor records as the same
+    row-level diff, so a mor mirror is still re-streamable."""
     return (
         changes.writeStream
         .option("checkpointLocation", checkpoint_dir)
