@@ -1441,3 +1441,58 @@ def test_tx_changes_source_reads_mor_record_as_exact_diff(spark, wh):
     wh.compact("items")                                            # v3
     assert list(reader.readBetweenOffsets(
         {"version": 2}, {"version": 3})) == []
+
+def test_merge_repeated_pruning_stays_tight_and_auto_compacts(spark, tmp_path):
+    """(1) The rewritten batch is key-sorted, so footer key ranges
+    stay tight across REPEATED merges — the third merge into the same
+    key region must still keep the untouched region's file pruned-in.
+    (2) auto_compact_dvs bounds MOR read debt: the Nth mor merge
+    triggers a materializing compaction (history shows it; no live
+    DVs remain; contents unchanged)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"), auto_compact_dvs=3)
+    wh.init()
+
+    def batch(prefix):
+        return spark.createDataFrame(
+            [(f"{prefix}{i:02d}", "v", i, "sq", "qb", "sh", "cat",
+              "whole", float(i), 1) for i in range(10)],
+            schemas.WAREHOUSE_TABLES["items"]).coalesce(1)
+
+    wh.commit_tx({"items": batch("a")})
+    wh.commit_tx({"items": batch("m")})
+    a_files = set(wh._replay_files(
+        wh._effective_txs(wh._read_txlog()), "items")[:1])
+
+    def upd(n, w):
+        return _items_upd(spark, (n, 1, w, False))
+
+    # three cow merges into the m-range: the a-range file must be
+    # re-referenced through ALL of them (sorted rewrites keep the
+    # m-range files' footers away from the a-range)
+    for i, w in enumerate((101.0, 102.0, 103.0)):
+        wh.merge_tx("items", upd("m05", w), ["product_name"],
+                    delete_col="_deleted")
+        files = wh._replay_files(
+            wh._effective_txs(wh._read_txlog()), "items")
+        assert a_files <= set(files), f"a-file rewritten on merge {i}"
+    got = {r["product_name"]: r["weight"]
+           for r in wh.read_committed_tx("items").collect()}
+    assert got["m05"] == 103.0 and got["a03"] == 3.0
+
+    # mor debt: merges 1-2 stack DVs, merge 3 reaches the bound and
+    # auto-compacts
+    for w in (201.0, 202.0):
+        wh.merge_tx("items", upd("m06", w), ["product_name"],
+                    delete_col="_deleted", mode="mor")
+    txs = wh._effective_txs(wh._read_txlog())
+    assert len(wh._replay_dvs(txs, "items")) == 2
+    wh.merge_tx("items", upd("m07", 301.0), ["product_name"],
+                delete_col="_deleted", mode="mor")
+    txs = wh._effective_txs(wh._read_txlog())
+    assert len(wh._replay_dvs(txs, "items")) == 0  # compacted away
+    ops = [r["operation"] for r in
+           wh.history().orderBy("version").collect()]
+    assert ops[-1] == "rewrite" and ops[-2] == "merge_mor"
+    got = {r["product_name"]: r["weight"]
+           for r in wh.read_committed_tx("items").collect()}
+    assert (got["m05"], got["m06"], got["m07"]) == (103.0, 202.0, 301.0)

@@ -65,7 +65,8 @@ class Warehouse:
     def __init__(self, spark: SparkSession, root: str,
                  bucketed: bool = False, buckets: int = 8,
                  auto_checkpoint_every: int | None = None,
-                 auto_checkpoint_retain: int = 10):
+                 auto_checkpoint_retain: int = 10,
+                 auto_compact_dvs: int | None = None):
         """``auto_checkpoint_every=N`` opts into tx-log maintenance on
         ingest: after a commit, if the log holds ≥ N records, it is
         folded down to an ``auto_checkpoint_retain``-record
@@ -73,13 +74,22 @@ class Warehouse:
         commits the same way). Off by default — explicit
         ``checkpoint_txlog``/``expire_snapshots`` remain the
         maintenance path, and auto mode never vacuums (dropping
-        batch dirs stays an explicit operator decision)."""
+        batch dirs stays an explicit operator decision).
+
+        ``auto_compact_dvs=N`` bounds merge-on-read debt: after a
+        ``merge_tx(mode="mor")`` leaves a table with ≥ N live
+        deletion vectors, the table is compacted (DVs materialized,
+        one right-sized batch) in the same call — Databricks'
+        auto-compaction for DV tables. Off by default; every read
+        pays one broadcast join per live DV, so N trades merge
+        latency against read amplification."""
         self.spark = spark
         self.root = root
         self.bucketed = bucketed
         self.buckets = buckets
         self.auto_checkpoint_every = auto_checkpoint_every
         self.auto_checkpoint_retain = auto_checkpoint_retain
+        self.auto_compact_dvs = auto_compact_dvs
         # catalog namespace derived from the root path: two warehouses
         # in one session never collide
         self._db = "zolo_wh_" + re.sub(r"[^a-z0-9]+", "_", root.lower()).strip("_")
@@ -1267,12 +1277,18 @@ class Warehouse:
             data = (upd.filter(~F.coalesce(F.col(delete_col),
                                            F.lit(False))).drop(delete_col)
                     if delete_col is not None else upd)
-            new_files = self._stage_batch(self._cast_to(data, want), table)
+            # key-sorted postimage batch: tight footers for the cow
+            # pruning that runs when a later merge materializes
+            data = self._cast_to(data, want).sortWithinPartitions(*keys)
+            new_files = self._stage_batch(data, table)
             dv_files = self._stage_batch(dv_df, table)
             self._append_tx_record({table: new_files},
                                    dv={table: dv_files},
                                    dv_keys={table: list(keys)},
                                    expect_files={table: (files, dvs)})
+            if (self.auto_compact_dvs is not None
+                    and len(dvs) + 1 >= self.auto_compact_dvs):
+                self.compact(table)   # materialize the DV stack
             return
         if dvs:
             # live DVs: the pruned raw-file read would resurrect
@@ -1293,7 +1309,13 @@ class Warehouse:
                 cur = self.spark.createDataFrame([], want)
         merged = merge_upsert(cur, updates.select(sel), keys,
                               delete_col=delete_col)
-        new_files = self._stage_batch(self._cast_to(merged, want), table)
+        # keep the rewritten batch key-sorted within each task so its
+        # parquet footers stay TIGHT on the merge key — repeated
+        # merges would otherwise widen every file's key range and
+        # erode the pruning this method depends on (zero extra
+        # shuffle; commit_tx does the same for the _dt slice column)
+        merged = self._cast_to(merged, want).sortWithinPartitions(*keys)
+        new_files = self._stage_batch(merged, table)
         self._append_tx_record({table: keep + new_files},
                                replaces=[table],
                                expect_files={table: (files, dvs)})
