@@ -1496,3 +1496,60 @@ def test_merge_repeated_pruning_stays_tight_and_auto_compacts(spark, tmp_path):
     got = {r["product_name"]: r["weight"]
            for r in wh.read_committed_tx("items").collect()}
     assert (got["m05"], got["m06"], got["m07"]) == (103.0, 202.0, 301.0)
+
+def test_tx_check_constraints_enforced_on_commit_and_merge(spark, wh):
+    """Delta-parity CHECK constraints on tx tables: adding a
+    constraint validates EXISTING rows (rejected if violated);
+    violating commit_tx / merge_tx batches are rejected atomically
+    (table unchanged, staged files cleaned, watermark unmoved); SQL
+    NULL passes; constraints survive a checkpoint fold; DROP lifts
+    enforcement."""
+    wh.commit_tx({"items": _items_rows(spark, ("a", 1, 10.0))},
+                 {"wm": "v1"})
+
+    # existing data violates -> add refused
+    with pytest.raises(ValueError, match="existing row"):
+        wh.add_constraint_tx("items", "w_big", "weight > 100")
+    wh.add_constraint_tx("items", "w_pos", "weight > 0")
+    with pytest.raises(ValueError, match="already exists"):
+        wh.add_constraint_tx("items", "w_pos", "weight > 0")
+
+    # violating commit rejected atomically
+    with pytest.raises(ValueError, match="w_pos"):
+        wh.commit_tx({"items": _items_rows(spark, ("b", 2, -5.0))},
+                     {"wm": "v2"})
+    assert wh.read_committed_tx("items").count() == 1
+    assert wh.committed_watermark_tx("wm") == "v1"
+    assert wh.vacuum_uncommitted_tx(["items"]) == 0  # staged dir gone
+
+    # NULL passes (SQL CHECK semantics)
+    null_row = spark.createDataFrame(
+        [("n", "v", 1, "sq", "qb", "sh", "cat", "whole", None, 1)],
+        schemas.WAREHOUSE_TABLES["items"])
+    wh.commit_tx({"items": null_row})
+
+    # violating merges rejected in both modes; valid ones land
+    bad = _items_upd(spark, ("a", 1, -1.0, False))
+    with pytest.raises(ValueError, match="w_pos"):
+        wh.merge_tx("items", bad, ["product_name"],
+                    delete_col="_deleted")
+    with pytest.raises(ValueError, match="w_pos"):
+        wh.merge_tx("items", bad, ["product_name"],
+                    delete_col="_deleted", mode="mor")
+    assert {r["weight"] for r in
+            wh.read_committed_tx("items").collect()} == {10.0, None}
+    wh.merge_tx("items", _items_upd(spark, ("a", 1, 11.0, False)),
+                ["product_name"], delete_col="_deleted")
+
+    # the constraint survives a checkpoint fold
+    assert wh.checkpoint_txlog() > 1
+    assert wh._tx_constraints("items") == {"w_pos": "weight > 0"}
+    with pytest.raises(ValueError, match="w_pos"):
+        wh.commit_tx({"items": _items_rows(spark, ("c", 3, -3.0))})
+
+    # DROP lifts enforcement
+    wh.drop_constraint_tx("items", "w_pos")
+    with pytest.raises(ValueError, match="no constraint"):
+        wh.drop_constraint_tx("items", "w_pos")
+    wh.commit_tx({"items": _items_rows(spark, ("c", 3, -3.0))})
+    assert wh.read_committed_tx("items").count() == 3

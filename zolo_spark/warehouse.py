@@ -642,6 +642,9 @@ class Warehouse:
             staged[table] = sorted(
                 os.path.join(batch_dir, fn) for fn in os.listdir(out)
                 if fn.endswith(".parquet"))
+        for table in staged:
+            self._validate_staged(table, staged[table],
+                                  self._tx_schema(table), None)
         self._append_tx_record(staged, dict(watermarks or {}))
         if (self.auto_checkpoint_every is not None
                 and len(self._read_txlog()["txs"])
@@ -654,7 +657,9 @@ class Warehouse:
                           schema_add: dict | None = None,
                           expect_files: dict[str, list[str]] | None = None,
                           dv: dict[str, list[str]] | None = None,
-                          dv_keys: dict[str, list[str]] | None = None
+                          dv_keys: dict[str, list[str]] | None = None,
+                          constraint_add: dict | None = None,
+                          constraint_drop: dict | None = None
                           ) -> None:
         """Append one versioned record and publish as the next
         metadata generation — THE commit point for every tx-log
@@ -700,6 +705,10 @@ class Warehouse:
             if dv:
                 rec["dv"] = dv
                 rec["dv_keys"] = dv_keys or {}
+            if constraint_add:
+                rec["constraint_add"] = constraint_add
+            if constraint_drop:
+                rec["constraint_drop"] = constraint_drop
             log["txs"].append(rec)
             try:
                 self._publish_txlog(log)
@@ -804,6 +813,79 @@ class Warehouse:
         from pyspark.sql.types import _parse_datatype_string
         _parse_datatype_string(dtype)  # validate eagerly, not at read
         self._append_tx_record({}, schema_add={table: [[name, dtype]]})
+
+    # ------------------------------------------------ CHECK constraints
+
+    def _tx_constraints(self, table: str,
+                        txs: list[tuple[int, dict]] | None = None
+                        ) -> dict[str, str]:
+        """The table's live CHECK constraints (name → SQL expr),
+        replayed from ``constraint_add`` / ``constraint_drop``
+        records — Delta's ``ALTER TABLE ADD CONSTRAINT`` metadata."""
+        if txs is None:
+            txs = self._effective_txs(self._read_txlog())
+        out: dict[str, str] = {}
+        for _, tx in txs:
+            for name, expr in tx.get("constraint_add", {}).get(table, []):
+                out[name] = expr
+            for name in tx.get("constraint_drop", {}).get(table, []):
+                out.pop(name, None)
+        return out
+
+    def add_constraint_tx(self, table: str, name: str,
+                          expr: str) -> None:
+        """Delta's ``ADD CONSTRAINT name CHECK (expr)``: one
+        metadata-only record; every subsequent ``commit_tx`` /
+        ``merge_tx`` batch is validated against the expression before
+        its record publishes (SQL CHECK semantics — NULL passes,
+        FALSE violates), and the EXISTING committed rows are
+        validated now, so the constraint is an invariant of the
+        table, not just of future writes."""
+        if name in self._tx_constraints(table):
+            raise ValueError(
+                f"constraint {name} already exists on {table}")
+        cur = self.read_committed_tx(table)
+        bad = cur.filter(
+            ~F.coalesce(F.expr(expr), F.lit(True))).count()
+        if bad:
+            raise ValueError(
+                f"cannot add constraint {name} to {table}: {bad} "
+                f"existing row(s) violate CHECK ({expr})")
+        self._append_tx_record({}, constraint_add={table: [[name, expr]]})
+
+    def drop_constraint_tx(self, table: str, name: str) -> None:
+        """Delta's ``DROP CONSTRAINT``: metadata-only record."""
+        if name not in self._tx_constraints(table):
+            raise ValueError(f"no constraint {name} on {table}")
+        self._append_tx_record({}, constraint_drop={table: [name]})
+
+    def _validate_staged(self, table: str, staged: list[str],
+                         schema, txs) -> None:
+        """Validate a STAGED batch against the table's live CHECK
+        constraints in one scan of the staged files (never a
+        recompute of the caller's plan — API extracts are not
+        idempotent). On violation the staged dirs are removed and the
+        commit raises; the table is untouched (the record never
+        published)."""
+        cons = self._tx_constraints(table, txs)
+        if not cons or not staged:
+            return
+        df = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.path(table), rel) for rel in staged])
+        counts = df.agg(*[
+            F.sum(F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1)
+                  .otherwise(0)).alias(name)
+            for name, expr in cons.items()]).first()
+        bad = {name: counts[name] for name in cons
+               if counts[name] and counts[name] > 0}
+        if bad:
+            for d in {rel.split(os.sep)[0] for rel in staged}:
+                shutil.rmtree(os.path.join(self.path(table), d),
+                              ignore_errors=True)
+            raise ValueError(
+                f"commit to {table} rejected by CHECK constraint(s): "
+                + ", ".join(f"{n} ({cons[n]}): {c} row(s)"
+                            for n, c in sorted(bad.items())))
 
     @staticmethod
     def _cast_to(df: DataFrame, schema) -> DataFrame:
@@ -963,6 +1045,7 @@ class Warehouse:
             return False
         return any(table in tx["tables"]
                    or table in tx.get("schema_add", {})
+                   or table in tx.get("constraint_add", {})
                    for tx in self._read_txlog()["txs"])
 
     def checkpoint_txlog(self, retain_last: int = 0) -> int:
@@ -1039,6 +1122,7 @@ class Warehouse:
         tables: dict[str, list[str]] = {}
         watermarks: dict[str, str] = {}
         schema_add: dict[str, list] = {}
+        cons: dict[str, dict[str, str]] = {}
         for tx in txs:
             for t in tx.get("replaces", []):
                 tables[t] = []
@@ -1047,9 +1131,19 @@ class Warehouse:
             watermarks.update(tx["watermarks"])
             for t, adds in tx.get("schema_add", {}).items():
                 schema_add.setdefault(t, []).extend(adds)
+            # net CHECK constraints: adds minus later drops survive
+            for t, adds in tx.get("constraint_add", {}).items():
+                cons.setdefault(t, {}).update(adds)
+            for t, names in tx.get("constraint_drop", {}).items():
+                for n in names:
+                    cons.get(t, {}).pop(n, None)
         snap = {"tables": tables, "watermarks": watermarks}
         if schema_add:
             snap["schema_add"] = schema_add
+        live_cons = {t: [[n, e] for n, e in d.items()]
+                     for t, d in cons.items() if d}
+        if live_cons:
+            snap["constraint_add"] = live_cons
         return snap
 
     def _compact_committed_tx(self, table: str, target_file_bytes: int,
@@ -1281,6 +1375,9 @@ class Warehouse:
             # pruning that runs when a later merge materializes
             data = self._cast_to(data, want).sortWithinPartitions(*keys)
             new_files = self._stage_batch(data, table)
+            # the postimage batch honors CHECK constraints (the DV
+            # sidecar is metadata, not rows — exempt)
+            self._validate_staged(table, new_files, want, txs)
             dv_files = self._stage_batch(dv_df, table)
             self._append_tx_record({table: new_files},
                                    dv={table: dv_files},
@@ -1316,6 +1413,7 @@ class Warehouse:
         # shuffle; commit_tx does the same for the _dt slice column)
         merged = self._cast_to(merged, want).sortWithinPartitions(*keys)
         new_files = self._stage_batch(merged, table)
+        self._validate_staged(table, new_files, want, txs)
         self._append_tx_record({table: keep + new_files},
                                replaces=[table],
                                expect_files={table: (files, dvs)})
