@@ -832,3 +832,67 @@ def test_asof_join_composite_by_key(spark):
            asof_join(left, right, on="ts", by=["k1", "k2"],
                      value_cols=["v"]).collect()}
     assert got == {("a", "x"): 10.0, ("a", "y"): 20.0}
+
+def test_funnel_strict_order_semantics(spark):
+    """Hand-computed funnel: step-k events BEFORE the step-(k-1)
+    conversion don't count (strict order); a user missing step 1
+    never converts at later steps even with step-2/3 events; equal
+    timestamps do NOT advance (strictly greater)."""
+    from zolo_spark.ops.analytics import funnel
+
+    rows = [
+        # u1 converts fully in order
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:01:00"),
+        (1, "purchase", "2024-01-01 10:02:00"),
+        # u2: click BEFORE first view -> not converted at step 2;
+        # a later click converts
+        (2, "click", "2024-01-01 09:00:00"),
+        (2, "view", "2024-01-01 10:00:00"),
+        (2, "click", "2024-01-01 11:00:00"),
+        # u3: no view at all -> counts nowhere
+        (3, "click", "2024-01-01 10:00:00"),
+        (3, "purchase", "2024-01-01 11:00:00"),
+        # u4: click at EXACTLY the view time -> strict > means no
+        (4, "view", "2024-01-01 10:00:00"),
+        (4, "click", "2024-01-01 10:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["step"]: (r["step_name"], r["users"], r["conversion"])
+           for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert got == {
+        1: ("view", 3, 1.0),            # u1, u2, u4
+        2: ("click", 2, round(2 / 3, 6)),  # u1, u2 (late click)
+        3: ("purchase", 1, round(1 / 3, 6)),  # u1 only
+    }
+
+
+def test_cohort_retention_hand_model(spark):
+    """Hand-computed weekly cohorts: u1/u2 first-seen week of
+    2024-01-01 (Mon), u3 the following week; activity counted once
+    per (user, week); retention = active / cohort size."""
+    from zolo_spark.ops.analytics import cohort_retention
+
+    rows = [
+        (1, "2024-01-02 10:00:00"), (1, "2024-01-03 10:00:00"),  # w0 x2
+        (1, "2024-01-09 10:00:00"),                              # w1
+        (2, "2024-01-04 10:00:00"),                              # w0
+        (2, "2024-01-16 10:00:00"),                              # w2
+        (3, "2024-01-10 10:00:00"),                              # cohort w1
+        (3, "2024-01-17 10:00:00"),                              # +1
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {(str(r["cohort_week"]), r["week_offset"]):
+           (r["active_users"], r["cohort_size"], r["retention"])
+           for r in cohort_retention(df).collect()}
+    assert got == {
+        ("2024-01-01 00:00:00", 0): (2, 2, 1.0),
+        ("2024-01-01 00:00:00", 1): (1, 2, 0.5),
+        ("2024-01-01 00:00:00", 2): (1, 2, 0.5),
+        ("2024-01-08 00:00:00", 0): (1, 1, 1.0),
+        ("2024-01-08 00:00:00", 1): (1, 1, 1.0),
+    }

@@ -232,7 +232,12 @@ _GRADING_PRIORITY = [
     # sketch family's merge trio: HLL MAX, histogram/count-min SUM,
     # bloom OR, with the one-sided membership guarantee value-hashed
     # per key.
-    "a16_bloom_membership", "llm_incremental_dedup",
+    # Round-12 rotation: a16_bloom_membership (green r9–r11, THREE
+    # rounds; sketches.py's bloom region untouched this round) hands
+    # its slot to events_funnel_conversion — the NEW strict-order
+    # funnel operator (ops/analytics.py), oracled via chained
+    # min-join CTEs.
+    "events_funnel_conversion", "llm_incremental_dedup",
     # Round-6 build: exact-dedup-first + uncapped LSH composition
     # (slot from the rotated-out probe_ts_epoch_us_cast).
     "llm_dedup_pipeline",
@@ -303,7 +308,11 @@ _GRADING_PRIORITY = [
     # VERDICT item 7: the one DSIR capability real pipelines use that
     # the engine lacked), value-hashed end to end beside its
     # still-in-window sibling llm_dsir_select.
-    "llm_dsir_domain_mix", "psi_drift_monitor",
+    # Round-12 rotation: psi_drift_monitor (green r8–r11, FOUR
+    # rounds; ops/quality.py untouched this round) hands its slot to
+    # events_cohort_retention — the NEW weekly cohort-retention
+    # operator (ops/analytics.py), oracled via distinct-activity CTEs.
+    "llm_dsir_domain_mix", "events_cohort_retention",
     # Round-8 rotation: the three deployment-config variants
     # (llm_minhash_lsh_capped, llm_simhash_neardup_wide,
     # llm_embedding_near_dup_8bit) gained value oracles this round —

@@ -2129,3 +2129,68 @@ def events_resample_locf(spark, sf_dir):
         _t(spark, sf_dir, "events"), keys=["user_id"],
         step_seconds=21600, ts_col="ts", val_col="value",
         id_col="event_id")
+
+
+@register("events_funnel_conversion", oracle="""
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+       GROUP BY e.user_id),
+c AS (SELECT (SELECT count(*) FROM s1) AS c1,
+             (SELECT count(*) FROM s2) AS c2,
+             (SELECT count(*) FROM s3) AS c3)
+SELECT 1 AS step, 'view' AS step_name, c1::BIGINT AS users,
+       CASE WHEN c1 > 0 THEN round(c1 / c1, 6)::DOUBLE END AS conversion
+FROM c
+UNION ALL
+SELECT 2, 'click', c2::BIGINT,
+       CASE WHEN c1 > 0 THEN round(c2 / c1, 6)::DOUBLE END FROM c
+UNION ALL
+SELECT 3, 'purchase', c3::BIGINT,
+       CASE WHEN c1 > 0 THEN round(c3 / c1, 6)::DOUBLE END FROM c
+""")
+def events_funnel_conversion(spark, sf_dir):
+    """Strict-order funnel view→click→purchase
+    (``ops/analytics.funnel`` — the Amplitude/Mixpanel core query):
+    step k counts users whose earliest step-k event is strictly
+    later than their step-(k-1) conversion time. The chained
+    ``min(when) OVER (PARTITION BY user)`` columns share one window
+    exchange, so the funnel costs ONE shuffle of the filtered events;
+    the oracle restates it as chained min-join CTEs."""
+    from .ops.analytics import funnel
+
+    return funnel(_t(spark, sf_dir, "events"),
+                  steps=["view", "click", "purchase"])
+
+
+@register("events_cohort_retention", oracle="""
+WITH act AS (SELECT DISTINCT user_id AS u,
+                    date_trunc('week', ts) AS w FROM events),
+firsts AS (SELECT u, min(w) AS cohort FROM act GROUP BY u),
+sizes AS (SELECT cohort, count(*) AS cohort_size FROM firsts
+          GROUP BY cohort),
+j AS (SELECT f.cohort,
+             date_diff('day', f.cohort, a.w) // 7 AS week_offset
+      FROM act a JOIN firsts f USING (u))
+SELECT j.cohort AS cohort_week, j.week_offset::INT AS week_offset,
+       count(*)::BIGINT AS active_users,
+       s.cohort_size::BIGINT AS cohort_size,
+       round(count(*) / s.cohort_size, 6)::DOUBLE AS retention
+FROM j JOIN sizes s ON j.cohort = s.cohort
+GROUP BY j.cohort, j.week_offset, s.cohort_size
+""")
+def events_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention (``ops/analytics.cohort_retention``):
+    users keyed by Monday-truncated first-activity week × whole-week
+    offset, with retention = active / cohort size. The event table
+    shrinks to distinct (user, week) pairs BEFORE any join, so the
+    join and final group-by run at user×week cardinality — at 100 TB
+    the distinct is the only event-scale shuffle."""
+    from .ops.analytics import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
