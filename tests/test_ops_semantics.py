@@ -896,3 +896,32 @@ def test_cohort_retention_hand_model(spark):
         ("2024-01-08 00:00:00", 0): (1, 1, 1.0),
         ("2024-01-08 00:00:00", 1): (1, 1, 1.0),
     }
+
+def test_interval_join_overlap_semantics(spark):
+    """Hand-computed interval overlap: touching endpoints match
+    (closed intervals), disjoint don't, cross-key never, and a pair
+    spanning several buckets appears ONCE (distinct dedup)."""
+    from zolo_spark.ops.temporal import interval_join
+
+    left = spark.createDataFrame(
+        [(1, "a", "2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+         (2, "a", "2024-01-01 12:00:00", "2024-01-01 12:30:00"),
+         (3, "b", "2024-01-01 10:00:00", "2024-01-01 11:00:00")],
+        "lid long, k string, start string, end string"
+    ).withColumn("start", F.to_timestamp("start")) \
+     .withColumn("end", F.to_timestamp("end"))
+    right = spark.createDataFrame(
+        # overlaps l1 across 3+ buckets at 900s; touches l1's end
+        [(10, "a", "2024-01-01 09:30:00", "2024-01-01 10:45:00"),
+         (11, "a", "2024-01-01 11:00:00", "2024-01-01 11:10:00"),
+         (12, "a", "2024-01-01 11:30:00", "2024-01-01 11:59:00"),
+         (13, "b", "2024-01-01 10:30:00", "2024-01-01 10:40:00")],
+        "rid long, k string, start string, end string"
+    ).withColumn("start", F.to_timestamp("start")) \
+     .withColumn("end", F.to_timestamp("end"))
+
+    out = interval_join(left, right, by="k", bucket_seconds=900)
+    pairs = sorted((r["lid"], r["rid_r"]) for r in out.collect())
+    assert pairs == [(1, 10), (1, 11), (3, 13)]
+    # multi-bucket overlap deduplicated
+    assert len(pairs) == len(set(pairs))

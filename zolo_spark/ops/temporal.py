@@ -12,6 +12,10 @@ ops — no UDF, no driver loop.
   only its own and the preceding ``ceil(window/width)`` buckets, then
   filter exactly. Candidate pairs are bounded per bucket instead of
   O(|L|·|R|) — the standard scale recipe for interval joins.
+* :func:`interval_join` — two interval relations, overlap predicate:
+  both sides explode over covered buckets, equi-join on (key,
+  bucket), exact filter, DISTINCT dedup. Same blocking idea as
+  range_join, generalized to interval×interval.
 """
 
 from __future__ import annotations
@@ -228,3 +232,55 @@ def resample_locf(df: DataFrame, keys: list[str],
                     value_cols=["_val"])
     return out.select(*keys, "bucket_ts",
                       F.col("_val_r").alias(val_col))
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    l_start: str = "start", l_end: str = "end",
+    r_start: str = "start", r_end: str = "end",
+    bucket_seconds: int = 3600,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval OVERLAP join (the third temporal-join shape after
+    as-of and range): pairs within a ``by`` key whose closed
+    intervals intersect — ``l.start <= r.end AND r.start <= l.end``.
+
+    Scale recipe: both sides explode over the ``bucket_seconds``-wide
+    time buckets their interval covers, the candidate join is a plain
+    equi-join on (key, bucket), and the exact predicate filters the
+    candidates; a pair sharing several buckets is deduplicated by
+    DISTINCT over the output columns. Candidate count is bounded by
+    interval length / bucket width per row — never |L|·|R| — which is
+    the same blocking idea range_join uses, generalized to two
+    interval relations (DuckDB/Postgres express this as a direct
+    inequality join; Spark needs the equi-join key to avoid a
+    broadcast nested loop at scale). Pick ``bucket_seconds`` near the
+    typical interval length: too small explodes more candidate rows,
+    too large widens each bucket's cross product.
+
+    Output: every left column plus the right side's start/end (and
+    any extra right columns) suffixed. NULL starts/ends never match
+    (SQL comparison semantics)."""
+    def _b(col):
+        return F.floor(F.col(col).cast("timestamp").cast("long")
+                       / F.lit(bucket_seconds))
+
+    l_b = left.withColumn(
+        "_bucket", F.explode(F.sequence(_b(l_start), _b(l_end))))
+    r_cols = [F.col(c).alias(f"{c}{suffix}")
+              for c in right.columns if c != by]
+    r_b = right.select(
+        F.col(by).alias("_rby"), *r_cols).withColumn(
+        "_bucket", F.explode(F.sequence(_b(f"{r_start}{suffix}"),
+                                        _b(f"{r_end}{suffix}"))))
+    joined = l_b.join(
+        r_b, (F.col(by) == F.col("_rby"))
+        & (l_b["_bucket"] == r_b["_bucket"]))
+    exact = joined.filter(
+        (F.col(l_start) <= F.col(f"{r_end}{suffix}"))
+        & (F.col(f"{r_start}{suffix}") <= F.col(l_end)))
+    out_cols = list(left.columns) + [f"{c}{suffix}" for c in right.columns
+                                     if c != by]
+    return exact.select(*out_cols).distinct()

@@ -347,7 +347,12 @@ _GRADING_PRIORITY = [
     # its slot to dq_expectation_audit — the declarative data-quality
     # gate (one-scan row checks, count-distinct uniqueness, anti-join
     # referential integrity) a production load records per ingest.
-    "m_ses_fixed_alpha_fold", "m_holt_fixed_fold", "dq_expectation_audit",
+    # Round-12 rotation: dq_expectation_audit (green r8–r11, FOUR
+    # rounds; ops/quality.py untouched this round) hands its slot to
+    # events_interval_overlap — the NEW interval-overlap join
+    # (ops/temporal.interval_join), oracled by DuckDB's direct
+    # inequality join.
+    "m_ses_fixed_alpha_fold", "m_holt_fixed_fold", "events_interval_overlap",
     # Round-8 rotation: m_ses_walk_forward (green r6∧r7, unchanged;
     # the walk-forward machinery stays covered by m_holt_walk_forward
     # and the SES family by fixed-fold + weekly-forecast) hands its

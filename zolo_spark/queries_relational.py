@@ -2131,6 +2131,40 @@ def events_resample_locf(spark, sf_dir):
         id_col="event_id")
 
 
+@register("events_interval_overlap", oracle="""
+WITH l AS (SELECT user_id, event_id, ts AS s,
+                  ts + INTERVAL 30 MINUTE AS e
+           FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, event_id, ts AS s,
+             ts + INTERVAL 10 MINUTE AS e
+      FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, r.event_id AS event_id_r
+FROM l JOIN r ON l.user_id = r.user_id
+             AND l.s <= r.e AND r.s <= l.e
+""")
+def events_interval_overlap(spark, sf_dir):
+    """Interval OVERLAP join (``ops/temporal.interval_join`` — the
+    third temporal-join shape after as-of and range): click activity
+    windows [ts, ts+30m] × purchase windows [ts, ts+10m] per user,
+    paired where the closed intervals intersect. Both sides explode
+    over covered time buckets and equi-join on (user, bucket) + exact
+    filter — candidates bounded per bucket, never |L|·|R| (DuckDB's
+    oracle is the direct inequality join Spark would otherwise plan
+    as a broadcast nested loop)."""
+    from .ops.temporal import interval_join
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"))
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end"))
+    out = interval_join(clicks, purchases, by="user_id",
+                        bucket_seconds=1800)
+    return out.select("event_id", "event_id_r")
+
+
 @register("events_funnel_conversion", oracle="""
 WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
             WHERE event_type = 'view' GROUP BY user_id),
