@@ -406,3 +406,51 @@ def test_histogram_quantiles_monotone_and_bounded(spark, vals):
     lo, hi = min(vals), max(vals)
     # round-4 output can sit a hair outside the true extrema
     assert lo - 1e-3 <= out[0.1] and out[0.9] <= hi + 1e-3
+
+
+@settings(**SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 5),              # user
+                  st.integers(0, 2),              # step index
+                  st.integers(0, 50)),            # ts offset seconds
+        min_size=1, max_size=40),
+)
+def test_funnel_matches_pure_python_model(spark, events):
+    """funnel() equals the obvious sequential model: t1 = first step-1
+    event; t_k = first step-k event strictly after t_{k-1}; step-k
+    users = those with t_k defined."""
+    from zolo_spark.ops.analytics import funnel
+
+    steps = ["s0", "s1", "s2"]
+    base = dt.datetime(2024, 1, 1)
+    rows = [(u, steps[k], base + dt.timedelta(seconds=off))
+            for (u, k, off) in events]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp")
+
+    # pure-python model
+    conv: dict[int, list] = {}
+    for u in {r[0] for r in rows}:
+        mine = [(t, s) for (uu, s, t) in rows if uu == u]
+        t_prev = None
+        ts_list = []
+        for k, name in enumerate(steps):
+            cand = [t for (t, s) in mine if s == name
+                    and (t_prev is None or t > t_prev)]
+            if not cand:
+                break
+            t_prev = min(cand)
+            ts_list.append(t_prev)
+        conv[u] = ts_list
+    want = [sum(1 for v in conv.values() if len(v) > k)
+            for k in range(3)]
+
+    got = {r["step"]: r["users"]
+           for r in funnel(df, steps).collect()}
+    assert [got[1], got[2], got[3]] == want
+    base_users = want[0]
+    if base_users:
+        got_conv = {r["step"]: r["conversion"]
+                    for r in funnel(df, steps).collect()}
+        assert got_conv[2] == round(want[1] / base_users, 6)
