@@ -1553,3 +1553,87 @@ def test_tx_check_constraints_enforced_on_commit_and_merge(spark, wh):
         wh.drop_constraint_tx("items", "w_pos")
     wh.commit_tx({"items": _items_rows(spark, ("c", 3, -3.0))})
     assert wh.read_committed_tx("items").count() == 3
+
+def test_write_audit_publish_lifecycle(spark, wh):
+    """Iceberg WAP: a staged commit is invisible to every reader, the
+    audit view (read_staged_tx) previews committed+staged, publish is
+    one atomic record (data + watermark together), abort leaves no
+    trace (staged dirs vacuumed), and a constraint added AFTER the
+    stage still gates the publish."""
+    wh.commit_tx({"items": _items_rows(spark, ("a", 1, 10.0))},
+                 {"wm": "v1"})
+
+    tok = wh.stage_commit_tx(
+        {"items": _items_rows(spark, ("b", 2, 20.0))}, {"wm": "v2"})
+    # invisible pre-publish
+    assert wh.read_committed_tx("items").count() == 1
+    assert wh.committed_watermark_tx("wm") == "v1"
+    # audit view previews the union
+    assert {r["product_name"] for r in
+            wh.read_staged_tx("items", tok).collect()} == {"a", "b"}
+    # vacuum keeps the pending stage alive
+    assert wh.vacuum_uncommitted_tx(["items"]) == 0
+
+    wh.publish_tx(tok)
+    assert {r["product_name"] for r in
+            wh.read_committed_tx("items").collect()} == {"a", "b"}
+    assert wh.committed_watermark_tx("wm") == "v2"
+    with pytest.raises(ValueError, match="no pending"):
+        wh.publish_tx(tok)  # single-shot token
+
+    # abort: staged rows never land, dirs removed
+    tok2 = wh.stage_commit_tx(
+        {"items": _items_rows(spark, ("c", 3, 30.0))})
+    wh.abort_tx(tok2)
+    assert wh.read_committed_tx("items").count() == 2
+    assert wh.vacuum_uncommitted_tx(["items"]) == 0  # already gone
+
+    # constraint added AFTER staging still gates the publish
+    tok3 = wh.stage_commit_tx(
+        {"items": _items_rows(spark, ("d", 4, -4.0))})
+    wh.add_constraint_tx("items", "w_pos", "weight > 0")
+    with pytest.raises(ValueError, match="w_pos"):
+        wh.publish_tx(tok3)
+    assert wh.read_committed_tx("items").count() == 2
+
+    # describe_detail reads the operator-facing numbers
+    d = wh.describe_detail("items")
+    assert d["num_files"] >= 2 and d["num_live_dvs"] == 0
+    assert d["constraints"] == {"w_pos": "weight > 0"}
+    wh.merge_tx("items", _items_upd(spark, ("a", 1, 11.0, False)),
+                ["product_name"], delete_col="_deleted", mode="mor")
+    assert wh.describe_detail("items")["num_live_dvs"] == 1
+
+def test_publish_tx_crash_rerun_is_exactly_once(spark, wh):
+    """A crash between publish_tx's record landing and its pending-
+    file removal must not double-publish on rerun — the record
+    carries the WAP token, the rerun sees it (even across a
+    checkpoint fold) and only removes the stale pending file."""
+    wh.commit_tx({"items": _items_rows(spark, ("a", 1, 10.0))})
+    tok = wh.stage_commit_tx(
+        {"items": _items_rows(spark, ("b", 2, 20.0))})
+
+    # simulate the crash: publish the record, then "fail" before the
+    # pending file removal by re-creating it
+    import os
+    import shutil as _sh
+    pend = os.path.join(wh.root, f"_PENDING.{tok}.json")
+    _sh.copy(pend, pend + ".bak")
+    wh.publish_tx(tok)
+    _sh.copy(pend + ".bak", pend)
+
+    wh.publish_tx(tok)  # rerun: no-op besides cleanup
+    assert wh.read_committed_tx("items").count() == 2
+    assert not os.path.exists(pend)
+
+    # survives a fold too
+    tok2 = wh.stage_commit_tx(
+        {"items": _items_rows(spark, ("c", 3, 30.0))})
+    _sh.copy(os.path.join(wh.root, f"_PENDING.{tok2}.json"),
+             pend + ".bak2")
+    wh.publish_tx(tok2)
+    wh.checkpoint_txlog()
+    _sh.copy(pend + ".bak2",
+             os.path.join(wh.root, f"_PENDING.{tok2}.json"))
+    wh.publish_tx(tok2)
+    assert wh.read_committed_tx("items").count() == 3

@@ -659,7 +659,8 @@ class Warehouse:
                           dv: dict[str, list[str]] | None = None,
                           dv_keys: dict[str, list[str]] | None = None,
                           constraint_add: dict | None = None,
-                          constraint_drop: dict | None = None
+                          constraint_drop: dict | None = None,
+                          wap: str | None = None
                           ) -> None:
         """Append one versioned record and publish as the next
         metadata generation — THE commit point for every tx-log
@@ -709,6 +710,8 @@ class Warehouse:
                 rec["constraint_add"] = constraint_add
             if constraint_drop:
                 rec["constraint_drop"] = constraint_drop
+            if wap:
+                rec["wap"] = wap
             log["txs"].append(rec)
             try:
                 self._publish_txlog(log)
@@ -858,6 +861,120 @@ class Warehouse:
         if name not in self._tx_constraints(table):
             raise ValueError(f"no constraint {name} on {table}")
         self._append_tx_record({}, constraint_drop={table: [name]})
+
+    def describe_detail(self, table: str) -> dict:
+        """Delta's ``DESCRIBE DETAIL`` as a driver-local dict: current
+        version, committed file count/bytes, LIVE deletion-vector
+        count (the merge-on-read read-amplification debt
+        ``auto_compact_dvs`` bounds), schema columns, and live CHECK
+        constraints — the numbers an operator reads before deciding
+        to compact."""
+        txs = self._effective_txs(self._read_txlog())
+        files = self._replay_files(txs, table)
+        root = self.path(table)
+        size = 0
+        for rel in files:
+            try:
+                size += os.path.getsize(os.path.join(root, rel))
+            except OSError:
+                pass
+        return {
+            "table": table,
+            "version": txs[-1][0] if txs else 0,
+            "num_files": len(files),
+            "size_bytes": size,
+            "num_live_dvs": len(self._replay_dvs(txs, table)),
+            "columns": [f.name for f in self._tx_schema(table, txs)],
+            "constraints": self._tx_constraints(table, txs),
+        }
+
+    # ------------------------------------------------ write-audit-publish
+
+    def stage_commit_tx(self, frames: dict[str, DataFrame],
+                        watermarks: dict[str, str] | None = None) -> str:
+        """Iceberg's WRITE-AUDIT-PUBLISH, step 1: stage the batches
+        exactly as :meth:`commit_tx` would, but record them in a
+        PENDING file instead of the tx log — invisible to every
+        reader until :meth:`publish_tx`. Returns the audit token.
+        A crash leaves only the pending file + staged dirs (both
+        inert; :meth:`abort_tx` or vacuum-after-abort clean up)."""
+        import json
+        import uuid
+
+        for table in frames:
+            if self._has_manifest(table):
+                raise ValueError(
+                    f"table {table} is manifest-managed (append_commit)")
+        staged: dict[str, list[str]] = {}
+        for table, df in frames.items():
+            df = self._cast_to(df, self._tx_schema(table))
+            part_col = _PARTITIONED.get(table)
+            if part_col is not None:
+                df = df.sortWithinPartitions(part_col)
+            staged[table] = self._stage_batch(df, table)
+        token = uuid.uuid4().hex
+        pend = {"tables": staged, "watermarks": dict(watermarks or {})}
+        with open(os.path.join(self.root, f"_PENDING.{token}.json"),
+                  "w") as f:
+            json.dump(pend, f)
+        return token
+
+    def _read_pending(self, token: str) -> dict:
+        import json
+
+        p = os.path.join(self.root, f"_PENDING.{token}.json")
+        if not os.path.exists(p):
+            raise ValueError(f"no pending stage {token}")
+        with open(p) as f:
+            return json.load(f)
+
+    def read_staged_tx(self, table: str, token: str) -> DataFrame:
+        """The AUDIT view: committed contents plus the staged batch —
+        what the table WILL look like if ``publish_tx(token)`` runs.
+        Quality jobs (constraint dry-runs, row-count diffs, PSI
+        drift) read this; nothing else can see the stage."""
+        pend = self._read_pending(token)
+        cur = self.read_committed_tx(table)
+        rels = pend["tables"].get(table, [])
+        if not rels:
+            return cur
+        staged = self.spark.read.schema(self._tx_schema(table)).parquet(
+            *[os.path.join(self.path(table), rel) for rel in rels])
+        return cur.unionByName(staged)
+
+    def publish_tx(self, token: str) -> None:
+        """WAP step 3: validate the staged batches against the LIVE
+        CHECK constraints (they may have changed since the stage),
+        then publish stage + watermarks as ONE tx record — the same
+        atomic visibility commit_tx gives, decoupled from the write.
+        The record carries the token, so a crash between the publish
+        and the pending-file removal is safe: re-running publish_tx
+        sees the token already in the log and only removes the stale
+        pending file (exactly-once publish, the same rerun contract
+        commit_tx has)."""
+        pend = self._read_pending(token)
+        pend_path = os.path.join(self.root, f"_PENDING.{token}.json")
+        if any(tx.get("wap") == token
+               or token in tx.get("wap_tokens", [])
+               for tx in self._read_txlog()["txs"]):
+            os.remove(pend_path)   # crash-rerun: already published
+            return
+        for table, rels in pend["tables"].items():
+            self._validate_staged(table, rels, self._tx_schema(table),
+                                  None)
+        self._append_tx_record(pend["tables"], pend["watermarks"],
+                               wap=token)
+        os.remove(pend_path)
+
+    def abort_tx(self, token: str) -> None:
+        """Drop a pending stage: remove its staged batch dirs and the
+        pending file; the log never saw it."""
+        pend = self._read_pending(token)
+        for table, rels in pend["tables"].items():
+            for d in {rel.split(os.sep)[0] for rel in rels}:
+                shutil.rmtree(os.path.join(self.path(table), d),
+                              ignore_errors=True)
+        os.remove(os.path.join(self.root, f"_PENDING.{token}.json"))
 
     def _validate_staged(self, table: str, staged: list[str],
                          schema, txs) -> None:
@@ -1123,7 +1240,11 @@ class Warehouse:
         watermarks: dict[str, str] = {}
         schema_add: dict[str, list] = {}
         cons: dict[str, dict[str, str]] = {}
+        wap_tokens: list[str] = []
         for tx in txs:
+            if tx.get("wap"):
+                wap_tokens.append(tx["wap"])
+            wap_tokens.extend(tx.get("wap_tokens", []))
             for t in tx.get("replaces", []):
                 tables[t] = []
             for t, rels in tx["tables"].items():
@@ -1144,6 +1265,10 @@ class Warehouse:
                      for t, d in cons.items() if d}
         if live_cons:
             snap["constraint_add"] = live_cons
+        if wap_tokens:
+            # published WAP tokens survive the fold so a crashed
+            # publish_tx rerun stays exactly-once across checkpoints
+            snap["wap_tokens"] = wap_tokens
         return snap
 
     def _compact_committed_tx(self, table: str, target_file_bytes: int,
@@ -1421,6 +1546,8 @@ class Warehouse:
     def vacuum_uncommitted_tx(self, tables: list[str]) -> int:
         """Remove staged batch directories under ``tables`` that no tx
         references (crash leftovers); returns the number removed."""
+        import json as _json
+
         live: set[tuple[str, str]] = set()
         for tx in self._read_txlog()["txs"]:
             for t, rels in tx["tables"].items():
@@ -1428,6 +1555,17 @@ class Warehouse:
             for t, rels in tx.get("dv", {}).items():
                 # deletion-vector sidecars are committed files too
                 live.update((t, rel.split(os.sep)[0]) for rel in rels)
+        # write-audit-publish stages are live until published/aborted
+        for fn in os.listdir(self.root):
+            if fn.startswith("_PENDING.") and fn.endswith(".json"):
+                try:
+                    with open(os.path.join(self.root, fn)) as f:
+                        pend = _json.load(f)
+                    for t, rels in pend.get("tables", {}).items():
+                        live.update((t, rel.split(os.sep)[0])
+                                    for rel in rels)
+                except (OSError, ValueError):
+                    pass  # racing publish/abort removed it mid-scan
         removed = 0
         for t in tables:
             root = self.path(t)
