@@ -925,3 +925,25 @@ def test_interval_join_overlap_semantics(spark):
     assert pairs == [(1, 10), (1, 11), (3, 13)]
     # multi-bucket overlap deduplicated
     assert len(pairs) == len(set(pairs))
+
+def test_mad_outlier_stats_hand_model(spark):
+    """Hand-computed MAD profile: values 1..9 plus a 1000 spike —
+    median 5.5 over 10 values, MAD from the deviations, exactly one
+    flagged outlier; a constant group has MAD 0 and any deviation
+    flags."""
+    from zolo_spark.ops.quality import mad_outlier_stats
+
+    vals_a = [float(v) for v in range(1, 10)] + [1000.0]
+    rows = [("a", v) for v in vals_a] + [("b", 7.0)] * 4 + [("b", 8.0)]
+    df = spark.createDataFrame(rows, "k string, value double")
+    got = {r["k"]: (r["med"], r["mad"], r["n_outliers"], r["n_rows"])
+           for r in mad_outlier_stats(df, ["k"], val_col="value",
+                                      k=3.5).collect()}
+
+    import statistics
+    med_a = statistics.median(vals_a)
+    mad_a = statistics.median(sorted(abs(v - med_a) for v in vals_a))
+    n_out_a = sum(1 for v in vals_a if abs(v - med_a) > 3.5 * mad_a)
+    assert got["a"] == (round(med_a, 6), round(mad_a, 6), n_out_a, 10)
+    # group b: median 7, MAD 0 -> the single 8.0 deviates > 0
+    assert got["b"] == (7.0, 0.0, 1, 5)

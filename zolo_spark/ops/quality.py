@@ -85,3 +85,42 @@ def expectation_audit(
     return out.select(
         "check_name", "violations", "total",
         (F.col("violations") == 0).alias("passed"))
+
+
+def mad_outlier_stats(df: DataFrame, keys: list[str],
+                      val_col: str = "value",
+                      k: float = 3.5) -> DataFrame:
+    """Robust per-group outlier profile — median/MAD flagging, the
+    monitoring aggregation that survives the skew a mean/stddev
+    z-score drowns in: a value is an outlier when
+    ``|x - median| > k * MAD`` (MAD = median absolute deviation,
+    k = 3.5 ≈ the classic Iglewicz-Hoberg cutoff for
+    0.6745·|x−med|/MAD > 3.5... here k applies to raw MAD — pick k
+    for your data; the shape, not the constant, is the point).
+    Returns one row per group:
+    ``keys + (med, mad, n_outliers, n_rows)`` with med/mad rounded
+    to 6 places.
+
+    Two passes by necessity (MAD is a median OF deviations from the
+    median), each a single exact-percentile aggregate per group —
+    both shuffles on the group key, results broadcast back. Exact
+    interpolated percentile on both engines (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``), so the profile is value-oracled, not
+    approximate."""
+    med = df.groupBy(*keys).agg(
+        F.expr(f"percentile({val_col}, 0.5)").alias("_med"))
+    dev = df.join(F.broadcast(med), keys).select(
+        *keys, F.col(val_col).alias("_v"),
+        F.abs(F.col(val_col) - F.col("_med")).alias("_ad"),
+        "_med")
+    mad = dev.groupBy(*keys).agg(
+        F.first("_med").alias("_med"),
+        F.expr("percentile(_ad, 0.5)").alias("_mad"))
+    flagged = dev.drop("_med").join(F.broadcast(mad), keys)
+    return (flagged.groupBy(*keys).agg(
+        F.round(F.first("_med"), 6).alias("med"),
+        F.round(F.first("_mad"), 6).alias("mad"),
+        F.sum(F.when(F.abs(F.col("_v") - F.col("_med"))
+                     > F.lit(k) * F.col("_mad"), 1).otherwise(0))
+        .cast("bigint").alias("n_outliers"),
+        F.count(F.lit(1)).alias("n_rows")))

@@ -285,7 +285,12 @@ _GRADING_PRIORITY = [
     # the uncapped sibling's value oracle (the loose caps provably
     # never bind at the graded scales; r10 VERDICT item 4 closed the
     # last rows-only deployment variant).
-    "m_arima_weekly_forecast_subgrid", "llm_pq_encode",
+    # Round-12 rotation: llm_pq_encode (green r5–r11, SEVEN rounds;
+    # similarity.py's PQ region untouched this round, and the PQ
+    # machinery stays in-window via the trained-IVF gate family)
+    # hands its slot to events_mad_outliers — the NEW robust
+    # median/MAD outlier profile (ops/quality.mad_outlier_stats).
+    "m_arima_weekly_forecast_subgrid", "events_mad_outliers",
     "llm_corpus_pipeline_capped", "llm_multimodal_features",
     # llm_embedding_quantize / llm_quantized_topk (int8 ANN scale
     # path, built mid-r5) take the slots of thrice-green singletons

@@ -2131,6 +2131,37 @@ def events_resample_locf(spark, sf_dir):
         id_col="event_id")
 
 
+@register("events_mad_outliers", oracle="""
+WITH med AS (SELECT event_type, median(value) AS m
+             FROM events GROUP BY event_type),
+dev AS (SELECT e.event_type, e.value AS v,
+               abs(e.value - med.m) AS ad, med.m
+        FROM events e JOIN med USING (event_type)),
+mad AS (SELECT event_type, any_value(m) AS m, median(ad) AS mad
+        FROM dev GROUP BY event_type)
+SELECT d.event_type, round(mad.m, 6) AS med,
+       round(mad.mad, 6) AS mad,
+       sum(CASE WHEN abs(d.v - mad.m) > 3.5 * mad.mad
+                THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+       count(*)::BIGINT AS n_rows
+FROM dev d JOIN mad USING (event_type)
+GROUP BY d.event_type, mad.m, mad.mad
+""")
+def events_mad_outliers(spark, sf_dir):
+    """Robust per-type outlier profile (``ops/quality.
+    mad_outlier_stats``): median/MAD flagging at k=3.5 — the
+    monitoring aggregation a mean/stddev z-score can't do on skewed
+    telemetry. Two exact-percentile aggregates (Spark ``percentile``
+    == DuckDB ``quantile_cont``, both interpolated) with the tiny
+    per-group profiles broadcast back — no corpus re-shuffle beyond
+    the two group-bys."""
+    from .ops.quality import mad_outlier_stats
+
+    return mad_outlier_stats(
+        _t(spark, sf_dir, "events"), keys=["event_type"],
+        val_col="value", k=3.5)
+
+
 @register("events_interval_overlap", oracle="""
 WITH l AS (SELECT user_id, event_id, ts AS s,
                   ts + INTERVAL 30 MINUTE AS e
