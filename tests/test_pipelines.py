@@ -1054,7 +1054,8 @@ def test_tx_model_random_walk(spark, wh):
     next_key = 0
     for step in range(14):
         op = rng.choice(["commit", "commit", "merge", "merge_mor",
-                         "compact", "restore", "checkpoint"])
+                         "compact", "restore", "checkpoint",
+                         "wap_publish", "wap_abort"])
         cur = dict(states[v])
         if op == "commit":
             fresh = {f"k{next_key + i}": float(rng.randint(1, 9))
@@ -1063,6 +1064,21 @@ def test_tx_model_random_walk(spark, wh):
             wh.commit_tx({"items": df_of(fresh).drop("_deleted")})
             v += 1
             cur.update(fresh)
+        elif op == "wap_publish":
+            fresh = {f"k{next_key}": float(rng.randint(1, 9))}
+            next_key += 1
+            tok = wh.stage_commit_tx({"items": df_of(fresh).drop("_deleted")})
+            check()   # staged rows must be invisible pre-publish
+            wh.publish_tx(tok)
+            v += 1
+            cur.update(fresh)
+        elif op == "wap_abort":
+            fresh = {f"k{next_key}": float(rng.randint(1, 9))}
+            next_key += 1
+            tok = wh.stage_commit_tx({"items": df_of(fresh).drop("_deleted")})
+            wh.abort_tx(tok)
+            check()   # nothing changed, no version consumed
+            continue
         elif op in ("merge", "merge_mor"):
             upd = {k: cur[k] + 100.0
                    for k in rng.sample(sorted(cur), min(2, len(cur)))}
