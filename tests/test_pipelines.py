@@ -1653,3 +1653,42 @@ def test_publish_tx_crash_rerun_is_exactly_once(spark, wh):
              os.path.join(wh.root, f"_PENDING.{tok2}.json"))
     wh.publish_tx(tok2)
     assert wh.read_committed_tx("items").count() == 3
+
+def test_stats_in_txlog_make_merge_pruning_metadata_only(spark, tmp_path,
+                                                         monkeypatch):
+    """stats_cols opt-in: commit records per-file key min/max in the
+    tx record, so merge pruning needs ZERO footer reads (proven by
+    poisoning _footer_stats after the commits); stats survive a
+    checkpoint fold, and the pruning decision equals the footer
+    path's."""
+    wh = Warehouse(spark, str(tmp_path / "wh"),
+                   stats_cols={"items": ["product_name"]})
+    wh.init()
+
+    def batch(prefix):
+        return spark.createDataFrame(
+            [(f"{prefix}{i:02d}", "v", i, "sq", "qb", "sh", "cat",
+              "whole", float(i), 1) for i in range(10)],
+            schemas.WAREHOUSE_TABLES["items"]).coalesce(1)
+
+    for p in ("a", "b", "c"):
+        wh.commit_tx({"items": batch(p)})
+    txs = wh._effective_txs(wh._read_txlog())
+    logged = wh._log_stats(txs, "items")
+    files = wh._replay_files(txs, "items")
+    assert set(logged) == set(files)
+    assert logged[files[0]]["product_name"] == ("a00", "a09")
+
+    wh.checkpoint_txlog()   # stats survive the fold
+    txs = wh._effective_txs(wh._read_txlog())
+    assert set(wh._log_stats(txs, "items")) == set(files)
+
+    # poison footer reads: pruning must run on log stats alone
+    monkeypatch.setattr(
+        type(wh), "_footer_stats",
+        lambda self, t, rel, cols: (_ for _ in ()).throw(
+            AssertionError("footer read attempted")))
+    upd = _items_upd(spark, ("b03", 3, 103.0, False))
+    keep, touched = wh._prune_merge_files("items", files,
+                                          ["product_name"], upd)
+    assert len(keep) == 2 and len(touched) == 1

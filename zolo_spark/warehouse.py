@@ -66,7 +66,8 @@ class Warehouse:
                  bucketed: bool = False, buckets: int = 8,
                  auto_checkpoint_every: int | None = None,
                  auto_checkpoint_retain: int = 10,
-                 auto_compact_dvs: int | None = None):
+                 auto_compact_dvs: int | None = None,
+                 stats_cols: dict[str, list[str]] | None = None):
         """``auto_checkpoint_every=N`` opts into tx-log maintenance on
         ingest: after a commit, if the log holds ≥ N records, it is
         folded down to an ``auto_checkpoint_retain``-record
@@ -82,7 +83,17 @@ class Warehouse:
         one right-sized batch) in the same call — Databricks'
         auto-compaction for DV tables. Off by default; every read
         pays one broadcast join per live DV, so N trades merge
-        latency against read amplification."""
+        latency against read amplification.
+
+        ``stats_cols={"table": ["key", ...]}`` opts a table into
+        Delta-style per-file column stats IN THE TX LOG: every
+        staged batch's footer min/max for those columns is recorded
+        on its commit record, so merge-file pruning becomes a pure
+        metadata decision — no per-file footer round trips at merge
+        time, the gap that matters on object storage where a 100 TB
+        table has 10^5 files. Files committed before the opt-in (or
+        for other columns) fall back to footer reads, exactly as
+        before."""
         self.spark = spark
         self.root = root
         self.bucketed = bucketed
@@ -90,6 +101,7 @@ class Warehouse:
         self.auto_checkpoint_every = auto_checkpoint_every
         self.auto_checkpoint_retain = auto_checkpoint_retain
         self.auto_compact_dvs = auto_compact_dvs
+        self.stats_cols = dict(stats_cols or {})
         # catalog namespace derived from the root path: two warehouses
         # in one session never collide
         self._db = "zolo_wh_" + re.sub(r"[^a-z0-9]+", "_", root.lower()).strip("_")
@@ -678,6 +690,33 @@ class Warehouse:
         concurrent commit added (r11 VERDICT item 5 — Delta fails the
         transaction when files it read were rewritten; appends to
         UNRELATED tables still retry through)."""
+        # stats_cols opt-in: record each staged file's footer min/max
+        # on its commit record so future merge pruning is pure
+        # metadata (Delta's per-file stats). Computed ONCE before the
+        # CAS loop (the files are just-written and page-warm); only
+        # JSON-portable scalar bounds are recorded — anything else
+        # falls back to footer reads at merge time.
+        stats: dict = {}
+        for t, rels in tables.items():
+            cols = self.stats_cols.get(t)
+            if not cols:
+                continue
+            per_file: dict = {}
+            for rel in rels:
+                fs = self._footer_stats(t, rel, cols)
+                if fs is None:
+                    continue
+                ok = {}
+                for c, rng in fs.items():
+                    if rng is None:
+                        ok[c] = None
+                    elif all(isinstance(v, (str, int, float))
+                             and not isinstance(v, bool) for v in rng):
+                        ok[c] = [rng[0], rng[1]]
+                if ok:
+                    per_file[rel] = ok
+            if per_file:
+                stats[t] = per_file
         for _ in range(50):
             log = self._read_txlog()
             eff = self._effective_txs(log)
@@ -712,6 +751,8 @@ class Warehouse:
                 rec["constraint_drop"] = constraint_drop
             if wap:
                 rec["wap"] = wap
+            if stats:
+                rec["stats"] = stats
             log["txs"].append(rec)
             try:
                 self._publish_txlog(log)
@@ -1241,10 +1282,13 @@ class Warehouse:
         schema_add: dict[str, list] = {}
         cons: dict[str, dict[str, str]] = {}
         wap_tokens: list[str] = []
+        stats: dict[str, dict] = {}
         for tx in txs:
             if tx.get("wap"):
                 wap_tokens.append(tx["wap"])
             wap_tokens.extend(tx.get("wap_tokens", []))
+            for t, per_file in tx.get("stats", {}).items():
+                stats.setdefault(t, {}).update(per_file)
             for t in tx.get("replaces", []):
                 tables[t] = []
             for t, rels in tx["tables"].items():
@@ -1269,6 +1313,16 @@ class Warehouse:
             # published WAP tokens survive the fold so a crashed
             # publish_tx rerun stays exactly-once across checkpoints
             snap["wap_tokens"] = wap_tokens
+        # per-file stats survive the fold for files still referenced
+        # (dropped stats would only mean footer fallback, but keeping
+        # them keeps merges metadata-only across checkpoints)
+        live_stats = {
+            t: {rel: st for rel, st in per_file.items()
+                if rel in set(tables.get(t, []))}
+            for t, per_file in stats.items()}
+        live_stats = {t: pf for t, pf in live_stats.items() if pf}
+        if live_stats:
+            snap["stats"] = live_stats
         return snap
 
     def _compact_committed_tx(self, table: str, target_file_bytes: int,
@@ -1326,12 +1380,62 @@ class Warehouse:
     # per-column min/max envelope (one tiny agg job)
     _MERGE_PRUNE_MAX_KEYS = 100_000
 
+    def _footer_stats(self, table: str, rel: str,
+                      cols: list[str]) -> dict | None:
+        """One file's footer min/max for ``cols`` —
+        ``{col: (lo, hi) | None}`` (None = no non-null values), or
+        ``None`` when the footer is unusable."""
+        import pyarrow.parquet as pq
+
+        try:
+            md = pq.ParquetFile(
+                os.path.join(self.path(table), rel)).metadata
+            ranges: dict = {}
+            for c in cols:
+                idx = None
+                for j in range(md.num_columns):
+                    if md.row_group(0).column(j).path_in_schema == c:
+                        idx = j
+                        break
+                if idx is None:
+                    ranges[c] = None
+                    continue
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(idx)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        if (st is not None and st.null_count
+                                == md.row_group(rg).num_rows):
+                            continue  # all-NULL row group
+                        raise ValueError("no stats")
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                ranges[c] = None if lo is None else (lo, hi)
+            return ranges
+        except Exception:
+            return None
+
+    @staticmethod
+    def _log_stats(txs: list[tuple[int, dict]], table: str) -> dict:
+        """Per-file column stats recorded on commit (``stats_cols``
+        opt-in): ``{rel: {col: (lo, hi) | None}}``. Stale rels (from
+        superseded records) are harmless — lookups are by the CURRENT
+        file list."""
+        out: dict = {}
+        for _, tx in txs:
+            for rel, cols in tx.get("stats", {}).get(table, {}).items():
+                out[rel] = {c: (None if v is None else tuple(v))
+                            for c, v in cols.items()}
+        return out
+
     def _file_key_stats(self, table: str, files: list[str],
                         keys: list[str]) -> dict:
-        """Per-file min/max of the merge ``keys`` from the parquet
-        footers, read driver-side (the files are the warehouse's own
-        metadata-scale reads — Delta keeps these stats in the log;
-        footers are the no-log-format-change equivalent and exact).
+        """Per-file min/max of the merge ``keys`` — from the TX LOG
+        when the file's commit recorded them (``stats_cols`` opt-in:
+        pure metadata, no I/O), else from the parquet footer
+        driver-side (exact, the no-log-format-change fallback; fine
+        locally, an O(files) round-trip cost on object storage).
         Returns ``{rel: {col: (lo, hi) | None}}`` — ``None`` for a
         column with no non-null values in the file (can never match a
         join key), and ``{rel: None}`` for a file whose stats are
@@ -1339,40 +1443,15 @@ class Warehouse:
         WIDENS ranges (truncated min is a prefix ≤ real min; writers
         bump the last byte of a truncated max), so pruning on them is
         conservative-correct."""
-        import pyarrow.parquet as pq
-
+        logged = self._log_stats(
+            self._effective_txs(self._read_txlog()), table)
         out: dict = {}
         for rel in files:
-            try:
-                md = pq.ParquetFile(
-                    os.path.join(self.path(table), rel)).metadata
-                ranges: dict = {}
-                for c in keys:
-                    idx = None
-                    for j in range(md.num_columns):
-                        if md.row_group(0).column(j).path_in_schema == c:
-                            idx = j
-                            break
-                    if idx is None:
-                        # column added after this file was written:
-                        # reads as all-NULL, can never match
-                        ranges[c] = None
-                        continue
-                    lo = hi = None
-                    for rg in range(md.num_row_groups):
-                        col = md.row_group(rg).column(idx)
-                        st = col.statistics
-                        if st is None or not st.has_min_max:
-                            if (st is not None and st.null_count
-                                    == md.row_group(rg).num_rows):
-                                continue  # all-NULL row group
-                            raise ValueError("no stats")
-                        lo = st.min if lo is None else min(lo, st.min)
-                        hi = st.max if hi is None else max(hi, st.max)
-                    ranges[c] = None if lo is None else (lo, hi)
-                out[rel] = ranges
-            except Exception:
-                out[rel] = None  # unusable stats: treat as touched
+            rec = logged.get(rel)
+            if rec is not None and all(c in rec for c in keys):
+                out[rel] = {c: rec[c] for c in keys}
+                continue
+            out[rel] = self._footer_stats(table, rel, keys)
         return out
 
     def _prune_merge_files(self, table: str, files: list[str],
