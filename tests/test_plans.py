@@ -529,3 +529,62 @@ def test_epoch_mix_no_corpus_shuffle(spark):
     assert n_shuffles(p) == 0, p
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     assert "Generate" in p  # the explode(sequence) epoch fan-out
+
+
+def test_funnel_single_event_scale_shuffle(spark):
+    """The funnel's chained min-over-user windows must share ONE
+    exchange: one shuffle of the filtered events plus the final
+    single-row aggregate — a per-step exchange would multiply the
+    event-scale shuffles by the funnel length."""
+    p = plan_of(q(spark, "events_funnel_conversion"))
+    # exactly one hash exchange over the user partition; the rest of
+    # the plan runs on the per-user 1-row frames / the 1-row counts
+    assert n_shuffles(p) <= 3  # user window + per-user agg + 1-row agg
+    assert len(re.findall(r"hashpartitioning\(user_id", p)) == 1
+
+
+def test_cohort_retention_distinct_is_only_event_scale_exchange(spark):
+    """Cohort retention: the distinct (user, week) pass is the ONLY
+    exchange keyed on raw-event columns; everything after runs at
+    users x weeks cardinality (window min, offset agg, size
+    window)."""
+    p = plan_of(q(spark, "events_cohort_retention"))
+    # one exchange carries the week column (the distinct); the later
+    # exchanges key on _u / _cohort over the aggregated frame
+    assert len(re.findall(r"hashpartitioning\(_u#\d+L?, _w#", p)) == 1
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark):
+    """The interval-overlap join must plan as a hash equi-join on
+    (key, bucket) — a bare inequality join would fall into a
+    broadcast nested loop, the O(|L|x|R|) shape that dies at scale."""
+    p = plan_of(q(spark, "events_interval_overlap"))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) \
+        or ("BroadcastHashJoin" in p)
+
+
+def test_mor_read_is_broadcast_anti_filter_no_base_shuffle(spark, tmp_path):
+    """A merge-on-read table's read applies each deletion vector as a
+    BROADCAST join — the base table must never shuffle for DV
+    application."""
+    from zolo_spark import schemas
+    from zolo_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.init()
+    rows = spark.createDataFrame(
+        [(f"k{i}", "v", i, "sq", "qb", "sh", "cat", "whole",
+          float(i), 1) for i in range(100)],
+        schemas.WAREHOUSE_TABLES["items"])
+    wh.commit_tx({"items": rows})
+    upd = spark.createDataFrame(
+        [("k5", "v", 5, "sq", "qb", "sh", "cat", "whole", 500.0, 1)],
+        schemas.WAREHOUSE_TABLES["items"])
+    wh.merge_tx("items", upd, ["product_name"], mode="mor")
+    p = plan_of(wh.read_committed_tx("items"))
+    assert "BroadcastHashJoin" in p
+    # the only shuffle is the DV side's update-batch-sized DISTINCT
+    # feeding the broadcast; the base table itself never exchanges
+    assert n_shuffles(p) <= 1
