@@ -868,6 +868,18 @@ def test_funnel_strict_order_semantics(spark):
         3: ("purchase", 1, round(1 / 3, 6)),  # u1 only
     }
 
+    # r12 ADVICE item 3: step names are DATA, not SQL syntax — a
+    # quoted name ("add to cart's") must work, not break the unpivot
+    quoted = df.withColumn(
+        "event_type",
+        F.when(F.col("event_type") == "click",
+               F.lit("add to cart's")).otherwise(F.col("event_type")))
+    got_q = {r["step"]: (r["step_name"], r["users"]) for r in
+             funnel(quoted,
+                    ["view", "add to cart's", "purchase"]).collect()}
+    assert got_q == {1: ("view", 3), 2: ("add to cart's", 2),
+                     3: ("purchase", 1)}
+
 
 def test_cohort_retention_hand_model(spark):
     """Hand-computed weekly cohorts: u1/u2 first-seen week of

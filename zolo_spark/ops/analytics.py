@@ -59,12 +59,16 @@ def funnel(events: DataFrame, steps: list[str],
         F.count(F.col(f"_t{k}")).alias(f"_c{k}")
         for k in range(1, len(steps) + 1)])
     # unpivot the 1-row count frame lazily (stack generator) — no
-    # driver collect; the funnel stays one composable DataFrame
-    stack = ", ".join(f"{k}, '{name}', _c{k}"
-                      for k, name in enumerate(steps, start=1))
+    # driver collect; the funnel stays one composable DataFrame.
+    # Step names go through F.lit, never a formatted SQL string: a
+    # name containing a quote ("add to cart's") is data, not syntax
+    # (r12 ADVICE item 3).
+    stack_args: list = []
+    for k, name in enumerate(steps, start=1):
+        stack_args += [F.lit(k), F.lit(name), F.col(f"_c{k}")]
     return counts.select(
-        F.expr(f"stack({len(steps)}, {stack}) "
-               "AS (step, step_name, users)"),
+        F.stack(F.lit(len(steps)), *stack_args)
+        .alias("step", "step_name", "users"),
         F.col("_c1"),
     ).select(
         "step", "step_name", F.col("users").cast("bigint").alias("users"),
