@@ -805,6 +805,113 @@ def test_tx_schema_evolution_add_column(spark, wh):
             "coffee_profiles")
 
 
+def test_tx_schema_evolution_drop_and_rename_column(spark, wh):
+    """drop_column_tx / rename_column_tx = Iceberg's DROP / RENAME
+    COLUMN: metadata-only records over stable PHYSICAL names (the
+    field-id model). Rename rewrites nothing and old files keep
+    reading; drop hides the column; re-adding a dropped or
+    renamed-away name binds a FRESH physical column (old bytes never
+    resurrect — the hazard pure name-matching has); the schema
+    time-travels; merge works on the renamed key; folds preserve the
+    net state including retirement."""
+
+    def rows(*specs):
+        return spark.createDataFrame(
+            [(n, "v", q, "sq", "qb", "sh", "cat", "whole", p, 1)
+             for (n, q, p) in specs],
+            schemas.WAREHOUSE_TABLES["items"])
+
+    wh.commit_tx({"items": rows(("a", 1, 10.0), ("b", 2, 20.0))})  # v1
+
+    # RENAME: metadata-only, old files read through the physical name
+    wh.rename_column_tx("items", "weight", "wt")                   # v2
+    df = wh.read_committed_tx("items")
+    assert "wt" in df.columns and "weight" not in df.columns
+    assert {r["product_name"]: r["wt"] for r in df.collect()} == \
+        {"a": 10.0, "b": 20.0}
+    # schema time-travel: v1 still sees the old name
+    old = wh.read_committed_tx("items", as_of_version=1)
+    assert "weight" in old.columns and "wt" not in old.columns
+
+    # a commit under the NEW name lands; merge on unrelated key works
+    wh.commit_tx({"items": rows(("c", 3, 30.0))
+                  .withColumnRenamed("weight", "wt")})             # v3
+    upd = rows(("a", 1, 11.0)).withColumnRenamed("weight", "wt") \
+        .withColumn("_deleted", F.lit(False))
+    wh.merge_tx("items", upd, ["product_name"], delete_col="_deleted")
+    got = {r["product_name"]: r["wt"]
+           for r in wh.read_committed_tx("items").collect()}
+    assert got == {"a": 11.0, "b": 20.0, "c": 30.0}
+
+    # RENAME of the MERGE KEY itself: pruning + merge keep working
+    wh.rename_column_tx("items", "product_name", "pname")
+    upd2 = spark.createDataFrame(
+        [("b", 99.0, False)], "pname string, wt double, _deleted boolean")
+    wh.merge_tx("items", upd2, ["pname"], delete_col="_deleted")
+    got = {r["pname"]: r["wt"]
+           for r in wh.read_committed_tx("items").collect()}
+    assert got == {"a": 11.0, "b": 99.0, "c": 30.0}
+    wh.rename_column_tx("items", "pname", "product_name")
+
+    # re-ADD of the renamed-away name binds a FRESH column: the old
+    # physical bytes (weight data) must NOT show through
+    wh.add_column_tx("items", "weight", "double")
+    vals = {(r["product_name"]): (r["wt"], r["weight"])
+            for r in wh.read_committed_tx("items").collect()}
+    assert all(w is None for _, w in vals.values())
+    assert vals["a"][0] == 11.0
+
+    # DROP hides the column everywhere; time travel still sees it
+    v_before_drop = wh.current_tx_version()
+    wh.drop_column_tx("items", "weight")
+    assert "weight" not in wh.read_committed_tx("items").columns
+    assert "weight" in wh.read_committed_tx(
+        "items", as_of_version=v_before_drop).columns
+
+    # drop + re-add of a DATA-BEARING column: fresh again
+    wh.drop_column_tx("items", "wt")
+    wh.add_column_tx("items", "wt", "double")
+    assert all(r["wt"] is None for r in
+               wh.read_committed_tx("items").collect())
+
+    # fold survival: net schema (and retirement) survive a checkpoint
+    wh.checkpoint_txlog()
+    assert [f.name for f in wh._tx_schema("items")] == \
+        [f.name for f in schemas.WAREHOUSE_TABLES["items"].fields
+         if f.name != "weight"] + ["wt"]
+    assert all(r["wt"] is None for r in
+               wh.read_committed_tx("items").collect())
+    # post-fold re-add is STILL fresh (retirement survived the fold)
+    wh.drop_column_tx("items", "wt")
+    wh.add_column_tx("items", "wt", "double")
+    assert all(r["wt"] is None for r in
+               wh.read_committed_tx("items").collect())
+
+    # guards: unknown / duplicate names, constraint references,
+    # last-column, live-DV key
+    with pytest.raises(ValueError, match="no column"):
+        wh.drop_column_tx("items", "nope")
+    with pytest.raises(ValueError, match="no column"):
+        wh.rename_column_tx("items", "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        wh.rename_column_tx("items", "wt", "product_name")
+    wh.add_constraint_tx("items", "pid_set", "profile_id >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        wh.rename_column_tx("items", "profile_id", "pid")
+    with pytest.raises(ValueError, match="constraint"):
+        wh.drop_column_tx("items", "profile_id")
+    wh.drop_constraint_tx("items", "pid_set")
+    upd3 = spark.createDataFrame(
+        [("c", 31.0, False)],
+        "product_name string, wt double, _deleted boolean")
+    wh.merge_tx("items", upd3, ["product_name"],
+                delete_col="_deleted", mode="mor")
+    with pytest.raises(ValueError, match="deletion vector"):
+        wh.drop_column_tx("items", "product_name")
+    wh.compact("items")
+    wh.drop_column_tx("items", "zolo_id")   # fine after compaction
+
+
 def test_tx_commit_cas_no_lost_updates(spark, wh):
     """The metadata-generation CAS protocol must serialize concurrent
     committers with NO lost updates — the single-file os.replace it
@@ -1024,13 +1131,21 @@ def test_tx_history_describes_operations(spark, wh):
         h[max(h)]["tables"] == ["items"]
 
 
-def test_tx_model_random_walk(spark, wh):
+def test_tx_model_random_walk(spark, tmp_path):
     """Model-based stress over the whole tx surface: a seeded random
     walk of commit / merge / compact / restore / checkpoint ops,
     with a pure-Python model tracking every version's expected state.
     After every op the committed read must equal the model; retained
-    versions must time-travel to their recorded states."""
+    versions must time-travel to their recorded states.
+
+    auto_compact_dvs is pinned OFF: the model counts exactly one
+    version per op, and the default auto-compaction would interleave
+    its own rewrite records (that policy has its own dedicated
+    test)."""
     import random
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), auto_compact_dvs=None)
+    wh.init()
 
     rng = random.Random(11)
     states: dict[int, dict] = {0: {}}   # version -> {name: weight}
@@ -1325,6 +1440,61 @@ def _items_upd(spark, *specs):
         " profile_id long, _deleted boolean")
 
 
+def test_merge_tx_single_evaluation_of_nonidempotent_source(
+        spark, wh, tmp_path):
+    """r12 ADVICE item 2: merge_tx materializes the update batch ONCE
+    (localCheckpoint) so file pruning and the merge itself see the
+    SAME rows. A non-idempotent source (API extract) that yields a
+    DIFFERENT key on a second plan evaluation must not produce
+    duplicate-key rows via a file the pruner kept on the first
+    evaluation's keys. The test's source reads its key from a state
+    file that a _prune_merge_files hook mutates mid-merge — one
+    evaluation means the mutation is invisible."""
+    import pandas as pd
+
+    # two committed files: 'a' alone in file 1, 'b' alone in file 2
+    wh.commit_tx({"items": _items_rows(spark, ("a", 1, 10.0)).coalesce(1)})
+    wh.commit_tx({"items": _items_rows(spark, ("b", 2, 20.0)).coalesce(1)})
+
+    state = tmp_path / "key.txt"
+    state.write_text("b")
+
+    def gen(_batches):
+        key = state.read_text().strip()
+        yield pd.DataFrame([{
+            "product_name": key, "variant_name": "v", "zolo_id": 9,
+            "square_id": "sq", "quickbooks_id": "qb",
+            "shopify_id": "sh", "category_name": "cat",
+            "form": "whole", "weight": 99.0, "profile_id": 1,
+            "_deleted": False}])
+
+    updates = spark.range(0, 1, 1, 1).mapInPandas(
+        gen,
+        "product_name string, variant_name string, zolo_id int,"
+        " square_id string, quickbooks_id string, shopify_id string,"
+        " category_name string, form string, weight double,"
+        " profile_id int, _deleted boolean")
+
+    real_prune = type(wh)._prune_merge_files
+
+    def mutating_prune(self, table, files, keys, upd):
+        out = real_prune(self, table, files, keys, upd)
+        state.write_text("a")   # a re-evaluation would now yield 'a'
+        return out
+
+    type(wh)._prune_merge_files = mutating_prune
+    try:
+        wh.merge_tx("items", updates, ["product_name"],
+                    delete_col="_deleted")
+    finally:
+        type(wh)._prune_merge_files = real_prune
+
+    rows = wh.read_committed_tx("items").collect()
+    got = sorted((r["product_name"], r["weight"]) for r in rows)
+    # one evaluation: 'b' updated, 'a' untouched, NO duplicate 'a'
+    assert got == [("a", 10.0), ("b", 99.0)]
+
+
 def test_merge_tx_mor_twin_and_zero_rewrite(spark, wh, tmp_path):
     """Merge-on-read deletion vectors: a mor-mode merge rewrites ZERO
     committed data files (commit cost O(update batch)), reads are
@@ -1570,6 +1740,64 @@ def test_tx_check_constraints_enforced_on_commit_and_merge(spark, wh):
     wh.commit_tx({"items": _items_rows(spark, ("c", 3, -3.0))})
     assert wh.read_committed_tx("items").count() == 3
 
+def test_tx_constraints_hold_under_concurrent_publish(spark, wh):
+    """r12 ADVICE item 1: constraint state participates in the
+    optimistic-concurrency protocol. (a) A batch validated BEFORE a
+    concurrent add_constraint publishes is RE-validated on the CAS
+    retry — a violating batch is rejected, a clean one lands.
+    (b) add_constraint_tx whose existing-row scan ran BEFORE a
+    concurrent violating commit publishes re-validates the fresh
+    state and refuses instead of publishing a broken invariant."""
+    wh.commit_tx({"items": _items_rows(spark, ("a", 1, 10.0))})
+    real_publish = type(wh)._publish_txlog
+
+    def inject(action):
+        state = {"fired": False}
+
+        def racing(self, log):
+            if not state["fired"]:
+                state["fired"] = True
+                action()                  # lands between read and publish
+                raise FileExistsError     # what the real os.link does
+            return real_publish(self, log)
+        return racing
+
+    # (a) violating batch, constraint publishes mid-commit -> rejected
+    type(wh)._publish_txlog = inject(
+        lambda: wh.add_constraint_tx("items", "w_pos", "weight > 0"))
+    try:
+        with pytest.raises(ValueError, match="w_pos"):
+            wh.commit_tx({"items": _items_rows(spark, ("b", 2, -5.0))})
+    finally:
+        type(wh)._publish_txlog = real_publish
+    assert wh.read_committed_tx("items").count() == 1
+    assert wh._tx_constraints("items") == {"w_pos": "weight > 0"}
+    assert wh.vacuum_uncommitted_tx(["items"]) == 0  # staged dir cleaned
+    wh.drop_constraint_tx("items", "w_pos")
+
+    # (a') clean batch, constraint publishes mid-commit -> retries through
+    type(wh)._publish_txlog = inject(
+        lambda: wh.add_constraint_tx("items", "w_pos2", "weight > 0"))
+    try:
+        wh.commit_tx({"items": _items_rows(spark, ("c", 3, 30.0))})
+    finally:
+        type(wh)._publish_txlog = real_publish
+    assert wh.read_committed_tx("items").count() == 2
+    wh.drop_constraint_tx("items", "w_pos2")
+
+    # (b) violating row commits mid-add_constraint -> add refuses
+    type(wh)._publish_txlog = inject(
+        lambda: wh.commit_tx({"items": _items_rows(spark, ("d", 4, -4.0))}))
+    try:
+        with pytest.raises(ValueError, match="existing row"):
+            wh.add_constraint_tx("items", "w_pos3", "weight > 0")
+    finally:
+        type(wh)._publish_txlog = real_publish
+    assert "w_pos3" not in wh._tx_constraints("items")
+    # the racing commit itself was legal (no constraint yet) and stays
+    assert wh.read_committed_tx("items").count() == 3
+
+
 def test_write_audit_publish_lifecycle(spark, wh):
     """Iceberg WAP: a staged commit is invisible to every reader, the
     audit view (read_staged_tx) previews committed+staged, publish is
@@ -1654,6 +1882,30 @@ def test_publish_tx_crash_rerun_is_exactly_once(spark, wh):
     wh.publish_tx(tok2)
     assert wh.read_committed_tx("items").count() == 3
 
+def test_default_auto_compact_bounds_mor_read_debt(spark, tmp_path):
+    """The out-of-the-box Warehouse bounds merge-on-read read
+    amplification: auto_compact_dvs defaults to 6 (the measured 4–8
+    sweet spot), so the 6th live deletion vector triggers an
+    in-call compaction and reads never pay more than 5 DV broadcast
+    joins. Contents are unchanged by the compaction (it is a pure
+    rewrite)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    assert wh.auto_compact_dvs == 6
+    wh.init()
+    wh.commit_tx({"items": _items_rows(spark, ("a", 1, 10.0))})
+    for i in range(5):
+        wh.merge_tx("items", _items_upd(spark, ("a", 1, 20.0 + i, False)),
+                    ["product_name"], delete_col="_deleted", mode="mor")
+        assert wh.describe_detail("items")["num_live_dvs"] == i + 1
+    wh.merge_tx("items", _items_upd(spark, ("a", 1, 99.0, False)),
+                ["product_name"], delete_col="_deleted", mode="mor")
+    d = wh.describe_detail("items")
+    assert d["num_live_dvs"] == 0   # 6th DV hit the bound: compacted
+    got = {r["product_name"]: r["weight"]
+           for r in wh.read_committed_tx("items").collect()}
+    assert got == {"a": 99.0}
+
+
 def test_stats_in_txlog_make_merge_pruning_metadata_only(spark, tmp_path,
                                                          monkeypatch):
     """stats_cols opt-in: commit records per-file key min/max in the
@@ -1691,4 +1943,46 @@ def test_stats_in_txlog_make_merge_pruning_metadata_only(spark, tmp_path,
     upd = _items_upd(spark, ("b03", 3, 103.0, False))
     keep, touched = wh._prune_merge_files("items", files,
                                           ["product_name"], upd)
+    assert len(keep) == 2 and len(touched) == 1
+
+
+def test_pipeline_tables_get_txlog_stats_by_default(spark, tmp_path,
+                                                    monkeypatch):
+    """The ETL tx tables are opted into tx-log per-file stats on
+    their natural merge keys OUT OF THE BOX (_DEFAULT_STATS_COLS), so
+    a CDC MERGE into a product pipeline table prunes on pure tx-log
+    metadata — zero footer round trips (poisoned-footer proof, same
+    as the opt-in test)."""
+    import datetime
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    assert wh.stats_cols["square_trans"] == ["payment_id"]
+    wh.init()
+
+    def batch(prefix):
+        ts = datetime.datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [(f"{prefix}{i:02d}", ts, "in_market", float(i), None, None)
+             for i in range(10)],
+            schemas.WAREHOUSE_TABLES["square_trans"]).coalesce(1)
+
+    for p in ("a", "b", "c"):
+        wh.commit_tx({"square_trans": batch(p)})
+    txs = wh._effective_txs(wh._read_txlog())
+    files = wh._replay_files(txs, "square_trans")
+    logged = wh._log_stats(txs, "square_trans")
+    assert set(logged) == set(files)
+
+    monkeypatch.setattr(
+        type(wh), "_footer_stats",
+        lambda self, t, rel, cols: (_ for _ in ()).throw(
+            AssertionError("footer read attempted")))
+    ts = datetime.datetime(2024, 1, 1)
+    upd = spark.createDataFrame(
+        [("b03", ts, "in_market", 103.0, None, None, False)],
+        "payment_id string, created_at timestamp, market string,"
+        " dollars double, tendered_cash double, returned_cash double,"
+        " _deleted boolean")
+    keep, touched = wh._prune_merge_files("square_trans", files,
+                                          ["payment_id"], upd)
     assert len(keep) == 2 and len(touched) == 1

@@ -44,6 +44,14 @@ _BUCKETED = {
     "qb_trans_details": "payment_id",
 }
 
+# Tx-log per-file stats recorded by default on the ETL tx tables,
+# keyed on each table's natural merge key (the same key _BUCKETED
+# co-locates on): a CDC MERGE into these prunes on pure tx-log
+# metadata — zero footer round trips, the gap that matters on object
+# storage where a 100 TB table has 10^5 files. Callers can extend or
+# disable via the ``stats_cols`` constructor arg.
+_DEFAULT_STATS_COLS = {t: [k] for t, k in _BUCKETED.items()}
+
 
 class ConcurrentWriteError(RuntimeError):
     """A REWRITE (merge / compact / restore) was built from a snapshot
@@ -66,7 +74,7 @@ class Warehouse:
                  bucketed: bool = False, buckets: int = 8,
                  auto_checkpoint_every: int | None = None,
                  auto_checkpoint_retain: int = 10,
-                 auto_compact_dvs: int | None = None,
+                 auto_compact_dvs: int | None = 6,
                  stats_cols: dict[str, list[str]] | None = None):
         """``auto_checkpoint_every=N`` opts into tx-log maintenance on
         ingest: after a commit, if the log holds ≥ N records, it is
@@ -81,9 +89,12 @@ class Warehouse:
         ``merge_tx(mode="mor")`` leaves a table with ≥ N live
         deletion vectors, the table is compacted (DVs materialized,
         one right-sized batch) in the same call — Databricks'
-        auto-compaction for DV tables. Off by default; every read
-        pays one broadcast join per live DV, so N trades merge
-        latency against read amplification.
+        auto-compaction for DV tables. Every read pays one broadcast
+        join per live DV (measured +0.4–0.5 s each at the 6M-row
+        rehearsal scale, BASELINE.md round 12), so N trades merge
+        latency against read amplification; the default 6 sits in
+        the measured 4–8 sweet spot. ``None`` disables — DVs then
+        accumulate until an explicit :meth:`compact`.
 
         ``stats_cols={"table": ["key", ...]}`` opts a table into
         Delta-style per-file column stats IN THE TX LOG: every
@@ -93,7 +104,10 @@ class Warehouse:
         time, the gap that matters on object storage where a 100 TB
         table has 10^5 files. Files committed before the opt-in (or
         for other columns) fall back to footer reads, exactly as
-        before."""
+        before. Defaults to ``_DEFAULT_STATS_COLS`` — the ETL tx
+        tables on their natural merge keys — so the product
+        pipelines get metadata-only MERGE pruning out of the box;
+        pass ``{}`` to disable."""
         self.spark = spark
         self.root = root
         self.bucketed = bucketed
@@ -101,7 +115,8 @@ class Warehouse:
         self.auto_checkpoint_every = auto_checkpoint_every
         self.auto_checkpoint_retain = auto_checkpoint_retain
         self.auto_compact_dvs = auto_compact_dvs
-        self.stats_cols = dict(stats_cols or {})
+        self.stats_cols = dict(_DEFAULT_STATS_COLS if stats_cols is None
+                               else stats_cols)
         # catalog namespace derived from the root path: two warehouses
         # in one session never collide
         self._db = "zolo_wh_" + re.sub(r"[^a-z0-9]+", "_", root.lower()).strip("_")
@@ -639,8 +654,9 @@ class Warehouse:
                     "append_commit"
                 )
         staged: dict[str, list[str]] = {}
+        fields_of = {t: self._tx_fields(t) for t in frames}
         for table, df in frames.items():
-            df = self._cast_to(df, self._tx_schema(table))
+            df = self._to_physical(df, fields_of[table])
             part_col = _PARTITIONED.get(table)
             if part_col is not None:
                 # cluster each staged batch on the slice column so
@@ -654,10 +670,13 @@ class Warehouse:
             staged[table] = sorted(
                 os.path.join(batch_dir, fn) for fn in os.listdir(out)
                 if fn.endswith(".parquet"))
-        for table in staged:
-            self._validate_staged(table, staged[table],
-                                  self._tx_schema(table), None)
-        self._append_tx_record(staged, dict(watermarks or {}))
+        validated = {
+            table: (self._validate_staged(table, staged[table],
+                                          fields_of[table], None),
+                    staged[table])
+            for table in staged}
+        self._append_tx_record(staged, dict(watermarks or {}),
+                               validated_constraints=validated)
         if (self.auto_checkpoint_every is not None
                 and len(self._read_txlog()["txs"])
                 >= self.auto_checkpoint_every):
@@ -667,12 +686,15 @@ class Warehouse:
                           watermarks: dict[str, str] | None = None,
                           replaces: list[str] | None = None,
                           schema_add: dict | None = None,
+                          schema_drop: dict | None = None,
+                          schema_rename: dict | None = None,
                           expect_files: dict[str, list[str]] | None = None,
                           dv: dict[str, list[str]] | None = None,
                           dv_keys: dict[str, list[str]] | None = None,
                           constraint_add: dict | None = None,
                           constraint_drop: dict | None = None,
-                          wap: str | None = None
+                          wap: str | None = None,
+                          validated_constraints: dict | None = None
                           ) -> None:
         """Append one versioned record and publish as the next
         metadata generation — THE commit point for every tx-log
@@ -689,7 +711,23 @@ class Warehouse:
         record built on a stale snapshot would silently drop rows a
         concurrent commit added (r11 VERDICT item 5 — Delta fails the
         transaction when files it read were rewritten; appends to
-        UNRELATED tables still retry through)."""
+        UNRELATED tables still retry through).
+
+        ``validated_constraints`` is the writer's CONSTRAINT READ SET:
+        per-table ``(constraint_state, staged_files)`` — the
+        CHECK-constraint state the batch was validated against (as
+        returned by :meth:`_validate_staged`) plus the NEWLY STAGED
+        files it covers (never kept/committed files: a violation
+        removes the listed dirs, which must only ever be this
+        writer's own staging garbage). Every attempt re-reads the
+        live constraints from the fresh log; if a concurrent
+        ``add_constraint_tx`` / ``drop`` changed them, the staged
+        files are RE-VALIDATED against the new state before this
+        record may publish — so a constraint published after this
+        batch's validation still gates the batch, keeping 'the
+        constraint is an invariant of the table' true under
+        concurrency (the symmetric half lives in add_constraint_tx's
+        expect_files snapshot; r12 ADVICE item 1)."""
         # stats_cols opt-in: record each staged file's footer min/max
         # on its commit record so future merge pruning is pure
         # metadata (Delta's per-file stats). Computed ONCE before the
@@ -701,6 +739,10 @@ class Warehouse:
             cols = self.stats_cols.get(t)
             if not cols:
                 continue
+            # footers (and the recorded stats) speak PHYSICAL names;
+            # the stats_cols config speaks logical
+            p_of = {ln: ph for ln, ph, _ in self._tx_fields(t)}
+            cols = [p_of.get(c, c) for c in cols]
             per_file: dict = {}
             for rel in rels:
                 fs = self._footer_stats(t, rel, cols)
@@ -717,9 +759,23 @@ class Warehouse:
                     per_file[rel] = ok
             if per_file:
                 stats[t] = per_file
+        validated = {t: cons for t, (cons, _)
+                     in (validated_constraints or {}).items()}
         for _ in range(50):
             log = self._read_txlog()
             eff = self._effective_txs(log)
+            for t, (_, staged_rels) in (validated_constraints or {}).items():
+                if not staged_rels:
+                    continue
+                live = self._tx_constraints(t, eff)
+                if live != validated.get(t):
+                    # a concurrent constraint change published after
+                    # this batch was validated: re-validate against
+                    # the fresh state (violation removes the staged
+                    # dirs and raises — the record never publishes)
+                    self._validate_staged(
+                        t, staged_rels, self._tx_fields(t, eff), eff)
+                    validated[t] = live
             if expect_files is not None:
                 for t, read_set in expect_files.items():
                     # the read set covers BOTH the file list and the
@@ -742,6 +798,10 @@ class Warehouse:
                 rec["replaces"] = replaces
             if schema_add:
                 rec["schema_add"] = schema_add
+            if schema_drop:
+                rec["schema_drop"] = schema_drop
+            if schema_rename:
+                rec["schema_rename"] = schema_rename
             if dv:
                 rec["dv"] = dv
                 rec["dv_keys"] = dv_keys or {}
@@ -775,19 +835,27 @@ class Warehouse:
         raises."""
         txs = self._effective_txs(self._read_txlog())
         self._check_retained(as_of_version, txs)
-        schema = self._tx_schema(table, txs, as_of_version)
+        fields = self._tx_fields(table, txs, as_of_version)
         files = self._replay_files(txs, table, as_of_version)
         if not files:
-            return self.spark.createDataFrame([], schema)
+            return self.spark.createDataFrame(
+                [], self._tx_schema(table, txs, as_of_version))
         dvs = self._replay_dvs(txs, table, as_of_version)
         if dvs:
-            return self._read_with_dvs(table, txs, schema, dvs,
-                                       as_of_version)
-        # Explicit schema over parquet: files written BEFORE a column
-        # add simply lack the column and read as NULL — the standard
-        # no-rewrite schema-evolution read (Iceberg/Delta add-column).
-        return self.spark.read.schema(schema) \
-            .parquet(*[os.path.join(self.path(table), rel) for rel in files])
+            return self._to_logical(
+                self._read_with_dvs(table, txs,
+                                    self._physical_schema(fields),
+                                    dvs, as_of_version), fields)
+        # Explicit PHYSICAL schema over parquet: files written BEFORE
+        # a column add simply lack the column and read as NULL — the
+        # standard no-rewrite schema-evolution read (Iceberg/Delta
+        # add-column); renamed columns read their stable physical
+        # name and alias to the current logical one.
+        return self._to_logical(
+            self.spark.read.schema(self._physical_schema(fields))
+            .parquet(*[os.path.join(self.path(table), rel)
+                       for rel in files]),
+            fields)
 
     def _read_with_dvs(self, table: str, txs, schema, dvs,
                        as_of_version: int | None) -> DataFrame:
@@ -821,25 +889,119 @@ class Warehouse:
                   .drop("_dvhit"))
         return df.drop("_fv")
 
-    def _tx_schema(self, table: str,
+    @staticmethod
+    def _replay_fields(table: str, records: list[dict]
+                       ) -> list[tuple[str, str, str | None]]:
+        """Replay add/drop/rename records over the static base schema
+        into ``[(logical, physical, dtype_str|None)]`` — the Iceberg
+        field-identity model with PHYSICAL parquet column names
+        standing in for field ids. A base column's physical name is
+        its original name forever (rename is pure metadata); an added
+        column's physical name is recorded on its add record (a
+        re-added name gets a FRESH physical name, so bytes a dropped
+        column left in old files can never resurrect). ``dtype`` is
+        None for base columns (their type lives in the static
+        schema). Order within one record: drop → rename → add (only
+        checkpoint snapshots carry more than one kind, and that order
+        makes drop-then-readd and rename-then-readd fold cleanly)."""
+        fields: list[tuple[str, str, str | None]] = [
+            (f.name, f.name, None)
+            for f in schemas.WAREHOUSE_TABLES[table].fields]
+        for tx in records:
+            for entry in tx.get("schema_drop", {}).get(table, []):
+                name = entry[0] if isinstance(entry, list) else entry
+                fields = [f for f in fields if f[0] != name]
+            for old, new in tx.get("schema_rename", {}).get(table, []):
+                fields = [((new if ln == old else ln), ph, dt)
+                          for ln, ph, dt in fields]
+            for add in tx.get("schema_add", {}).get(table, []):
+                name, dtype = add[0], add[1]
+                phys = add[2] if len(add) > 2 else name
+                fields.append((name, phys, dtype))
+        return fields
+
+    def _tx_fields(self, table: str,
                    txs: list[tuple[int, dict]] | None = None,
-                   as_of_version: int | None = None):
-        """The table's EFFECTIVE schema at ``as_of_version`` (or
-        now): the static base schema plus every column added by an
-        ``add_column_tx`` record at or before that version — the
-        schema time-travels with the data."""
-        from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+                   as_of_version: int | None = None
+                   ) -> list[tuple[str, str, object]]:
+        """The table's EFFECTIVE field list at ``as_of_version`` (or
+        now) as ``[(logical, physical, DataType)]`` — see
+        :meth:`_replay_fields` for the identity model."""
+        from pyspark.sql.types import _parse_datatype_string
 
         if txs is None:
             txs = self._effective_txs(self._read_txlog())
-        fields = list(schemas.WAREHOUSE_TABLES[table].fields)
-        for v, tx in txs:
-            if as_of_version is not None and v > as_of_version:
-                break
-            for name, dtype in tx.get("schema_add", {}).get(table, []):
-                fields.append(StructField(
-                    name, _parse_datatype_string(dtype), True))
-        return StructType(fields)
+        base = {f.name: f.dataType
+                for f in schemas.WAREHOUSE_TABLES[table].fields}
+        recs = [tx for v, tx in txs
+                if as_of_version is None or v <= as_of_version]
+        return [(ln, ph, base[ph] if dt is None
+                 else _parse_datatype_string(dt))
+                for ln, ph, dt in self._replay_fields(table, recs)]
+
+    def _tx_schema(self, table: str,
+                   txs: list[tuple[int, dict]] | None = None,
+                   as_of_version: int | None = None):
+        """The table's EFFECTIVE logical schema at ``as_of_version``
+        (or now): base schema plus adds, minus drops, through renames
+        — the schema time-travels with the data."""
+        from pyspark.sql.types import StructField, StructType
+
+        return StructType([
+            StructField(ln, dt, True)
+            for ln, _, dt in self._tx_fields(table, txs, as_of_version)])
+
+    @staticmethod
+    def _physical_schema(fields):
+        """StructType over the PHYSICAL column names — what the
+        parquet files actually store."""
+        from pyspark.sql.types import StructField, StructType
+
+        return StructType([StructField(ph, dt, True)
+                           for _, ph, dt in fields])
+
+    @staticmethod
+    def _to_logical(df: DataFrame, fields) -> DataFrame:
+        """Alias a physical-named frame to its logical names (no-op
+        select when no rename/re-add has diverged them)."""
+        if all(ln == ph for ln, ph, _ in fields):
+            return df
+        extra = [c for c in df.columns
+                 if c not in {ph for _, ph, _ in fields}]
+        return df.select(*[F.col(ph).alias(ln) for ln, ph, _ in fields],
+                         *extra)
+
+    @staticmethod
+    def _to_physical(df: DataFrame, fields,
+                     extras: bool = False) -> DataFrame:
+        """Project a logical-named frame onto the physical write
+        schema: present columns cast, absent columns fill NULL (the
+        add-column evolution contract), each landing under its
+        PHYSICAL name. ``extras=True`` passes non-schema columns
+        (tombstones) through under their own names."""
+        have = set(df.columns)
+        logicals = {ln for ln, _, _ in fields}
+        extra = [c for c in df.columns
+                 if c not in logicals] if extras else []
+        return df.select(
+            *[(F.col(ln).cast(dt) if ln in have
+               else F.lit(None).cast(dt)).alias(ph)
+              for ln, ph, dt in fields],
+            *extra)
+
+    def _retired_physicals(self, table: str,
+                           txs: list[tuple[int, dict]]) -> set:
+        """Physical column names that once held data and were dropped
+        — never reusable (old files still carry their bytes).
+        Tracked via the drop records' ``[logical, physical]`` pairs
+        and preserved across folds in ``schema_retired``."""
+        out: set = set()
+        for _, tx in txs:
+            out.update(tx.get("schema_retired", {}).get(table, []))
+            for entry in tx.get("schema_drop", {}).get(table, []):
+                if isinstance(entry, list):
+                    out.add(entry[1])
+        return out
 
     def add_column_tx(self, table: str, name: str, dtype: str) -> None:
         """Add a nullable column to a tx-managed table — Iceberg's
@@ -849,14 +1011,88 @@ class Warehouse:
         fill NULL). The add participates in time travel: reads at a
         version before the add see the old schema. Calling this on a
         fresh table CLAIMS it for the tx subsystem (plain
-        append/overwrite will refuse from then on)."""
-        current = [f.name for f in self._tx_schema(table)]
-        if name in current:
-            raise ValueError(
-                f"column {name} already exists on {table}")
+        append/overwrite will refuse from then on).
+
+        Re-adding a previously dropped (or renamed-away) name binds a
+        FRESH physical column, so values the old column left in
+        still-referenced files stay invisible — Iceberg's field-id
+        semantics, which name-matching alone would violate."""
         from pyspark.sql.types import _parse_datatype_string
         _parse_datatype_string(dtype)  # validate eagerly, not at read
-        self._append_tx_record({}, schema_add={table: [[name, dtype]]})
+        txs = self._effective_txs(self._read_txlog())
+        fields = self._tx_fields(table, txs)
+        if name in {ln for ln, _, _ in fields}:
+            raise ValueError(
+                f"column {name} already exists on {table}")
+        used = {ph for _, ph, _ in fields} \
+            | self._retired_physicals(table, txs)
+        phys = name
+        if name in used:
+            phys = f"{name}__v{(txs[-1][0] if txs else 0) + 1}"
+        add = [name, dtype] if phys == name else [name, dtype, phys]
+        self._append_tx_record({}, schema_add={table: [add]})
+
+    def _guard_constraint_refs(self, table: str, name: str,
+                               txs: list[tuple[int, dict]],
+                               op: str) -> None:
+        """Drop/rename precondition: live CHECK constraints must not
+        reference the column (their exprs are logical-name SQL;
+        Databricks makes you drop the constraint first)."""
+        for cname, expr in self._tx_constraints(table, txs).items():
+            if re.search(rf"\b{re.escape(name)}\b", expr):
+                raise ValueError(
+                    f"cannot {op} column {name} on {table}: CHECK "
+                    f"constraint {cname} ({expr}) references it — "
+                    "drop the constraint first")
+
+    def drop_column_tx(self, table: str, name: str) -> None:
+        """Iceberg's ``ALTER TABLE DROP COLUMN``: one metadata-only
+        record, no file rewrite. The column vanishes from reads and
+        from the write schema; its bytes stay in already-committed
+        files (invisible — reads select physical columns explicitly)
+        until compaction/expiry rewrites them. Time travel to a
+        version before the drop still sees the column. Re-adding the
+        same name later binds a fresh physical column (never the old
+        bytes)."""
+        txs = self._effective_txs(self._read_txlog())
+        fields = self._tx_fields(table, txs)
+        match = [f for f in fields if f[0] == name]
+        if not match:
+            raise ValueError(f"no column {name} on {table}")
+        if len(fields) == 1:
+            raise ValueError(
+                f"cannot drop the last column of {table}")
+        self._guard_constraint_refs(table, name, txs, "drop")
+        # live deletion vectors key on PHYSICAL names; dropping a
+        # DV key column would break their anti-join — compact first
+        phys = match[0][1]
+        for _, dv_keys, _ in self._replay_dvs(txs, table):
+            if phys in dv_keys:
+                raise ValueError(
+                    f"cannot drop column {name} on {table}: a live "
+                    "deletion vector keys on it — compact(table) "
+                    "first")
+        self._append_tx_record(
+            {}, schema_drop={table: [[name, phys]]})
+
+    def rename_column_tx(self, table: str, old: str, new: str) -> None:
+        """Iceberg's ``ALTER TABLE RENAME COLUMN``: pure metadata —
+        the physical parquet name never changes, so no file is
+        rewritten and old files keep reading correctly; only the
+        LOGICAL name every reader and writer sees moves. Time travel
+        to a version before the rename sees the old name. Renaming
+        to a previously-dropped name is fine (distinct physical
+        identity)."""
+        txs = self._effective_txs(self._read_txlog())
+        logicals = [ln for ln, _, _ in self._tx_fields(table, txs)]
+        if old not in logicals:
+            raise ValueError(f"no column {old} on {table}")
+        if new in logicals:
+            raise ValueError(
+                f"column {new} already exists on {table}")
+        self._guard_constraint_refs(table, old, txs, "rename")
+        self._append_tx_record(
+            {}, schema_rename={table: [[old, new]]})
 
     # ------------------------------------------------ CHECK constraints
 
@@ -884,18 +1120,40 @@ class Warehouse:
         its record publishes (SQL CHECK semantics — NULL passes,
         FALSE violates), and the EXISTING committed rows are
         validated now, so the constraint is an invariant of the
-        table, not just of future writes."""
-        if name in self._tx_constraints(table):
-            raise ValueError(
-                f"constraint {name} already exists on {table}")
-        cur = self.read_committed_tx(table)
-        bad = cur.filter(
-            ~F.coalesce(F.expr(expr), F.lit(True))).count()
-        if bad:
-            raise ValueError(
-                f"cannot add constraint {name} to {table}: {bad} "
-                f"existing row(s) violate CHECK ({expr})")
-        self._append_tx_record({}, constraint_add={table: [[name, expr]]})
+        table, not just of future writes.
+
+        The existing-row validation participates in the optimistic-
+        concurrency protocol (r12 ADVICE item 1): the record carries
+        the (files, DVs) snapshot the scan read as its READ SET, so a
+        data commit that publishes between this validation and this
+        publish forces a re-validation of the fresh state instead of
+        landing rows the constraint never saw (the mirror-image race
+        — a batch validated before this constraint publishes — is
+        closed by _append_tx_record's in-loop constraint re-check)."""
+        for _ in range(10):
+            txs = self._effective_txs(self._read_txlog())
+            if name in self._tx_constraints(table, txs):
+                raise ValueError(
+                    f"constraint {name} already exists on {table}")
+            files = self._replay_files(txs, table)
+            dvs = self._replay_dvs(txs, table)
+            cur = self.read_committed_tx(table)
+            bad = cur.filter(
+                ~F.coalesce(F.expr(expr), F.lit(True))).count()
+            if bad:
+                raise ValueError(
+                    f"cannot add constraint {name} to {table}: {bad} "
+                    f"existing row(s) violate CHECK ({expr})")
+            try:
+                self._append_tx_record(
+                    {}, constraint_add={table: [[name, expr]]},
+                    expect_files={table: (files, dvs)})
+                return
+            except ConcurrentWriteError:
+                continue  # table changed under the scan: re-validate
+        raise ConcurrentWriteError(
+            f"add_constraint_tx({table}, {name}) lost the validation "
+            "race 10 times - writer storm?")
 
     def drop_constraint_tx(self, table: str, name: str) -> None:
         """Delta's ``DROP CONSTRAINT``: metadata-only record."""
@@ -948,7 +1206,7 @@ class Warehouse:
                     f"table {table} is manifest-managed (append_commit)")
         staged: dict[str, list[str]] = {}
         for table, df in frames.items():
-            df = self._cast_to(df, self._tx_schema(table))
+            df = self._to_physical(df, self._tx_fields(table))
             part_col = _PARTITIONED.get(table)
             if part_col is not None:
                 df = df.sortWithinPartitions(part_col)
@@ -979,8 +1237,12 @@ class Warehouse:
         rels = pend["tables"].get(table, [])
         if not rels:
             return cur
-        staged = self.spark.read.schema(self._tx_schema(table)).parquet(
-            *[os.path.join(self.path(table), rel) for rel in rels])
+        fields = self._tx_fields(table)
+        staged = self._to_logical(
+            self.spark.read.schema(self._physical_schema(fields))
+            .parquet(*[os.path.join(self.path(table), rel)
+                       for rel in rels]),
+            fields)
         return cur.unionByName(staged)
 
     def publish_tx(self, token: str) -> None:
@@ -1000,11 +1262,14 @@ class Warehouse:
                for tx in self._read_txlog()["txs"]):
             os.remove(pend_path)   # crash-rerun: already published
             return
-        for table, rels in pend["tables"].items():
-            self._validate_staged(table, rels, self._tx_schema(table),
-                                  None)
+        validated = {
+            table: (self._validate_staged(table, rels,
+                                          self._tx_fields(table), None),
+                    rels)
+            for table, rels in pend["tables"].items()}
         self._append_tx_record(pend["tables"], pend["watermarks"],
-                               wap=token)
+                               wap=token,
+                               validated_constraints=validated)
         os.remove(pend_path)
 
     def abort_tx(self, token: str) -> None:
@@ -1018,18 +1283,28 @@ class Warehouse:
         os.remove(os.path.join(self.root, f"_PENDING.{token}.json"))
 
     def _validate_staged(self, table: str, staged: list[str],
-                         schema, txs) -> None:
+                         fields, txs) -> dict[str, str]:
         """Validate a STAGED batch against the table's live CHECK
         constraints in one scan of the staged files (never a
         recompute of the caller's plan — API extracts are not
         idempotent). On violation the staged dirs are removed and the
         commit raises; the table is untouched (the record never
-        published)."""
+        published). Returns the constraint state validated against,
+        which the caller passes to :meth:`_append_tx_record` as its
+        CONSTRAINT READ SET — the CAS loop re-validates if a
+        concurrent ``add_constraint_tx`` published in between.
+
+        ``fields`` is the ``_tx_fields`` list the batch was staged
+        with — files hold PHYSICAL names; constraint exprs speak
+        logical."""
         cons = self._tx_constraints(table, txs)
         if not cons or not staged:
-            return
-        df = self.spark.read.schema(schema).parquet(
-            *[os.path.join(self.path(table), rel) for rel in staged])
+            return cons
+        df = self._to_logical(
+            self.spark.read.schema(self._physical_schema(fields))
+            .parquet(*[os.path.join(self.path(table), rel)
+                       for rel in staged]),
+            fields)
         counts = df.agg(*[
             F.sum(F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1)
                   .otherwise(0)).alias(name)
@@ -1044,6 +1319,7 @@ class Warehouse:
                 f"commit to {table} rejected by CHECK constraint(s): "
                 + ", ".join(f"{n} ({cons[n]}): {c} row(s)"
                             for n, c in sorted(bad.items())))
+        return cons
 
     @staticmethod
     def _cast_to(df: DataFrame, schema) -> DataFrame:
@@ -1147,12 +1423,25 @@ class Warehouse:
         files = self._replay_files(txs, table, to_version)
         read_set = {table: (self._replay_files(txs, table),
                             self._replay_dvs(txs, table))}
-        if self._replay_dvs(txs, table, to_version):
+        dvs_at = self._replay_dvs(txs, table, to_version)
+        if dvs_at:
             # deletion vectors were live at the target version: a
             # file-list-only record can't express "those files minus
             # the DV keys", so materialize the target snapshot (the
-            # restore doubles as a compaction of that version)
-            snap = self.read_committed_tx(table, as_of_version=to_version)
+            # restore doubles as a compaction of that version). The
+            # materialization stays in PHYSICAL names end to end —
+            # physical identity is stable across renames, so restored
+            # data lines up with the current schema byte-for-byte.
+            f_at = self._tx_fields(table, txs, to_version)
+            snap = self._read_with_dvs(
+                table, txs, self._physical_schema(f_at), dvs_at,
+                to_version)
+            have = set(snap.columns)
+            cur_fields = self._tx_fields(table, txs)
+            snap = snap.select(*[
+                (F.col(ph).cast(dt) if ph in have
+                 else F.lit(None).cast(dt)).alias(ph)
+                for _, ph, dt in cur_fields])
             files = self._stage_batch(snap, table)
         self._append_tx_record({table: files}, replaces=[table],
                                expect_files=read_set)
@@ -1178,7 +1467,7 @@ class Warehouse:
                 v, op, sorted(tx["tables"]),
                 sum(len(f) for f in tx["tables"].values()),
                 dict(tx.get("watermarks", {})),
-                {t: [n for n, _ in adds]
+                {t: [a[0] for a in adds]
                  for t, adds in tx.get("schema_add", {}).items()},
             ))
         return self.spark.createDataFrame(
@@ -1203,6 +1492,8 @@ class Warehouse:
             return False
         return any(table in tx["tables"]
                    or table in tx.get("schema_add", {})
+                   or table in tx.get("schema_drop", {})
+                   or table in tx.get("schema_rename", {})
                    or table in tx.get("constraint_add", {})
                    for tx in self._read_txlog()["txs"])
 
@@ -1276,10 +1567,16 @@ class Warehouse:
         """(replayed per-table file lists, last-writer-wins
         watermarks) — the reader-equivalent single-tx snapshot. A
         REWRITE record's ``replaces`` resets that table's list, same
-        as the live reader's replay."""
+        as the live reader's replay. Schema evolution folds to its
+        NET state vs the base schema (drop → rename → add entries,
+        the order :meth:`_replay_fields` applies within one record),
+        and every ever-dropped physical name survives in
+        ``schema_retired`` so a post-fold re-add still binds a fresh
+        physical column."""
         tables: dict[str, list[str]] = {}
         watermarks: dict[str, str] = {}
-        schema_add: dict[str, list] = {}
+        schema_tables: set = set()
+        retired: dict[str, set] = {}
         cons: dict[str, dict[str, str]] = {}
         wap_tokens: list[str] = []
         stats: dict[str, dict] = {}
@@ -1294,17 +1591,47 @@ class Warehouse:
             for t, rels in tx["tables"].items():
                 tables.setdefault(t, []).extend(rels)
             watermarks.update(tx["watermarks"])
-            for t, adds in tx.get("schema_add", {}).items():
-                schema_add.setdefault(t, []).extend(adds)
+            for k in ("schema_add", "schema_drop", "schema_rename"):
+                schema_tables.update(tx.get(k, {}))
+            for t, names in tx.get("schema_retired", {}).items():
+                retired.setdefault(t, set()).update(names)
+            for t, entries in tx.get("schema_drop", {}).items():
+                retired.setdefault(t, set()).update(
+                    e[1] for e in entries if isinstance(e, list))
             # net CHECK constraints: adds minus later drops survive
             for t, adds in tx.get("constraint_add", {}).items():
                 cons.setdefault(t, {}).update(adds)
             for t, names in tx.get("constraint_drop", {}).items():
                 for n in names:
                     cons.get(t, {}).pop(n, None)
+        schema_add: dict[str, list] = {}
+        schema_drop: dict[str, list] = {}
+        schema_rename: dict[str, list] = {}
+        for t in schema_tables:
+            net = Warehouse._replay_fields(t, txs)
+            net_physicals = {ph for _, ph, _ in net}
+            for f in schemas.WAREHOUSE_TABLES[t].fields:
+                if f.name not in net_physicals:
+                    schema_drop.setdefault(t, []).append(
+                        [f.name, f.name])
+            base_physicals = {
+                f.name for f in schemas.WAREHOUSE_TABLES[t].fields}
+            for ln, ph, dt in net:
+                if ph in base_physicals:
+                    if ln != ph:
+                        schema_rename.setdefault(t, []).append([ph, ln])
+                else:
+                    schema_add.setdefault(t, []).append([ln, dt, ph])
         snap = {"tables": tables, "watermarks": watermarks}
         if schema_add:
             snap["schema_add"] = schema_add
+        if schema_drop:
+            snap["schema_drop"] = schema_drop
+        if schema_rename:
+            snap["schema_rename"] = schema_rename
+        live_retired = {t: sorted(s) for t, s in retired.items() if s}
+        if live_retired:
+            snap["schema_retired"] = live_retired
         live_cons = {t: [[n, e] for n, e in d.items()]
                      for t, d in cons.items() if d}
         if live_cons:
@@ -1356,7 +1683,8 @@ class Warehouse:
                    .sortWithinPartitions("_zkey").drop("_zkey"))
         else:
             out = df.repartition(n)
-        new_files = self._stage_batch(out, table)
+        new_files = self._stage_batch(
+            self._to_physical(out, self._tx_fields(table, eff)), table)
         self._append_tx_record(
             {table: new_files}, replaces=[table],
             expect_files={table: (old_files,
@@ -1443,15 +1771,22 @@ class Warehouse:
         WIDENS ranges (truncated min is a prefix ≤ real min; writers
         bump the last byte of a truncated max), so pruning on them is
         conservative-correct."""
-        logged = self._log_stats(
-            self._effective_txs(self._read_txlog()), table)
+        txs = self._effective_txs(self._read_txlog())
+        logged = self._log_stats(txs, table)
+        # stats (log + footers) are keyed by PHYSICAL column name;
+        # merge keys arrive logical — translate both ways
+        p_of = {ln: ph for ln, ph, _ in self._tx_fields(table, txs)}
+        pkeys = {k: p_of.get(k, k) for k in keys}
         out: dict = {}
         for rel in files:
             rec = logged.get(rel)
-            if rec is not None and all(c in rec for c in keys):
-                out[rel] = {c: rec[c] for c in keys}
+            if rec is not None and all(p in rec
+                                       for p in pkeys.values()):
+                out[rel] = {k: rec[p] for k, p in pkeys.items()}
                 continue
-            out[rel] = self._footer_stats(table, rel, keys)
+            fs = self._footer_stats(table, rel, list(pkeys.values()))
+            out[rel] = (None if fs is None
+                        else {k: fs[p] for k, p in pkeys.items()})
         return out
 
     def _prune_merge_files(self, table: str, files: list[str],
@@ -1554,7 +1889,9 @@ class Warehouse:
         if mode not in ("cow", "mor"):
             raise ValueError(f"merge_tx mode must be cow|mor, got {mode}")
         txs = self._effective_txs(self._read_txlog())
+        fields = self._tx_fields(table, txs)
         want = self._tx_schema(table, txs)
+        p_of = {ln: ph for ln, ph, _ in fields}
         files = self._replay_files(txs, table)
         dvs = self._replay_dvs(txs, table)
         # cast updates onto the evolved schema (absent added columns
@@ -1565,28 +1902,46 @@ class Warehouse:
                for f in want.fields]
         if delete_col is not None:
             sel.append(F.col(delete_col))
+        # Materialize the update batch ONCE (Delta's MERGE source
+        # materialization): every consumer below — file pruning, the
+        # DV key list, the postimage batch, the merge itself — must
+        # see the SAME rows, but a non-idempotent source (the API-
+        # extract hazard _validate_staged documents) can yield
+        # different keys on each plan evaluation, so a 'kept' file
+        # could still hold a key the second evaluation introduced
+        # (r12 ADVICE item 2). localCheckpoint truncates the lineage:
+        # one evaluation, every reader shares it.
+        updates = updates.select(sel).localCheckpoint()
+        sel = updates.columns
         if mode == "mor":
             upd = updates.select(sel)
             # the DV lists EVERY update key (tombstoned or not): a
             # matched key's old row must stop being visible whether it
             # was updated or deleted; an unmatched key's DV entry
             # matches nothing (the anti-join no-op, same as cow)
-            dv_df = upd.select(*keys).distinct()
+            # the sidecar stores keys under their PHYSICAL names, so
+            # the read-time anti-join stays valid across later renames
+            dv_df = upd.select(*[F.col(k).alias(p_of[k])
+                                 for k in keys]).distinct()
             data = (upd.filter(~F.coalesce(F.col(delete_col),
                                            F.lit(False))).drop(delete_col)
                     if delete_col is not None else upd)
             # key-sorted postimage batch: tight footers for the cow
             # pruning that runs when a later merge materializes
-            data = self._cast_to(data, want).sortWithinPartitions(*keys)
+            data = self._to_physical(data, fields) \
+                .sortWithinPartitions(*[p_of[k] for k in keys])
             new_files = self._stage_batch(data, table)
             # the postimage batch honors CHECK constraints (the DV
             # sidecar is metadata, not rows — exempt)
-            self._validate_staged(table, new_files, want, txs)
+            cons = self._validate_staged(table, new_files, fields, txs)
             dv_files = self._stage_batch(dv_df, table)
             self._append_tx_record({table: new_files},
                                    dv={table: dv_files},
-                                   dv_keys={table: list(keys)},
-                                   expect_files={table: (files, dvs)})
+                                   dv_keys={table: [p_of[k]
+                                                    for k in keys]},
+                                   expect_files={table: (files, dvs)},
+                                   validated_constraints={
+                                       table: (cons, new_files)})
             if (self.auto_compact_dvs is not None
                     and len(dvs) + 1 >= self.auto_compact_dvs):
                 self.compact(table)   # materialize the DV stack
@@ -1603,9 +1958,12 @@ class Warehouse:
                 table, files, keys, updates.select(sel))
                 if prune and files else ([], list(files)))
             if touched:
-                cur = self.spark.read.schema(want).parquet(
-                    *[os.path.join(self.path(table), rel)
-                      for rel in touched])
+                cur = self._to_logical(
+                    self.spark.read
+                    .schema(self._physical_schema(fields))
+                    .parquet(*[os.path.join(self.path(table), rel)
+                               for rel in touched]),
+                    fields)
             else:
                 cur = self.spark.createDataFrame([], want)
         merged = merge_upsert(cur, updates.select(sel), keys,
@@ -1615,12 +1973,15 @@ class Warehouse:
         # merges would otherwise widen every file's key range and
         # erode the pruning this method depends on (zero extra
         # shuffle; commit_tx does the same for the _dt slice column)
-        merged = self._cast_to(merged, want).sortWithinPartitions(*keys)
+        merged = self._to_physical(merged, fields) \
+            .sortWithinPartitions(*[p_of[k] for k in keys])
         new_files = self._stage_batch(merged, table)
-        self._validate_staged(table, new_files, want, txs)
+        cons = self._validate_staged(table, new_files, fields, txs)
         self._append_tx_record({table: keep + new_files},
                                replaces=[table],
-                               expect_files={table: (files, dvs)})
+                               expect_files={table: (files, dvs)},
+                               validated_constraints={
+                                   table: (cons, new_files)})
 
     def vacuum_uncommitted_tx(self, tables: list[str]) -> int:
         """Remove staged batch directories under ``tables`` that no tx
