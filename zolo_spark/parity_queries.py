@@ -166,7 +166,16 @@ _GRADING_PRIORITY = [
     # its slot to llm_edit_distance_pairs — the PassJoin exact
     # edit-distance similarity join, whose naive-O(n²) oracle
     # value-proves the pigeonhole blocking exhaustive.
-    "llm_kmeans_train", "llm_ivf_trained_topk", "llm_edit_distance_pairs",
+    # Round-13 rotation: llm_kmeans_train (green r7–r12, SIX rounds;
+    # similarity.py's k-means region is untouched this round and the
+    # trainer machinery is re-graded in-window INSIDE
+    # llm_ivf_trained_topk, whose train→index→probe lifecycle replays
+    # the same Lloyd iterations) hands its slot to merge_mor_twin —
+    # the NEW merge-on-read gate: Warehouse.merge_tx(mode="mor")
+    # applied twice (at-least-once redelivery), two stacked deletion
+    # vectors resolved by the DV-aware read, value-hashed against the
+    # cow oracle (mor ≡ cow ≡ replay-idempotent).
+    "merge_mor_twin", "llm_ivf_trained_topk", "llm_edit_distance_pairs",
     # LLM-data-pipeline family. llm_image_resize (real decode→box
     # resample→re-encode) and llm_video_frames (ZVID container parse +
     # per-frame decode) are round-5 builds taking the slots of

@@ -15,8 +15,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
 
+import os
+
 from .parity_queries import register
-from .warehouse import load_testdata, register_testdata
+from .warehouse import Warehouse, load_testdata, register_testdata
 from .ops import scalar, windows
 
 
@@ -1781,7 +1783,7 @@ def scd2_batch_twin(spark, sf_dir):
                       "valid_from", "valid_to", "is_current")
 
 
-@register("merge_upsert_twin", oracle="""
+_MERGE_TWIN_ORACLE = """
 WITH t AS (
     SELECT c_custkey AS cust_id, c_mktsegment AS segment,
            round(c_acctbal::DECIMAL(18,2), 2)::DOUBLE AS balance
@@ -1802,22 +1804,15 @@ FROM t WHERE cust_id NOT IN (SELECT cust_id FROM upd)   -- untouched
 UNION ALL
 SELECT cust_id, segment, balance
 FROM upd WHERE NOT _deleted   -- matched updates + unmatched inserts
-""")
-def merge_upsert_twin(spark, sf_dir):
-    """Batch twin of MERGE INTO (ops/merge.merge_upsert — the engine
-    under Warehouse.merge_tx's copy-on-write rewrite): one change
-    batch drives all three Delta-MERGE branches against the customer
-    dimension — WHEN MATCHED UPDATE (even keys get a new segment and
-    re-priced balance), WHEN MATCHED DELETE (tombstoned keys ending
-    in 4), WHEN NOT MATCHED INSERT (synthetic high keys) — and the
-    anti-join + tombstone-filter + union result is value-hashed
-    against the relational restatement. Reference parity: the
-    reference's loads are whole-table replaces
-    (bin/etl/*_ETL.py to_sql if_exists='replace'); this gate is the
-    row-level CDC semantics a warehouse needs once tables stop being
-    small enough to replace."""
-    from .ops.merge import merge_upsert
+"""
 
+
+def _merge_twin_frames(spark, sf_dir):
+    """The shared (target, updates) pair of the MERGE twins: the
+    customer dimension plus one change batch driving all three
+    Delta-MERGE branches — matched update (even keys), matched
+    delete (tombstoned keys ending in 4), unmatched insert
+    (synthetic high keys)."""
     cust = _t(spark, sf_dir, "customer")
     target = cust.select(
         F.col("c_custkey").alias("cust_id"),
@@ -1844,8 +1839,59 @@ def merge_upsert_twin(spark, sf_dir):
             )
         )
     )
+    return target, updates
+
+
+@register("merge_upsert_twin", oracle=_MERGE_TWIN_ORACLE)
+def merge_upsert_twin(spark, sf_dir):
+    """Batch twin of MERGE INTO (ops/merge.merge_upsert — the engine
+    under Warehouse.merge_tx's copy-on-write rewrite): one change
+    batch drives all three Delta-MERGE branches against the customer
+    dimension — WHEN MATCHED UPDATE (even keys get a new segment and
+    re-priced balance), WHEN MATCHED DELETE (tombstoned keys ending
+    in 4), WHEN NOT MATCHED INSERT (synthetic high keys) — and the
+    anti-join + tombstone-filter + union result is value-hashed
+    against the relational restatement. Reference parity: the
+    reference's loads are whole-table replaces
+    (bin/etl/*_ETL.py to_sql if_exists='replace'); this gate is the
+    row-level CDC semantics a warehouse needs once tables stop being
+    small enough to replace."""
+    from .ops.merge import merge_upsert
+
+    target, updates = _merge_twin_frames(spark, sf_dir)
     return merge_upsert(target, updates, ["cust_id"],
                         delete_col="_deleted")
+
+
+@register("merge_mor_twin", oracle=_MERGE_TWIN_ORACLE)
+def merge_mor_twin(spark, sf_dir):
+    """MERGE-ON-READ twin: the SAME change batch as
+    merge_upsert_twin, applied through the real
+    ``Warehouse.merge_tx(mode="mor")`` — initial load, then the batch
+    applied TWICE (at-least-once CDC delivery), leaving two stacked
+    deletion vectors the read must resolve. Three invariants hash
+    together against the cow oracle: mor ≡ cow (deletion vectors are
+    an encoding, not a semantic), replay-idempotence (the second
+    application changes nothing), and the DV-aware read path
+    (broadcast anti-join per live DV, postimage surviving its own
+    DV). This is also the tracked per-round perf line for the DV
+    read path (r12 VERDICT item 6). Writes go to a throwaway
+    warehouse under /tmp — dimension-sized, wiped on the next
+    invocation."""
+    import shutil
+    import tempfile
+
+    parent = os.path.join(tempfile.gettempdir(), "zolo_mor_twin")
+    shutil.rmtree(parent, ignore_errors=True)  # prior invocation's
+    os.makedirs(parent, exist_ok=True)
+    root = tempfile.mkdtemp(dir=parent)
+    wh = Warehouse(spark, root, auto_compact_dvs=None)
+    target, updates = _merge_twin_frames(spark, sf_dir)
+    wh.commit_tx({"cdc_mirror": target})
+    for _ in range(2):   # at-least-once redelivery: idempotent
+        wh.merge_tx("cdc_mirror", updates, ["cust_id"],
+                    delete_col="_deleted", mode="mor")
+    return wh.read_committed_tx("cdc_mirror")
 
 
 @register("monitor_batch_twin", oracle="""

@@ -79,6 +79,11 @@ MODEL_HOLT = _s(
 )
 MODEL_SIMP_AVG = MODEL_HOLT
 
+# CDC latest-state mirror (beyond-parity): the generic target the
+# merge-on-read gate/bench and the streaming upsert sink exercise —
+# a dimension-shaped (key, attributes) table MERGE keeps current.
+CDC_MIRROR = _s(("cust_id", L), ("segment", S), ("balance", D))
+
 WAREHOUSE_TABLES: dict[str, T.StructType] = {
     "square_trans": SQUARE_TRANS,
     "square_trans_details": SQUARE_TRANS_DETAILS,
@@ -92,6 +97,7 @@ WAREHOUSE_TABLES: dict[str, T.StructType] = {
     "model_meta": MODEL_META,
     "model_holt": MODEL_HOLT,
     "model_simp_avg": MODEL_SIMP_AVG,
+    "cdc_mirror": CDC_MIRROR,
 }
 
 # ------------------------------------------------------------- raw payloads
