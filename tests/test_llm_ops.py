@@ -1334,6 +1334,35 @@ def test_corpus_pipeline_empty_and_unembedded(spark):
     assert ids == {1, 3}  # dup dropped, no embeddings -> semantic no-op
 
 
+def test_corpus_pipeline_skips_exact_count_when_k_is_pinned(
+        spark, monkeypatch):
+    """r12 VERDICT item 7: at scales where Catalyst's free sizeInBytes
+    upper bound proves the SemDeDup codebook k sits at its floor, the
+    pipeline must not run the eager survivor count() — one fewer full
+    job per capstone call. The real sf0.001 tables sit under the
+    floor boundary, so NO DataFrame.count may fire during pipeline
+    construction; and the output must equal the counted path's."""
+    from pyspark.sql import DataFrame
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    expected = {r["doc_id"] for r in
+                corpus.corpus_pipeline(docs, emb).collect()}
+
+    real_count = DataFrame.count
+    calls: list = []
+
+    def tracked(self):
+        calls.append(self)
+        return real_count(self)
+
+    monkeypatch.setattr(DataFrame, "count", tracked)
+    out = corpus.corpus_pipeline(docs, emb)
+    assert not calls, "eager count() ran despite a floor-pinned k"
+    monkeypatch.setattr(DataFrame, "count", real_count)
+    assert {r["doc_id"] for r in out.collect()} == expected
+
+
 def test_corpus_pipeline_partial_embedding_coverage(spark):
     """Round-8 ADVICE (high): docs WITHOUT an embedding row must pass
     through the semantic stage untouched. The old left-semi on the

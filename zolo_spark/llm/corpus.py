@@ -12,6 +12,12 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from . import cachereg
 
+# Conservative LOWER bound on Catalyst's sizeInBytes estimate per
+# embedding row (measured 387–400 across sf0.001/0.01/0.1; divide by
+# less to over-estimate rows — the safe direction: an inflated row
+# bound can only force the exact-count fallback, never a wrong k).
+_SEMDEDUP_EST_MIN_ROW_BYTES = 350
+
 
 def dup_clusters(pairs: DataFrame, max_iter: int = 20,
                  stats: dict | None = None) -> DataFrame:
@@ -643,10 +649,31 @@ def corpus_pipeline(docs: DataFrame, emb: DataFrame, *,
         "corpus_pipeline")
     emb2 = emb.join(surv2.select(F.col(id_col).alias("vec_id")),
                     "vec_id", "left_semi")
-    n_emb = emb2.count()
-    if n_emb > 0:
-        k = semdedup_k(n_emb, max_k)
-        trained = _kmeans_train(emb2, k=k, iters=1)
+    # Codebook sizing WITHOUT an eager count where possible (r12
+    # VERDICT item 7): Catalyst's free sizeInBytes tracks the left
+    # scan of the semi-join (measured 387–400 bytes per embedding
+    # row at sf0.001/0.01/0.1 — the dedup.JACCARD_PRUNE_MIN_EST
+    # calibration precedent), so est/_SEMDEDUP_EST_MIN_ROW_BYTES
+    # upper-bounds the surviving row count. semdedup_k is monotone
+    # with floor 8, so when even that upper bound sits at the floor,
+    # k is pinned for EVERY possible survivor count and the exact
+    # count job is skipped; only when the estimate straddles a k
+    # boundary does the count run (estimate error can cost one extra
+    # job, never a different result).
+    est = _dedup._plan_size_estimate(emb2)
+    n_hi = est // _SEMDEDUP_EST_MIN_ROW_BYTES
+    if semdedup_k(max(n_hi, 1), max_k) == semdedup_k(1, max_k):
+        k: int | None = semdedup_k(1, max_k)   # floor-pinned
+    else:
+        n_emb = emb2.count()
+        k = semdedup_k(n_emb, max_k) if n_emb > 0 else None
+    trained = None
+    if k is not None:
+        try:
+            trained = _kmeans_train(emb2, k=k, iters=1)
+        except ValueError:
+            trained = None   # zero survivors under a skipped count
+    if trained is not None:
         by_cell: dict[int, list] = {}
         for r in trained.collect():  # ≤max_k×d codebook rows
             by_cell.setdefault(r["cell"], []).append(
