@@ -1882,6 +1882,146 @@ def test_publish_tx_crash_rerun_is_exactly_once(spark, wh):
     wh.publish_tx(tok2)
     assert wh.read_committed_tx("items").count() == 3
 
+def test_delete_and_update_tx_row_level_ops(spark, wh):
+    """Delta-parity DELETE FROM / UPDATE ... WHERE on tx tables:
+    cow rewrites ONLY files holding matching rows (file-level
+    pruning proven by the untouched file surviving by identity),
+    mor writes a DV (zero rewrites) and reads identically, SQL NULL
+    predicate semantics hold (row kept / unchanged), assignments see
+    the pre-update row, no-match is a version no-op, and CHECK
+    constraints gate the rewritten batch."""
+    # two files: a+b in one, c+n(NULL zolo_id) in the other
+    wh.commit_tx({"items": _items_rows(
+        spark, ("a", 1, 10.0), ("b", 2, 20.0)).coalesce(1)})
+    null_row = spark.createDataFrame(
+        [("c", "v", 3, "sq", "qb", "sh", "cat", "whole", 30.0, 1),
+         ("n", "v", None, "sq", "qb", "sh", "cat", "whole", 40.0, 1)],
+        schemas.WAREHOUSE_TABLES["items"]).coalesce(1)
+    wh.commit_tx({"items": null_row})
+    txs = wh._effective_txs(wh._read_txlog())
+    f_ab = set(wh._replay_files(txs, "items")[:1])
+
+    # UPDATE cow: only the c/n file matches; a/b file kept by identity
+    wh.update_tx("items", {"weight": "weight + 0.5"}, "zolo_id = 3")
+    txs = wh._effective_txs(wh._read_txlog())
+    assert f_ab <= set(wh._replay_files(txs, "items")), \
+        "unmatched file was rewritten"
+    got = {r["product_name"]: r["weight"]
+           for r in wh.read_committed_tx("items").collect()}
+    # NULL predicate (zolo_id = 3 on n's NULL) leaves 'n' unchanged
+    assert got == {"a": 10.0, "b": 20.0, "c": 30.5, "n": 40.0}
+
+    # simultaneous assignment: RHS sees pre-update values
+    wh.update_tx("items", {"weight": "profile_id", "profile_id":
+                           "cast(weight as int)"}, "product_name = 'a'")
+    r = {x["product_name"]: (x["weight"], x["profile_id"])
+         for x in wh.read_committed_tx("items").collect()}
+    assert r["a"] == (1.0, 10)
+
+    # no-op: no version consumed when nothing matches
+    v = wh.current_tx_version()
+    wh.update_tx("items", {"weight": "0"}, "product_name = 'zz'")
+    wh.delete_tx("items", "product_name = 'zz'")
+    assert wh.current_tx_version() == v
+
+    # DELETE cow with NULL semantics: zolo_id >= 2 skips n (NULL)
+    wh.delete_tx("items", "zolo_id >= 2")
+    got = {r["product_name"] for r in
+           wh.read_committed_tx("items").collect()}
+    assert got == {"a", "n"}
+
+    # mor twins: update then delete via DVs — zero data-file rewrites
+    files_before = wh._replay_files(
+        wh._effective_txs(wh._read_txlog()), "items")
+    wh.update_tx("items", {"weight": "weight * 2"},
+                 "product_name = 'n'", keys=["product_name"],
+                 mode="mor")
+    wh.delete_tx("items", "product_name = 'a'",
+                 keys=["product_name"], mode="mor")
+    txs = wh._effective_txs(wh._read_txlog())
+    assert set(files_before) <= set(wh._replay_files(txs, "items"))
+    assert len(wh._replay_dvs(txs, "items")) == 2
+    got = {r["product_name"]: r["weight"]
+           for r in wh.read_committed_tx("items").collect()}
+    assert got == {"n": 80.0}
+    # time travel still sees the pre-mor state
+    assert {r["product_name"] for r in wh.read_committed_tx(
+        "items", as_of_version=v).collect()} == {"a", "b", "c", "n"}
+
+    # constraints gate the rewrite; mor requires keys
+    wh.add_constraint_tx("items", "w_pos", "weight > 0")
+    with pytest.raises(ValueError, match="w_pos"):
+        wh.update_tx("items", {"weight": "-1"}, "product_name = 'n'")
+    with pytest.raises(ValueError, match="needs keys"):
+        wh.delete_tx("items", "true", mode="mor")
+    with pytest.raises(ValueError, match="no column"):
+        wh.update_tx("items", {"nope": "1"}, "true")
+    assert {r["weight"] for r in
+            wh.read_committed_tx("items").collect()} == {80.0}
+
+
+def test_table_changes_sees_row_level_ops(spark, wh):
+    """The change feed composes with the new row-level ops: an
+    update_tx shows as update pre/post image pairs and a delete_tx
+    as delete rows — in BOTH modes (cow rewrite and mor DV), since
+    table_changes diffs version snapshots, not record encodings."""
+    wh.commit_tx({"items": _items_rows(
+        spark, ("a", 1, 10.0), ("b", 2, 20.0), ("c", 3, 30.0))})
+    v0 = wh.current_tx_version()
+    wh.update_tx("items", {"weight": "weight + 1"}, "zolo_id = 1")
+    wh.delete_tx("items", "zolo_id = 2",
+                 keys=["product_name"], mode="mor")
+    ch = {(r["product_name"], r["_change_type"]) for r in
+          wh.table_changes("items", v0, wh.current_tx_version(),
+                           keys=["product_name"]).collect()}
+    assert ch == {("a", "update_preimage"), ("a", "update_postimage"),
+                  ("b", "delete")}
+
+
+def test_compact_where_rewrites_only_matching_files(spark, wh):
+    """Delta's OPTIMIZE ... WHERE: predicate-scoped compaction
+    rewrites only files holding matching rows (proven by identity on
+    the rest), preserves contents exactly, is a version no-op when
+    nothing matches, refuses under live DVs, and rejects non-tx
+    tables."""
+    for qty in (1, 2, 3):
+        wh.commit_tx({"items": _items_rows(
+            spark, *((f"p{qty}{i}", qty, float(i)) for i in range(4))
+        ).coalesce(2)})   # 2 files per batch -> 6 files
+    txs = wh._effective_txs(wh._read_txlog())
+    files = wh._replay_files(txs, "items")
+    assert len(files) == 6
+    before = {r["product_name"]: r["weight"]
+              for r in wh.read_committed_tx("items").collect()}
+
+    # only the qty=2 batch's 2 files match -> 2 rewritten into 1
+    rewritten, new = wh.compact("items", where="zolo_id = 2")
+    assert (rewritten, new) == (2, 1)
+    txs = wh._effective_txs(wh._read_txlog())
+    after_files = set(wh._replay_files(txs, "items"))
+    # the 4 files of batches 1 and 3 must survive BY IDENTITY
+    assert len(after_files & set(files)) == 4
+    assert {r["product_name"]: r["weight"] for r in
+            wh.read_committed_tx("items").collect()} == before
+
+    # no-op when nothing matches (no version consumed)
+    v = wh.current_tx_version()
+    assert wh.compact("items", where="zolo_id = 99") == (0, 0)
+    assert wh.current_tx_version() == v
+
+    # refuses under live DVs; full compact clears the way again
+    wh.merge_tx("items", _items_upd(spark, ("p10", 1, 50.0, False)),
+                ["product_name"], delete_col="_deleted", mode="mor")
+    with pytest.raises(ValueError, match="full compact"):
+        wh.compact("items", where="zolo_id = 1")
+    wh.compact("items")
+    assert wh.compact("items", where="zolo_id = 1")[0] >= 1
+
+    # non-tx tables reject the predicate form
+    with pytest.raises(ValueError, match="tx-managed"):
+        wh.compact("qb_customers", where="true")
+
+
 def test_default_auto_compact_bounds_mor_read_debt(spark, tmp_path):
     """The out-of-the-box Warehouse bounds merge-on-read read
     amplification: auto_compact_dvs defaults to 6 (the measured 4–8

@@ -131,7 +131,14 @@ _GRADING_PRIORITY = [
     # llm_gif_roundtrip — the new GIF89a palette+LZW codec
     # (variable-width codes, table resets, interlacing), completing
     # the third compression family with a value-hashed gate.
-    "m_arima_grid_argmin", "llm_gif_roundtrip",
+    # Round-13 rotation: llm_gif_roundtrip (green r10∧r11∧r12, THREE
+    # rounds; multimodal.py's GIF region is untouched this round and
+    # the codec family keeps llm_multimodal_features in-window) hands
+    # its slot to delete_update_twin — the NEW row-level
+    # UPDATE/DELETE gate: both ops through the real tx path in mor
+    # mode (stacked update-postimage + delete DVs), value-hashed
+    # against the relational restatement.
+    "m_arima_grid_argmin", "delete_update_twin",
     # Round-7 rotation: llm_bpe_merges (green r5∧r6, tokenizer
     # unchanged since its r5 build) hands its slot to the capstone
     # llm_corpus_pipeline — exact dedup → uncapped near-dup →

@@ -1894,6 +1894,52 @@ def merge_mor_twin(spark, sf_dir):
     return wh.read_committed_tx("cdc_mirror")
 
 
+@register("delete_update_twin", oracle="""
+WITH t AS (
+    SELECT c_custkey AS cust_id, c_mktsegment AS segment,
+           round(c_acctbal::DECIMAL(18,2), 2)::DOUBLE AS balance
+    FROM customer
+), u AS (
+    SELECT cust_id,
+           CASE WHEN balance > 5000 THEN segment || '_P'
+                ELSE segment END AS segment,
+           CASE WHEN balance > 5000 THEN balance + 100.0
+                ELSE balance END AS balance
+    FROM t
+)
+SELECT cust_id, segment, balance
+FROM u WHERE NOT (cust_id % 7 = 3)
+""")
+def delete_update_twin(spark, sf_dir):
+    """Row-level UPDATE ... WHERE then DELETE ... WHERE through the
+    REAL warehouse tx path in merge-on-read mode: the update's
+    postimage + DV and the delete's key-list DV stack (two live DVs,
+    zero data files rewritten), and the DV-resolved read is
+    value-hashed against the plain relational restatement — pinning
+    Delta's UPDATE/DELETE semantics (NULL predicate leaves rows,
+    assignments see the pre-update row) on top of the deletion-vector
+    encoding. The update arithmetic is exact-in-double (+100.0) so
+    both engines agree bit-for-bit. Same throwaway-warehouse shape as
+    merge_mor_twin."""
+    import shutil
+    import tempfile
+
+    parent = os.path.join(tempfile.gettempdir(), "zolo_du_twin")
+    shutil.rmtree(parent, ignore_errors=True)
+    os.makedirs(parent, exist_ok=True)
+    root = tempfile.mkdtemp(dir=parent)
+    wh = Warehouse(spark, root, auto_compact_dvs=None)
+    target, _ = _merge_twin_frames(spark, sf_dir)
+    wh.commit_tx({"cdc_mirror": target})
+    wh.update_tx("cdc_mirror",
+                 {"balance": "balance + 100.0",
+                  "segment": "concat(segment, '_P')"},
+                 "balance > 5000", keys=["cust_id"], mode="mor")
+    wh.delete_tx("cdc_mirror", "cust_id % 7 = 3",
+                 keys=["cust_id"], mode="mor")
+    return wh.read_committed_tx("cdc_mirror")
+
+
 @register("monitor_batch_twin", oracle="""
 WITH b AS (
     SELECT event_type, date_trunc('day', ts) AS bk,

@@ -244,9 +244,18 @@ class Warehouse:
     def compact(self, table: str,
                 target_file_bytes: int = 128 * 1024 * 1024,
                 zorder_by: list[str] | None = None,
-                zorder_bits: int = 8) -> tuple[int, int]:
+                zorder_bits: int = 8,
+                where: str | None = None) -> tuple[int, int]:
         """Rewrite a path-based table into right-sized files and
         return (files_before, files_after).
+
+        ``where`` — Delta's ``OPTIMIZE table WHERE predicate`` (tx
+        tables only): rewrite ONLY the committed files holding rows
+        matching the predicate, re-reference the rest untouched. At
+        100 TB this is how maintenance stays affordable — yesterday's
+        hot partition compacts in O(its files) while the cold 99% of
+        the table is never read. Contents are preserved exactly (the
+        predicate selects FILES, it never filters rows).
 
         Long-running ingest (many small `append` batches, streaming
         micro-batches) accretes files far smaller than a scan task
@@ -277,6 +286,10 @@ class Warehouse:
                 "bucketed tables carry their layout in the catalog; "
                 "compact via INSERT OVERWRITE to preserve the bucket spec"
             )
+        if where is not None and not self._table_in_txlog(table):
+            raise ValueError(
+                "compact(where=...) needs the tx log's file-level "
+                "bookkeeping; only tx-managed tables support it")
         if self._has_manifest(table):
             # Manifest tables must keep manifest + files consistent: a
             # directory swap here would strand _MANIFEST.json in the
@@ -293,7 +306,8 @@ class Warehouse:
             # the log's own atomic rename instead (superseded files
             # stay time-travel-readable until expire_snapshots).
             return self._compact_committed_tx(
-                table, target_file_bytes, zorder_by, zorder_bits)
+                table, target_file_bytes, zorder_by, zorder_bits,
+                where)
         files_before, total = self.file_stats(table)
         want = schemas.WAREHOUSE_TABLES[table]
         df = self.read(table)
@@ -1654,7 +1668,9 @@ class Warehouse:
 
     def _compact_committed_tx(self, table: str, target_file_bytes: int,
                               zorder_by: list[str] | None,
-                              zorder_bits: int) -> tuple[int, int]:
+                              zorder_bits: int,
+                              where: str | None = None
+                              ) -> tuple[int, int]:
         """Compact a tx-managed table: rewrite its committed rows into
         one right-sized batch, then APPEND a REWRITE record whose
         ``replaces`` marker resets the table's file list going
@@ -1668,13 +1684,33 @@ class Warehouse:
         ``vacuum_uncommitted_tx`` collects."""
         eff = self._effective_txs(self._read_txlog())
         old_files = self._replay_files(eff, table)
-        files_before = len(old_files)
-        if files_before == 0:
+        if not old_files:
             return 0, 0
         root = self.path(table)
+        keep: list[str] = []
+        if where is not None:
+            # OPTIMIZE ... WHERE: rewrite only the files holding
+            # matching rows; the predicate selects FILES, never
+            # filters rows. Live DVs would need materializing across
+            # the keep/touched split (a partial rewrite can't clear
+            # them) — require a full compact first.
+            if self._replay_dvs(eff, table):
+                raise ValueError(
+                    f"compact({table!r}, where=...) with live "
+                    "deletion vectors: run a full compact first to "
+                    "materialize them")
+            fields = self._tx_fields(table, eff)
+            keep, touched = self._touched_by_predicate(
+                table, fields, old_files, where)
+            if not touched:
+                return 0, 0   # nothing matches: no-op, no version
+            df = self._read_files_logical(table, fields, touched)
+            rewriting = touched
+        else:
+            df = self.read_committed_tx(table)
+            rewriting = old_files
         total = sum(os.path.getsize(os.path.join(root, rel))
-                    for rel in old_files)
-        df = self.read_committed_tx(table)
+                    for rel in rewriting)
         if zorder_by:
             df = self._with_zorder_key(df, zorder_by, zorder_bits)
         n = max(1, math.ceil(total / target_file_bytes))
@@ -1686,10 +1722,10 @@ class Warehouse:
         new_files = self._stage_batch(
             self._to_physical(out, self._tx_fields(table, eff)), table)
         self._append_tx_record(
-            {table: new_files}, replaces=[table],
+            {table: keep + new_files}, replaces=[table],
             expect_files={table: (old_files,
                                   self._replay_dvs(eff, table))})
-        return files_before, len(new_files)
+        return len(rewriting), len(new_files)
 
     def _stage_batch(self, df: DataFrame, table: str) -> list[str]:
         """Write ``df`` under an invisible batch dir of ``table`` and
@@ -1976,6 +2012,210 @@ class Warehouse:
         merged = self._to_physical(merged, fields) \
             .sortWithinPartitions(*[p_of[k] for k in keys])
         new_files = self._stage_batch(merged, table)
+        cons = self._validate_staged(table, new_files, fields, txs)
+        self._append_tx_record({table: keep + new_files},
+                               replaces=[table],
+                               expect_files={table: (files, dvs)},
+                               validated_constraints={
+                                   table: (cons, new_files)})
+
+    def _read_files_logical(self, table: str, fields,
+                            rels: list[str]) -> DataFrame:
+        """Logical-named frame over an explicit committed-file subset
+        (no DV application — callers handle DVs)."""
+        return self._to_logical(
+            self.spark.read.schema(self._physical_schema(fields))
+            .parquet(*[os.path.join(self.path(table), rel)
+                       for rel in rels]),
+            fields)
+
+    def _touched_by_predicate(self, table: str, fields,
+                              files: list[str], condition: str
+                              ) -> tuple[list[str], list[str]]:
+        """Split committed ``files`` into (keep, touched) for a
+        row-level DELETE/UPDATE: touched = files holding ≥1 row
+        matching ``condition`` — found with ONE predicate-pushed scan
+        collecting distinct file names (Delta's DELETE/UPDATE scan
+        phase). Parquet row-group stats make the scan skip
+        non-matching row groups, and only file NAMES come back, so at
+        100 TB this costs one pushed-down scan, never a shuffle; the
+        rewrite phase then touches O(matched files), not O(table)."""
+        df = self._read_files_logical(table, fields, files)
+        hits = {r["_f"] for r in
+                df.withColumn("_f", F.input_file_name())
+                .filter(F.expr(condition))
+                .select("_f").distinct().collect()}
+        root = self.path(table)
+        abs_of = {rel: "file://" + os.path.abspath(
+            os.path.join(root, rel)) for rel in files}
+        touched = [rel for rel in files if abs_of[rel] in hits]
+        keep = [rel for rel in files if abs_of[rel] not in hits]
+        return keep, touched
+
+    def delete_tx(self, table: str, condition: str,
+                  keys: list[str] | None = None,
+                  mode: str = "cow") -> None:
+        """Delta's ``DELETE FROM table WHERE condition`` on a
+        tx-managed table. SQL WHERE semantics: a row whose predicate
+        evaluates NULL is NOT deleted.
+
+        ``mode="cow"``: one predicate-pushed scan finds the files
+        holding matching rows; ONLY those are rewritten (filtered),
+        every other file is re-referenced untouched — O(matched
+        files), the same pruning shape merge_tx has. A predicate
+        aligned with the table's clustering (the commit-time sort /
+        z-order) touches a handful of files at any scale. No matching
+        rows → no new version (Delta's no-op DELETE).
+
+        ``mode="mor"``: zero rewrites — the matching rows' ``keys``
+        land in a deletion-vector sidecar (Delta's DV DELETE);
+        readers anti-join it until compaction. Requires ``keys``
+        (the engine's DVs are key-lists, not row indexes).
+
+        Either mode publishes through the optimistic-concurrency
+        protocol with the snapshot's (files, DVs) read set."""
+        if self._has_manifest(table):
+            raise ValueError(
+                f"table {table} is manifest-managed (append_commit)")
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"delete_tx mode must be cow|mor, got {mode}")
+        txs = self._effective_txs(self._read_txlog())
+        fields = self._tx_fields(table, txs)
+        files = self._replay_files(txs, table)
+        dvs = self._replay_dvs(txs, table)
+        if mode == "mor":
+            if not keys:
+                raise ValueError(
+                    "delete_tx(mode='mor') needs keys: the deletion "
+                    "vector is a key-list sidecar")
+            p_of = {ln: ph for ln, ph, _ in fields}
+            matched = (self.read_committed_tx(table)
+                       .filter(F.expr(condition))
+                       .select(*[F.col(k).alias(p_of[k]) for k in keys])
+                       .distinct())
+            dv_files = self._stage_batch(matched, table)
+            self._append_tx_record({table: []},
+                                   dv={table: dv_files},
+                                   dv_keys={table: [p_of[k]
+                                                    for k in keys]},
+                                   expect_files={table: (files, dvs)})
+            if (self.auto_compact_dvs is not None
+                    and len(dvs) + 1 >= self.auto_compact_dvs):
+                self.compact(table)
+            return
+        if dvs:
+            # live DVs: rewrite through the DV-aware read and let the
+            # delete double as the materializing compaction
+            keep: list[str] = []
+            remain = self.read_committed_tx(table).filter(
+                ~F.coalesce(F.expr(condition), F.lit(False)))
+        else:
+            if not files:
+                return
+            keep, touched = self._touched_by_predicate(
+                table, fields, files, condition)
+            if not touched:
+                return   # no row matches: no-op, no new version
+            remain = self._read_files_logical(
+                table, fields, touched).filter(
+                ~F.coalesce(F.expr(condition), F.lit(False)))
+        staged = self._to_physical(remain, fields)
+        part_col = _PARTITIONED.get(table)
+        if part_col is not None:
+            staged = staged.sortWithinPartitions(part_col)
+        new_files = self._stage_batch(staged, table)
+        cons = self._validate_staged(table, new_files, fields, txs)
+        self._append_tx_record({table: keep + new_files},
+                               replaces=[table],
+                               expect_files={table: (files, dvs)},
+                               validated_constraints={
+                                   table: (cons, new_files)})
+
+    def update_tx(self, table: str, assignments: dict[str, str],
+                  condition: str, keys: list[str] | None = None,
+                  mode: str = "cow") -> None:
+        """Delta's ``UPDATE table SET col = expr, ... WHERE
+        condition``. SQL semantics: a NULL predicate leaves the row
+        unchanged; assignment expressions see the PRE-update row
+        (simultaneous assignment, not sequential).
+
+        ``mode="cow"`` rewrites only the files holding matching rows
+        (one predicate-pushed scan, same O(matched files) shape as
+        delete_tx/merge_tx). ``mode="mor"`` writes the updated rows
+        as a postimage batch plus a key-list deletion vector hiding
+        their old images — zero rewrites until compaction; requires
+        ``keys``."""
+        if self._has_manifest(table):
+            raise ValueError(
+                f"table {table} is manifest-managed (append_commit)")
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"update_tx mode must be cow|mor, got {mode}")
+        txs = self._effective_txs(self._read_txlog())
+        fields = self._tx_fields(table, txs)
+        logical = [ln for ln, _, _ in fields]
+        bad = sorted(set(assignments) - set(logical))
+        if bad:
+            raise ValueError(
+                f"update_tx: no column(s) {bad} on {table}")
+        hit = F.coalesce(F.expr(condition), F.lit(False))
+
+        def apply_set(df: DataFrame, only_matched: bool) -> DataFrame:
+            cols = []
+            for ln in logical:
+                if ln in assignments:
+                    new = F.expr(assignments[ln])
+                    cols.append((new if only_matched else
+                                 F.when(hit, new).otherwise(F.col(ln)))
+                                .alias(ln))
+                else:
+                    cols.append(F.col(ln))
+            return df.select(*cols)
+
+        files = self._replay_files(txs, table)
+        dvs = self._replay_dvs(txs, table)
+        if mode == "mor":
+            if not keys:
+                raise ValueError(
+                    "update_tx(mode='mor') needs keys: the deletion "
+                    "vector is a key-list sidecar")
+            p_of = {ln: ph for ln, ph, _ in fields}
+            matched = self.read_committed_tx(table).filter(hit) \
+                .localCheckpoint()   # one evaluation: DV == postimage
+            dv_df = matched.select(
+                *[F.col(k).alias(p_of[k]) for k in keys]).distinct()
+            post = self._to_physical(apply_set(matched, True), fields) \
+                .sortWithinPartitions(*[p_of[k] for k in keys])
+            new_files = self._stage_batch(post, table)
+            cons = self._validate_staged(table, new_files, fields, txs)
+            dv_files = self._stage_batch(dv_df, table)
+            self._append_tx_record({table: new_files},
+                                   dv={table: dv_files},
+                                   dv_keys={table: [p_of[k]
+                                                    for k in keys]},
+                                   expect_files={table: (files, dvs)},
+                                   validated_constraints={
+                                       table: (cons, new_files)})
+            if (self.auto_compact_dvs is not None
+                    and len(dvs) + 1 >= self.auto_compact_dvs):
+                self.compact(table)
+            return
+        if dvs:
+            keep: list[str] = []
+            rewritten = apply_set(self.read_committed_tx(table), False)
+        else:
+            if not files:
+                return
+            keep, touched = self._touched_by_predicate(
+                table, fields, files, condition)
+            if not touched:
+                return   # no row matches: no-op, no new version
+            rewritten = apply_set(
+                self._read_files_logical(table, fields, touched), False)
+        staged = self._to_physical(rewritten, fields)
+        part_col = _PARTITIONED.get(table)
+        if part_col is not None:
+            staged = staged.sortWithinPartitions(part_col)
+        new_files = self._stage_batch(staged, table)
         cons = self._validate_staged(table, new_files, fields, txs)
         self._append_tx_record({table: keep + new_files},
                                replaces=[table],
