@@ -1960,6 +1960,45 @@ def test_delete_and_update_tx_row_level_ops(spark, wh):
             wh.read_committed_tx("items").collect()} == {80.0}
 
 
+def test_tags_pin_versions_against_expiry(spark, wh):
+    """Iceberg TAG refs: a named ref reads by name, PINS its version
+    against checkpoint folding (maintenance can't expire what an
+    audit anchor points at), survives folds itself, and dropping it
+    releases the pin so the next fold expires the version."""
+    wh.commit_tx({"items": _items_rows(spark, ("a", 1, 10.0))})
+    v1 = wh.create_tag("model-v1")          # pins version 1
+    wh.commit_tx({"items": _items_rows(spark, ("b", 2, 20.0))})
+    wh.merge_tx("items", _items_upd(spark, ("a", 1, 11.0, False)),
+                ["product_name"], delete_col="_deleted")
+
+    assert {r["product_name"] for r in wh.read_committed_tx(
+        "items", as_of_tag="model-v1").collect()} == {"a"}
+    with pytest.raises(ValueError, match="no tag"):
+        wh.read_committed_tx("items", as_of_tag="nope")
+    with pytest.raises(ValueError, match="already exists"):
+        wh.create_tag("model-v1")
+    with pytest.raises(ValueError, match="does not exist"):
+        wh.create_tag("future", version=999)
+
+    # full fold: clamped at the tagged version — v1 stays readable
+    wh.checkpoint_txlog()
+    assert {r["product_name"] for r in wh.read_committed_tx(
+        "items", as_of_tag="model-v1").collect()} == {"a"}
+    assert wh._tx_tags()["model-v1"] == v1  # ref survives the fold
+
+    # drop releases the pin; the next fold expires the version
+    wh.drop_tag("model-v1")
+    with pytest.raises(ValueError, match="no tag"):
+        wh.drop_tag("model-v1")
+    wh.checkpoint_txlog()
+    with pytest.raises(ValueError, match="expired"):
+        wh.read_committed_tx("items", as_of_version=v1)
+    # current contents never affected
+    got = {r["product_name"]: r["weight"]
+           for r in wh.read_committed_tx("items").collect()}
+    assert got == {"a": 11.0, "b": 20.0}
+
+
 def test_table_changes_sees_row_level_ops(spark, wh):
     """The change feed composes with the new row-level ops: an
     update_tx shows as update pre/post image pairs and a delete_tx

@@ -588,3 +588,51 @@ def test_mor_read_is_broadcast_anti_filter_no_base_shuffle(spark, tmp_path):
     # the only shuffle is the DV side's update-batch-sized DISTINCT
     # feeding the broadcast; the base table itself never exchanges
     assert n_shuffles(p) <= 1
+
+
+def test_row_level_op_scan_pushes_predicate(spark, tmp_path):
+    """delete_tx/update_tx's touched-file discovery must push the
+    predicate INTO the parquet scan (row-group stats skip
+    non-matching groups) — the property that makes the scan phase
+    affordable at 100 TB. Pinned on the exact frame
+    _touched_by_predicate builds."""
+    from zolo_spark import schemas
+    from zolo_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.init()
+    rows = spark.createDataFrame(
+        [(f"k{i}", "v", i, "sq", "qb", "sh", "cat", "whole",
+          float(i), 1) for i in range(100)],
+        schemas.WAREHOUSE_TABLES["items"])
+    wh.commit_tx({"items": rows})
+    txs = wh._effective_txs(wh._read_txlog())
+    fields = wh._tx_fields("items", txs)
+    files = wh._replay_files(txs, "items")
+    probe = (wh._read_files_logical("items", fields, files)
+             .filter(F.expr("zolo_id >= 90"))
+             .withColumn("_f", F.input_file_name())
+             .select("_f").distinct())
+    p = plan_of(probe)
+    assert "GreaterThanOrEqual(zolo_id,90)" in p   # pushed filter
+    # file names only: the scan must not read every column
+    assert re.search(r"ReadSchema: [^\n]*zolo_id", p)
+    assert "weight" not in p.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_sliding_window_single_aggregate_shuffle(spark):
+    """The hopping window is explode + ONE partial-aggregated
+    shuffle — a per-window pass would multiply event-scale work by
+    width/slide."""
+    p = plan_of(q(spark, "events_sliding_window"))
+    assert n_shuffles(p) == 1
+    assert "partial_count" in p  # map-side combine before the exchange
+
+
+def test_path_transitions_one_user_window_exchange(spark):
+    """The transition matrix costs one per-user window shuffle plus
+    the small (|types|^2-key) aggregate."""
+    p = plan_of(q(spark, "events_path_transitions"))
+    assert len(re.findall(r"hashpartitioning\(user_id", p)) == 1
+    assert n_shuffles(p) <= 2
+    assert "partial_count" in p

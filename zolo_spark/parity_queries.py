@@ -138,7 +138,15 @@ _GRADING_PRIORITY = [
     # UPDATE/DELETE gate: both ops through the real tx path in mor
     # mode (stacked update-postimage + delete DVs), value-hashed
     # against the relational restatement.
-    "m_arima_grid_argmin", "delete_update_twin",
+    # Round-13 rotation (cont.): m_arima_grid_argmin (green r6–r12,
+    # SEVEN rounds; queries_models.py untouched this round and the
+    # grid-search machinery stays in-window THREE ways —
+    # m_arima_fixed_fold, m_arima_grid_ci,
+    # m_arima_weekly_forecast_subgrid) hands its slot to
+    # events_sliding_window — the NEW hopping-window aggregate
+    # (Flink/KSQL HOP; Spark's two-arg F.window), oracled by the
+    # slide-bucket assignment arithmetic.
+    "events_sliding_window", "delete_update_twin",
     # Round-7 rotation: llm_bpe_merges (green r5∧r6, tokenizer
     # unchanged since its r5 build) hands its slot to the capstone
     # llm_corpus_pipeline — exact dedup → uncapped near-dup →
@@ -182,7 +190,15 @@ _GRADING_PRIORITY = [
     # applied twice (at-least-once redelivery), two stacked deletion
     # vectors resolved by the DV-aware read, value-hashed against the
     # cow oracle (mor ≡ cow ≡ replay-idempotent).
-    "merge_mor_twin", "llm_ivf_trained_topk", "llm_edit_distance_pairs",
+    # Round-13 rotation (cont.): llm_edit_distance_pairs (green
+    # r11∧r12; dedup.py's PassJoin region is untouched this round and
+    # the dedup family keeps FIVE members in-window — minhash_capped,
+    # dedup_pipeline, incremental, ngram_jaccard, remove_spans) hands
+    # its slot to events_path_transitions — the NEW per-user
+    # event-path transition matrix (lead-over-user window +
+    # |types|²-key aggregate), deterministically tie-broken on both
+    # engines.
+    "merge_mor_twin", "llm_ivf_trained_topk", "events_path_transitions",
     # LLM-data-pipeline family. llm_image_resize (real decode→box
     # resample→re-encode) and llm_video_frames (ZVID container parse +
     # per-frame decode) are round-5 builds taking the slots of

@@ -749,6 +749,73 @@ def tumbling(spark, sf_dir):
     )
 
 
+@register("events_sliding_window", oracle="""
+WITH b AS (
+    SELECT event_type, value,
+           time_bucket(INTERVAL 15 MINUTE, ts) AS slide_b
+    FROM events
+)
+SELECT slide_b - (o * INTERVAL 15 MINUTE) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM b, (SELECT unnest([0, 1]) AS o)
+GROUP BY 1, 2
+""")
+def sliding(spark, sf_dir):
+    """30-minute windows HOPPING every 15 minutes (Flink/KSQL's HOP,
+    Spark's two-argument F.window) — every event lands in exactly
+    width/slide = 2 windows. The oracle replays the assignment
+    arithmetic: an event in 15-minute slide bucket b belongs to the
+    windows starting at b and b − 15min (epoch-aligned both engines,
+    the same time_bucket origin the tumbling gate pins). Plan: one
+    explode over the per-event window list + one aggregate — the
+    exact shape Structured Streaming gives the same query on a
+    stream."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "30 minutes", "15 minutes")
+                       .alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n", "total_value")
+    )
+
+
+@register("events_path_transitions", oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, event_type, round(value, 6)
+           ) AS next_type
+    FROM events
+)
+SELECT event_type, next_type, COUNT(*) AS n
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+""")
+def path_transitions(spark, sf_dir):
+    """Per-user event-path transition matrix (the Markov-chain /
+    Sankey input every product-analytics stack derives): for each
+    consecutive event pair within a user's timeline, count
+    (event_type → next_type). One shuffle (the per-user window),
+    then an aggregate over |types|² keys. The window ORDER BY
+    carries (ts, event_type, value) so same-timestamp events order
+    deterministically on both engines."""
+    events = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        "ts", "event_type", F.round("value", 6))
+    return (
+        events.select("user_id", "event_type",
+                      F.lead("event_type").over(w).alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # ----------------------------- engine-completeness extensions (no
 # reference counterpart; the operators a full warehouse user expects)
 

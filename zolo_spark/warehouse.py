@@ -708,7 +708,9 @@ class Warehouse:
                           constraint_add: dict | None = None,
                           constraint_drop: dict | None = None,
                           wap: str | None = None,
-                          validated_constraints: dict | None = None
+                          validated_constraints: dict | None = None,
+                          tag_add: dict | None = None,
+                          tag_drop: list | None = None
                           ) -> None:
         """Append one versioned record and publish as the next
         metadata generation — THE commit point for every tx-log
@@ -823,6 +825,10 @@ class Warehouse:
                 rec["constraint_add"] = constraint_add
             if constraint_drop:
                 rec["constraint_drop"] = constraint_drop
+            if tag_add:
+                rec["tag_add"] = tag_add
+            if tag_drop:
+                rec["tag_drop"] = tag_drop
             if wap:
                 rec["wap"] = wap
             if stats:
@@ -837,7 +843,8 @@ class Warehouse:
             "tx commit failed after 50 CAS retries - writer storm?")
 
     def read_committed_tx(self, table: str,
-                          as_of_version: int | None = None) -> DataFrame:
+                          as_of_version: int | None = None,
+                          as_of_tag: str | None = None) -> DataFrame:
         """The tx-log-defined contents of ``table`` — staged batches
         from unfinished commits are invisible by construction.
 
@@ -846,8 +853,14 @@ class Warehouse:
         Superseded files stay on disk until the retention window
         moves past them (:meth:`expire_snapshots`), so any version
         the log still holds is reconstructible; an expired version
-        raises."""
+        raises. ``as_of_tag`` resolves a named ref
+        (:meth:`create_tag`) — a live tag's version never expires."""
         txs = self._effective_txs(self._read_txlog())
+        if as_of_tag is not None:
+            tags = self._tx_tags(txs)
+            if as_of_tag not in tags:
+                raise ValueError(f"no tag {as_of_tag}")
+            as_of_version = tags[as_of_tag]
         self._check_retained(as_of_version, txs)
         fields = self._tx_fields(table, txs, as_of_version)
         files = self._replay_files(txs, table, as_of_version)
@@ -1175,6 +1188,49 @@ class Warehouse:
             raise ValueError(f"no constraint {name} on {table}")
         self._append_tx_record({}, constraint_drop={table: [name]})
 
+    # ------------------------------------------------ tags (Iceberg refs)
+
+    def _tx_tags(self, txs: list[tuple[int, dict]] | None = None
+                 ) -> dict[str, int]:
+        """Live named refs (tag → version), replayed from
+        ``tag_add`` / ``tag_drop`` records — Iceberg's TAG refs."""
+        if txs is None:
+            txs = self._effective_txs(self._read_txlog())
+        out: dict[str, int] = {}
+        for _, tx in txs:
+            out.update(tx.get("tag_add", {}))
+            for n in tx.get("tag_drop", []):
+                out.pop(n, None)
+        return out
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Iceberg's ``CREATE TAG``: a named ref to a commit version
+        (default: the current one). A live tag PINS its version
+        against checkpoint folding — ``checkpoint_txlog`` /
+        ``expire_snapshots`` never fold past the oldest tagged
+        version, so ``read_committed_tx(as_of_tag=...)`` keeps
+        working however much maintenance runs (the audit/repro
+        anchor: tag the snapshot a model trained on). Returns the
+        pinned version."""
+        txs = self._effective_txs(self._read_txlog())
+        if version is None:
+            version = txs[-1][0] if txs else 0
+        self._check_retained(version, txs)
+        if txs and version > txs[-1][0]:
+            raise ValueError(
+                f"version {version} does not exist yet "
+                f"(current is {txs[-1][0]})")
+        if name in self._tx_tags(txs):
+            raise ValueError(f"tag {name} already exists")
+        self._append_tx_record({}, tag_add={name: version})
+        return version
+
+    def drop_tag(self, name: str) -> None:
+        """Drop a named ref — its version becomes expirable again."""
+        if name not in self._tx_tags():
+            raise ValueError(f"no tag {name}")
+        self._append_tx_record({}, tag_drop=[name])
+
     def describe_detail(self, table: str) -> dict:
         """Delta's ``DESCRIBE DETAIL`` as a driver-local dict: current
         version, committed file count/bytes, LIVE deletion-vector
@@ -1475,6 +1531,8 @@ class Warehouse:
                 op = "rewrite"
             elif tx.get("dv"):
                 op = "merge_mor"
+            elif tx.get("tag_add") or tx.get("tag_drop"):
+                op = "tag"
             else:
                 op = "commit"
             rows.append((
@@ -1549,6 +1607,14 @@ class Warehouse:
                 if not live_dv:
                     safe = i + 1
             cut = safe
+            # a live TAG pins its version (Iceberg refs retain
+            # snapshots): the fold's snapshot version must not exceed
+            # the oldest tagged version, or read(as_of_tag=...) dies
+            tags = self._tx_tags(eff)
+            if tags:
+                vmin = min(tags.values())
+                while cut > 0 and eff[cut - 1][0] > vmin:
+                    cut -= 1
             fold, keep = eff[:cut], eff[cut:]
             if len(fold) <= 1:
                 return len(fold)
@@ -1590,6 +1656,7 @@ class Warehouse:
         tables: dict[str, list[str]] = {}
         watermarks: dict[str, str] = {}
         schema_tables: set = set()
+        tags_net: dict[str, int] = {}
         retired: dict[str, set] = {}
         cons: dict[str, dict[str, str]] = {}
         wap_tokens: list[str] = []
@@ -1607,6 +1674,9 @@ class Warehouse:
             watermarks.update(tx["watermarks"])
             for k in ("schema_add", "schema_drop", "schema_rename"):
                 schema_tables.update(tx.get(k, {}))
+            tags_net.update(tx.get("tag_add", {}))
+            for n in tx.get("tag_drop", []):
+                tags_net.pop(n, None)
             for t, names in tx.get("schema_retired", {}).items():
                 retired.setdefault(t, set()).update(names)
             for t, entries in tx.get("schema_drop", {}).items():
@@ -1646,6 +1716,8 @@ class Warehouse:
         live_retired = {t: sorted(s) for t, s in retired.items() if s}
         if live_retired:
             snap["schema_retired"] = live_retired
+        if tags_net:
+            snap["tag_add"] = tags_net
         live_cons = {t: [[n, e] for n, e in d.items()]
                      for t, d in cons.items() if d}
         if live_cons:
@@ -2041,9 +2113,12 @@ class Warehouse:
         100 TB this costs one pushed-down scan, never a shuffle; the
         rewrite phase then touches O(matched files), not O(table)."""
         df = self._read_files_logical(table, fields, files)
+        # filter BEFORE tagging the file name: input_file_name() is
+        # nondeterministic and blocks pushdown past its project, so
+        # the other order would scan every row group of every file
         hits = {r["_f"] for r in
-                df.withColumn("_f", F.input_file_name())
-                .filter(F.expr(condition))
+                df.filter(F.expr(condition))
+                .withColumn("_f", F.input_file_name())
                 .select("_f").distinct().collect()}
         root = self.path(table)
         abs_of = {rel: "file://" + os.path.abspath(
