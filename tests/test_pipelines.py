@@ -1960,6 +1960,19 @@ def test_delete_and_update_tx_row_level_ops(spark, wh):
             wh.read_committed_tx("items").collect()} == {80.0}
 
 
+def test_schema_change_refuses_manifest_tables(spark, wh):
+    """add/drop/rename_column_tx on a manifest-managed table would
+    fork its committed contents into two disagreeing logs — the same
+    guard commit_tx has."""
+    wh.append_commit(_items_rows(spark, ("a", 1, 10.0)), "items",
+                     "wm_items", "2024-01-01")
+    for call in (lambda: wh.add_column_tx("items", "x", "double"),
+                 lambda: wh.drop_column_tx("items", "weight"),
+                 lambda: wh.rename_column_tx("items", "weight", "w2")):
+        with pytest.raises(ValueError, match="manifest-managed"):
+            call()
+
+
 def test_tags_pin_versions_against_expiry(spark, wh):
     """Iceberg TAG refs: a named ref reads by name, PINS its version
     against checkpoint folding (maintenance can't expire what an

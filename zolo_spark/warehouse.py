@@ -1046,6 +1046,7 @@ class Warehouse:
         semantics, which name-matching alone would violate."""
         from pyspark.sql.types import _parse_datatype_string
         _parse_datatype_string(dtype)  # validate eagerly, not at read
+        self._reject_manifest_schema_change(table)
         txs = self._effective_txs(self._read_txlog())
         fields = self._tx_fields(table, txs)
         if name in {ln for ln, _, _ in fields}:
@@ -1058,6 +1059,17 @@ class Warehouse:
             phys = f"{name}__v{(txs[-1][0] if txs else 0) + 1}"
         add = [name, dtype] if phys == name else [name, dtype, phys]
         self._append_tx_record({}, schema_add={table: [add]})
+
+    def _reject_manifest_schema_change(self, table: str) -> None:
+        """A schema-change record on a manifest-managed table would
+        CLAIM it for the tx subsystem while append_commit keeps
+        publishing through the manifest — two disagreeing logs, the
+        same fork commit_tx refuses."""
+        if self._has_manifest(table):
+            raise ValueError(
+                f"table {table} is manifest-managed (append_commit); "
+                "schema evolution needs the tx log — migrate the "
+                "table to commit_tx first")
 
     def _guard_constraint_refs(self, table: str, name: str,
                                txs: list[tuple[int, dict]],
@@ -1081,6 +1093,7 @@ class Warehouse:
         version before the drop still sees the column. Re-adding the
         same name later binds a fresh physical column (never the old
         bytes)."""
+        self._reject_manifest_schema_change(table)
         txs = self._effective_txs(self._read_txlog())
         fields = self._tx_fields(table, txs)
         match = [f for f in fields if f[0] == name]
@@ -1110,6 +1123,7 @@ class Warehouse:
         to a version before the rename sees the old name. Renaming
         to a previously-dropped name is fine (distinct physical
         identity)."""
+        self._reject_manifest_schema_change(table)
         txs = self._effective_txs(self._read_txlog())
         logicals = [ln for ln, _, _ in self._tx_fields(table, txs)]
         if old not in logicals:
