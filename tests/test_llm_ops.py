@@ -1335,17 +1335,31 @@ def test_corpus_pipeline_empty_and_unembedded(spark):
 
 
 def test_corpus_pipeline_skips_exact_count_when_k_is_pinned(
-        spark, monkeypatch):
+        spark, monkeypatch, tmp_path):
     """r12 VERDICT item 7: at scales where Catalyst's free sizeInBytes
     upper bound proves the SemDeDup codebook k sits at its floor, the
     pipeline must not run the eager survivor count() — one fewer full
-    job per capstone call. The real sf0.001 tables sit under the
-    floor boundary, so NO DataFrame.count may fire during pipeline
-    construction; and the output must equal the counted path's."""
-    from pyspark.sql import DataFrame
+    job per capstone call. A 150-row slice sits COMFORTABLY under the
+    floor boundary (n_hi×SAFETY ≤ 575), so NO DataFrame.count may
+    fire during pipeline construction; the output must equal the
+    counted path's. (Full sf0.001 no longer qualifies: its estimate
+    lands at n_hi=553, inside the r13-ADVICE safety band, so it now
+    correctly falls back to the exact count.)
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    The patch targets the CLASSIC DataFrame subclass: it overrides
+    ``count``, so patching the pyspark.sql.DataFrame base silently
+    intercepts nothing (the pre-r14 version of this test was vacuous
+    for exactly that reason)."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+     .orderBy("doc_id").limit(150).coalesce(1)
+     .write.parquet(str(tmp_path / "docs")))
+    (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+     .orderBy("vec_id").limit(150).coalesce(1)
+     .write.parquet(str(tmp_path / "emb")))
+    docs = spark.read.parquet(str(tmp_path / "docs"))
+    emb = spark.read.parquet(str(tmp_path / "emb"))
     expected = {r["doc_id"] for r in
                 corpus.corpus_pipeline(docs, emb).collect()}
 
@@ -1361,6 +1375,49 @@ def test_corpus_pipeline_skips_exact_count_when_k_is_pinned(
     assert not calls, "eager count() ran despite a floor-pinned k"
     monkeypatch.setattr(DataFrame, "count", real_count)
     assert {r["doc_id"] for r in out.collect()} == expected
+
+
+def test_semdedup_floor_pin_requires_safety_margin(spark, monkeypatch):
+    """r13 ADVICE item 4: the count-skip must hold even if the real
+    bytes/row is HALF the calibrated 350 lower bound. An estimate
+    landing just inside the floor region (pin at 1× but not at 2×)
+    must RUN the exact count; only a comfortably-inside estimate may
+    skip it — otherwise a better-compressed corpus under-counts
+    survivors and silently mis-sizes the codebook."""
+    from pyspark.sql.classic.dataframe import DataFrame
+    from zolo_spark.llm import dedup as _dedup
+    from zolo_spark.llm.corpus import _SEMDEDUP_EST_MIN_ROW_BYTES
+
+    docs = spark.createDataFrame(
+        [(i, f"unique text {i} tail {i * 13}", "en", "s1", 30)
+         for i in range(1, 6)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0]) for i in range(1, 6)],
+        "vec_id long, embedding array<double>")
+
+    real_count = DataFrame.count
+    calls: list = []
+
+    def tracked(self):
+        calls.append(self)
+        return real_count(self)
+
+    monkeypatch.setattr(DataFrame, "count", tracked)
+    # n_hi = 400: inside the floor region at 1× (400*?//64 -> wait,
+    # semdedup_k(400)=8) but OUT at 2× (semdedup_k(800)=12) -> count
+    monkeypatch.setattr(_dedup, "_plan_size_estimate",
+                        lambda df: 400 * _SEMDEDUP_EST_MIN_ROW_BYTES)
+    corpus.corpus_pipeline(docs, emb)
+    assert calls, "edge-of-floor estimate must fall back to count()"
+
+    calls.clear()
+    # n_hi = 200: still floor-pinned at 2× (semdedup_k(400)=8) -> skip
+    monkeypatch.setattr(_dedup, "_plan_size_estimate",
+                        lambda df: 200 * _SEMDEDUP_EST_MIN_ROW_BYTES)
+    corpus.corpus_pipeline(docs, emb)
+    assert not calls, "comfortably-floor-pinned estimate must skip"
 
 
 def test_corpus_pipeline_partial_embedding_coverage(spark):

@@ -17,6 +17,10 @@ from . import cachereg
 # less to over-estimate rows — the safe direction: an inflated row
 # bound can only force the exact-count fallback, never a wrong k).
 _SEMDEDUP_EST_MIN_ROW_BYTES = 350
+# the floor-pin skip must hold even if the real bytes/row is HALF the
+# calibrated lower bound (r13 ADVICE: a better-compressed corpus would
+# otherwise under-count survivors and silently mis-size the codebook)
+_SEMDEDUP_EST_SAFETY = 2
 
 
 def dup_clusters(pairs: DataFrame, max_iter: int = 20,
@@ -659,10 +663,16 @@ def corpus_pipeline(docs: DataFrame, emb: DataFrame, *,
     # k is pinned for EVERY possible survivor count and the exact
     # count job is skipped; only when the estimate straddles a k
     # boundary does the count run (estimate error can cost one extra
-    # job, never a different result).
+    # job, never a different result). The 2× SAFETY margin keeps that
+    # invariant even if a future corpus compresses below the
+    # calibrated 350 bytes/row: the skip needs n_hi to sit
+    # COMFORTABLY inside the floor region, not just at its edge —
+    # otherwise an under-estimate could silently pin k to the floor
+    # for a corpus that really needs n//64 cells.
     est = _dedup._plan_size_estimate(emb2)
     n_hi = est // _SEMDEDUP_EST_MIN_ROW_BYTES
-    if semdedup_k(max(n_hi, 1), max_k) == semdedup_k(1, max_k):
+    if semdedup_k(max(n_hi, 1) * _SEMDEDUP_EST_SAFETY,
+                  max_k) == semdedup_k(1, max_k):
         k: int | None = semdedup_k(1, max_k)   # floor-pinned
     else:
         n_emb = emb2.count()
