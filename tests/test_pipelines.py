@@ -912,6 +912,58 @@ def test_tx_schema_evolution_drop_and_rename_column(spark, wh):
     wh.drop_column_tx("items", "zolo_id")   # fine after compaction
 
 
+def test_tx_fold_survives_rename_chains_and_swaps(spark, wh):
+    """A checkpoint fold emits the NET rename state as multiple
+    entries in ONE record; replay must apply them as a SIMULTANEOUS
+    mapping. A chain that reuses a freed name (weight->w_old then
+    category_name->weight) and a swap via a temp name would both
+    corrupt under sequential application — the reused name vanished
+    and two columns ended up sharing a logical name."""
+    wh.commit_tx({"items": spark.createDataFrame(
+        [("a", "v", 1, "sq", "qb", "sh", "catA", "whole", 10.0, 1)],
+        schemas.WAREHOUSE_TABLES["items"])})
+
+    # chain reusing a freed name: weight -> w_old, category_name -> weight
+    wh.rename_column_tx("items", "weight", "w_old")
+    wh.rename_column_tx("items", "category_name", "weight")
+    # swap via temp: zolo_id <-> square_id
+    wh.rename_column_tx("items", "zolo_id", "tmp_id")
+    wh.rename_column_tx("items", "square_id", "zolo_id")
+    wh.rename_column_tx("items", "tmp_id", "square_id")
+
+    def snapshot():
+        row = (wh.read_committed_tx("items")
+               .filter(F.col("product_name") == "a").collect()[0])
+        return (row["w_old"], row["weight"],
+                row["zolo_id"], row["square_id"])
+
+    before = snapshot()
+    assert before == (10.0, "catA", "sq", 1)
+    assert wh.checkpoint_txlog() > 1          # fold the rename history
+    cols = wh.read_committed_tx("items").columns
+    assert sorted(cols) == sorted(set(cols)), "duplicate logical name"
+    assert snapshot() == before               # fold is a pure no-op
+    # a write under the folded LOGICAL schema lands on the right
+    # physical columns (zolo_id value must surface as zolo_id even
+    # though it is physically stored under the square_id column)
+    row_b = {"product_name": "b", "variant_name": "v",
+             "zolo_id": "zB", "square_id": 2, "quickbooks_id": "qb",
+             "shopify_id": "sh", "weight": "catB", "form": "whole",
+             "w_old": 20.0, "profile_id": 1}
+    logical = wh._tx_schema("items")
+    wh.commit_tx({"items": spark.createDataFrame(
+        [tuple(row_b[f.name] for f in logical.fields)], logical)})
+    got = {r["product_name"]:
+           (r["w_old"], r["weight"], r["zolo_id"], r["square_id"])
+           for r in wh.read_committed_tx("items").collect()}
+    assert got == {"a": before, "b": (20.0, "catB", "zB", 2)}
+    # a second fold of the folded record stays stable
+    wh.checkpoint_txlog()
+    assert {r["product_name"] for r in
+            wh.read_committed_tx("items").collect()} == {"a", "b"}
+    assert snapshot() == before
+
+
 def test_tx_commit_cas_no_lost_updates(spark, wh):
     """The metadata-generation CAS protocol must serialize concurrent
     committers with NO lost updates — the single-file os.replace it
@@ -1798,6 +1850,273 @@ def test_tx_constraints_hold_under_concurrent_publish(spark, wh):
     assert wh.read_committed_tx("items").count() == 3
 
 
+def test_schema_and_tag_preconditions_hold_under_concurrent_publish(
+        spark, wh):
+    """Schema/tag preconditions participate in the optimistic
+    protocol: the record carries the log version its checks ran
+    against, so the loser of a same-name race re-validates on fresh
+    state and fails with the right error instead of publishing a
+    duplicate column / tag (two concurrent add_column_tx('x') must
+    not yield two logical 'x' columns sharing a physical name)."""
+    wh.commit_tx({"items": _items_rows(spark, ("a", 1, 10.0))})
+    real_publish = type(wh)._publish_txlog
+
+    def inject(action):
+        state = {"fired": False}
+
+        def racing(self, log):
+            if not state["fired"]:
+                state["fired"] = True
+                action()
+                raise FileExistsError
+            return real_publish(self, log)
+        return racing
+
+    # duplicate ADD race: winner lands mid-flight, loser must refuse
+    type(wh)._publish_txlog = inject(
+        lambda: wh.add_column_tx("items", "x", "double"))
+    try:
+        with pytest.raises(ValueError, match="already exists"):
+            wh.add_column_tx("items", "x", "string")
+    finally:
+        type(wh)._publish_txlog = real_publish
+    cols = wh.read_committed_tx("items").columns
+    assert cols.count("x") == 1
+    lns = [ln for ln, _, _ in wh._tx_fields("items")]
+    assert len(lns) == len(set(lns)), "duplicate logical column"
+
+    # RENAME race onto a name a concurrent add just claimed
+    type(wh)._publish_txlog = inject(
+        lambda: wh.add_column_tx("items", "y", "double"))
+    try:
+        with pytest.raises(ValueError, match="already exists"):
+            wh.rename_column_tx("items", "x", "y")
+    finally:
+        type(wh)._publish_txlog = real_publish
+
+    # DROP race: the column a concurrent writer already dropped
+    type(wh)._publish_txlog = inject(
+        lambda: wh.drop_column_tx("items", "x"))
+    try:
+        with pytest.raises(ValueError, match="no column"):
+            wh.drop_column_tx("items", "x")
+    finally:
+        type(wh)._publish_txlog = real_publish
+
+    # TAG race: same name created concurrently
+    type(wh)._publish_txlog = inject(lambda: wh.create_tag("t1"))
+    try:
+        with pytest.raises(ValueError, match="already exists"):
+            wh.create_tag("t1")
+    finally:
+        type(wh)._publish_txlog = real_publish
+    assert "t1" in wh._tx_tags()
+
+    # an UNRELATED concurrent commit retries through (no spurious
+    # failure): the schema change lands on the advanced log
+    type(wh)._publish_txlog = inject(
+        lambda: wh.commit_tx({"items": _items_rows(spark, ("b", 2, 2.0))}))
+    try:
+        wh.add_column_tx("items", "z", "double")
+    finally:
+        type(wh)._publish_txlog = real_publish
+    assert "z" in wh.read_committed_tx("items").columns
+    assert wh.read_committed_tx("items").count() == 2
+
+
+def test_clustering_spec_evolution(spark, wh):
+    """Iceberg partition-spec evolution, clustering flavor: ONE
+    metadata record changes the column new commits sort on; files
+    already committed are untouched (old spec, still readable); the
+    spec stores the PHYSICAL name so renames never stale it; folds
+    carry the net spec; dropping the active clustering column is
+    refused until the spec is cleared."""
+    import os
+    import random
+
+    def batch(lo, hi):
+        ids = list(range(lo, hi))
+        random.Random(7).shuffle(ids)
+        return spark.createDataFrame(
+            [(f"p{i}", "v", i, "sq", "qb", "sh", "cat", "whole",
+              float(i), 1) for i in ids],
+            schemas.WAREHOUSE_TABLES["items"]).repartition(2)
+
+    def file_cols(rels, col):
+        return [[r[col] for r in
+                 spark.read.parquet(
+                     os.path.join(wh.path("items"), rel)).collect()]
+                for rel in rels]
+
+    wh.commit_tx({"items": batch(0, 8)})            # unclustered
+    txs = wh._effective_txs(wh._read_txlog())
+    old_files = wh._replay_files(txs, "items")
+    assert any(v != sorted(v) for v in
+               file_cols(old_files, "zolo_id") if len(v) > 1)
+
+    with pytest.raises(ValueError, match="no column"):
+        wh.set_clustering("items", "nope")
+    wh.set_clustering("items", "zolo_id")
+    wh.commit_tx({"items": batch(8, 16)})           # clustered
+    txs = wh._effective_txs(wh._read_txlog())
+    new_files = [rel for rel in wh._replay_files(txs, "items")
+                 if rel not in old_files]
+    assert all(v == sorted(v)
+               for v in file_cols(new_files, "zolo_id"))
+    # old files byte-identical (never rewritten by a spec change)
+    assert set(old_files) <= set(wh._replay_files(txs, "items"))
+
+    # rename never stales the spec (it stores the physical name)
+    wh.rename_column_tx("items", "zolo_id", "zid")
+    wh.commit_tx({"items": batch(16, 24)
+                  .withColumnRenamed("zolo_id", "zid")})
+    txs = wh._effective_txs(wh._read_txlog())
+    newest = [rel for rel in wh._replay_files(txs, "items")
+              if rel not in old_files and rel not in new_files]
+    assert all(v == sorted(v) for v in file_cols(newest, "zolo_id"))
+
+    # the active clustering column cannot be dropped
+    with pytest.raises(ValueError, match="clustering"):
+        wh.drop_column_tx("items", "zid")
+
+    # fold survival: the net spec lives in the snapshot
+    wh.checkpoint_txlog()
+    assert wh._cluster_col("items") == "zolo_id"
+    wh.commit_tx({"items": batch(24, 32)
+                  .withColumnRenamed("zolo_id", "zid")})
+    txs = wh._effective_txs(wh._read_txlog())
+    latest = wh._replay_files(txs, "items")[-2:]
+    assert all(v == sorted(v) for v in file_cols(latest, "zolo_id"))
+
+    # clear the spec: drop now legal; reads were never affected
+    wh.set_clustering("items", None)
+    assert wh._cluster_col("items") is None
+    wh.drop_column_tx("items", "zid")
+    assert wh.read_committed_tx("items").count() == 32
+
+
+def test_branch_lifecycle_and_fast_forward(spark, wh):
+    """Iceberg BRANCHES (writable refs) over the tx log: a branch
+    forks from a main version; commits/merges with ``branch=`` land
+    on its lineage invisible to main; the branch reads main-as-of-
+    fork plus its own records; ``fast_forward`` publishes the lineage
+    into main atomically (refusing when main diverged past the fork);
+    ``drop_branch`` abandons unpublished records; a recreated name is
+    a FRESH lineage (the dropped records never resurrect)."""
+    wh.commit_tx({"items": _items_rows(
+        spark, ("a", 1, 10.0), ("b", 2, 20.0))})
+    fork = wh.create_branch("audit")
+    assert wh.list_branches() == {"audit": fork}
+    with pytest.raises(ValueError, match="already exists"):
+        wh.create_branch("audit")
+
+    def names(**kw):
+        return {r["product_name"]: r["weight"] for r in
+                wh.read_committed_tx("items", **kw).collect()}
+
+    # commit + merge on the branch: invisible to main
+    wh.commit_tx({"items": _items_rows(spark, ("c", 3, 30.0))},
+                 branch="audit")
+    wh.merge_tx("items", _items_upd(spark, ("a", 1, 11.0, False)),
+                ["product_name"], delete_col="_deleted",
+                branch="audit")
+    assert names() == {"a": 10.0, "b": 20.0}
+    assert names(branch="audit") == {"a": 11.0, "b": 20.0, "c": 30.0}
+
+    # fast-forward: ONE atomic record flips main to the branch head
+    wh.fast_forward("audit")
+    assert names() == {"a": 11.0, "b": 20.0, "c": 30.0}
+    assert names(branch="audit") == names()
+
+    # main advances past the (still-live) branch: divergence refusal
+    wh.commit_tx({"items": _items_rows(spark, ("d", 4, 40.0))})
+    assert names(branch="audit") == {"a": 11.0, "b": 20.0, "c": 30.0}
+    wh.commit_tx({"items": _items_rows(spark, ("x", 9, 90.0))},
+                 branch="audit")
+    with pytest.raises(ValueError, match="diverged|advanced past"):
+        wh.fast_forward("audit")
+
+    # drop: unpublished tail ('x') gone; published history stays
+    wh.drop_branch("audit")
+    assert "audit" not in wh.list_branches()
+    with pytest.raises(ValueError, match="no branch"):
+        wh.read_committed_tx("items", branch="audit")
+    with pytest.raises(ValueError, match="no branch"):
+        wh.commit_tx({"items": _items_rows(spark, ("y", 8, 80.0))},
+                     branch="audit")
+    assert names() == {"a": 11.0, "b": 20.0, "c": 30.0, "d": 40.0}
+
+    # recreate after drop: a FRESH lineage — 'x' must not resurrect
+    wh.create_branch("audit")
+    assert names(branch="audit") == names()
+    wh.drop_branch("audit")
+
+
+def test_branch_survives_checkpoint_fold(spark, wh):
+    """A live branch pins its fork against folding (like a tag): the
+    fold clamps at the oldest live fork, the branch stays readable
+    and fast-forwardable afterwards, and once published + dropped a
+    later fold merges the branch records into the snapshot."""
+    wh.commit_tx({"items": _items_rows(spark, ("a", 1, 10.0))})
+    wh.commit_tx({"items": _items_rows(spark, ("b", 2, 20.0))})
+    wh.create_branch("wip")
+    wh.commit_tx({"items": _items_rows(spark, ("c", 3, 30.0))},
+                 branch="wip")
+    wh.checkpoint_txlog()   # clamped at the fork: branch intact
+
+    def names(**kw):
+        return {r["product_name"] for r in
+                wh.read_committed_tx("items", **kw).collect()}
+
+    assert names() == {"a", "b"}
+    assert names(branch="wip") == {"a", "b", "c"}
+    wh.fast_forward("wip")
+    assert names() == {"a", "b", "c"}
+    wh.drop_branch("wip")
+    assert wh.checkpoint_txlog() > 1   # unclamped: full fold
+    assert names() == {"a", "b", "c"}
+    # versions stay globally unique across lineages: a fresh commit
+    # lands above everything the raw log ever numbered
+    wh.commit_tx({"items": _items_rows(spark, ("d", 4, 40.0))})
+    assert names() == {"a", "b", "c", "d"}
+
+
+def test_write_audit_publish_on_branch(spark, wh):
+    """WAP on a branch — the natural first consumer of writable
+    refs: stage commits on an audit branch, validate via the branch
+    read (the audit), fast-forward to publish atomically; a failed
+    audit drops the branch and main never sees the staged rows. A
+    CHECK constraint gates branch commits exactly as main ones."""
+    wh.commit_tx({"items": _items_rows(spark, ("a", 1, 10.0))})
+    wh.add_constraint_tx("items", "w_pos", "weight > 0")
+
+    # attempt 1: audit fails (a bad row slipped into the batch is
+    # caught by the constraint at branch-commit time)
+    wh.create_branch("etl_audit")
+    with pytest.raises(ValueError, match="w_pos"):
+        wh.commit_tx({"items": _items_rows(spark, ("bad", 7, -1.0))},
+                     branch="etl_audit")
+    # attempt 2: commit clean rows, audit the branch read, publish
+    wh.commit_tx({"items": _items_rows(spark, ("b", 2, 20.0))},
+                 branch="etl_audit")
+    audit = wh.read_committed_tx("items", branch="etl_audit")
+    assert audit.filter(F.col("weight") <= 0).count() == 0
+    assert {r["product_name"] for r in
+            wh.read_committed_tx("items").collect()} == {"a"}
+    wh.fast_forward("etl_audit")
+    wh.drop_branch("etl_audit")
+    assert {r["product_name"] for r in
+            wh.read_committed_tx("items").collect()} == {"a", "b"}
+
+    # failed-audit path: staged rows never reach main
+    wh.create_branch("audit2")
+    wh.commit_tx({"items": _items_rows(spark, ("z", 5, 50.0))},
+                 branch="audit2")
+    wh.drop_branch("audit2")   # audit rejected
+    assert {r["product_name"] for r in
+            wh.read_committed_tx("items").collect()} == {"a", "b"}
+
+
 def test_write_audit_publish_lifecycle(spark, wh):
     """Iceberg WAP: a staged commit is invisible to every reader, the
     audit view (read_staged_tx) previews committed+staged, publish is
@@ -1958,6 +2277,148 @@ def test_delete_and_update_tx_row_level_ops(spark, wh):
         wh.update_tx("items", {"nope": "1"}, "true")
     assert {r["weight"] for r in
             wh.read_committed_tx("items").collect()} == {80.0}
+
+
+def test_row_level_cow_prunes_under_live_dvs(spark, wh):
+    """cow DELETE/UPDATE on a table carrying live deletion vectors
+    rewrites (condition-matched ∪ DV-affected) files — NOT the whole
+    table (pre-r14 it did, an O(table) hazard with auto_compact_dvs
+    legitimately leaving DVs live). Files with neither a matching row
+    nor a DV-hidden row survive by IDENTITY; a mor postimage file is
+    NOT affected by its own DV (``_fv < v_dv`` is strict), so it
+    survives too; the rewrite materializes the DVs it clears (hidden
+    rows must not resurrect)."""
+    wh.commit_tx({"items": _items_rows(
+        spark, ("a", 1, 10.0), ("b", 2, 20.0)).coalesce(1)})   # f1
+    wh.commit_tx({"items": _items_rows(
+        spark, ("c", 3, 30.0), ("d", 4, 40.0)).coalesce(1)})   # f2
+    wh.commit_tx({"items": _items_rows(
+        spark, ("e", 5, 50.0), ("f", 6, 60.0)).coalesce(1)})   # f3
+    txs = wh._effective_txs(wh._read_txlog())
+    f1, f2, f3 = [fl[0] for _, fl in
+                  wh._replay_file_versions(txs, "items")]
+
+    # DV hides 'b' (lives in f1); cow delete matches only f3 ('e')
+    wh.delete_tx("items", "product_name = 'b'",
+                 keys=["product_name"], mode="mor")
+    wh.delete_tx("items", "product_name = 'e'")
+    txs = wh._effective_txs(wh._read_txlog())
+    now = set(wh._replay_files(txs, "items"))
+    assert f2 in now, "clean file was rewritten under live DVs"
+    assert f1 not in now and f3 not in now
+    assert wh._replay_dvs(txs, "items") == [], "rewrite clears DVs"
+    assert {r["product_name"] for r in
+            wh.read_committed_tx("items").collect()} == \
+        {"a", "c", "d", "f"}, "DV-hidden row resurrected or miss"
+
+    # mor UPDATE writes a postimage at the DV's own version: a later
+    # cow update must keep that postimage file (fv < v_dv is strict)
+    wh.update_tx("items", {"weight": "weight * 10"},
+                 "product_name = 'c'", keys=["product_name"],
+                 mode="mor")
+    txs = wh._effective_txs(wh._read_txlog())
+    post = [fl for _, fl in wh._replay_file_versions(txs, "items")
+            if f2 not in fl][-1]
+    pre_files = set(wh._replay_files(txs, "items"))
+    wh.update_tx("items", {"weight": "weight + 1"},
+                 "product_name = 'f'")
+    txs = wh._effective_txs(wh._read_txlog())
+    now = set(wh._replay_files(txs, "items"))
+    assert set(post) <= now, "own postimage wrongly classed affected"
+    assert f2 not in now, "c's old image file must be materialized"
+    assert wh._replay_dvs(txs, "items") == []
+    got = {r["product_name"]: r["weight"]
+           for r in wh.read_committed_tx("items").collect()}
+    assert got == {"a": 10.0, "c": 300.0, "d": 40.0, "f": 61.0}
+    assert now & pre_files, "keep list empty: rewrite was not pruned"
+
+
+def test_merge_cow_prunes_under_live_dvs(spark, wh):
+    """A cow MERGE on a table carrying live deletion vectors keeps
+    the same O(matched files) pruning the DV-free path has: files
+    with neither a key-range hit nor a DV-hidden row survive by
+    identity, the DVs are materialized into the rewrite (hidden rows
+    must not resurrect), and the REWRITE record clears them."""
+    wh.commit_tx({"items": _items_rows(
+        spark, ("a", 1, 10.0), ("b", 2, 20.0)).coalesce(1)})   # f1
+    wh.commit_tx({"items": _items_rows(
+        spark, ("c", 3, 30.0), ("d", 4, 40.0)).coalesce(1)})   # f2
+    txs = wh._effective_txs(wh._read_txlog())
+    f1, f2 = wh._replay_files(txs, "items")
+
+    # DV hides 'd' (in f2); the merge batch touches only 'a' (f1)
+    wh.delete_tx("items", "product_name = 'd'",
+                 keys=["product_name"], mode="mor")
+    wh.merge_tx("items", _items_upd(spark, ("a", 1, 11.0, False)),
+                ["product_name"], delete_col="_deleted")
+    txs = wh._effective_txs(wh._read_txlog())
+    now = set(wh._replay_files(txs, "items"))
+    assert f1 not in now, "key-matched file must be rewritten"
+    assert f2 not in now, "DV-affected file must be materialized"
+    assert wh._replay_dvs(txs, "items") == []
+    got = {r["product_name"]: r["weight"]
+           for r in wh.read_committed_tx("items").collect()}
+    assert got == {"a": 11.0, "b": 20.0, "c": 30.0}
+
+    # and a file with neither role survives by identity
+    wh.commit_tx({"items": _items_rows(spark, ("e", 5, 50.0))
+                  .coalesce(1)})
+    txs = wh._effective_txs(wh._read_txlog())
+    f_e = wh._replay_files(txs, "items")[-1]
+    wh.delete_tx("items", "product_name = 'b'",
+                 keys=["product_name"], mode="mor")
+    wh.merge_tx("items", _items_upd(spark, ("c", 3, 33.0, False)),
+                ["product_name"], delete_col="_deleted")
+    txs = wh._effective_txs(wh._read_txlog())
+    assert f_e in set(wh._replay_files(txs, "items")), \
+        "clean file was rewritten by a merge under live DVs"
+    got = {r["product_name"]: r["weight"]
+           for r in wh.read_committed_tx("items").collect()}
+    assert got == {"a": 11.0, "c": 33.0, "e": 50.0}
+
+
+def test_row_level_mor_no_match_is_a_no_op(spark, wh):
+    """mor DELETE/UPDATE whose condition matches nothing publishes
+    NOTHING — no version, no empty DV sidecar (which would cost every
+    later read a dead broadcast anti-join and count toward the
+    auto_compact_dvs threshold, triggering a pointless full
+    compaction) — matching the documented cow no-op contract."""
+    wh.commit_tx({"items": _items_rows(spark, ("a", 1, 10.0))})
+    v = wh.current_tx_version()
+    wh.delete_tx("items", "product_name = 'zz'",
+                 keys=["product_name"], mode="mor")
+    wh.update_tx("items", {"weight": "0"}, "product_name = 'zz'",
+                 keys=["product_name"], mode="mor")
+    assert wh.current_tx_version() == v
+    txs = wh._effective_txs(wh._read_txlog())
+    assert wh._replay_dvs(txs, "items") == []
+
+
+def test_row_level_ops_with_space_in_warehouse_root(spark, tmp_path):
+    """input_file_name() reports URL-encoded URIs: a warehouse root
+    with a space (or any percent-encodable char) must still classify
+    touched files correctly — raw 'file://'+abspath comparison made
+    every file miscompare, silently turning DELETE/UPDATE/compact
+    (where=) into no-ops."""
+    w = Warehouse(spark, str(tmp_path / "ware house" / "wh dir"))
+    w.init()
+    w.commit_tx({"items": _items_rows(
+        spark, ("a", 1, 10.0), ("b", 2, 20.0)).coalesce(1)})
+    w.commit_tx({"items": _items_rows(spark, ("c", 3, 30.0))
+                 .coalesce(1)})
+    txs = w._effective_txs(w._read_txlog())
+    f1 = w._replay_files(txs, "items")[0]
+    w.delete_tx("items", "product_name = 'c'")
+    txs = w._effective_txs(w._read_txlog())
+    assert f1 in set(w._replay_files(txs, "items")), \
+        "untouched file must keep its identity"
+    assert {r["product_name"] for r in
+            w.read_committed_tx("items").collect()} == {"a", "b"}
+    w.update_tx("items", {"weight": "weight + 1"},
+                "product_name = 'a'")
+    got = {r["product_name"]: r["weight"]
+           for r in w.read_committed_tx("items").collect()}
+    assert got == {"a": 11.0, "b": 20.0}
 
 
 def test_schema_change_refuses_manifest_tables(spark, wh):

@@ -389,7 +389,17 @@ _GRADING_PRIORITY = [
     # events_interval_overlap — the NEW interval-overlap join
     # (ops/temporal.interval_join), oracled by DuckDB's direct
     # inequality join.
-    "m_ses_fixed_alpha_fold", "m_holt_fixed_fold", "events_interval_overlap",
+    # Round-14 rotation: m_ses_fixed_alpha_fold (green r2–r13, TWELVE
+    # rounds; models/grouped.py's SES region is untouched this round
+    # and the walk-forward fold machinery stays in-window THREE ways
+    # — m_holt_fixed_fold, m_arima_fixed_fold, m_arima_grid_ci) hands
+    # its slot to delete_update_cow_twin — the NEW copy-on-write
+    # row-level gate: the same update+delete semantics as the mor
+    # twin, but the DELETE runs cow OVER a live deletion vector,
+    # value-hashing the r14 pruned rewrite-under-live-DVs branch
+    # (touched ∪ DV-affected files rewritten, rest kept by identity,
+    # DVs cleared) against the same relational restatement.
+    "delete_update_cow_twin", "m_holt_fixed_fold", "events_interval_overlap",
     # Round-8 rotation: m_ses_walk_forward (green r6∧r7, unchanged;
     # the walk-forward machinery stays covered by m_holt_walk_forward
     # and the SES family by fixed-fold + weekly-forecast) hands its

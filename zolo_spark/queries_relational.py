@@ -1961,7 +1961,7 @@ def merge_mor_twin(spark, sf_dir):
     return wh.read_committed_tx("cdc_mirror")
 
 
-@register("delete_update_twin", oracle="""
+_DU_TWIN_ORACLE = """
 WITH t AS (
     SELECT c_custkey AS cust_id, c_mktsegment AS segment,
            round(c_acctbal::DECIMAL(18,2), 2)::DOUBLE AS balance
@@ -1976,7 +1976,10 @@ WITH t AS (
 )
 SELECT cust_id, segment, balance
 FROM u WHERE NOT (cust_id % 7 = 3)
-""")
+"""
+
+
+@register("delete_update_twin", oracle=_DU_TWIN_ORACLE)
 def delete_update_twin(spark, sf_dir):
     """Row-level UPDATE ... WHERE then DELETE ... WHERE through the
     REAL warehouse tx path in merge-on-read mode: the update's
@@ -2004,6 +2007,42 @@ def delete_update_twin(spark, sf_dir):
                  "balance > 5000", keys=["cust_id"], mode="mor")
     wh.delete_tx("cdc_mirror", "cust_id % 7 = 3",
                  keys=["cust_id"], mode="mor")
+    return wh.read_committed_tx("cdc_mirror")
+
+
+@register("delete_update_cow_twin", oracle=_DU_TWIN_ORACLE)
+def delete_update_cow_twin(spark, sf_dir):
+    """COPY-ON-WRITE twin of delete_update_twin — the default path at
+    scale: the SAME update+delete semantics, but the UPDATE lands as
+    merge-on-read (postimage + deletion vector) and the DELETE then
+    runs in cow mode OVER that live DV, driving the r14 pruned
+    rewrite-under-live-DVs branch end-to-end (touched-file scan,
+    DV-affected file materialization, untouched files re-referenced
+    by identity, DV cleared by the REWRITE record). The final read
+    resolves no DVs — pure committed files — and must hash-match the
+    same relational restatement the mor twin matches (cow ≡ mor ≡
+    plain SQL). Reference parity anchor: same as delete_update_twin
+    (the reference replaces whole tables; row-level ops are the
+    at-scale extension). Same throwaway-warehouse shape as
+    merge_mor_twin."""
+    import shutil
+    import tempfile
+
+    parent = os.path.join(tempfile.gettempdir(), "zolo_du_cow_twin")
+    shutil.rmtree(parent, ignore_errors=True)
+    os.makedirs(parent, exist_ok=True)
+    root = tempfile.mkdtemp(dir=parent)
+    wh = Warehouse(spark, root, auto_compact_dvs=None)
+    target, _ = _merge_twin_frames(spark, sf_dir)
+    wh.commit_tx({"cdc_mirror": target})
+    wh.update_tx("cdc_mirror",
+                 {"balance": "balance + 100.0",
+                  "segment": "concat(segment, '_P')"},
+                 "balance > 5000", keys=["cust_id"], mode="mor")
+    wh.delete_tx("cdc_mirror", "cust_id % 7 = 3")   # cow, live DV
+    assert not wh._replay_dvs(
+        wh._effective_txs(wh._read_txlog()), "cdc_mirror"), \
+        "cow delete under live DVs must clear them"
     return wh.read_committed_tx("cdc_mirror")
 
 

@@ -566,15 +566,82 @@ class Warehouse:
                 pass
 
     @staticmethod
-    def _effective_txs(log: dict) -> list[tuple[int, dict]]:
-        """(version, tx) pairs in log order. Records written before
-        versioning get the implicit version prev+1 — monotone by
-        construction, so a legacy log time-travels by position."""
+    def _raw_head(log: dict) -> int:
+        """The last version number in the RAW log (main and branch
+        records alike) — what ``expect_version`` compares against."""
+        raw = Warehouse._all_txs(log)
+        return raw[-1][0] if raw else 0
+
+    @staticmethod
+    def _all_txs(log: dict) -> list[tuple[int, dict]]:
+        """EVERY record as (version, tx) pairs in log order — main
+        AND branch lineages. Records written before versioning get
+        the implicit version prev+1 — monotone by construction, so a
+        legacy log time-travels by position. Version assignment for
+        new records MUST use this raw list (a branch record occupies
+        its version number even though main readers never see it)."""
         out, v = [], 0
         for tx in log["txs"]:
             v = tx.get("version", v + 1)
             out.append((v, tx))
         return out
+
+    @staticmethod
+    def _branch_state(pairs: list[tuple[int, dict]]
+                      ) -> tuple[dict, dict]:
+        """Replay branch refs over raw pairs:
+        ``(live, published)`` where ``live`` maps a branch name to
+        ``(create_version, fork_version)`` of its CURRENT lineage
+        (latest create wins — a recreated name is a fresh lineage;
+        its records are scoped by ``version > create_version``), and
+        ``published`` maps a name to the list of
+        ``(create_version, publish_version)`` windows fast-forwarded
+        into main."""
+        live: dict[str, tuple[int, int]] = {}
+        published: dict[str, list[tuple[int, int]]] = {}
+        for v, tx in pairs:
+            for n, fork in tx.get("branch_create", {}).items():
+                live[n] = (v, fork)
+            for n, cv in tx.get("branch_publish", {}).items():
+                published.setdefault(n, []).append((cv, v))
+            for n in tx.get("branch_drop", []):
+                live.pop(n, None)
+        return live, published
+
+    @staticmethod
+    def _effective_txs(log: dict,
+                       branch: str | None = None
+                       ) -> list[tuple[int, dict]]:
+        """The (version, tx) pairs VISIBLE to a lineage, in version
+        order — Iceberg branch semantics over one append-only log.
+
+        Main (``branch=None``) sees untagged records plus every
+        branch record a ``branch_publish`` (fast-forward) merged in.
+        A branch sees main AS OF ITS FORK plus its own tagged records
+        — writes to main after the fork never leak into the branch,
+        and branch records never leak into main until published.
+        With no branch records in the log this is the identity over
+        :meth:`_all_txs` (zero-cost for the common case)."""
+        pairs = Warehouse._all_txs(log)
+        if branch is None and not any(
+                "branch" in tx for _, tx in pairs):
+            return pairs
+        live, published = Warehouse._branch_state(pairs)
+
+        def main_visible(v: int, tx: dict) -> bool:
+            b = tx.get("branch")
+            if b is None:
+                return True
+            return any(cv < v < pv for cv, pv in published.get(b, []))
+
+        if branch is None:
+            return [(v, tx) for v, tx in pairs if main_visible(v, tx)]
+        if branch not in live:
+            raise ValueError(f"no branch {branch}")
+        cv, fork = live[branch]
+        return [(v, tx) for v, tx in pairs
+                if (tx.get("branch") == branch and v > cv)
+                or (main_visible(v, tx) and v <= fork)]
 
     @staticmethod
     def _replay_files(txs: list[tuple[int, dict]], table: str,
@@ -649,14 +716,20 @@ class Warehouse:
                 "(checkpoint_txlog folded earlier history)")
 
     def commit_tx(self, frames: dict[str, DataFrame],
-                  watermarks: dict[str, str] | None = None) -> None:
+                  watermarks: dict[str, str] | None = None,
+                  branch: str | None = None) -> None:
         """Atomically append every frame to its table AND publish the
         watermarks: stage each table's parquet under an invisible
         batch directory, then append one tx record to the log with a
         single atomic rename. A crash at ANY point before the rename
         leaves every table unchanged and every watermark unmoved —
         the rerun re-extracts the same window and commits the whole
-        pair exactly once (pytest injects the crash)."""
+        pair exactly once (pytest injects the crash).
+
+        ``branch`` lands the commit on a named branch
+        (:meth:`create_branch`): invisible to main readers until
+        :meth:`fast_forward` publishes the lineage — Iceberg's
+        write-audit-publish onto a branch."""
         import uuid
 
         for table in frames:
@@ -667,16 +740,20 @@ class Warehouse:
                     "two disagreeing logs — keep committing through "
                     "append_commit"
                 )
+        lineage = self._effective_txs(self._read_txlog(), branch) \
+            if branch is not None else None
+        fields_of = {t: self._tx_fields(t, lineage) for t in frames}
         staged: dict[str, list[str]] = {}
-        fields_of = {t: self._tx_fields(t) for t in frames}
         for table, df in frames.items():
             df = self._to_physical(df, fields_of[table])
-            part_col = _PARTITIONED.get(table)
+            part_col = self._cluster_col(table, lineage)
             if part_col is not None:
                 # cluster each staged batch on the slice column so
                 # every file's footer min/max is tight — that's what
                 # read_between prunes against on tx tables (no _dt
-                # directories here)
+                # directories here); the column comes from the
+                # evolved cluster spec (set_clustering), falling back
+                # to the static default
                 df = df.sortWithinPartitions(part_col)
             batch_dir = f"batch-{uuid.uuid4().hex}"
             out = os.path.join(self.path(table), batch_dir)
@@ -686,11 +763,12 @@ class Warehouse:
                 if fn.endswith(".parquet"))
         validated = {
             table: (self._validate_staged(table, staged[table],
-                                          fields_of[table], None),
+                                          fields_of[table], lineage),
                     staged[table])
             for table in staged}
         self._append_tx_record(staged, dict(watermarks or {}),
-                               validated_constraints=validated)
+                               validated_constraints=validated,
+                               branch=branch)
         if (self.auto_checkpoint_every is not None
                 and len(self._read_txlog()["txs"])
                 >= self.auto_checkpoint_every):
@@ -710,7 +788,13 @@ class Warehouse:
                           wap: str | None = None,
                           validated_constraints: dict | None = None,
                           tag_add: dict | None = None,
-                          tag_drop: list | None = None
+                          tag_drop: list | None = None,
+                          expect_version: int | None = None,
+                          branch: str | None = None,
+                          branch_create: dict | None = None,
+                          branch_publish: dict | None = None,
+                          branch_drop: list | None = None,
+                          cluster_spec: dict | None = None
                           ) -> None:
         """Append one versioned record and publish as the next
         metadata generation — THE commit point for every tx-log
@@ -743,7 +827,15 @@ class Warehouse:
         batch's validation still gates the batch, keeping 'the
         constraint is an invariant of the table' true under
         concurrency (the symmetric half lives in add_constraint_tx's
-        expect_files snapshot; r12 ADVICE item 1)."""
+        expect_files snapshot; r12 ADVICE item 1).
+
+        ``expect_version`` is the SCHEMA/TAG writer's read set: the
+        log version its preconditions were checked against. Any
+        record published since — including by the CAS retry of a lost
+        race — raises :class:`ConcurrentWriteError` so the caller
+        re-validates on fresh state (two concurrent
+        ``add_column_tx('x')`` must not both land; a duplicate-name
+        check done once before the loop can't see the winner)."""
         # stats_cols opt-in: record each staged file's footer min/max
         # on its commit record so future merge pruning is pure
         # metadata (Delta's per-file stats). Computed ONCE before the
@@ -779,7 +871,22 @@ class Warehouse:
                      in (validated_constraints or {}).items()}
         for _ in range(50):
             log = self._read_txlog()
-            eff = self._effective_txs(log)
+            # read-set checks (files, DVs, constraints) are scoped to
+            # the WRITER's lineage; version numbers are global (a
+            # branch record occupies its number in the raw log)
+            eff = self._effective_txs(log, branch)
+            raw = self._all_txs(log)
+            if expect_version is not None:
+                # against the RAW head: ANY record — main or branch —
+                # published since the caller's snapshot re-runs its
+                # precondition checks
+                cur_v = raw[-1][0] if raw else 0
+                if cur_v != expect_version:
+                    raise ConcurrentWriteError(
+                        f"log advanced past version {expect_version} "
+                        f"(now {cur_v}): preconditions were checked "
+                        "against a stale snapshot; re-validate and "
+                        "retry")
             for t, (_, staged_rels) in (validated_constraints or {}).items():
                 if not staged_rels:
                     continue
@@ -809,7 +916,17 @@ class Warehouse:
                             "state")
             rec: dict = {"tables": tables,
                          "watermarks": watermarks or {},
-                         "version": (eff[-1][0] if eff else 0) + 1}
+                         "version": (raw[-1][0] if raw else 0) + 1}
+            if branch:
+                rec["branch"] = branch
+            if branch_create:
+                rec["branch_create"] = branch_create
+            if branch_publish:
+                rec["branch_publish"] = branch_publish
+            if branch_drop:
+                rec["branch_drop"] = branch_drop
+            if cluster_spec is not None:
+                rec["cluster_spec"] = cluster_spec
             if replaces:
                 rec["replaces"] = replaces
             if schema_add:
@@ -844,7 +961,8 @@ class Warehouse:
 
     def read_committed_tx(self, table: str,
                           as_of_version: int | None = None,
-                          as_of_tag: str | None = None) -> DataFrame:
+                          as_of_tag: str | None = None,
+                          branch: str | None = None) -> DataFrame:
         """The tx-log-defined contents of ``table`` — staged batches
         from unfinished commits are invisible by construction.
 
@@ -854,8 +972,10 @@ class Warehouse:
         moves past them (:meth:`expire_snapshots`), so any version
         the log still holds is reconstructible; an expired version
         raises. ``as_of_tag`` resolves a named ref
-        (:meth:`create_tag`) — a live tag's version never expires."""
-        txs = self._effective_txs(self._read_txlog())
+        (:meth:`create_tag`) — a live tag's version never expires.
+        ``branch`` reads a named branch's lineage: main as of the
+        fork plus the branch's own commits (:meth:`create_branch`)."""
+        txs = self._effective_txs(self._read_txlog(), branch)
         if as_of_tag is not None:
             tags = self._tx_tags(txs)
             if as_of_tag not in tags:
@@ -885,7 +1005,8 @@ class Warehouse:
             fields)
 
     def _read_with_dvs(self, table: str, txs, schema, dvs,
-                       as_of_version: int | None) -> DataFrame:
+                       as_of_version: int | None,
+                       only: list[str] | None = None) -> DataFrame:
         """Merge-on-read: the committed files minus every live
         deletion vector's matching keys. Each file segment reads
         tagged with its COMMIT VERSION ``_fv``; a DV at version v
@@ -896,15 +1017,26 @@ class Warehouse:
         left join + filter — the read never shuffles the base table.
         The segment count is bounded by the retained record count
         (checkpoints fold history; compaction collapses to one
-        segment and clears the DVs)."""
+        segment and clears the DVs). ``only`` restricts the read to a
+        committed-file subset (the row-level ops' pruned rewrite path)
+        — each file still reads under its own commit version so the
+        DVs apply exactly as they would on the full read."""
         root = self.path(table)
         segs = self._replay_file_versions(txs, table, as_of_version)
+        if only is not None:
+            want = set(only)
+            segs = [(v, [rel for rel in fl if rel in want])
+                    for v, fl in segs]
+            segs = [(v, fl) for v, fl in segs if fl]
         df = None
         for v, fl in segs:
             part = (self.spark.read.schema(schema)
                     .parquet(*[os.path.join(root, rel) for rel in fl])
                     .withColumn("_fv", F.lit(v)))
             df = part if df is None else df.unionByName(part)
+        if df is None:   # `only` selected no committed file
+            df = (self.spark.createDataFrame([], schema)
+                  .withColumn("_fv", F.lit(0)))
         for v_dv, keys, dv_files in dvs:
             dvk = (self.spark.read
                    .parquet(*[os.path.join(root, rel) for rel in dv_files])
@@ -938,8 +1070,15 @@ class Warehouse:
             for entry in tx.get("schema_drop", {}).get(table, []):
                 name = entry[0] if isinstance(entry, list) else entry
                 fields = [f for f in fields if f[0] != name]
-            for old, new in tx.get("schema_rename", {}).get(table, []):
-                fields = [((new if ln == old else ln), ph, dt)
+            # apply a record's renames as ONE simultaneous mapping:
+            # a folded checkpoint emits the NET rename state as
+            # multiple entries in one record, and sequential
+            # application corrupts chains that reuse a freed name
+            # (rename a->b then c->a) or swap via a temp name
+            ren = {old: new for old, new
+                   in tx.get("schema_rename", {}).get(table, [])}
+            if ren:
+                fields = [(ren.get(ln, ln), ph, dt)
                           for ln, ph, dt in fields]
             for add in tx.get("schema_add", {}).get(table, []):
                 name, dtype = add[0], add[1]
@@ -1047,18 +1186,43 @@ class Warehouse:
         from pyspark.sql.types import _parse_datatype_string
         _parse_datatype_string(dtype)  # validate eagerly, not at read
         self._reject_manifest_schema_change(table)
-        txs = self._effective_txs(self._read_txlog())
-        fields = self._tx_fields(table, txs)
-        if name in {ln for ln, _, _ in fields}:
-            raise ValueError(
-                f"column {name} already exists on {table}")
-        used = {ph for _, ph, _ in fields} \
-            | self._retired_physicals(table, txs)
-        phys = name
-        if name in used:
-            phys = f"{name}__v{(txs[-1][0] if txs else 0) + 1}"
-        add = [name, dtype] if phys == name else [name, dtype, phys]
-        self._append_tx_record({}, schema_add={table: [add]})
+
+        def attempt():
+            log = self._read_txlog()
+            txs = self._effective_txs(log)
+            head = self._raw_head(log)
+            fields = self._tx_fields(table, txs)
+            if name in {ln for ln, _, _ in fields}:
+                raise ValueError(
+                    f"column {name} already exists on {table}")
+            used = {ph for _, ph, _ in fields} \
+                | self._retired_physicals(table, txs)
+            phys = name
+            if name in used:
+                phys = f"{name}__v{head + 1}"
+            add = [name, dtype] if phys == name else [name, dtype, phys]
+            self._append_tx_record(
+                {}, schema_add={table: [add]}, expect_version=head)
+        self._retry_metadata_tx(attempt)
+
+    def _retry_metadata_tx(self, attempt):
+        """Run a check-preconditions-then-publish closure under the
+        optimistic protocol: ``attempt`` reads the fresh log, checks
+        its preconditions, and publishes with that snapshot's version
+        as ``expect_version``; a :class:`ConcurrentWriteError` (any
+        record landed mid-flight — including the winner of a
+        same-name race, whose publish must flip this attempt's
+        precondition into a ValueError) re-runs the WHOLE closure, so
+        the checks and the record are always built from the state
+        they publish against."""
+        for _ in range(10):
+            try:
+                return attempt()
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            "metadata tx lost the validation race 10 times - "
+            "writer storm?")
 
     def _reject_manifest_schema_change(self, table: str) -> None:
         """A schema-change record on a manifest-managed table would
@@ -1094,26 +1258,36 @@ class Warehouse:
         same name later binds a fresh physical column (never the old
         bytes)."""
         self._reject_manifest_schema_change(table)
-        txs = self._effective_txs(self._read_txlog())
-        fields = self._tx_fields(table, txs)
-        match = [f for f in fields if f[0] == name]
-        if not match:
-            raise ValueError(f"no column {name} on {table}")
-        if len(fields) == 1:
-            raise ValueError(
-                f"cannot drop the last column of {table}")
-        self._guard_constraint_refs(table, name, txs, "drop")
-        # live deletion vectors key on PHYSICAL names; dropping a
-        # DV key column would break their anti-join — compact first
-        phys = match[0][1]
-        for _, dv_keys, _ in self._replay_dvs(txs, table):
-            if phys in dv_keys:
+
+        def attempt():
+            log = self._read_txlog()
+            txs = self._effective_txs(log)
+            fields = self._tx_fields(table, txs)
+            match = [f for f in fields if f[0] == name]
+            if not match:
+                raise ValueError(f"no column {name} on {table}")
+            if len(fields) == 1:
                 raise ValueError(
-                    f"cannot drop column {name} on {table}: a live "
-                    "deletion vector keys on it — compact(table) "
-                    "first")
-        self._append_tx_record(
-            {}, schema_drop={table: [[name, phys]]})
+                    f"cannot drop the last column of {table}")
+            self._guard_constraint_refs(table, name, txs, "drop")
+            # live deletion vectors key on PHYSICAL names; dropping a
+            # DV key column would break their anti-join — compact first
+            phys = match[0][1]
+            for _, dv_keys, _ in self._replay_dvs(txs, table):
+                if phys in dv_keys:
+                    raise ValueError(
+                        f"cannot drop column {name} on {table}: a live "
+                        "deletion vector keys on it — compact(table) "
+                        "first")
+            if self._cluster_col(table, txs) == phys:
+                raise ValueError(
+                    f"cannot drop column {name} on {table}: it is "
+                    "the active clustering column — "
+                    "set_clustering(table, None) first")
+            self._append_tx_record(
+                {}, schema_drop={table: [[name, phys]]},
+                expect_version=self._raw_head(log))
+        self._retry_metadata_tx(attempt)
 
     def rename_column_tx(self, table: str, old: str, new: str) -> None:
         """Iceberg's ``ALTER TABLE RENAME COLUMN``: pure metadata —
@@ -1124,16 +1298,21 @@ class Warehouse:
         to a previously-dropped name is fine (distinct physical
         identity)."""
         self._reject_manifest_schema_change(table)
-        txs = self._effective_txs(self._read_txlog())
-        logicals = [ln for ln, _, _ in self._tx_fields(table, txs)]
-        if old not in logicals:
-            raise ValueError(f"no column {old} on {table}")
-        if new in logicals:
-            raise ValueError(
-                f"column {new} already exists on {table}")
-        self._guard_constraint_refs(table, old, txs, "rename")
-        self._append_tx_record(
-            {}, schema_rename={table: [[old, new]]})
+
+        def attempt():
+            log = self._read_txlog()
+            txs = self._effective_txs(log)
+            logicals = [ln for ln, _, _ in self._tx_fields(table, txs)]
+            if old not in logicals:
+                raise ValueError(f"no column {old} on {table}")
+            if new in logicals:
+                raise ValueError(
+                    f"column {new} already exists on {table}")
+            self._guard_constraint_refs(table, old, txs, "rename")
+            self._append_tx_record(
+                {}, schema_rename={table: [[old, new]]},
+                expect_version=self._raw_head(log))
+        self._retry_metadata_tx(attempt)
 
     # ------------------------------------------------ CHECK constraints
 
@@ -1198,9 +1377,15 @@ class Warehouse:
 
     def drop_constraint_tx(self, table: str, name: str) -> None:
         """Delta's ``DROP CONSTRAINT``: metadata-only record."""
-        if name not in self._tx_constraints(table):
-            raise ValueError(f"no constraint {name} on {table}")
-        self._append_tx_record({}, constraint_drop={table: [name]})
+
+        def attempt():
+            log = self._read_txlog()
+            txs = self._effective_txs(log)
+            if name not in self._tx_constraints(table, txs):
+                raise ValueError(f"no constraint {name} on {table}")
+            self._append_tx_record({}, constraint_drop={table: [name]},
+                                   expect_version=self._raw_head(log))
+        self._retry_metadata_tx(attempt)
 
     # ------------------------------------------------ tags (Iceberg refs)
 
@@ -1226,24 +1411,187 @@ class Warehouse:
         working however much maintenance runs (the audit/repro
         anchor: tag the snapshot a model trained on). Returns the
         pinned version."""
-        txs = self._effective_txs(self._read_txlog())
-        if version is None:
-            version = txs[-1][0] if txs else 0
-        self._check_retained(version, txs)
-        if txs and version > txs[-1][0]:
-            raise ValueError(
-                f"version {version} does not exist yet "
-                f"(current is {txs[-1][0]})")
-        if name in self._tx_tags(txs):
-            raise ValueError(f"tag {name} already exists")
-        self._append_tx_record({}, tag_add={name: version})
-        return version
+        def attempt():
+            log = self._read_txlog()
+            txs = self._effective_txs(log)
+            v = version if version is not None \
+                else (txs[-1][0] if txs else 0)
+            self._check_retained(v, txs)
+            if txs and v > txs[-1][0]:
+                raise ValueError(
+                    f"version {v} does not exist yet "
+                    f"(current is {txs[-1][0]})")
+            if name in self._tx_tags(txs):
+                raise ValueError(f"tag {name} already exists")
+            self._append_tx_record({}, tag_add={name: v},
+                                   expect_version=self._raw_head(log))
+            return v
+        return self._retry_metadata_tx(attempt)
 
     def drop_tag(self, name: str) -> None:
         """Drop a named ref — its version becomes expirable again."""
-        if name not in self._tx_tags():
-            raise ValueError(f"no tag {name}")
-        self._append_tx_record({}, tag_drop=[name])
+
+        def attempt():
+            log = self._read_txlog()
+            txs = self._effective_txs(log)
+            if name not in self._tx_tags(txs):
+                raise ValueError(f"no tag {name}")
+            self._append_tx_record({}, tag_drop=[name],
+                                   expect_version=self._raw_head(log))
+        self._retry_metadata_tx(attempt)
+
+    # ------------------------------------------- clustering spec evolution
+
+    def _cluster_col(self, table: str,
+                     txs: list[tuple[int, dict]] | None = None
+                     ) -> str | None:
+        """The table's ACTIVE clustering column (PHYSICAL name) — the
+        commit-time ``sortWithinPartitions`` key that keeps parquet
+        footers tight for read_between / merge / row-level pruning.
+        Replayed from ``cluster_spec`` records (last writer wins,
+        explicit ``None`` = unclustered); tables that never evolved
+        fall back to the static ``_PARTITIONED`` default."""
+        if txs is None:
+            txs = self._effective_txs(self._read_txlog())
+        spec, found = None, False
+        for _, tx in txs:
+            if table in tx.get("cluster_spec", {}):
+                spec, found = tx["cluster_spec"][table], True
+        return spec if found else _PARTITIONED.get(table)
+
+    def set_clustering(self, table: str,
+                       column: str | None) -> None:
+        """Iceberg partition-spec evolution, clustering flavor:
+        change the column NEW commits/rewrites sort on, as one
+        metadata record. Files already committed are untouched and
+        stay readable exactly as written (their footers remain tight
+        on the OLD column, so predicates on it keep pruning those
+        files; new files prune on the new column) — the defining
+        property of Iceberg's spec evolution, where a spec change
+        never rewrites data. ``None`` disables clustering. The spec
+        stores the PHYSICAL column name, so later renames never
+        stale it."""
+        self._reject_manifest_schema_change(table)
+
+        def attempt():
+            log = self._read_txlog()
+            txs = self._effective_txs(log)
+            phys = None
+            if column is not None:
+                match = [ph for ln, ph, _
+                         in self._tx_fields(table, txs)
+                         if ln == column]
+                if not match:
+                    raise ValueError(
+                        f"no column {column} on {table}")
+                phys = match[0]
+            self._append_tx_record(
+                {}, expect_version=self._raw_head(log),
+                cluster_spec={table: phys})
+        self._retry_metadata_tx(attempt)
+
+    # ------------------------------------------------ branches (writable refs)
+
+    def create_branch(self, name: str,
+                      version: int | None = None) -> int:
+        """Iceberg's ``CREATE BRANCH``: a WRITABLE named ref forked
+        from a main version (default: the current head). Writes with
+        ``branch=name`` (:meth:`commit_tx` / :meth:`merge_tx`) land
+        on the branch lineage — invisible to main readers;
+        ``read_committed_tx(branch=name)`` sees main as of the fork
+        plus the branch's commits. :meth:`fast_forward` publishes the
+        lineage into main; :meth:`drop_branch` abandons it. A live
+        branch pins its fork version against checkpoint folding, same
+        as a tag. Returns the fork version."""
+        def attempt():
+            log = self._read_txlog()
+            txs = self._effective_txs(log)
+            v = version if version is not None \
+                else (txs[-1][0] if txs else 0)
+            self._check_retained(v, txs)
+            if txs and v > txs[-1][0]:
+                raise ValueError(
+                    f"version {v} does not exist yet "
+                    f"(current is {txs[-1][0]})")
+            live, _ = self._branch_state(self._all_txs(log))
+            if name in live:
+                raise ValueError(f"branch {name} already exists")
+            self._append_tx_record({}, branch_create={name: v},
+                                   expect_version=self._raw_head(log))
+            return v
+        return self._retry_metadata_tx(attempt)
+
+    def drop_branch(self, name: str) -> None:
+        """Abandon a branch: its unpublished records become invisible
+        garbage (reclaimed when the next checkpoint fold rewrites the
+        log past them); already-published history stays in main."""
+        def attempt():
+            raw = self._all_txs(self._read_txlog())
+            if name not in self._branch_state(raw)[0]:
+                raise ValueError(f"no branch {name}")
+            self._append_tx_record({}, branch_drop=[name],
+                                   expect_version=raw[-1][0]
+                                   if raw else 0)
+        self._retry_metadata_tx(attempt)
+
+    def list_branches(self) -> dict[str, int]:
+        """Live branches as name → fork version."""
+        live, _ = self._branch_state(self._all_txs(self._read_txlog()))
+        return {n: fork for n, (_, fork) in live.items()}
+
+    def fast_forward(self, name: str) -> int:
+        """Iceberg's ``fastForward(main, branch)``: publish the
+        branch lineage into main in ONE atomic record. Precondition
+        (the definition of fast-forward): main must not have advanced
+        past the branch's unpublished history — every main-visible
+        version above the fork must already be one of this branch's
+        published records; otherwise the histories diverged and a
+        replay onto a fresh branch is required (this engine does not
+        synthesize merge commits). The branch stays live afterwards —
+        its head and main's are equal until either side moves again.
+        This is the publish half of write-audit-publish on a branch:
+        stage commits on the branch, audit via
+        ``read_committed_tx(branch=...)``, fast-forward atomically.
+        Returns the published head version."""
+        def attempt():
+            log = self._read_txlog()
+            raw = self._all_txs(log)
+            live, _ = self._branch_state(raw)
+            if name not in live:
+                raise ValueError(f"no branch {name}")
+            cv, fork = live[name]
+            main = self._effective_txs(log)
+
+            def changes_state(tx: dict) -> bool:
+                # ref bookkeeping (branch/tag create-drop-publish) is
+                # not divergence — only records that change table
+                # state, watermarks, schema, or constraints are
+                return bool(tx["tables"] or tx.get("watermarks")
+                            or tx.get("replaces") or tx.get("dv")
+                            or tx.get("schema_add")
+                            or tx.get("schema_drop")
+                            or tx.get("schema_rename")
+                            or tx.get("constraint_add")
+                            or tx.get("constraint_drop")
+                            or tx.get("wap"))
+
+            divergent = [v for v, tx in main
+                         if v > fork and tx.get("branch") != name
+                         and changes_state(tx)]
+            if divergent:
+                raise ValueError(
+                    f"cannot fast-forward branch {name}: main "
+                    f"advanced past its fork (versions {divergent}); "
+                    "create a fresh branch and replay")
+            tail = [v for v, tx in raw
+                    if tx.get("branch") == name and v > cv]
+            # expect_version pins the RAW head: ANY concurrent record
+            # (main or branch) re-runs the divergence check
+            self._append_tx_record({}, branch_publish={name: cv},
+                                   expect_version=raw[-1][0]
+                                   if raw else 0)
+            return tail[-1] if tail else (main[-1][0] if main else 0)
+        return self._retry_metadata_tx(attempt)
 
     def describe_detail(self, table: str) -> dict:
         """Delta's ``DESCRIBE DETAIL`` as a driver-local dict: current
@@ -1291,7 +1639,7 @@ class Warehouse:
         staged: dict[str, list[str]] = {}
         for table, df in frames.items():
             df = self._to_physical(df, self._tx_fields(table))
-            part_col = _PARTITIONED.get(table)
+            part_col = self._cluster_col(table)
             if part_col is not None:
                 df = df.sortWithinPartitions(part_col)
             staged[table] = self._stage_batch(df, table)
@@ -1629,15 +1977,29 @@ class Warehouse:
                 vmin = min(tags.values())
                 while cut > 0 and eff[cut - 1][0] > vmin:
                     cut -= 1
+            # a live BRANCH pins its FORK the same way: the branch
+            # lineage reads main as of the fork, and its own records
+            # (version > fork) must stay in the raw tail un-folded
+            raw = self._all_txs(log)
+            branches, _ = self._branch_state(raw)
+            if branches:
+                vmin = min(fork for _, fork in branches.values())
+                while cut > 0 and eff[cut - 1][0] > vmin:
+                    cut -= 1
             fold, keep = eff[:cut], eff[cut:]
             if len(fold) <= 1:
                 return len(fold)
             snap = self._fold_txs([tx for _, tx in fold])
             snap["version"] = fold[-1][0]
             snap["snapshot"] = True
+            # the retained tail is the RAW log above the snapshot
+            # version: live-branch records survive (their versions
+            # exceed every live fork, hence the snapshot version);
+            # records of DROPPED, never-published lineages below the
+            # cut are garbage-collected here — main never saw them
+            tail = [tx for v, tx in raw if v > snap["version"]]
             try:
-                self._publish_txlog(
-                    {"txs": [snap] + [tx for _, tx in keep]})
+                self._publish_txlog({"txs": [snap] + tail})
                 return len(fold)
             except FileExistsError:
                 continue  # a commit landed mid-fold: refold over it
@@ -1671,6 +2033,8 @@ class Warehouse:
         watermarks: dict[str, str] = {}
         schema_tables: set = set()
         tags_net: dict[str, int] = {}
+        branches_net: dict[str, int] = {}
+        cluster_net: dict[str, str | None] = {}
         retired: dict[str, set] = {}
         cons: dict[str, dict[str, str]] = {}
         wap_tokens: list[str] = []
@@ -1691,6 +2055,19 @@ class Warehouse:
             tags_net.update(tx.get("tag_add", {}))
             for n in tx.get("tag_drop", []):
                 tags_net.pop(n, None)
+            # live-branch net state: a create record folding at the
+            # boundary must not kill its branch; the snapshot re-emits
+            # {name: fork} and _branch_state re-scopes the lineage at
+            # the snapshot version (strictly below every live-branch
+            # record by the fold clamp, so scoping is preserved).
+            # Published windows never need carrying: a publish record
+            # folds only when every record it published folds with it.
+            branches_net.update(tx.get("branch_create", {}))
+            for n in tx.get("branch_drop", []):
+                branches_net.pop(n, None)
+            # clustering spec: last writer wins, explicit None kept
+            # (unclustered is a state, not an absence)
+            cluster_net.update(tx.get("cluster_spec", {}))
             for t, names in tx.get("schema_retired", {}).items():
                 retired.setdefault(t, set()).update(names)
             for t, entries in tx.get("schema_drop", {}).items():
@@ -1732,6 +2109,10 @@ class Warehouse:
             snap["schema_retired"] = live_retired
         if tags_net:
             snap["tag_add"] = tags_net
+        if branches_net:
+            snap["branch_create"] = branches_net
+        if cluster_net:
+            snap["cluster_spec"] = cluster_net
         live_cons = {t: [[n, e] for n, e in d.items()]
                      for t, d in cons.items() if d}
         if live_cons:
@@ -1969,7 +2350,8 @@ class Warehouse:
 
     def merge_tx(self, table: str, updates: DataFrame, keys: list[str],
                  delete_col: str | None = None,
-                 prune: bool = True, mode: str = "cow") -> None:
+                 prune: bool = True, mode: str = "cow",
+                 branch: str | None = None) -> None:
         """MERGE INTO a tx-managed table (Delta's ``MERGE`` /
         Iceberg's copy-on-write row-level update): rewrite ONLY the
         committed files whose footer key ranges intersect the update
@@ -2010,7 +2392,7 @@ class Warehouse:
                 "merge through the manifest subsystem instead")
         if mode not in ("cow", "mor"):
             raise ValueError(f"merge_tx mode must be cow|mor, got {mode}")
-        txs = self._effective_txs(self._read_txlog())
+        txs = self._effective_txs(self._read_txlog(), branch)
         fields = self._tx_fields(table, txs)
         want = self._tx_schema(table, txs)
         p_of = {ln: ph for ln, ph, _ in fields}
@@ -2063,18 +2445,33 @@ class Warehouse:
                                                     for k in keys]},
                                    expect_files={table: (files, dvs)},
                                    validated_constraints={
-                                       table: (cons, new_files)})
-            if (self.auto_compact_dvs is not None
+                                       table: (cons, new_files)},
+                                   branch=branch)
+            if (self.auto_compact_dvs is not None and branch is None
                     and len(dvs) + 1 >= self.auto_compact_dvs):
                 self.compact(table)   # materialize the DV stack
             return
         if dvs:
-            # live DVs: the pruned raw-file read would resurrect
-            # DV-deleted rows — read through the DV-aware path and let
-            # this cow merge double as the materializing compaction
-            # (its REWRITE record clears the DVs)
-            keep: list[str] = []
-            cur = self.read_committed_tx(table)
+            # live DVs: the rewrite set widens to (key-matched ∪
+            # DV-affected) files read through the DV-resolved subset
+            # path — same O(matched files) pruning as delete_tx/
+            # update_tx under live DVs (the REWRITE record clears the
+            # DVs, safe because every file holding a DV-hidden row is
+            # materialized here); pre-r14 this branch rewrote the
+            # whole table
+            keep, touched = (self._prune_merge_files(
+                table, files, keys, updates.select(sel))
+                if prune and files else ([], list(files)))
+            affected = self._dv_affected_files(
+                table, fields, txs, dvs, keep)
+            touched += [rel for rel in keep if rel in affected]
+            keep = [rel for rel in keep if rel not in affected]
+            cur = self._to_logical(
+                self._read_with_dvs(table, txs,
+                                    self._physical_schema(fields),
+                                    dvs, None, only=touched),
+                fields) if touched else \
+                self.spark.createDataFrame([], want)
         else:
             keep, touched = (self._prune_merge_files(
                 table, files, keys, updates.select(sel))
@@ -2103,7 +2500,8 @@ class Warehouse:
                                replaces=[table],
                                expect_files={table: (files, dvs)},
                                validated_constraints={
-                                   table: (cons, new_files)})
+                                   table: (cons, new_files)},
+                               branch=branch)
 
     def _read_files_logical(self, table: str, fields,
                             rels: list[str]) -> DataFrame:
@@ -2135,11 +2533,75 @@ class Warehouse:
                 .withColumn("_f", F.input_file_name())
                 .select("_f").distinct().collect()}
         root = self.path(table)
-        abs_of = {rel: "file://" + os.path.abspath(
-            os.path.join(root, rel)) for rel in files}
-        touched = [rel for rel in files if abs_of[rel] in hits]
-        keep = [rel for rel in files if abs_of[rel] not in hits]
+        uri_of = {rel: self._file_uri(os.path.join(root, rel))
+                  for rel in files}
+        touched = [rel for rel in files if uri_of[rel] in hits]
+        keep = [rel for rel in files if uri_of[rel] not in hits]
         return keep, touched
+
+    @staticmethod
+    def _file_uri(path: str) -> str:
+        """Canonical ``file:`` URI for a local path, matching what
+        ``input_file_name()`` reports (URL-encoded). Raw
+        ``'file://' + abspath`` miscompares the moment the warehouse
+        root holds a space or any percent-encodable character — every
+        file would classify as 'keep' and the row-level op would
+        silently no-op."""
+        from pathlib import Path
+
+        return Path(os.path.abspath(path)).as_uri()
+
+    def _dv_affected_files(self, table: str, fields, txs, dvs,
+                           rels: list[str]) -> set:
+        """The subset of committed files ``rels`` holding ≥1 row
+        hidden by a live deletion vector — the files a REWRITE record
+        must materialize before it may clear the DVs. One
+        column-pruned scan per distinct DV key set (reads ONLY the
+        key columns), broadcast-joined against the stacked DV key
+        lists with each file's commit version ``_fv`` scoped per DV
+        (``_fv < v_dv``), returning file NAMES only — never a shuffle
+        of the base table, same scale shape as
+        :meth:`_touched_by_predicate`."""
+        if not dvs or not rels:
+            return set()
+        root = self.path(table)
+        want = set(rels)
+        segs = [(v, [rel for rel in fl if rel in want])
+                for v, fl in self._replay_file_versions(txs, table)]
+        segs = [(v, fl) for v, fl in segs if fl]
+        if not segs:
+            return set()
+        pschema = self._physical_schema(fields)
+        by_keys: dict[tuple, list] = {}
+        for v_dv, keys, dv_files in dvs:
+            by_keys.setdefault(tuple(keys), []).append((v_dv, dv_files))
+        uri_of = {rel: self._file_uri(os.path.join(root, rel))
+                  for rel in want}
+        affected: set = set()
+        for keys, entries in by_keys.items():
+            dvk = None
+            for v_dv, dv_files in entries:
+                part = (self.spark.read
+                        .parquet(*[os.path.join(root, rel)
+                                   for rel in dv_files])
+                        .select(*keys)
+                        .withColumn("_dvv", F.lit(v_dv)))
+                dvk = part if dvk is None else dvk.unionByName(part)
+            raw = None
+            for v, fl in segs:
+                part = (self.spark.read.schema(pschema)
+                        .parquet(*[os.path.join(root, rel)
+                                   for rel in fl])
+                        .select(*keys)
+                        .withColumn("_f", F.input_file_name())
+                        .withColumn("_fv", F.lit(v)))
+                raw = part if raw is None else raw.unionByName(part)
+            hits = {r["_f"] for r in
+                    raw.join(F.broadcast(dvk), list(keys), "inner")
+                    .filter(F.col("_fv") < F.col("_dvv"))
+                    .select("_f").distinct().collect()}
+            affected.update(rel for rel in want if uri_of[rel] in hits)
+        return affected
 
     def delete_tx(self, table: str, condition: str,
                   keys: list[str] | None = None,
@@ -2182,6 +2644,10 @@ class Warehouse:
                        .filter(F.expr(condition))
                        .select(*[F.col(k).alias(p_of[k]) for k in keys])
                        .distinct())
+            if matched.isEmpty():
+                return   # no match: no-op, matching the cow contract
+                # (an empty DV sidecar would cost every later read a
+                # dead anti-join and count toward auto_compact_dvs)
             dv_files = self._stage_batch(matched, table)
             self._append_tx_record({table: []},
                                    dv={table: dv_files},
@@ -2192,24 +2658,35 @@ class Warehouse:
                     and len(dvs) + 1 >= self.auto_compact_dvs):
                 self.compact(table)
             return
+        if not files:
+            return
+        keep, touched = self._touched_by_predicate(
+            table, fields, files, condition)
+        if not touched:
+            return   # no row matches: no-op, no new version
         if dvs:
-            # live DVs: rewrite through the DV-aware read and let the
-            # delete double as the materializing compaction
-            keep: list[str] = []
-            remain = self.read_committed_tx(table).filter(
+            # live DVs: the rewrite set widens to (condition-matched
+            # ∪ DV-affected) files — the REWRITE record clears the
+            # DVs, which is safe exactly because every file holding a
+            # DV-hidden row is materialized here; every other file is
+            # re-referenced untouched. Still O(matched files), never
+            # O(table) (the pre-r14 branch rewrote everything).
+            affected = self._dv_affected_files(
+                table, fields, txs, dvs, keep)
+            touched += [rel for rel in keep if rel in affected]
+            keep = [rel for rel in keep if rel not in affected]
+            remain = self._to_logical(
+                self._read_with_dvs(table, txs,
+                                    self._physical_schema(fields),
+                                    dvs, None, only=touched),
+                fields).filter(
                 ~F.coalesce(F.expr(condition), F.lit(False)))
         else:
-            if not files:
-                return
-            keep, touched = self._touched_by_predicate(
-                table, fields, files, condition)
-            if not touched:
-                return   # no row matches: no-op, no new version
             remain = self._read_files_logical(
                 table, fields, touched).filter(
                 ~F.coalesce(F.expr(condition), F.lit(False)))
         staged = self._to_physical(remain, fields)
-        part_col = _PARTITIONED.get(table)
+        part_col = self._cluster_col(table, txs)
         if part_col is not None:
             staged = staged.sortWithinPartitions(part_col)
         new_files = self._stage_batch(staged, table)
@@ -2270,6 +2747,8 @@ class Warehouse:
             p_of = {ln: ph for ln, ph, _ in fields}
             matched = self.read_committed_tx(table).filter(hit) \
                 .localCheckpoint()   # one evaluation: DV == postimage
+            if matched.isEmpty():
+                return   # no match: no-op, matching the cow contract
             dv_df = matched.select(
                 *[F.col(k).alias(p_of[k]) for k in keys]).distinct()
             post = self._to_physical(apply_set(matched, True), fields) \
@@ -2288,20 +2767,30 @@ class Warehouse:
                     and len(dvs) + 1 >= self.auto_compact_dvs):
                 self.compact(table)
             return
+        if not files:
+            return
+        keep, touched = self._touched_by_predicate(
+            table, fields, files, condition)
+        if not touched:
+            return   # no row matches: no-op, no new version
         if dvs:
-            keep: list[str] = []
-            rewritten = apply_set(self.read_committed_tx(table), False)
+            # live DVs: same pruned-rewrite shape as delete_tx — the
+            # rewrite set is (condition-matched ∪ DV-affected) files,
+            # materializing the DVs the REWRITE record clears
+            affected = self._dv_affected_files(
+                table, fields, txs, dvs, keep)
+            touched += [rel for rel in keep if rel in affected]
+            keep = [rel for rel in keep if rel not in affected]
+            rewritten = apply_set(self._to_logical(
+                self._read_with_dvs(table, txs,
+                                    self._physical_schema(fields),
+                                    dvs, None, only=touched),
+                fields), False)
         else:
-            if not files:
-                return
-            keep, touched = self._touched_by_predicate(
-                table, fields, files, condition)
-            if not touched:
-                return   # no row matches: no-op, no new version
             rewritten = apply_set(
                 self._read_files_logical(table, fields, touched), False)
         staged = self._to_physical(rewritten, fields)
-        part_col = _PARTITIONED.get(table)
+        part_col = self._cluster_col(table, txs)
         if part_col is not None:
             staged = staged.sortWithinPartitions(part_col)
         new_files = self._stage_batch(staged, table)
