@@ -2587,12 +2587,32 @@ class Warehouse:
                         .select(*keys)
                         .withColumn("_dvv", F.lit(v_dv)))
                 dvk = part if dvk is None else dvk.unionByName(part)
+            # envelope prefilter: only rows inside the stacked DV
+            # keys' per-column min/max can survive the equality join,
+            # and the filter sits BEFORE the nondeterministic
+            # input_file_name tag, so it pushes into the scan as
+            # row-group skipping — key-clustered DVs (the CDC norm)
+            # cost O(affected files), not a full key-column scan
+            row = dvk.agg(*[f for k in keys
+                            for f in (F.min(k).alias(f"_lo_{k}"),
+                                      F.max(k).alias(f"_hi_{k}"))]
+                          ).collect()[0]
+            env = None
+            for k in keys:
+                lo, hi = row[f"_lo_{k}"], row[f"_hi_{k}"]
+                if lo is None:
+                    continue   # all-NULL key column: no row joins
+                c = (F.col(k) >= F.lit(lo)) & (F.col(k) <= F.lit(hi))
+                env = c if env is None else env & c
             raw = None
             for v, fl in segs:
                 part = (self.spark.read.schema(pschema)
                         .parquet(*[os.path.join(root, rel)
                                    for rel in fl])
-                        .select(*keys)
+                        .select(*keys))
+                if env is not None:
+                    part = part.filter(env)
+                part = (part
                         .withColumn("_f", F.input_file_name())
                         .withColumn("_fv", F.lit(v)))
                 raw = part if raw is None else raw.unionByName(part)
