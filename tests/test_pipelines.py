@@ -2081,6 +2081,38 @@ def test_branch_survives_checkpoint_fold(spark, wh):
     assert names() == {"a", "b", "c", "d"}
 
 
+def test_row_level_ops_on_branch(spark, wh):
+    """delete_tx/update_tx with branch=: row-level changes land on
+    the branch lineage (cow and mor alike), main stays untouched
+    until fast_forward, and the published result equals applying the
+    same ops on main directly."""
+    wh.commit_tx({"items": _items_rows(
+        spark, ("a", 1, 10.0), ("b", 2, 20.0), ("c", 3, 30.0))})
+    wh.create_branch("fix")
+    wh.update_tx("items", {"weight": "weight + 1"}, "zolo_id = 1",
+                 branch="fix")                              # cow
+    wh.delete_tx("items", "zolo_id = 2", keys=["zolo_id"],
+                 mode="mor", branch="fix")                  # mor DV
+
+    def names(**kw):
+        return {r["product_name"]: r["weight"] for r in
+                wh.read_committed_tx("items", **kw).collect()}
+
+    assert names() == {"a": 10.0, "b": 20.0, "c": 30.0}
+    assert names(branch="fix") == {"a": 11.0, "c": 30.0}
+    wh.fast_forward("fix")
+    wh.drop_branch("fix")
+    assert names() == {"a": 11.0, "c": 30.0}
+    # the published DV is live on main now; a main-side cow op
+    # materializes it through the pruned rewrite path
+    wh.update_tx("items", {"weight": "0.5"}, "zolo_id = 3")
+    assert names() == {"a": 11.0, "c": 0.5}
+    txs = wh._effective_txs(wh._read_txlog())
+    assert wh._replay_dvs(txs, "items") == []
+    d = wh.describe_detail("items")
+    assert d["branches"] == {} and d["num_live_dvs"] == 0
+
+
 def test_write_audit_publish_on_branch(spark, wh):
     """WAP on a branch — the natural first consumer of writable
     refs: stage commits on an audit branch, validate via the branch

@@ -620,6 +620,44 @@ def test_row_level_op_scan_pushes_predicate(spark, tmp_path):
     assert "weight" not in p.split("ReadSchema")[1].split("\n")[0]
 
 
+def test_dv_affected_scan_pushes_envelope_and_prunes_columns(
+        spark, tmp_path):
+    """_dv_affected_files' classification scan must (a) read ONLY the
+    DV key columns and (b) push the DV-key min/max envelope into the
+    parquet scan BELOW the input_file_name tag — row-group stats then
+    skip everything outside the DV neighborhood, so a key-clustered
+    DV stack costs O(affected files) at 100 TB, not a full key-column
+    pass. Pinned on the exact frame shape _dv_affected_files builds
+    (select keys → envelope filter → file-name tag)."""
+    from zolo_spark import schemas
+    from zolo_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.init()
+    rows = spark.createDataFrame(
+        [(f"k{i}", "v", i, "sq", "qb", "sh", "cat", "whole",
+          float(i), 1) for i in range(100)],
+        schemas.WAREHOUSE_TABLES["items"])
+    wh.commit_tx({"items": rows})
+    import os as _os
+    txs = wh._effective_txs(wh._read_txlog())
+    fields = wh._tx_fields("items", txs)
+    files = wh._replay_files(txs, "items")
+    probe = (spark.read.schema(wh._physical_schema(fields))
+             .parquet(*[_os.path.join(wh.path("items"), rel)
+                        for rel in files])
+             .select("zolo_id")
+             .filter((F.col("zolo_id") >= F.lit(40))
+                     & (F.col("zolo_id") <= F.lit(45)))
+             .withColumn("_f", F.input_file_name())
+             .select("_f").distinct())
+    p = plan_of(probe)
+    assert "GreaterThanOrEqual(zolo_id,40)" in p
+    assert "LessThanOrEqual(zolo_id,45)" in p
+    assert re.search(r"ReadSchema: [^\n]*zolo_id", p)
+    assert "weight" not in p.split("ReadSchema")[1].split("\n")[0]
+
+
 def test_sliding_window_single_aggregate_shuffle(spark):
     """The hopping window is explode + ONE partial-aggregated
     shuffle — a per-window pass would multiply event-scale work by

@@ -1617,6 +1617,9 @@ class Warehouse:
             "num_live_dvs": len(self._replay_dvs(txs, table)),
             "columns": [f.name for f in self._tx_schema(table, txs)],
             "constraints": self._tx_constraints(table, txs),
+            "clustering": self._cluster_col(table, txs),
+            "tags": self._tx_tags(txs),
+            "branches": self.list_branches(),
         }
 
     # ------------------------------------------------ write-audit-publish
@@ -2625,7 +2628,8 @@ class Warehouse:
 
     def delete_tx(self, table: str, condition: str,
                   keys: list[str] | None = None,
-                  mode: str = "cow") -> None:
+                  mode: str = "cow",
+                  branch: str | None = None) -> None:
         """Delta's ``DELETE FROM table WHERE condition`` on a
         tx-managed table. SQL WHERE semantics: a row whose predicate
         evaluates NULL is NOT deleted.
@@ -2650,7 +2654,7 @@ class Warehouse:
                 f"table {table} is manifest-managed (append_commit)")
         if mode not in ("cow", "mor"):
             raise ValueError(f"delete_tx mode must be cow|mor, got {mode}")
-        txs = self._effective_txs(self._read_txlog())
+        txs = self._effective_txs(self._read_txlog(), branch)
         fields = self._tx_fields(table, txs)
         files = self._replay_files(txs, table)
         dvs = self._replay_dvs(txs, table)
@@ -2660,7 +2664,7 @@ class Warehouse:
                     "delete_tx(mode='mor') needs keys: the deletion "
                     "vector is a key-list sidecar")
             p_of = {ln: ph for ln, ph, _ in fields}
-            matched = (self.read_committed_tx(table)
+            matched = (self.read_committed_tx(table, branch=branch)
                        .filter(F.expr(condition))
                        .select(*[F.col(k).alias(p_of[k]) for k in keys])
                        .distinct())
@@ -2673,8 +2677,9 @@ class Warehouse:
                                    dv={table: dv_files},
                                    dv_keys={table: [p_of[k]
                                                     for k in keys]},
-                                   expect_files={table: (files, dvs)})
-            if (self.auto_compact_dvs is not None
+                                   expect_files={table: (files, dvs)},
+                                   branch=branch)
+            if (self.auto_compact_dvs is not None and branch is None
                     and len(dvs) + 1 >= self.auto_compact_dvs):
                 self.compact(table)
             return
@@ -2715,11 +2720,13 @@ class Warehouse:
                                replaces=[table],
                                expect_files={table: (files, dvs)},
                                validated_constraints={
-                                   table: (cons, new_files)})
+                                   table: (cons, new_files)},
+                               branch=branch)
 
     def update_tx(self, table: str, assignments: dict[str, str],
                   condition: str, keys: list[str] | None = None,
-                  mode: str = "cow") -> None:
+                  mode: str = "cow",
+                  branch: str | None = None) -> None:
         """Delta's ``UPDATE table SET col = expr, ... WHERE
         condition``. SQL semantics: a NULL predicate leaves the row
         unchanged; assignment expressions see the PRE-update row
@@ -2736,7 +2743,7 @@ class Warehouse:
                 f"table {table} is manifest-managed (append_commit)")
         if mode not in ("cow", "mor"):
             raise ValueError(f"update_tx mode must be cow|mor, got {mode}")
-        txs = self._effective_txs(self._read_txlog())
+        txs = self._effective_txs(self._read_txlog(), branch)
         fields = self._tx_fields(table, txs)
         logical = [ln for ln, _, _ in fields]
         bad = sorted(set(assignments) - set(logical))
@@ -2765,7 +2772,8 @@ class Warehouse:
                     "update_tx(mode='mor') needs keys: the deletion "
                     "vector is a key-list sidecar")
             p_of = {ln: ph for ln, ph, _ in fields}
-            matched = self.read_committed_tx(table).filter(hit) \
+            matched = self.read_committed_tx(table, branch=branch) \
+                .filter(hit) \
                 .localCheckpoint()   # one evaluation: DV == postimage
             if matched.isEmpty():
                 return   # no match: no-op, matching the cow contract
@@ -2782,8 +2790,9 @@ class Warehouse:
                                                     for k in keys]},
                                    expect_files={table: (files, dvs)},
                                    validated_constraints={
-                                       table: (cons, new_files)})
-            if (self.auto_compact_dvs is not None
+                                       table: (cons, new_files)},
+                                   branch=branch)
+            if (self.auto_compact_dvs is not None and branch is None
                     and len(dvs) + 1 >= self.auto_compact_dvs):
                 self.compact(table)
             return
@@ -2819,7 +2828,8 @@ class Warehouse:
                                replaces=[table],
                                expect_files={table: (files, dvs)},
                                validated_constraints={
-                                   table: (cons, new_files)})
+                                   table: (cons, new_files)},
+                               branch=branch)
 
     def vacuum_uncommitted_tx(self, tables: list[str]) -> int:
         """Remove staged batch directories under ``tables`` that no tx
