@@ -1988,11 +1988,27 @@ def test_clustering_spec_evolution(spark, wh):
     latest = wh._replay_files(txs, "items")[-2:]
     assert all(v == sorted(v) for v in file_cols(latest, "zolo_id"))
 
+    # multi-column spec: lexicographic sort on (form, zid) — the
+    # leading column groups, the second sorts within groups
+    wh.set_clustering("items", ["form", "zid"])
+    assert wh._cluster_cols("items") == ["form", "zolo_id"]
+    wh.commit_tx({"items": batch(32, 40)
+                  .withColumnRenamed("zolo_id", "zid")})
+    txs = wh._effective_txs(wh._read_txlog())
+    latest = wh._replay_files(txs, "items")[-2:]
+    for rows in [[(r["form"], r["zolo_id"]) for r in
+                  spark.read.parquet(
+                      os.path.join(wh.path("items"), rel)).collect()]
+                 for rel in latest]:
+        assert rows == sorted(rows)
+    assert wh.describe_detail("items")["clustering"] == \
+        ["form", "zolo_id"]
+
     # clear the spec: drop now legal; reads were never affected
     wh.set_clustering("items", None)
-    assert wh._cluster_col("items") is None
+    assert wh._cluster_cols("items") == []
     wh.drop_column_tx("items", "zid")
-    assert wh.read_committed_tx("items").count() == 32
+    assert wh.read_committed_tx("items").count() == 40
 
 
 def test_branch_lifecycle_and_fast_forward(spark, wh):

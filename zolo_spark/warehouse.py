@@ -746,15 +746,15 @@ class Warehouse:
         staged: dict[str, list[str]] = {}
         for table, df in frames.items():
             df = self._to_physical(df, fields_of[table])
-            part_col = self._cluster_col(table, lineage)
-            if part_col is not None:
-                # cluster each staged batch on the slice column so
+            c_cols = self._cluster_cols(table, lineage)
+            if c_cols:
+                # cluster each staged batch on the spec columns so
                 # every file's footer min/max is tight — that's what
                 # read_between prunes against on tx tables (no _dt
-                # directories here); the column comes from the
+                # directories here); the columns come from the
                 # evolved cluster spec (set_clustering), falling back
                 # to the static default
-                df = df.sortWithinPartitions(part_col)
+                df = df.sortWithinPartitions(*c_cols)
             batch_dir = f"batch-{uuid.uuid4().hex}"
             out = os.path.join(self.path(table), batch_dir)
             df.write.mode("overwrite").parquet(out)
@@ -1279,10 +1279,10 @@ class Warehouse:
                         f"cannot drop column {name} on {table}: a live "
                         "deletion vector keys on it — compact(table) "
                         "first")
-            if self._cluster_col(table, txs) == phys:
+            if phys in self._cluster_cols(table, txs):
                 raise ValueError(
                     f"cannot drop column {name} on {table}: it is "
-                    "the active clustering column — "
+                    "an active clustering column — "
                     "set_clustering(table, None) first")
             self._append_tx_record(
                 {}, schema_drop={table: [[name, phys]]},
@@ -1442,52 +1442,70 @@ class Warehouse:
 
     # ------------------------------------------- clustering spec evolution
 
+    def _cluster_cols(self, table: str,
+                      txs: list[tuple[int, dict]] | None = None
+                      ) -> list[str]:
+        """The table's ACTIVE clustering columns (PHYSICAL names) —
+        the commit-time ``sortWithinPartitions`` keys that keep
+        parquet footers tight for read_between / merge / row-level
+        pruning. Replayed from ``cluster_spec`` records (last writer
+        wins, explicit ``None``/empty = unclustered); tables that
+        never evolved fall back to the static ``_PARTITIONED``
+        default. Multi-column specs sort lexicographically — footer
+        ranges stay tight on the LEADING column and tighten on later
+        ones within runs of equal prefixes (Iceberg multi-field
+        spec / Delta multi-column OPTIMIZE ZORDER's cheap cousin)."""
+        if txs is None:
+            txs = self._effective_txs(self._read_txlog())
+        spec: list[str] = []
+        found = False
+        for _, tx in txs:
+            if table in tx.get("cluster_spec", {}):
+                raw = tx["cluster_spec"][table]
+                spec = ([raw] if isinstance(raw, str)
+                        else list(raw or []))
+                found = True
+        if found:
+            return spec
+        default = _PARTITIONED.get(table)
+        return [default] if default else []
+
     def _cluster_col(self, table: str,
                      txs: list[tuple[int, dict]] | None = None
                      ) -> str | None:
-        """The table's ACTIVE clustering column (PHYSICAL name) — the
-        commit-time ``sortWithinPartitions`` key that keeps parquet
-        footers tight for read_between / merge / row-level pruning.
-        Replayed from ``cluster_spec`` records (last writer wins,
-        explicit ``None`` = unclustered); tables that never evolved
-        fall back to the static ``_PARTITIONED`` default."""
-        if txs is None:
-            txs = self._effective_txs(self._read_txlog())
-        spec, found = None, False
-        for _, tx in txs:
-            if table in tx.get("cluster_spec", {}):
-                spec, found = tx["cluster_spec"][table], True
-        return spec if found else _PARTITIONED.get(table)
+        """Single-column view of :meth:`_cluster_cols` (the leading
+        sort key), for callers that only need one."""
+        cols = self._cluster_cols(table, txs)
+        return cols[0] if cols else None
 
     def set_clustering(self, table: str,
-                       column: str | None) -> None:
+                       columns: str | list[str] | None) -> None:
         """Iceberg partition-spec evolution, clustering flavor:
-        change the column NEW commits/rewrites sort on, as one
+        change the column(s) NEW commits/rewrites sort on, as one
         metadata record. Files already committed are untouched and
         stay readable exactly as written (their footers remain tight
-        on the OLD column, so predicates on it keep pruning those
-        files; new files prune on the new column) — the defining
+        on the OLD columns, so predicates on them keep pruning those
+        files; new files prune on the new columns) — the defining
         property of Iceberg's spec evolution, where a spec change
         never rewrites data. ``None`` disables clustering. The spec
-        stores the PHYSICAL column name, so later renames never
-        stale it."""
+        stores PHYSICAL column names, so later renames never stale
+        it."""
         self._reject_manifest_schema_change(table)
+        want = ([columns] if isinstance(columns, str)
+                else list(columns or []))
 
         def attempt():
             log = self._read_txlog()
             txs = self._effective_txs(log)
-            phys = None
-            if column is not None:
-                match = [ph for ln, ph, _
-                         in self._tx_fields(table, txs)
-                         if ln == column]
-                if not match:
-                    raise ValueError(
-                        f"no column {column} on {table}")
-                phys = match[0]
+            p_of = {ln: ph for ln, ph, _
+                    in self._tx_fields(table, txs)}
+            missing = [c for c in want if c not in p_of]
+            if missing:
+                raise ValueError(
+                    f"no column(s) {missing} on {table}")
             self._append_tx_record(
                 {}, expect_version=self._raw_head(log),
-                cluster_spec={table: phys})
+                cluster_spec={table: [p_of[c] for c in want] or None})
         self._retry_metadata_tx(attempt)
 
     # ------------------------------------------------ branches (writable refs)
@@ -1617,7 +1635,7 @@ class Warehouse:
             "num_live_dvs": len(self._replay_dvs(txs, table)),
             "columns": [f.name for f in self._tx_schema(table, txs)],
             "constraints": self._tx_constraints(table, txs),
-            "clustering": self._cluster_col(table, txs),
+            "clustering": self._cluster_cols(table, txs),
             "tags": self._tx_tags(txs),
             "branches": self.list_branches(),
         }
@@ -1642,9 +1660,9 @@ class Warehouse:
         staged: dict[str, list[str]] = {}
         for table, df in frames.items():
             df = self._to_physical(df, self._tx_fields(table))
-            part_col = self._cluster_col(table)
-            if part_col is not None:
-                df = df.sortWithinPartitions(part_col)
+            c_cols = self._cluster_cols(table)
+            if c_cols:
+                df = df.sortWithinPartitions(*c_cols)
             staged[table] = self._stage_batch(df, table)
         token = uuid.uuid4().hex
         pend = {"tables": staged, "watermarks": dict(watermarks or {})}
@@ -2711,9 +2729,9 @@ class Warehouse:
                 table, fields, touched).filter(
                 ~F.coalesce(F.expr(condition), F.lit(False)))
         staged = self._to_physical(remain, fields)
-        part_col = self._cluster_col(table, txs)
-        if part_col is not None:
-            staged = staged.sortWithinPartitions(part_col)
+        c_cols = self._cluster_cols(table, txs)
+        if c_cols:
+            staged = staged.sortWithinPartitions(*c_cols)
         new_files = self._stage_batch(staged, table)
         cons = self._validate_staged(table, new_files, fields, txs)
         self._append_tx_record({table: keep + new_files},
@@ -2819,9 +2837,9 @@ class Warehouse:
             rewritten = apply_set(
                 self._read_files_logical(table, fields, touched), False)
         staged = self._to_physical(rewritten, fields)
-        part_col = self._cluster_col(table, txs)
-        if part_col is not None:
-            staged = staged.sortWithinPartitions(part_col)
+        c_cols = self._cluster_cols(table, txs)
+        if c_cols:
+            staged = staged.sortWithinPartitions(*c_cols)
         new_files = self._stage_batch(staged, table)
         cons = self._validate_staged(table, new_files, fields, txs)
         self._append_tx_record({table: keep + new_files},
