@@ -2129,6 +2129,34 @@ def test_row_level_ops_on_branch(spark, wh):
     assert d["branches"] == {} and d["num_live_dvs"] == 0
 
 
+def test_branch_time_travel_and_change_feed(spark, wh):
+    """Time travel WITHIN a branch lineage (as_of_version composes
+    with branch=) and the branch change feed: diffing fork-version →
+    branch head is exactly 'what would fast_forward publish' — the
+    audit view of WAP-on-branch."""
+    wh.commit_tx({"items": _items_rows(spark, ("a", 1, 10.0))})
+    fork = wh.create_branch("b")
+    wh.commit_tx({"items": _items_rows(spark, ("c", 3, 30.0))},
+                 branch="b")
+    wh.update_tx("items", {"weight": "99.0"}, "product_name = 'a'",
+                 branch="b")
+    # as-of the fork, the branch sees main's state
+    assert {r["product_name"] for r in wh.read_committed_tx(
+        "items", as_of_version=fork, branch="b").collect()} == {"a"}
+    ch = {(r["product_name"], r["_change_type"]) for r in
+          wh.table_changes("items", fork, keys=["product_name"],
+                           branch="b").collect()}
+    assert ch == {("c", "insert"), ("a", "update_preimage"),
+                  ("a", "update_postimage")}
+    # main's feed over the same window is empty until fast-forward
+    assert wh.table_changes("items", fork).count() == 0
+    wh.fast_forward("b")
+    ch_main = {(r["product_name"], r["_change_type"]) for r in
+               wh.table_changes("items", fork,
+                                keys=["product_name"]).collect()}
+    assert ch_main == ch
+
+
 def test_write_audit_publish_on_branch(spark, wh):
     """WAP on a branch — the natural first consumer of writable
     refs: stage commits on an audit branch, validate via the branch
@@ -2543,8 +2571,9 @@ def test_compact_where_rewrites_only_matching_files(spark, wh):
     """Delta's OPTIMIZE ... WHERE: predicate-scoped compaction
     rewrites only files holding matching rows (proven by identity on
     the rest), preserves contents exactly, is a version no-op when
-    nothing matches, refuses under live DVs, and rejects non-tx
-    tables."""
+    nothing matches, widens to the DV-affected files under live DVs
+    (clearing them — hot-slice maintenance never blocks on a full
+    compact), and rejects non-tx tables."""
     for qty in (1, 2, 3):
         wh.commit_tx({"items": _items_rows(
             spark, *((f"p{qty}{i}", qty, float(i)) for i in range(4))
@@ -2570,13 +2599,24 @@ def test_compact_where_rewrites_only_matching_files(spark, wh):
     assert wh.compact("items", where="zolo_id = 99") == (0, 0)
     assert wh.current_tx_version() == v
 
-    # refuses under live DVs; full compact clears the way again
-    wh.merge_tx("items", _items_upd(spark, ("p10", 1, 50.0, False)),
+    # under live DVs the rewrite widens to DV-affected files and
+    # clears the DVs — the hidden row must not resurrect, and files
+    # with neither role still survive by identity
+    txs = wh._effective_txs(wh._read_txlog())
+    files = set(wh._replay_files(txs, "items"))
+    wh.merge_tx("items", _items_upd(spark, ("p10", 1, 50.0, False),
+                                    ("p21", 2, 0.0, True)),
                 ["product_name"], delete_col="_deleted", mode="mor")
-    with pytest.raises(ValueError, match="full compact"):
-        wh.compact("items", where="zolo_id = 1")
-    wh.compact("items")
-    assert wh.compact("items", where="zolo_id = 1")[0] >= 1
+    rewritten, new = wh.compact("items", where="zolo_id = 1")
+    assert rewritten >= 1 and new >= 1
+    txs = wh._effective_txs(wh._read_txlog())
+    assert wh._replay_dvs(txs, "items") == [], "partial compact " \
+        "must materialize (and clear) the DVs it absorbed"
+    got = {r["product_name"]: r["weight"]
+           for r in wh.read_committed_tx("items").collect()}
+    assert got["p10"] == 50.0 and "p21" not in got
+    assert len(set(wh._replay_files(txs, "items")) & files) >= 1, \
+        "untouched files must survive by identity"
 
     # non-tx tables reject the predicate form
     with pytest.raises(ValueError, match="tx-managed"):

@@ -1804,7 +1804,8 @@ class Warehouse:
 
     def table_changes(self, table: str, from_version: int,
                       to_version: int | None = None,
-                      keys: list[str] | None = None) -> DataFrame:
+                      keys: list[str] | None = None,
+                      branch: str | None = None) -> DataFrame:
         """Row-level diff between two committed versions — Delta's
         change-data-feed analog, computed from the time-travel reads
         (no per-commit change files needed): rows present at
@@ -1819,9 +1820,13 @@ class Warehouse:
         (:meth:`expire_snapshots`); the diff is two anti-joins (or
         one full-outer with ``keys``) over the two snapshots — at
         scale this reads only the two file lists, never the log
-        history between them."""
-        new = self.read_committed_tx(table, as_of_version=to_version)
-        old = self.read_committed_tx(table, as_of_version=from_version)
+        history between them. ``branch`` diffs within a branch
+        lineage — e.g. fork-version → branch head is exactly 'what
+        would fast_forward publish', the audit view of WAP-on-branch."""
+        new = self.read_committed_tx(table, as_of_version=to_version,
+                                     branch=branch)
+        old = self.read_committed_tx(table, as_of_version=from_version,
+                                     branch=branch)
         cols = new.columns
         if keys:
             val_cols = [c for c in cols if c not in keys]
@@ -2179,20 +2184,30 @@ class Warehouse:
         if where is not None:
             # OPTIMIZE ... WHERE: rewrite only the files holding
             # matching rows; the predicate selects FILES, never
-            # filters rows. Live DVs would need materializing across
-            # the keep/touched split (a partial rewrite can't clear
-            # them) — require a full compact first.
-            if self._replay_dvs(eff, table):
-                raise ValueError(
-                    f"compact({table!r}, where=...) with live "
-                    "deletion vectors: run a full compact first to "
-                    "materialize them")
+            # filters rows. Live DVs widen the rewrite set to the
+            # DV-affected files (same shape as the row-level ops):
+            # the REWRITE record clears the DVs, which is safe
+            # exactly because every file holding a DV-hidden row is
+            # materialized here — hot-slice maintenance no longer
+            # blocks on a full compact.
             fields = self._tx_fields(table, eff)
+            dvs = self._replay_dvs(eff, table)
             keep, touched = self._touched_by_predicate(
                 table, fields, old_files, where)
             if not touched:
                 return 0, 0   # nothing matches: no-op, no version
-            df = self._read_files_logical(table, fields, touched)
+            if dvs:
+                affected = self._dv_affected_files(
+                    table, fields, eff, dvs, keep)
+                touched += [rel for rel in keep if rel in affected]
+                keep = [rel for rel in keep if rel not in affected]
+                df = self._to_logical(
+                    self._read_with_dvs(table, eff,
+                                        self._physical_schema(fields),
+                                        dvs, None, only=touched),
+                    fields)
+            else:
+                df = self._read_files_logical(table, fields, touched)
             rewriting = touched
         else:
             df = self.read_committed_tx(table)
