@@ -1290,6 +1290,110 @@ def test_tx_model_random_walk(spark, tmp_path):
                wh.read_committed_tx("items", as_of_version=tgt).collect()}
         assert got == states[tgt], f"time travel v{tgt}"
 
+def test_branch_rowlevel_model_random_walk(spark, tmp_path):
+    """Model-based stress over the ROUND-14 surface: a seeded walk
+    interleaving main/branch commits, cow/mor row-level DELETE and
+    UPDATE on both lineages, clustering-spec flips, checkpoint folds,
+    and branch create/fast-forward/drop, with a pure-Python model of
+    both lineages. After every op the main read AND the branch read
+    must equal the model; fast_forward must refuse exactly when the
+    model says the histories diverged."""
+    import random
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), auto_compact_dvs=None)
+    wh.init()
+    rng = random.Random(23)
+    main: dict[str, float] = {}
+    branch: dict[str, float] | None = None
+    diverged = False
+    next_key = 0
+
+    def df_of(d):
+        return spark.createDataFrame(
+            [(n, "v", 1, "sq", "qb", "sh", "cat", "whole", w, 1)
+             for n, w in sorted(d.items())],
+            schemas.WAREHOUSE_TABLES["items"])
+
+    def check():
+        got = {r["product_name"]: r["weight"] for r in
+               wh.read_committed_tx("items").collect()}
+        assert got == main, f"main: {got} != {main}"
+        if branch is not None:
+            got_b = {r["product_name"]: r["weight"] for r in
+                     wh.read_committed_tx("items", branch="b")
+                     .collect()}
+            assert got_b == branch, f"branch: {got_b} != {branch}"
+
+    for step in range(30):
+        on_branch = branch is not None and rng.random() < 0.5
+        tgt = branch if on_branch else main
+        kw = {"branch": "b"} if on_branch else {}
+        op = rng.choice(["commit", "commit", "del_cow", "del_mor",
+                         "upd_cow", "upd_mor", "branch", "cluster",
+                         "checkpoint"])
+        if op == "commit":
+            fresh = {f"k{next_key}": float(rng.randint(1, 9))}
+            next_key += 1
+            wh.commit_tx({"items": df_of(fresh)}, **kw)
+            tgt.update(fresh)
+            if not on_branch and branch is not None:
+                diverged = True
+        elif op in ("del_cow", "del_mor") and tgt:
+            k = rng.choice(sorted(tgt))
+            wh.delete_tx("items", f"product_name = '{k}'",
+                         keys=(["product_name"]
+                               if op == "del_mor" else None),
+                         mode="mor" if op == "del_mor" else "cow",
+                         **kw)
+            tgt.pop(k)
+            if not on_branch and branch is not None:
+                diverged = True
+        elif op in ("upd_cow", "upd_mor") and tgt:
+            k = rng.choice(sorted(tgt))
+            wh.update_tx("items", {"weight": "weight + 10"},
+                         f"product_name = '{k}'",
+                         keys=(["product_name"]
+                               if op == "upd_mor" else None),
+                         mode="mor" if op == "upd_mor" else "cow",
+                         **kw)
+            tgt[k] += 10
+            if not on_branch and branch is not None:
+                diverged = True
+        elif op == "branch":
+            if branch is None:
+                wh.create_branch("b")
+                branch, diverged = dict(main), False
+            elif diverged:
+                with pytest.raises(ValueError,
+                                   match="advanced past"):
+                    wh.fast_forward("b")
+                wh.drop_branch("b")
+                branch = None
+            else:
+                wh.fast_forward("b")
+                main.update(branch)
+                main = dict(branch)
+                wh.drop_branch("b")
+                branch = None
+        elif op == "cluster":
+            wh.set_clustering("items", rng.choice(
+                ["zolo_id", "weight", None, ["form", "weight"]]))
+        elif op == "checkpoint":
+            wh.checkpoint_txlog(retain_last=3)
+        check()
+    # close out: a live branch must still publish or refuse correctly
+    if branch is not None:
+        if diverged:
+            with pytest.raises(ValueError, match="advanced past"):
+                wh.fast_forward("b")
+        else:
+            wh.fast_forward("b")
+            main = dict(branch)
+        wh.drop_branch("b")
+        branch = None
+        check()
+
+
 def test_read_txlog_raises_when_generations_exist_but_unreadable(
         spark, wh, monkeypatch):
     """r11 ADVICE (warehouse.py): if 5 consecutive reads lose the
