@@ -1263,3 +1263,77 @@ def test_upsert_sink_mor_mirror_equals_cow(spark, tmp_path):
 
     mor.compact("items")
     assert snap(mor) == snap(cow)
+
+
+def test_upsert_sink_on_branch_is_streaming_wap(spark, tmp_path):
+    """upsert_sink(branch=...) — write-audit-publish for streams:
+    every micro-batch MERGEs onto a warehouse branch, main readers
+    never see the stream's effect while it runs, the audit reads the
+    branch, and fast_forward publishes the whole accumulated window
+    as ONE atomic main version (a failed audit would drop_branch
+    with main untouched)."""
+    from zolo_spark import schemas
+    from zolo_spark.streaming import cdc
+    from zolo_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.init()
+    src = str(tmp_path / "changes")
+    cols = [f.name for f in schemas.WAREHOUSE_TABLES["items"].fields]
+
+    def batch(*specs):
+        return spark.createDataFrame(
+            [(n, "v", q, "sq", "qb", "sh", "cat", "whole", p, 1, ts, dl)
+             for (n, q, p, ts, dl) in specs],
+            ", ".join(f"{c} {t}" for c, t in zip(
+                cols + ["ts", "_deleted"],
+                ["string", "string", "long", "string", "string", "string",
+                 "string", "string", "double", "long", "string", "boolean"]))
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    schema_str = ", ".join(
+        f"{c} {t}" for c, t in zip(
+            cols + ["ts", "_deleted"],
+            ["string", "string", "long", "string", "string", "string",
+             "string", "string", "double", "long", "timestamp", "boolean"]))
+
+    wh.commit_tx({"items": batch(
+        ("a", 1, 10.0, "2024-01-01 09:00:00", False))
+        .drop("ts", "_deleted")})
+    wh.create_branch("staging")
+
+    batch(("b", 2, 20.0, "2024-01-01 10:00:00", False)
+          ).coalesce(1).write.mode("append").parquet(src)
+    batch(("a", 1, 10.0, "2024-01-02 09:10:00", True),   # tombstone a
+          ("c", 3, 30.0, "2024-01-02 09:20:00", False)
+          ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema_str)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = cdc.upsert_sink(stream, wh, "items", ["product_name"],
+                        str(tmp_path / "ckpt"), delete_col="_deleted",
+                        mode="mor", branch="staging")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def snap(**kw):
+        return {(r["product_name"], r["weight"]) for r in
+                wh.read_committed_tx("items", **kw).collect()}
+
+    # main never saw the stream (its head never moved off the
+    # create_branch record while micro-batches landed); the branch
+    # accumulated it
+    v_before = wh.current_tx_version()
+    assert snap() == {("a", 10.0)}
+    assert snap(branch="staging") == {("b", 20.0), ("c", 30.0)}
+    wh.fast_forward("staging")
+    wh.drop_branch("staging")
+    assert snap() == {("b", 20.0), ("c", 30.0)}
+    # the publish IS the change feed boundary: diffing across it
+    # reads back the stream's whole net effect in one window
+    ch = {(r["product_name"], r["_change_type"]) for r in
+          wh.table_changes("items", v_before,
+                           keys=["product_name"]).collect()}
+    assert ch == {("a", "delete"), ("b", "insert"), ("c", "insert")}

@@ -107,7 +107,8 @@ def scd2_sink(changes: DataFrame, dim_path: str, checkpoint_dir: str,
 def apply_upsert_batch(batch: DataFrame, wh, table: str,
                        keys: list[str], ts_col: str = "ts",
                        delete_col: str | None = None,
-                       mode: str = "cow") -> None:
+                       mode: str = "cow",
+                       branch: str | None = None) -> None:
     """Apply one change batch as a row-level MERGE into the
     tx-managed warehouse table (SCD1 / latest-state mirror — the
     other standard CDC target besides SCD2): intra-batch duplicates
@@ -122,12 +123,14 @@ def apply_upsert_batch(batch: DataFrame, wh, table: str,
     if batch.isEmpty():
         return
     updates = _latest_per_key(batch, keys, ts_col).drop(ts_col)
-    wh.merge_tx(table, updates, keys, delete_col=delete_col, mode=mode)
+    wh.merge_tx(table, updates, keys, delete_col=delete_col, mode=mode,
+                branch=branch)
 
 
 def upsert_sink(changes: DataFrame, wh, table: str, keys: list[str],
                 checkpoint_dir: str, ts_col: str = "ts",
-                delete_col: str | None = None, mode: str = "cow"):
+                delete_col: str | None = None, mode: str = "cow",
+                branch: str | None = None):
     """Drive a change stream into a latest-state warehouse table via
     per-batch MERGE. Returns the started StreamingQuery; the
     checkpoint resumes from the last committed offset, and each
@@ -138,13 +141,19 @@ def upsert_sink(changes: DataFrame, wh, table: str, keys: list[str],
     (deletion vector + postimage batch, zero file rewrites) — the
     right shape for a high-frequency CDC mirror, compacted on a
     schedule; the tx_changes SOURCE reads mor records as the same
-    row-level diff, so a mor mirror is still re-streamable."""
+    row-level diff, so a mor mirror is still re-streamable.
+
+    ``branch`` lands every batch on a warehouse branch
+    (write-audit-publish for streams: the mirror accumulates on the
+    branch invisible to main readers, an audit job validates
+    read_committed_tx(branch=...), and fast_forward publishes the
+    whole accumulated window as ONE atomic main version)."""
     return (
         changes.writeStream
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
             lambda b, _id: apply_upsert_batch(
-                b, wh, table, keys, ts_col, delete_col, mode)
+                b, wh, table, keys, ts_col, delete_col, mode, branch)
         )
         .start()
     )
