@@ -2233,6 +2233,61 @@ def test_row_level_ops_on_branch(spark, wh):
     assert d["branches"] == {} and d["num_live_dvs"] == 0
 
 
+def test_branch_survives_expire_snapshots_and_publish_races(spark, wh):
+    """Maintenance and concurrency corners of branches: (a)
+    expire_snapshots with a LIVE branch clamps at the fork — the
+    branch stays readable and its staged batches are never vacuumed;
+    (b) a main commit racing a fast_forward forces the publish to
+    re-check divergence and refuse (no silent interleave); (c) after
+    drop + expire, the abandoned records' batches are reclaimed."""
+    wh.commit_tx({"items": _items_rows(spark, ("a", 1, 10.0))})
+    wh.commit_tx({"items": _items_rows(spark, ("b", 2, 20.0))})
+    wh.create_branch("wip")
+    wh.commit_tx({"items": _items_rows(spark, ("c", 3, 30.0))},
+                 branch="wip")
+    wh.expire_snapshots()
+    assert {r["product_name"] for r in wh.read_committed_tx(
+        "items", branch="wip").collect()} == {"a", "b", "c"}
+    assert {r["product_name"] for r in
+            wh.read_committed_tx("items").collect()} == {"a", "b"}
+
+    # (b) a main commit lands BETWEEN the divergence check and the
+    # publish: the CAS retry re-runs the check, which must now refuse
+    real_publish = type(wh)._publish_txlog
+    state = {"fired": False}
+
+    def racing(self, log):
+        if not state["fired"]:
+            state["fired"] = True
+            wh.commit_tx({"items": _items_rows(spark, ("d", 4, 40.0))})
+            raise FileExistsError
+        return real_publish(self, log)
+
+    type(wh)._publish_txlog = racing
+    try:
+        with pytest.raises(ValueError, match="advanced past"):
+            wh.fast_forward("wip")
+    finally:
+        type(wh)._publish_txlog = real_publish
+    assert {r["product_name"] for r in
+            wh.read_committed_tx("items").collect()} == {"a", "b", "d"}
+
+    # (c) abandon the branch: after drop + expire, its staged batch
+    # is gone from disk (the fold GC'd the record, vacuum the dir)
+    wh.drop_branch("wip")
+    wh.expire_snapshots()
+    import os as _os
+    batches = [d for d in _os.listdir(wh.path("items"))
+               if d.startswith("batch-")]
+    live = {rel.split(_os.sep)[0]
+            for tx in wh._read_txlog()["txs"]
+            for rel in tx["tables"].get("items", [])}
+    assert set(batches) == live, "dropped-branch batches must be " \
+        "reclaimed once no retained record references them"
+    assert {r["product_name"] for r in
+            wh.read_committed_tx("items").collect()} == {"a", "b", "d"}
+
+
 def test_branch_time_travel_and_change_feed(spark, wh):
     """Time travel WITHIN a branch lineage (as_of_version composes
     with branch=) and the branch change feed: diffing fork-version →
