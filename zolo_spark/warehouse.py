@@ -75,7 +75,10 @@ class Warehouse:
                  auto_checkpoint_every: int | None = None,
                  auto_checkpoint_retain: int = 10,
                  auto_compact_dvs: int | None = 6,
-                 stats_cols: dict[str, list[str]] | None = None):
+                 stats_cols: dict[str, list[str]] | None = None,
+                 bloom_cols: dict[str, list[str]] | None = None,
+                 bloom_bits: int = 1 << 20,
+                 bloom_hashes: int = 5):
         """``auto_checkpoint_every=N`` opts into tx-log maintenance on
         ingest: after a commit, if the log holds ≥ N records, it is
         folded down to an ``auto_checkpoint_retain``-record
@@ -107,7 +110,30 @@ class Warehouse:
         before. Defaults to ``_DEFAULT_STATS_COLS`` — the ETL tx
         tables on their natural merge keys — so the product
         pipelines get metadata-only MERGE pruning out of the box;
-        pass ``{}`` to disable."""
+        pass ``{}`` to disable.
+
+        ``bloom_cols={"table": ["key", ...]}`` opts a table into
+        Delta-style BLOOM FILTER INDEXES — the data-skipping tier for
+        point predicates min/max stats can't serve: a high-cardinality
+        key that is NOT the clustering column has near-full-domain
+        min/max on every file, so stats pruning keeps nothing, while a
+        per-file bloom proves "key definitely not in this file" and
+        skips it. Every commit of an opted table computes, in ONE
+        distributed job per table (never collected to the driver), a
+        per-(file, column) bloom bitmap over the staged batch and
+        writes it as a parquet SIDECAR next to the data (Delta stores
+        its bloom indexes in index files the same way — the bitmaps
+        are far too large for the JSON log at real file sizes). The
+        sidecars feed :meth:`point_lookup` and refine
+        :meth:`merge_tx`'s file pruning; files without an index (or
+        indexed under a different ``bloom_bits``/``bloom_hashes``
+        config) conservatively stay candidates. Sizing: a bloom needs
+        ~10 bits per distinct key for a ~1% false-positive rate — the
+        default 2^20 bits (128 KiB/file/column) serves files of up to
+        ~10^5 keys; at 128 MB files of ~10^6 rows pass ``bloom_bits=
+        1 << 23``. Off by default: the index job adds one scan of the
+        staged batch to every commit, a price only point-lookup /
+        CDC-merge workloads should pay."""
         self.spark = spark
         self.root = root
         self.bucketed = bucketed
@@ -117,6 +143,12 @@ class Warehouse:
         self.auto_compact_dvs = auto_compact_dvs
         self.stats_cols = dict(_DEFAULT_STATS_COLS if stats_cols is None
                                else stats_cols)
+        self.bloom_cols = dict(bloom_cols or {})
+        self.bloom_bits = bloom_bits
+        self.bloom_hashes = bloom_hashes
+        # sidecar-path → parsed bloom rows; sidecars are immutable
+        # once committed, so the cache never invalidates
+        self._bloom_cache: dict = {}
         # catalog namespace derived from the root path: two warehouses
         # in one session never collide
         self._db = "zolo_wh_" + re.sub(r"[^a-z0-9]+", "_", root.lower()).strip("_")
@@ -867,6 +899,11 @@ class Warehouse:
                     per_file[rel] = ok
             if per_file:
                 stats[t] = per_file
+        # bloom_cols opt-in: build the per-file bloom index sidecar
+        # for newly staged files (computed once before the CAS loop —
+        # the files are immutable; a REWRITE record re-listing kept
+        # files never re-indexes them, their old sidecars still apply)
+        blooms = self._index_staged_blooms(tables)
         validated = {t: cons for t, (cons, _)
                      in (validated_constraints or {}).items()}
         for _ in range(50):
@@ -950,6 +987,8 @@ class Warehouse:
                 rec["wap"] = wap
             if stats:
                 rec["stats"] = stats
+            if blooms:
+                rec["bloom"] = blooms
             log["txs"].append(rec)
             try:
                 self._publish_txlog(log)
@@ -1003,6 +1042,117 @@ class Warehouse:
             .parquet(*[os.path.join(self.path(table), rel)
                        for rel in files]),
             fields)
+
+    def point_lookup(self, table: str, values: dict,
+                     branch: str | None = None,
+                     as_of_version: int | None = None,
+                     as_of_tag: str | None = None) -> DataFrame:
+        """Rows of ``table`` matching the conjunctive equality
+        ``values`` (``{col: value}``), reading ONLY the committed
+        files the metadata can't rule out — min/max stats first
+        (``stats_cols``), then the per-file bloom index
+        (``bloom_cols``). On a bloom-indexed key this is the O(few
+        files) primary-key probe on a 100 TB table: min/max stats
+        alone can't serve it when the key isn't the clustering column
+        (every file spans the domain), and without either tier the
+        lookup scans every file's footer-passing row groups. Supports
+        the same time-travel/branch surface as
+        :meth:`read_committed_tx`; deletion vectors resolve exactly
+        as a full read would (the pruned subset still reads under its
+        per-segment commit versions). ``self.last_point_lookup``
+        records ``(files read, files total)`` for observability.
+
+        A NULL probe value returns an empty frame (SQL equality is
+        never true on NULL), matching ``WHERE c = NULL`` semantics."""
+        txs = self._effective_txs(self._read_txlog(), branch)
+        if as_of_tag is not None:
+            tags = self._tx_tags(txs)
+            if as_of_tag not in tags:
+                raise ValueError(f"no tag {as_of_tag}")
+            as_of_version = tags[as_of_tag]
+        self._check_retained(as_of_version, txs)
+        fields = self._tx_fields(table, txs, as_of_version)
+        dt_of = {ln: dt for ln, _, dt in fields}
+        for c in values:
+            if c not in dt_of:
+                raise ValueError(f"no column {c} on {table}")
+        files = self._replay_files(txs, table, as_of_version)
+        if not files or any(v is None for v in values.values()):
+            self.last_point_lookup = (0, len(files))
+            return self.spark.createDataFrame(
+                [], self._tx_schema(table, txs, as_of_version))
+        cand = self._point_candidate_files(table, txs, fields,
+                                           files, values)
+        self.last_point_lookup = (len(cand), len(files))
+        if not cand:
+            return self.spark.createDataFrame(
+                [], self._tx_schema(table, txs, as_of_version))
+        pred = None
+        for c, v in values.items():
+            e = F.col(c) == F.lit(v).cast(dt_of[c])
+            pred = e if pred is None else pred & e
+        dvs = self._replay_dvs(txs, table, as_of_version)
+        if dvs:
+            df = self._to_logical(
+                self._read_with_dvs(table, txs,
+                                    self._physical_schema(fields),
+                                    dvs, as_of_version, only=cand),
+                fields)
+        else:
+            df = self._to_logical(
+                self.spark.read.schema(self._physical_schema(fields))
+                .parquet(*[os.path.join(self.path(table), rel)
+                           for rel in cand]),
+                fields)
+        return df.filter(pred)
+
+    def _point_candidate_files(self, table: str, txs, fields,
+                               files: list[str],
+                               values: dict) -> list[str]:
+        """The committed files a point probe can't skip: min/max
+        containment per column (all-NULL column or out-of-range value
+        ⇒ skip; unusable stats or incomparable types ⇒ candidate),
+        then the bloom tier for indexed keys — one tiny Spark job for
+        the probe's hash positions, then driver-side bit tests
+        against the cached sidecars."""
+        keys = list(values)
+        stats = self._file_key_stats(table, files, keys)
+        cand = []
+        for rel in files:
+            st = stats.get(rel)
+            if st is None:
+                cand.append(rel)
+                continue
+            ok = True
+            for c in keys:
+                rng = st.get(c)
+                if rng is None:
+                    ok = False      # col all-NULL here: no match
+                    break
+                try:
+                    if not (rng[0] <= values[c] <= rng[1]):
+                        ok = False
+                        break
+                except TypeError:
+                    pass            # incomparable: can't rule out
+            if ok:
+                cand.append(rel)
+        bkeys = [c for c in keys
+                 if c in (self.bloom_cols.get(table) or [])]
+        if bkeys and cand:
+            p_of = {ln: ph for ln, ph, _ in fields}
+            dt_of = {ln: dt for ln, _, dt in fields}
+            pcols = [p_of.get(c, c) for c in bkeys]
+            blooms = self._bloom_for_files(table, txs, cand, pcols)
+            if blooms:
+                pos = self._bloom_probe_positions(
+                    [(values[c], dt_of[c]) for c in bkeys])
+                cand = [rel for rel in cand
+                        if rel not in blooms
+                        or all(self._bloom_might_contain(
+                            blooms[rel][2][pc], p)
+                            for pc, p in zip(pcols, pos))]
+        return cand
 
     def _read_with_dvs(self, table: str, txs, schema, dvs,
                        as_of_version: int | None,
@@ -2065,12 +2215,15 @@ class Warehouse:
         cons: dict[str, dict[str, str]] = {}
         wap_tokens: list[str] = []
         stats: dict[str, dict] = {}
+        blooms: dict[str, list] = {}
         for tx in txs:
             if tx.get("wap"):
                 wap_tokens.append(tx["wap"])
             wap_tokens.extend(tx.get("wap_tokens", []))
             for t, per_file in tx.get("stats", {}).items():
                 stats.setdefault(t, {}).update(per_file)
+            for t, entries in tx.get("bloom", {}).items():
+                blooms.setdefault(t, []).extend(entries)
             for t in tx.get("replaces", []):
                 tables[t] = []
             for t, rels in tx["tables"].items():
@@ -2157,6 +2310,22 @@ class Warehouse:
         live_stats = {t: pf for t, pf in live_stats.items() if pf}
         if live_stats:
             snap["stats"] = live_stats
+        # bloom-index entries survive the fold for files still
+        # referenced (same contract as stats: dropping them would
+        # only cost pruning power, but point lookups should stay
+        # O(matching files) across checkpoints)
+        live_blooms: dict[str, list] = {}
+        for t, entries in blooms.items():
+            livef = set(tables.get(t, []))
+            kept = []
+            for e in entries:
+                fl = [rel for rel in e["files"] if rel in livef]
+                if fl:
+                    kept.append({**e, "files": fl})
+            if kept:
+                live_blooms[t] = kept
+        if live_blooms:
+            snap["bloom"] = live_blooms
         return snap
 
     def _compact_committed_tx(self, table: str, target_file_bytes: int,
@@ -2247,6 +2416,12 @@ class Warehouse:
     # per-column min/max envelope (one tiny agg job)
     _MERGE_PRUNE_MAX_KEYS = 100_000
 
+    # cap on update-key tuples bloom-tested per candidate file at
+    # merge time (driver-side bit tests are O(files × tuples × k);
+    # above it, stats-based pruning stands alone). 10k keys × 100
+    # candidate files × 5 probes ≈ 5M bit tests ≈ well under a second
+    _BLOOM_PRUNE_MAX_KEYS = 10_000
+
     def _footer_stats(self, table: str, rel: str,
                       cols: list[str]) -> dict | None:
         """One file's footer min/max for ``cols`` —
@@ -2296,6 +2471,159 @@ class Warehouse:
                             for c, v in cols.items()}
         return out
 
+    # ---------------------------------------- bloom filter indexes
+
+    def _index_staged_blooms(self, tables: dict[str, list[str]]
+                             ) -> dict[str, list[dict]]:
+        """Build the per-file bloom index for every ``bloom_cols``
+        table in this commit: ONE distributed job per table computes,
+        for each (staged file, indexed column), the set words of a
+        ``bloom_bits``-bit / ``bloom_hashes``-hash bloom over the
+        column's non-null values, and writes them SPARSE — (word
+        index, word value) arrays — as a parquet sidecar staged like
+        any batch. Nothing is collected to the driver (at deploy
+        scale a commit can stage thousands of files; the bitmaps flow
+        executor → sidecar parquet directly). Returns the tx-record
+        entries ``{table: [{"m", "k", "cols", "files", "sidecar"}]}``.
+
+        Files already covered by an earlier record's index (a REWRITE
+        re-listing kept files) are skipped — their sidecars remain
+        valid because a committed file's bytes never change."""
+        out: dict[str, list[dict]] = {}
+        for t, rels in tables.items():
+            cols = self.bloom_cols.get(t)
+            if not cols or not rels:
+                continue
+            fields = self._tx_fields(t)
+            p_of = {ln: ph for ln, ph, _ in fields}
+            pcols = sorted({p_of.get(c, c) for c in cols})
+            covered = set()
+            for e in self._bloom_entries(
+                    self._all_txs(self._read_txlog()), t):
+                covered.update(e["files"])
+            new = [rel for rel in rels if rel not in covered]
+            if not new:
+                continue
+            m, k = self.bloom_bits, self.bloom_hashes
+            root = self.path(t)
+            df = self.spark.read.parquet(
+                *[os.path.join(root, rel) for rel in new])
+            present = [c for c in pcols if c in df.columns]
+            if not present:
+                continue
+            probes = [F.struct(
+                F.lit(c).alias("_c"),
+                F.when(F.col(c).isNotNull(),
+                       F.pmod(F.xxhash64(F.col(c), F.lit(s)),
+                              F.lit(m))).alias("_p"))
+                for c in present for s in range(k)]
+            words = (df
+                     .select(F.input_file_name().alias("_fu"),
+                             F.explode(F.array(*probes)).alias("e"))
+                     .filter(F.col("e._p").isNotNull())
+                     .select("_fu", F.col("e._c").alias("_c"),
+                             (F.col("e._p") / 32).cast("int")
+                             .alias("_w"),
+                             # SQL expr: the Python shiftleft binding
+                             # only takes a literal shift count
+                             F.expr("shiftleft(1L, "
+                                    "cast(e._p % 32 as int))")
+                             .alias("_b"))
+                     .groupBy("_fu", "_c", "_w")
+                     .agg(F.bit_or("_b").alias("_v"))
+                     .groupBy("_fu", "_c")
+                     .agg(F.map_from_entries(
+                         F.sort_array(F.collect_list(
+                             F.struct("_w", "_v")))).alias("_wv")))
+            import uuid
+            side_dir = f"batch-bloom-{uuid.uuid4().hex}"
+            words.write.mode("overwrite").parquet(
+                os.path.join(root, side_dir))
+            sidecar = sorted(
+                os.path.join(side_dir, fn)
+                for fn in os.listdir(os.path.join(root, side_dir))
+                if fn.endswith(".parquet"))
+            out[t] = [{"m": m, "k": k, "cols": present,
+                       "files": new, "sidecar": sidecar}]
+        return out
+
+    @staticmethod
+    def _bloom_entries(txs: list[tuple[int, dict]],
+                       table: str) -> list[dict]:
+        """Every bloom-index entry any retained record carries for
+        ``table``, in commit order. Entries for superseded files are
+        harmless — lookups are by the CURRENT file list."""
+        return [e for _, tx in txs
+                for e in tx.get("bloom", {}).get(table, [])]
+
+    def _bloom_for_files(self, table: str, txs, files: list[str],
+                         pcols: list[str]) -> dict:
+        """``{rel: (m, k, {pcol: {word_idx: word}})}`` for the subset
+        of ``files`` whose commit indexed every column in ``pcols``
+        under the warehouse's CURRENT ``bloom_bits``/``bloom_hashes``
+        config (entries built under another config are skipped — the
+        caller's probe positions wouldn't match; those files simply
+        stay candidates). Sidecars are read driver-side with pyarrow
+        — they are (files × columns)-row parquets, metadata-sized —
+        and cached per path (committed sidecars are immutable)."""
+        import pyarrow.parquet as pq
+
+        want = set(files)
+        root = self.path(table)
+        out: dict = {}
+        for e in self._bloom_entries(txs, table):
+            if (e["m"] != self.bloom_bits
+                    or e["k"] != self.bloom_hashes
+                    or not set(pcols) <= set(e["cols"])):
+                continue
+            hit = [rel for rel in e["files"] if rel in want]
+            if not hit:
+                continue
+            key = tuple(e["sidecar"])
+            rows = self._bloom_cache.get(key)
+            if rows is None:
+                rows = {}
+                for rel in e["sidecar"]:
+                    tbl = pq.read_table(os.path.join(root, rel))
+                    for fu, c, wv in zip(
+                            tbl.column("_fu").to_pylist(),
+                            tbl.column("_c").to_pylist(),
+                            tbl.column("_wv").to_pylist()):
+                        rows.setdefault(fu, {})[c] = dict(wv)
+                self._bloom_cache[key] = rows
+            for rel in hit:
+                fu = self._file_uri(os.path.join(root, rel))
+                per_col = rows.get(fu, {})
+                # a covered file absent from the sidecar had no
+                # non-null values for any indexed column — its bloom
+                # is legitimately empty and matches nothing
+                out[rel] = (e["m"], e["k"],
+                            {c: per_col.get(c, {}) for c in pcols})
+        return out
+
+    def _bloom_probe_positions(self, pairs: list) -> list[list[int]]:
+        """Bloom positions for probe values, computed with the SAME
+        Spark-side ``xxhash64`` the index build used (one
+        ``spark.range(1)`` job — hashing driver-side would require a
+        bit-exact Python reimplementation). ``pairs`` is
+        ``[(value, DataType)]``; each value is cast to its table
+        column's type first, because ``xxhash64`` is type-sensitive
+        and the index hashed the column at its schema type."""
+        m, k = self.bloom_bits, self.bloom_hashes
+        row = self.spark.range(1).select(*[
+            F.array(*[F.pmod(F.xxhash64(F.lit(v).cast(dt), F.lit(s)),
+                             F.lit(m))
+                      for s in range(k)]).alias(f"_p{i}")
+            for i, (v, dt) in enumerate(pairs)]).first()
+        return [list(row[f"_p{i}"]) for i in range(len(pairs))]
+
+    @staticmethod
+    def _bloom_might_contain(bits: dict, positions: list[int]) -> bool:
+        """True unless some probe position's bit is unset (sparse
+        word map: missing word = all-zero)."""
+        return all((bits.get(p >> 5, 0) >> (p & 31)) & 1
+                   for p in positions)
+
     def _file_key_stats(self, table: str, files: list[str],
                         keys: list[str]) -> dict:
         """Per-file min/max of the merge ``keys`` — from the TX LOG
@@ -2338,10 +2666,31 @@ class Warehouse:
         Exact per-tuple containment when the update key set is small
         (the CDC norm — collected once, ≤ ``_MERGE_PRUNE_MAX_KEYS``);
         per-column min/max envelope overlap otherwise. Conservative
-        everywhere: unusable stats or incomparable types ⇒ touched."""
+        everywhere: unusable stats or incomparable types ⇒ touched.
+
+        When the table carries a bloom index on the merge keys
+        (``bloom_cols``), files the min/max envelope can't clear are
+        re-tested against their per-file blooms: a file none of the
+        update keys can be in moves back to ``keep``. This is the
+        decisive tier when the merge key is NOT the clustering column
+        — every file then spans nearly the full key domain and stats
+        alone rewrite the whole table. The probe positions ride the
+        same collect job as the key tuples (one extra projected
+        column per key, no extra job)."""
         stats = self._file_key_stats(table, files, keys)
-        rows = (updates.select(*keys).distinct()
-                .limit(self._MERGE_PRUNE_MAX_KEYS + 1).collect())
+        bloom_keys = [c for c in keys
+                      if c in (self.bloom_cols.get(table) or [])]
+        probe = updates.select(*keys).distinct() \
+            .limit(self._MERGE_PRUNE_MAX_KEYS + 1)
+        if bloom_keys:
+            dt_of = {ln: dt for ln, ph, dt in self._tx_fields(table)}
+            m, k = self.bloom_bits, self.bloom_hashes
+            probe = probe.select(*keys, *[
+                F.array(*[F.pmod(F.xxhash64(F.col(c).cast(dt_of[c]),
+                                            F.lit(s)), F.lit(m))
+                          for s in range(k)]).alias(f"_bp_{c}")
+                for c in bloom_keys])
+        rows = probe.collect()
         if len(rows) > self._MERGE_PRUNE_MAX_KEYS:
             b = updates.agg(*[
                 f for c in keys
@@ -2354,8 +2703,14 @@ class Warehouse:
         else:
             # tuples with a NULL component can never match (join
             # equality), drop them from the probe set
-            ukeys = [tuple(r) for r in rows
-                     if all(v is not None for v in r)]
+            ukeys, upos = [], []
+            for r in rows:
+                t = tuple(r[c] for c in keys)
+                if all(v is not None for v in t):
+                    ukeys.append(t)
+                    if bloom_keys:
+                        upos.append({c: list(r[f"_bp_{c}"])
+                                     for c in bloom_keys})
             env = None
         keep: list[str] = []
         touched: list[str] = []
@@ -2382,6 +2737,27 @@ class Warehouse:
             except TypeError:
                 hit = True  # incomparable stat/value types: rewrite
             (touched if hit else keep).append(rel)
+        if (bloom_keys and ukeys and touched
+                and len(ukeys) <= self._BLOOM_PRUNE_MAX_KEYS):
+            p_of = {ln: ph for ln, ph, _ in self._tx_fields(table)}
+            pb_cols = [p_of.get(c, c) for c in bloom_keys]
+            blooms = self._bloom_for_files(
+                table, self._effective_txs(self._read_txlog()),
+                touched, pb_cols)
+            still = []
+            for rel in touched:
+                ent = blooms.get(rel)
+                if ent is None:        # no (matching) index: rewrite
+                    still.append(rel)
+                    continue
+                _, _, bits = ent
+                if any(all(self._bloom_might_contain(bits[pc], up[c])
+                           for c, pc in zip(bloom_keys, pb_cols))
+                       for up in upos):
+                    still.append(rel)
+                else:
+                    keep.append(rel)   # provably holds no update key
+            touched = still
         return keep, touched
 
     def merge_tx(self, table: str, updates: DataFrame, keys: list[str],
@@ -2876,6 +3252,11 @@ class Warehouse:
             for t, rels in tx.get("dv", {}).items():
                 # deletion-vector sidecars are committed files too
                 live.update((t, rel.split(os.sep)[0]) for rel in rels)
+            for t, entries in tx.get("bloom", {}).items():
+                # bloom-index sidecars likewise
+                for e in entries:
+                    live.update((t, rel.split(os.sep)[0])
+                                for rel in e["sidecar"])
         # write-audit-publish stages are live until published/aborted
         for fn in os.listdir(self.root):
             if fn.startswith("_PENDING.") and fn.endswith(".json"):
