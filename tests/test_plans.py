@@ -674,3 +674,50 @@ def test_path_transitions_one_user_window_exchange(spark):
     assert len(re.findall(r"hashpartitioning\(user_id", p)) == 1
     assert n_shuffles(p) <= 2
     assert "partial_count" in p
+
+
+def test_tpch_q5_broadcast_snowflake_one_fact_shuffle(spark):
+    """Q5's four dimension sides all broadcast and the region filter
+    pushes to its scan: the only shuffle exchange in the whole plan
+    is the final per-nation aggregate — at 100 TB the plan reads one
+    year of orders and never shuffles a dimension."""
+    p = plan_of(q(spark, "tpch_q5_local_supplier_volume"))
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 5
+    assert "SortMergeJoin" not in p
+    assert n_shuffles(p) == 1
+    assert "EqualTo(r_name,ASIA)" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_tpch_q19_dnf_factored_into_both_scans(spark):
+    """Catalyst must factor the cross-table DNF's single-table
+    conjuncts into BOTH scans: the part scan receives the brand/size
+    disjunction, the lineitem scan the quantity OR-range — without
+    the factoring, every row of both tables reaches the join."""
+    p = plan_of(q(spark, "tpch_q19_disjunctive_pushdown"))
+    assert "Or(And(EqualTo(p_brand,Brand#12)" in p
+    assert re.search(r"PushedFilters:.*l_quantity", p)
+    assert "SortMergeJoin" not in p
+
+
+def test_tpch_q22_broadcast_anti_join_pushed_date(spark):
+    """The lapsed-customer anti join broadcasts the date-filtered
+    order keys (the date bound pushed to the orders scan); the
+    customer side never shuffles before its final aggregate."""
+    p = plan_of(q(spark, "tpch_q22_lapsed_customers"))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "GreaterThanOrEqual(o_orderdate,2000-01-01" in p
+    # 2 = the 1-ROW threshold aggregate's exchange + the final group;
+    # the customer table itself is never hash-exchanged
+    assert n_shuffles(p) <= 2
+
+
+def test_tpch_q18_semi_join_broadcast(spark):
+    """The HAVING survivors drive a BROADCAST LeftSemi back into
+    orders — the fact pre-aggregate is the only lineitem-scale
+    shuffle besides the final group."""
+    p = plan_of(q(spark, "tpch_q18_large_volume_customer"))
+    assert "LeftSemi, BuildRight" in p or re.search(
+        r"BroadcastHashJoin.*LeftSemi", p)
+    assert "SortMergeJoin" not in p
+    assert n_shuffles(p) <= 2

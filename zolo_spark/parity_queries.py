@@ -233,7 +233,17 @@ _GRADING_PRIORITY = [
     # llm_ngram_jaccard_pairs, whose code path gained the round-8
     # generational cache-lifetime bookkeeping (code changed ⇒ prior
     # green rows no longer certify it).
-    "llm_ngram_jaccard_pairs",
+    # Round-14 rotation (late session): llm_ngram_jaccard_pairs
+    # (green r8–r13, SIX rounds; dedup.py's n-gram region is
+    # untouched this round and the shingle/Jaccard machinery stays
+    # in-window via llm_minhash_lsh_capped, llm_dedup_pipeline, and
+    # llm_incremental_dedup) hands its slot to tx_bloom_point_lookup
+    # — the NEW per-file bloom-filter-index gate: residue-class
+    # commits whose full-domain files defeat min/max stats, sidecar
+    # indexes built distributed at commit, point lookups reading
+    # O(matching files) with a merge-on-read deletion vector resolved
+    # on the pruned read, value-hashed against the WHERE..IN oracle.
+    "tx_bloom_point_lookup",
     # Round-8 rotation (cont.): llm_video_frames (green r5∧r6∧r7,
     # multimodal.py untouched this round; codecs keep
     # llm_multimodal_features + llm_jpeg_color_roundtrip in-window)
@@ -254,7 +264,14 @@ _GRADING_PRIORITY = [
     # ``by`` generalization), so prior green rows no longer certify
     # it; the resample_locf gate above exercises the same carry but
     # the direct gate re-pins the single-key event path.
-    "asof_join_backward", "llm_dsir_select",
+    # Round-14 rotation (late session): llm_dsir_select (green
+    # r8–r13, SIX rounds; dsir.py is untouched this session and the
+    # DSIR machinery stays in-window via llm_dsir_domain_mix, which
+    # composes dsir_select's marginals/weights path directly) hands
+    # its slot to tpch_q18_large_volume_customer — the NEW
+    # HAVING-filtered fact self-semi-join (qty pre-aggregate →
+    # broadcast LeftSemi back into the same fact).
+    "asof_join_backward", "tpch_q18_large_volume_customer",
     # Round-9 rotation: llm_minhash_lsh_dedup (green r2–r8, seven
     # rounds; the LSH band machinery stays in-window via
     # llm_minhash_lsh_capped, llm_incremental_dedup, and
@@ -369,7 +386,15 @@ _GRADING_PRIORITY = [
     # llm_sim_ivf_topk) hands its slot to llm_logreg_minibatch — the
     # deterministic hash-bucket SGD schedule, value-oracled over 20
     # rounds with empty-bucket zero-update semantics.
-    "llm_logreg_minibatch",
+    # Round-14 rotation (late session): llm_logreg_ovr (green r8–r13,
+    # SIX rounds; classifier.py is untouched this session and the
+    # logistic-regression machinery stays in-window TWICE —
+    # llm_logreg_minibatch and llm_quality_classifier share the
+    # gradient/decision path OvR composes) hands its slot to
+    # tpch_q19_disjunctive_pushdown — the NEW 3-arm cross-table DNF
+    # predicate gate (Catalyst factors the single-table conjuncts out
+    # of the OR into both scans).
+    "llm_logreg_minibatch", "tpch_q19_disjunctive_pushdown",
     # Model jobs (9): three exact cross-engine folds (SES, Holt, AR1),
     # the oracle-gated fixed-order ARIMA walk-forward, oracle-gated
     # bounded-window runs of the REAL ses_job/holt_job, the FULL-window
@@ -399,7 +424,16 @@ _GRADING_PRIORITY = [
     # value-hashing the r14 pruned rewrite-under-live-DVs branch
     # (touched ∪ DV-affected files rewritten, rest kept by identity,
     # DVs cleared) against the same relational restatement.
-    "delete_update_cow_twin", "m_holt_fixed_fold", "events_interval_overlap",
+    # Round-14 rotation (late session): m_holt_fixed_fold (green
+    # r2–r13, TWELVE rounds; models/grouped.py's Holt region is
+    # untouched this session and the walk-forward fold machinery
+    # stays in-window via m_arima_fixed_fold + m_arima_grid_ci +
+    # m_arima_weekly_forecast) hands its slot to
+    # tpch_q5_local_supplier_volume — the NEW 6-table snowflake join
+    # (region→nation→supplier/customer broadcast chain, the
+    # c_nationkey = s_nationkey 'local' cycle, one fact shuffle).
+    "delete_update_cow_twin", "tpch_q5_local_supplier_volume",
+    "events_interval_overlap",
     # Round-8 rotation: m_ses_walk_forward (green r6∧r7, unchanged;
     # the walk-forward machinery stays covered by m_holt_walk_forward
     # and the SES family by fixed-fold + weekly-forecast) hands its
@@ -408,7 +442,15 @@ _GRADING_PRIORITY = [
     # (lag-1 late filter on pre-merge window end, merge-then-evict,
     # session reopening), closing r7 VERDICT item 5 / What's-missing
     # #2.
-    "m_arima_fixed_fold", "session_window_late_twin",
+    # Round-14 rotation (late session): session_window_late_twin
+    # (green r8–r13, SIX rounds; streaming/intraday session machinery
+    # untouched this session, and the stateful-replay twin family
+    # keeps monitor_batch_twin + watermark_batch_twin in-window)
+    # hands its slot to tpch_q22_lapsed_customers — the NEW
+    # scalar-subquery + anti-join gate whose above-average threshold
+    # is cross-multiplied in integer cents (no division ⇒ the cut is
+    # engine-independent).
+    "m_arima_fixed_fold", "tpch_q22_lapsed_customers",
     # Round-8 rotation (cont.): m_holt_walk_forward (green
     # r4∧r5∧r6∧r7, tsmodels.py untouched this round; the walk-forward
     # fold machinery stays in-window via m_arima_fixed_fold and the
@@ -416,22 +458,31 @@ _GRADING_PRIORITY = [
     # llm_logreg_ovr — one-vs-rest multiclass ridge logistic
     # regression (3 classes × 15 GD iterations + argmax decision, all
     # value-oracled), the L2 + multiclass extension of
-    # llm_quality_classifier.
-    "llm_logreg_ovr",
+    # llm_quality_classifier. (Rotated out again late-r14 — slot
+    # moved to tpch_q19_disjunctive_pushdown, see that entry.)
     # Round-8 rotation: m_holt_weekly_forecast (green r6∧r7,
     # unchanged; the Holt family keeps m_holt_fixed_fold +
     # m_holt_walk_forward in-window) hands its slot to
     # m_arima_grid_ci — the REAL arima_job's std_error / CI-bound
     # arithmetic value-oracled via the SQL-replayable residual sigma
     # (r7 VERDICT item 8: forecast AND confidence interval hashed,
-    # not just argmin + prediction).
+    # not just argmin + prediction). llm_logreg_ovr's slot moved to
+    # tpch_q19 in the round-14 late-session rotation (see above).
     # Round-8 rotation (cont.): m_ses_weekly_forecast (green
     # r5∧r6∧r7, tsmodels.py untouched this round; the SES family
     # keeps m_ses_fixed_alpha_fold in-window and the full-window job
     # shape stays covered by the Holt fixed fold + ARIMA gates) hands
     # its slot to llm_ccnet_buckets — the CCNet head/middle/tail
     # perplexity-tercile partition over the unigram-LM scores.
-    "llm_ccnet_buckets", "m_arima_grid_ci",
+    # Round-14 rotation (late session): llm_ccnet_buckets (green
+    # r8–r13, SIX rounds; lm.py is untouched this session and the
+    # perplexity-bucket machinery stays in-window via
+    # llm_quality_ensemble, whose third signal IS the same tercile
+    # partition) hands its slot to tpch_q14_promo_revenue — the NEW
+    # conditional-aggregation ratio gate (exact-DECIMAL sums, the
+    # percentage derived from already-rounded doubles so both engines
+    # divide bit-identical inputs).
+    "tpch_q14_promo_revenue", "m_arima_grid_ci",
     "m_arima_weekly_forecast",
     # Custom temporal / scale operators — hash-oracled; the 50th
     # slot closes the graded window.

@@ -1743,6 +1743,232 @@ def tpch_q6(spark, sf_dir):
     )
 
 
+@register("tpch_q5_local_supplier_volume", oracle="""
+SELECT n_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(18,8))), 2)
+            AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""")
+def tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): the 6-table snowflake
+    join with the 'local' cycle condition c_nationkey = s_nationkey.
+    The optimizer showcase: region/nation/supplier/customer are
+    dimension-sized and broadcast, so the only shuffle is the
+    orders⋈lineitem fact join; the region filter transitively prunes
+    nation and supplier BEFORE they reach the facts, and the date
+    window pushes into the orders scan — at 100 TB the plan reads one
+    year of orders and ships 4 broadcast tables, never a dim
+    shuffle."""
+    cust, orders, li, supp, nat, reg = _t(
+        spark, sf_dir, "customer", "orders", "lineitem",
+        "supplier", "nation", "region")
+    revenue = F.sum(
+        _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"), 8))
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supp),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@register("tpch_q14_promo_revenue", oracle="""
+WITH j AS (
+    SELECT CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(18,8)) AS rev,
+           p_type
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+)
+SELECT CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END), 2)
+            AS DOUBLE) AS promo_revenue,
+       CAST(round(sum(rev), 2) AS DOUBLE) AS total_revenue,
+       round(100.0 * CAST(round(sum(CASE WHEN p_type = 'PROMO'
+                                         THEN rev ELSE 0 END), 2) AS DOUBLE)
+             / CAST(round(sum(rev), 2) AS DOUBLE), 4) AS promo_pct
+FROM j
+""")
+def tpch_q14(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): one month of lineitem ⋈
+    broadcast part, conditional aggregation in exact DECIMAL, the
+    percentage derived from the ALREADY-ROUNDED doubles so both
+    engines divide bit-identical inputs. The month filter pushes into
+    the fact scan; part broadcasts; zero wide shuffles — the final
+    agg is a single-row partial-combine."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    rev = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"), 8)
+    agg = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp")))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                           .otherwise(F.lit(0))), 2)
+             .cast("double").alias("promo_revenue"),
+             F.round(F.sum(rev), 2).cast("double").alias("total_revenue"))
+    )
+    return agg.withColumn(
+        "promo_pct",
+        F.round(F.lit(100.0) * F.col("promo_revenue")
+                / F.col("total_revenue"), 4))
+
+
+@register("tpch_q18_large_volume_customer", oracle="""
+WITH big AS (
+    SELECT l_orderkey
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2)
+            AS DOUBLE) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+""")
+def tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customer): a HAVING-filtered
+    aggregate over the fact drives a semi join back into the same
+    fact. The qty pre-aggregate is the one fact shuffle; its
+    survivors are a tiny key set (sub-percent of orders), so the
+    semi join and the customer join both broadcast — Spark plans
+    the IN-subquery as LeftSemi and AQE picks broadcast from the
+    runtime size. Sums in exact DECIMAL (l_quantity is a 2-dec
+    double)."""
+    cust, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(_dec(F.col("l_quantity"))).alias("_q"))
+           .filter(F.col("_q") > 300)
+           .select("l_orderkey"))
+    return (
+        orders.join(F.broadcast(big.withColumnRenamed(
+            "l_orderkey", "_bigkey")),
+            F.col("o_orderkey") == F.col("_bigkey"), "left_semi")
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice")
+        .agg(F.round(F.sum(_dec(F.col("l_quantity"))), 2)
+             .cast("double").alias("sum_qty"))
+    )
+
+
+@register("tpch_q19_disjunctive_pushdown", oracle="""
+SELECT p_brand,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(18,8))), 2)
+            AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 20 AND 40)
+GROUP BY p_brand
+""")
+def tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicate):
+    a 3-arm DNF condition mixing part and lineitem columns. Catalyst
+    factors the single-table conjuncts out of the disjunction — the
+    part scan receives the brand/size OR-predicate, the lineitem scan
+    the quantity OR-range — so both sides prune BEFORE the broadcast
+    join evaluates the full cross-table DNF (container/brand
+    adaptation of the testdata's reduced part schema)."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+
+    def arm(brand, size_hi, q_lo, q_hi):
+        return ((F.col("p_brand") == brand)
+                & F.col("p_size").between(1, size_hi)
+                & F.col("l_quantity").between(q_lo, q_hi))
+
+    revenue = F.sum(
+        _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"), 8))
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(arm("Brand#12", 15, 1, 20)
+                | arm("Brand#23", 20, 10, 30)
+                | arm("Brand#34", 25, 20, 40))
+        .groupBy("p_brand")
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@register("tpch_q22_lapsed_customers", oracle="""
+WITH pos AS (
+    SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+           count(*) AS n
+    FROM customer WHERE c_acctbal > 0
+), hi AS (
+    SELECT c_custkey, c_nationkey, c_acctbal FROM customer, pos
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n > s
+)
+SELECT c_nationkey AS nationkey, count(*) AS numcust,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2)
+            AS DOUBLE) AS totacctbal
+FROM hi
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+""")
+def tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): scalar-subquery
+    threshold + anti join. 'Lapsed' adaptation of the reduced schema:
+    above-average-balance customers with no order since 2000. The
+    average-balance comparison is CROSS-MULTIPLIED in integer cents
+    (bal·n > Σbal) so neither engine ever divides — the threshold is
+    exact and the boundary is engine-independent, where a double AVG
+    would make the cut nondeterministic across summation orders. The
+    1-row aggregate broadcasts; the anti join broadcasts the
+    date-filtered order keys; the customer side never shuffles."""
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    pos = (cust.filter(F.col("c_acctbal") > 0)
+           .agg(F.sum(cents).alias("_s"), F.count(F.lit(1)).alias("_n")))
+    recent = (orders
+              .filter(F.col("o_orderdate")
+                      >= F.lit("2000-01-01").cast("timestamp"))
+              .select("o_custkey"))
+    return (
+        cust.withColumn("_cents", cents)
+        .crossJoin(F.broadcast(pos))
+        .filter(F.col("_cents") * F.col("_n") > F.col("_s"))
+        .join(F.broadcast(recent),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.round(F.sum(_dec(F.col("c_acctbal"))), 2)
+             .cast("double").alias("totacctbal"))
+    )
+
+
 @register("skew_hot_keys", oracle="""
 WITH counts AS (
     SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
@@ -2044,6 +2270,58 @@ def delete_update_cow_twin(spark, sf_dir):
         wh._effective_txs(wh._read_txlog()), "cdc_mirror"), \
         "cow delete under live DVs must clear them"
     return wh.read_committed_tx("cdc_mirror")
+
+
+@register("tx_bloom_point_lookup", oracle="""
+SELECT c_custkey AS cust_id, c_mktsegment AS segment,
+       round(c_acctbal::DECIMAL(18,2), 2)::DOUBLE AS balance
+FROM customer
+WHERE c_custkey IN (3, 7, 101, 149)
+""")
+def tx_bloom_point_lookup(spark, sf_dir):
+    """Per-file BLOOM FILTER INDEX point lookups through the real tx
+    surface (``Warehouse(bloom_cols=...)`` → ``point_lookup``) —
+    Delta's bloom-filter-index analog, the data-skipping tier for the
+    case min/max stats can't serve: the customer dimension lands in
+    4 residue-class commits (cust_id ≡ i mod 4, one full-domain file
+    each, so envelope pruning keeps nothing), each commit building
+    its bloom sidecar in one distributed job. Five keys are probed
+    as point lookups — the gate ASSERTS each probe skipped files
+    (at graded scales it reads 1 of 4; the assert is `< total` so
+    the gate stays valid at rehearsal scales where the fixed-width
+    bloom's false-positive rate rises) — with one key first deleted in
+    merge-on-read mode, pinning that the pruned read still resolves
+    deletion vectors exactly as a full read would. The union of the
+    probes is value-hashed against the plain ``WHERE ... IN`` oracle
+    (the deleted key absent). Reference parity anchor: the reference
+    reads whole tables (bin/modelling/query.py); indexed point access
+    is the at-scale extension, same beyond-parity contract as the
+    row-level-op twins. Same throwaway-warehouse shape as
+    merge_mor_twin."""
+    import shutil
+    import tempfile
+
+    parent = os.path.join(tempfile.gettempdir(), "zolo_bloom_twin")
+    shutil.rmtree(parent, ignore_errors=True)
+    os.makedirs(parent, exist_ok=True)
+    root = tempfile.mkdtemp(dir=parent)
+    wh = Warehouse(spark, root, auto_compact_dvs=None,
+                   bloom_cols={"cdc_mirror": ["cust_id"]},
+                   bloom_bits=1 << 20)
+    target, _ = _merge_twin_frames(spark, sf_dir)
+    for i in range(4):
+        wh.commit_tx({"cdc_mirror":
+                      target.filter(F.col("cust_id") % 4 == i)
+                      .coalesce(1)})
+    wh.delete_tx("cdc_mirror", "cust_id = 58",
+                 keys=["cust_id"], mode="mor")
+    out = None
+    for key in (3, 7, 58, 101, 149):
+        hit = wh.point_lookup("cdc_mirror", {"cust_id": key})
+        ncand, ntotal = wh.last_point_lookup
+        assert ntotal == 4 and ncand < ntotal, (key, ncand, ntotal)
+        out = hit if out is None else out.unionByName(hit)
+    return out
 
 
 @register("monitor_batch_twin", oracle="""
