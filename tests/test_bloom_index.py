@@ -209,3 +209,17 @@ def test_point_lookup_unknown_column_raises(spark, tmp_path):
     wh.commit_tx({"cdc_mirror": _base(spark, n=10)})
     with pytest.raises(ValueError, match="no column"):
         wh.point_lookup("cdc_mirror", {"nope": 1})
+
+
+def test_compact_reindexes_and_lookup_stays_pruned(spark, tmp_path):
+    """OPTIMIZE/compact stages fresh files through the same commit
+    path, so the rewritten table gets a fresh bloom entry and point
+    lookups keep pruning after compaction collapses the residue
+    layout."""
+    wh = _wh(spark, tmp_path)
+    _commit_residues(wh, _base(spark), mod=4)
+    wh.compact("cdc_mirror", target_file_bytes=4096)
+    got = wh.point_lookup("cdc_mirror", {"cust_id": 123}).collect()
+    assert len(got) == 1 and got[0]["segment"] == "seg3"
+    cand, total = wh.last_point_lookup
+    assert total > 1 and cand < total, (cand, total)

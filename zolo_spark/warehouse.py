@@ -1152,6 +1152,125 @@ class Warehouse:
                         for pc, p in zip(pcols, pos))]
         return cand
 
+    def clone_table(self, source: str, target: str,
+                    as_of_version: int | None = None,
+                    as_of_tag: str | None = None,
+                    branch: str | None = None) -> None:
+        """ZERO-COPY shallow clone (Delta ``CREATE TABLE ... SHALLOW
+        CLONE`` / Iceberg snapshot referencing): ``target`` becomes a
+        fully independent tx table whose committed files are the
+        SOURCE's files at the chosen snapshot, referenced in place —
+        no data bytes move, however large the table. Implemented as a
+        log-level replay: the source's retained records (≤ the
+        snapshot version) are rewritten to the target — file lists,
+        deletion vectors, REWRITE markers, schema evolution,
+        constraints, clustering spec, per-file stats and bloom-index
+        entries all carry over with their relative order preserved
+        (so DV ``_fv < v_dv`` scoping replays exactly) — and appended
+        in ONE atomic publish. The first record binds the clone to
+        its source's base schema via ``clone_base`` (fold-surviving).
+
+        After the clone, the two tables share bytes but diverge
+        freely: writes, merges, row-level ops, compaction, and schema
+        changes on either side never affect the other. UNLIKE Delta —
+        where vacuuming a source breaks its shallow clones — this
+        warehouse's orphan GC resolves cross-table references, so a
+        source file stays pinned while any clone's retained history
+        references it. Tags, branches, watermarks, and WAP state are
+        deliberately NOT cloned (they are refs into the shared log,
+        not table state). Branch/tag/version pick the snapshot the
+        same way :meth:`read_committed_tx` does."""
+        if target in schemas.WAREHOUSE_TABLES:
+            raise ValueError(
+                f"{target} is a base table name; clone targets must "
+                "not shadow the static schema registry")
+        log = self._read_txlog()
+        for _, tx in self._all_txs(log):
+            keys = set(tx.get("tables", {})) | set(
+                tx.get("clone_base", {}))
+            if target in keys:
+                raise ValueError(f"table {target} already exists")
+        txs = self._effective_txs(log, branch)
+        if as_of_tag is not None:
+            tags = self._tx_tags(txs)
+            if as_of_tag not in tags:
+                raise ValueError(f"no tag {as_of_tag}")
+            as_of_version = tags[as_of_tag]
+        self._check_retained(as_of_version, txs)
+        base = self._clone_base_of(source, txs)
+        if not any(source in tx.get("tables", {})
+                   or source in tx.get("clone_base", {})
+                   for _, tx in txs):
+            raise ValueError(f"no committed tx table {source}")
+
+        def reloc(rel: str) -> str:
+            # target-relative path into the source's directory; stays
+            # correct for clones of clones (normpath collapses the
+            # chained ..-hops to the original table)
+            return os.path.normpath(os.path.join("..", source, rel))
+
+        cloned: list[dict] = []
+        for v, tx in txs:
+            if as_of_version is not None and v > as_of_version:
+                break
+            rec: dict = {}
+            if source in tx.get("tables", {}):
+                rec["tables"] = {target: [
+                    reloc(r) for r in tx["tables"][source]]}
+            if source in tx.get("replaces", []):
+                rec["replaces"] = [target]
+            if source in tx.get("dv", {}):
+                rec["dv"] = {target: [reloc(r)
+                                      for r in tx["dv"][source]]}
+                rec["dv_keys"] = {
+                    target: tx.get("dv_keys", {}).get(source, [])}
+            if source in tx.get("stats", {}):
+                rec["stats"] = {target: {
+                    reloc(r): st
+                    for r, st in tx["stats"][source].items()}}
+            if source in tx.get("bloom", {}):
+                rec["bloom"] = {target: [
+                    {**e,
+                     "files": [reloc(r) for r in e["files"]],
+                     "sidecar": [reloc(r) for r in e["sidecar"]]}
+                    for e in tx["bloom"][source]]}
+            for k in ("schema_add", "schema_drop", "schema_rename",
+                      "schema_retired", "constraint_add",
+                      "constraint_drop"):
+                if source in tx.get(k, {}):
+                    rec[k] = {target: tx[k][source]}
+            if source in tx.get("cluster_spec", {}):
+                rec["cluster_spec"] = {
+                    target: tx["cluster_spec"][source]}
+            if rec:
+                cloned.append(rec)
+        if not cloned:
+            raise ValueError(
+                f"{source} has no records at or before the requested "
+                "snapshot")
+        cloned[0]["clone_base"] = {target: base}
+        # the empty table dir must exist: ..-relative references are
+        # resolved PHYSICALLY by the OS (cdc_dev/../src needs cdc_dev
+        # present), and driver-side footer/size reads go through it
+        os.makedirs(self.path(target), exist_ok=True)
+        for _ in range(50):
+            log = self._read_txlog()
+            head = (self._all_txs(log)[-1][0]
+                    if self._all_txs(log) else 0)
+            out = []
+            for i, rec in enumerate(cloned):
+                out.append(dict(rec, tables=rec.get("tables", {}),
+                                watermarks={},
+                                version=head + 1 + i))
+            log["txs"].extend(out)
+            try:
+                self._publish_txlog(log)
+                return
+            except FileExistsError:
+                continue
+        raise RuntimeError(
+            "clone failed after 50 CAS retries - writer storm?")
+
     def _read_with_dvs(self, table: str, txs, schema, dvs,
                        as_of_version: int | None,
                        only: list[str] | None = None) -> DataFrame:
@@ -1197,6 +1316,21 @@ class Warehouse:
         return df.drop("_fv")
 
     @staticmethod
+    def _clone_base_of(table: str, records) -> str:
+        """The STATIC base-schema table a (possibly cloned) tx table
+        resolves to: a shallow clone's first record carries
+        ``clone_base`` mapping the clone to its source's ULTIMATE
+        base (resolved at clone time, so this is a single hop even
+        for clones of clones). ``records`` may be plain record dicts
+        or ``(version, record)`` pairs."""
+        for r in records:
+            tx = r[1] if isinstance(r, tuple) else r
+            b = tx.get("clone_base", {}).get(table)
+            if b:
+                return b
+        return table
+
+    @staticmethod
     def _replay_fields(table: str, records: list[dict]
                        ) -> list[tuple[str, str, str | None]]:
         """Replay add/drop/rename records over the static base schema
@@ -1213,7 +1347,8 @@ class Warehouse:
         makes drop-then-readd and rename-then-readd fold cleanly)."""
         fields: list[tuple[str, str, str | None]] = [
             (f.name, f.name, None)
-            for f in schemas.WAREHOUSE_TABLES[table].fields]
+            for f in schemas.WAREHOUSE_TABLES[
+                Warehouse._clone_base_of(table, records)].fields]
         for tx in records:
             for entry in tx.get("schema_drop", {}).get(table, []):
                 name = entry[0] if isinstance(entry, list) else entry
@@ -1245,10 +1380,11 @@ class Warehouse:
 
         if txs is None:
             txs = self._effective_txs(self._read_txlog())
-        base = {f.name: f.dataType
-                for f in schemas.WAREHOUSE_TABLES[table].fields}
         recs = [tx for v, tx in txs
                 if as_of_version is None or v <= as_of_version]
+        base = {f.name: f.dataType
+                for f in schemas.WAREHOUSE_TABLES[
+                    self._clone_base_of(table, recs)].fields}
         return [(ln, ph, base[ph] if dt is None
                  else _parse_datatype_string(dt))
                 for ln, ph, dt in self._replay_fields(table, recs)]
@@ -2214,7 +2350,9 @@ class Warehouse:
         wap_tokens: list[str] = []
         stats: dict[str, dict] = {}
         blooms: dict[str, list] = {}
+        clone_base: dict[str, str] = {}
         for tx in txs:
+            clone_base.update(tx.get("clone_base", {}))
             if tx.get("wap"):
                 wap_tokens.append(tx["wap"])
             wap_tokens.extend(tx.get("wap_tokens", []))
@@ -2262,12 +2400,13 @@ class Warehouse:
         for t in schema_tables:
             net = Warehouse._replay_fields(t, txs)
             net_physicals = {ph for _, ph, _ in net}
-            for f in schemas.WAREHOUSE_TABLES[t].fields:
+            base_fields = schemas.WAREHOUSE_TABLES[
+                Warehouse._clone_base_of(t, txs)].fields
+            for f in base_fields:
                 if f.name not in net_physicals:
                     schema_drop.setdefault(t, []).append(
                         [f.name, f.name])
-            base_physicals = {
-                f.name for f in schemas.WAREHOUSE_TABLES[t].fields}
+            base_physicals = {f.name for f in base_fields}
             for ln, ph, dt in net:
                 if ph in base_physicals:
                     if ln != ph:
@@ -2326,6 +2465,10 @@ class Warehouse:
                 live_blooms[t] = kept
         if live_blooms:
             snap["bloom"] = live_blooms
+        if clone_base:
+            # a clone's base-schema binding must survive every fold
+            # or the snapshot's schema replay loses its base table
+            snap["clone_base"] = clone_base
         return snap
 
     def _compact_committed_tx(self, table: str, target_file_bytes: int,
@@ -3284,17 +3427,27 @@ class Warehouse:
         references (crash leftovers); returns the number removed."""
         import json as _json
 
+        def live_key(t: str, rel: str) -> tuple[str, str]:
+            # resolve ..-relative references (shallow clones) to the
+            # OWNING table's batch dir, so a source file stays pinned
+            # while any clone's retained history references it —
+            # without this, cloning then vacuuming the source would
+            # delete the clone's shared bytes (Delta documents
+            # exactly that hazard; this engine's GC is clone-aware)
+            parts = os.path.normpath(os.path.join(t, rel)).split(os.sep)
+            return (parts[0], parts[1])
+
         live: set[tuple[str, str]] = set()
         for tx in self._read_txlog()["txs"]:
             for t, rels in tx["tables"].items():
-                live.update((t, rel.split(os.sep)[0]) for rel in rels)
+                live.update(live_key(t, rel) for rel in rels)
             for t, rels in tx.get("dv", {}).items():
                 # deletion-vector sidecars are committed files too
-                live.update((t, rel.split(os.sep)[0]) for rel in rels)
+                live.update(live_key(t, rel) for rel in rels)
             for t, entries in tx.get("bloom", {}).items():
                 # bloom-index sidecars likewise
                 for e in entries:
-                    live.update((t, rel.split(os.sep)[0])
+                    live.update(live_key(t, rel)
                                 for rel in e["sidecar"])
         # write-audit-publish stages are live until published/aborted
         for fn in os.listdir(self.root):
@@ -3303,8 +3456,7 @@ class Warehouse:
                     with open(os.path.join(self.root, fn)) as f:
                         pend = _json.load(f)
                     for t, rels in pend.get("tables", {}).items():
-                        live.update((t, rel.split(os.sep)[0])
-                                    for rel in rels)
+                        live.update(live_key(t, rel) for rel in rels)
                 except (OSError, ValueError):
                     pass  # racing publish/abort removed it mid-scan
         removed = 0
