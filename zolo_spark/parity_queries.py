@@ -289,7 +289,17 @@ _GRADING_PRIORITY = [
     "events_funnel_conversion", "llm_incremental_dedup",
     # Round-6 build: exact-dedup-first + uncapped LSH composition
     # (slot from the rotated-out probe_ts_epoch_us_cast).
-    "llm_dedup_pipeline",
+    # Round-14 rotation (late session): llm_dedup_pipeline (green
+    # r6–r13, EIGHT rounds; its dedup.py composition region is
+    # untouched this round and every stage stays in-window —
+    # llm_minhash_lsh_capped, llm_incremental_dedup, and the
+    # capstones llm_corpus_pipeline/_capped open with the same
+    # exact→LSH chain) hands its slot to tx_shallow_clone_twin — the
+    # NEW zero-copy shallow-clone gate: clone after a cow row-level
+    # delete, divergence asserted in BOTH directions, the clone's
+    # snapshot+own-update read value-hashed against the relational
+    # restatement.
+    "tx_shallow_clone_twin",
     # Round-8 rotation (cont.): llm_training_mix (green r5∧r6∧r7;
     # its region of corpus.py is untouched this round, every stage of
     # the composition is individually oracled, and the capstone-

@@ -2272,6 +2272,69 @@ def delete_update_cow_twin(spark, sf_dir):
     return wh.read_committed_tx("cdc_mirror")
 
 
+@register("tx_shallow_clone_twin", oracle="""
+WITH t AS (
+    SELECT c_custkey AS cust_id, c_mktsegment AS segment,
+           round(c_acctbal::DECIMAL(18,2), 2)::DOUBLE AS balance
+    FROM customer
+), kept AS (
+    SELECT * FROM t WHERE NOT (cust_id % 7 = 3)
+)
+SELECT cust_id,
+       CASE WHEN balance > 5000 THEN segment || '_C'
+            ELSE segment END AS segment,
+       CASE WHEN balance > 5000 THEN balance + 100.0
+            ELSE balance END AS balance
+FROM kept
+""")
+def tx_shallow_clone_twin(spark, sf_dir):
+    """ZERO-COPY shallow clone through the real tx surface
+    (``Warehouse.clone_table`` — Delta SHALLOW CLONE / Iceberg
+    snapshot referencing): the customer dimension lands, a cow
+    row-level DELETE runs on the source, the table is cloned (files
+    referenced in place — the gate ASSERTS the clone directory holds
+    no data bytes), and the two sides then DIVERGE: the source takes
+    a further update the clone must not see (asserted), the clone
+    takes an update the source must not see (asserted). The returned
+    clone read — deletion inherited from the source snapshot, its
+    own update applied, the source's later update absent — is
+    value-hashed against the plain relational restatement. Reference
+    parity anchor: same as the row-level twins (the reference
+    replaces whole tables; snapshot cloning is the at-scale
+    extension). Same throwaway-warehouse shape as merge_mor_twin."""
+    import shutil
+    import tempfile
+
+    parent = os.path.join(tempfile.gettempdir(), "zolo_clone_twin")
+    shutil.rmtree(parent, ignore_errors=True)
+    os.makedirs(parent, exist_ok=True)
+    root = tempfile.mkdtemp(dir=parent)
+    wh = Warehouse(spark, root, auto_compact_dvs=None)
+    target, _ = _merge_twin_frames(spark, sf_dir)
+    wh.commit_tx({"cdc_mirror": target})
+    wh.delete_tx("cdc_mirror", "cust_id % 7 = 3")      # cow delete
+    wh.clone_table("cdc_mirror", "cdc_clone")
+    assert not any(
+        fn.startswith("batch-")
+        for fn in os.listdir(wh.path("cdc_clone"))), \
+        "shallow clone must reference source files, not copy them"
+    # source-side divergence the clone must NOT see
+    wh.update_tx("cdc_mirror", {"segment": "concat(segment, '_S')"},
+                 "balance > 5000")
+    # clone-side divergence the source must NOT see
+    wh.update_tx("cdc_clone",
+                 {"balance": "balance + 100.0",
+                  "segment": "concat(segment, '_C')"},
+                 "balance > 5000")
+    src = wh.read_committed_tx("cdc_mirror")
+    assert src.filter("segment LIKE '%_C'").count() == 0, \
+        "clone writes leaked into the source"
+    assert wh.read_committed_tx("cdc_clone") \
+        .filter("segment LIKE '%_S'").count() == 0, \
+        "source writes after the clone leaked into the clone"
+    return wh.read_committed_tx("cdc_clone")
+
+
 @register("tx_bloom_point_lookup", oracle="""
 SELECT c_custkey AS cust_id, c_mktsegment AS segment,
        round(c_acctbal::DECIMAL(18,2), 2)::DOUBLE AS balance
