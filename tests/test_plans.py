@@ -721,3 +721,28 @@ def test_tpch_q18_semi_join_broadcast(spark):
         r"BroadcastHashJoin.*LeftSemi", p)
     assert "SortMergeJoin" not in p
     assert n_shuffles(p) <= 2
+
+
+def test_tpch_q7_role_joins_broadcast_with_filters(spark):
+    """Nation joins twice under different roles — each broadcast with
+    its own membership filter pushed to its scan; the only shuffle is
+    the final aggregate."""
+    p = plan_of(q(spark, "tpch_q7_volume_shipping"))
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 5
+    assert "In(n_name, [NATION_12,NATION_2,NATION_7])" in p \
+        or "In(n_name, [NATION_2,NATION_7,NATION_12])" in p
+    assert "SortMergeJoin" not in p
+    assert n_shuffles(p) == 1
+
+
+def test_tpch_q10_topn_window_over_aggregated_frame(spark):
+    """The quarter + returnflag filters push to the fact scans; the
+    top-20 window runs over the small aggregated frame (one
+    hash-aggregate shuffle plus the window's single-partition pass),
+    never over the facts."""
+    p = plan_of(q(spark, "tpch_q10_returned_items"))
+    assert "EqualTo(l_returnflag,R)" in p
+    assert "GreaterThanOrEqual(o_orderdate,1997-10-01" in p
+    assert re.search(r"\(\d+\) Window", p)
+    assert "SortMergeJoin" not in p
+    assert n_shuffles(p) <= 2

@@ -529,7 +529,15 @@ _GRADING_PRIORITY = [
     # the LOCF time-weighted average (TimescaleDB time_weight shape),
     # the aggregation irregular telemetry needs that plain AVG gets
     # wrong, exact-DECIMAL v·Δt arithmetic value-hashed.
-    "zorder_layout_bounds", "events_time_weighted_avg",
+    # Round-14 rotation (late session): zorder_layout_bounds (green
+    # r8–r13, SIX rounds; ops/partitioning.py is untouched this
+    # session and the Morton interleave arithmetic stays
+    # pytest-pinned through the compact(zorder_by=) suite) hands its
+    # slot to tpch_q7_volume_shipping — the NEW same-dimension-twice
+    # role join (nation as supplier-nation AND customer-nation, each
+    # broadcast under its own membership filter, derived ship-year
+    # grouping).
+    "tpch_q7_volume_shipping", "events_time_weighted_avg",
     "llm_quality_ensemble", "llm_quality_classifier",
     # Round-11 rotation: skew_hot_keys (green r3–r10, EIGHT rounds;
     # ops/skew.py is untouched this round and the hot-key machinery
@@ -538,7 +546,16 @@ _GRADING_PRIORITY = [
     # merge_upsert_twin — MERGE INTO semantics (matched update,
     # tombstone delete, unmatched insert), the row-level CDC engine
     # under the new Warehouse.merge_tx copy-on-write rewrite.
-    "range_join_bucketed", "merge_upsert_twin",
+    # Round-14 rotation (late session): range_join_bucketed (green
+    # r3–r13, ELEVEN rounds; its bucketed-interval region of
+    # ops/temporal.py is untouched this session and the temporal-join
+    # family keeps events_interval_overlap + events_resample_locf +
+    # asof_join_backward in-window) hands its slot to
+    # tpch_q10_returned_items — the NEW global top-N gate: quarter of
+    # returned lineitems aggregated per customer, row_number over
+    # (revenue DESC, custkey) so the ranked cut is deterministic on
+    # both engines.
+    "tpch_q10_returned_items", "merge_upsert_twin",
 ]
 
 

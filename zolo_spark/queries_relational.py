@@ -1793,6 +1793,111 @@ def tpch_q5(spark, sf_dir):
     )
 
 
+@register("tpch_q7_volume_shipping", oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(18,8))), 2)
+            AS DOUBLE) AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_2', 'NATION_7', 'NATION_12')
+  AND n2.n_name IN ('NATION_3', 'NATION_8')
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS INTEGER)
+""")
+def tpch_q7(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): the SAME dimension joined
+    twice under different roles — nation as supplier-nation and as
+    customer-nation, each broadcast with its own membership filter,
+    the cross-filter applied per role BEFORE the facts join. Grouping
+    adds the derived ship year (cast int on both engines — DuckDB's
+    year() is BIGINT). Two fact tables shuffle once each; nothing
+    dimension-sized ever does."""
+    cust, orders, li, supp, nat = _t(
+        spark, sf_dir, "customer", "orders", "lineitem",
+        "supplier", "nation")
+    n1 = nat.filter(F.col("n_name").isin(
+        "NATION_2", "NATION_7", "NATION_12")) \
+        .select(F.col("n_nationkey").alias("_n1key"),
+                F.col("n_name").alias("supp_nation"))
+    n2 = nat.filter(F.col("n_name").isin("NATION_3", "NATION_8")) \
+        .select(F.col("n_nationkey").alias("_n2key"),
+                F.col("n_name").alias("cust_nation"))
+    revenue = F.sum(
+        _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"), 8))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1key"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2key"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
+    )
+
+
+@register("tpch_q10_returned_items", oracle="""
+WITH agg AS (
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(1 - l_discount AS DECIMAL(18,8))), 2)
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-10-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+)
+SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+FROM agg
+QUALIFY row_number() OVER (ORDER BY revenue DESC, c_custkey) <= 20
+""")
+def tpch_q10(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): one quarter of
+    orders ⋈ returned lineitems ⋈ broadcast customer/nation, then
+    the global top-20 by revenue. The top-N is a row_number window
+    with the tie DETERMINISTICALLY broken by custkey — revenue is
+    rounded identically on both engines first, so the ranked set is
+    engine-independent (a bare ORDER BY ... LIMIT would make ties
+    nondeterministic). At scale the window is one single-partition
+    pass over the small aggregated frame, not the facts."""
+    from pyspark.sql import Window
+
+    cust, orders, li, nat = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    revenue = F.sum(
+        _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"), 8))
+    agg = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+        .join(li.filter(F.col("l_returnflag") == "R"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return (agg.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 20)
+            .select("c_custkey", "c_name", "revenue",
+                    "c_acctbal", "n_name"))
+
+
 @register("tpch_q14_promo_revenue", oracle="""
 WITH j AS (
     SELECT CAST(l_extendedprice AS DECIMAL(18,2))
