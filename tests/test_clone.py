@@ -192,3 +192,36 @@ def test_clone_constraints_carry_and_enforce(spark, tmp_path):
                                 "cust_id long, segment string, balance double")
     with pytest.raises(Exception, match="bal_pos|constraint"):
         wh.commit_tx({"cdc_dev": bad})
+
+
+def test_clone_rederives_on_cas_race(spark, tmp_path):
+    """A clone losing the CAS race re-derives from the fresh log: a
+    concurrent commit to the SOURCE that lands first is reflected in
+    an at-latest clone (snapshot = publish time), and a concurrent
+    clone taking the target name raises instead of double-creating."""
+    wh = _wh(spark, tmp_path)
+    wh.commit_tx({"cdc_mirror": _base(spark, n=30)})
+
+    real_publish = wh._publish_txlog
+    state = {"raced": False}
+
+    def racing_publish(log):
+        if not state["raced"]:
+            state["raced"] = True
+            # another writer lands a source commit first
+            wh2 = Warehouse(wh.spark, wh.root, auto_compact_dvs=None)
+            wh2._publish_txlog = real_publish
+            extra = _base(spark, n=5).withColumn(
+                "cust_id", F.col("cust_id") + 900)
+            Warehouse.commit_tx(wh2, {"cdc_mirror": extra})
+            raise FileExistsError("lost the race")
+        return real_publish(log)
+
+    wh._publish_txlog = racing_publish
+    wh.clone_table("cdc_mirror", "cdc_dev")
+    wh._publish_txlog = real_publish
+    # the retried derivation saw the concurrent commit
+    assert wh.read_committed_tx("cdc_dev").count() == 35
+    # concurrent target-name taker: second clone raises
+    with pytest.raises(ValueError, match="already exists"):
+        wh.clone_table("cdc_mirror", "cdc_dev")

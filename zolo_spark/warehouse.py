@@ -1184,24 +1184,6 @@ class Warehouse:
             raise ValueError(
                 f"{target} is a base table name; clone targets must "
                 "not shadow the static schema registry")
-        log = self._read_txlog()
-        for _, tx in self._all_txs(log):
-            keys = set(tx.get("tables", {})) | set(
-                tx.get("clone_base", {}))
-            if target in keys:
-                raise ValueError(f"table {target} already exists")
-        txs = self._effective_txs(log, branch)
-        if as_of_tag is not None:
-            tags = self._tx_tags(txs)
-            if as_of_tag not in tags:
-                raise ValueError(f"no tag {as_of_tag}")
-            as_of_version = tags[as_of_tag]
-        self._check_retained(as_of_version, txs)
-        base = self._clone_base_of(source, txs)
-        if not any(source in tx.get("tables", {})
-                   or source in tx.get("clone_base", {})
-                   for _, tx in txs):
-            raise ValueError(f"no committed tx table {source}")
 
         def reloc(rel: str) -> str:
             # target-relative path into the source's directory; stays
@@ -1209,6 +1191,66 @@ class Warehouse:
             # chained ..-hops to the original table)
             return os.path.normpath(os.path.join("..", source, rel))
 
+        def derive(log: dict) -> list[dict]:
+            # re-derived per CAS attempt: a lost race re-validates on
+            # the fresh log (concurrent writer took the target name;
+            # concurrent checkpoint/expire folded retention past the
+            # requested snapshot — stale records would reference
+            # just-vacuumed bytes)
+            for _, tx in self._all_txs(log):
+                if target in (set(tx.get("tables", {}))
+                              | set(tx.get("clone_base", {}))):
+                    raise ValueError(
+                        f"table {target} already exists")
+            txs = self._effective_txs(log, branch)
+            aov = as_of_version
+            if as_of_tag is not None:
+                tags = self._tx_tags(txs)
+                if as_of_tag not in tags:
+                    raise ValueError(f"no tag {as_of_tag}")
+                aov = tags[as_of_tag]
+            self._check_retained(aov, txs)
+            base = self._clone_base_of(source, txs)
+            if not any(source in tx.get("tables", {})
+                       or source in tx.get("clone_base", {})
+                       for _, tx in txs):
+                raise ValueError(f"no committed tx table {source}")
+            return self._clone_records(source, target, base, txs,
+                                       aov, reloc)
+
+        derive(self._read_txlog())   # fail fast on bad arguments
+        # the empty table dir must exist: ..-relative references are
+        # resolved PHYSICALLY by the OS (cdc_dev/../src needs cdc_dev
+        # present), and driver-side footer/size reads go through it
+        os.makedirs(self.path(target), exist_ok=True)
+        for _ in range(50):
+            log = self._read_txlog()
+            cloned = derive(log)
+            head = (self._all_txs(log)[-1][0]
+                    if self._all_txs(log) else 0)
+            out = []
+            for i, rec in enumerate(cloned):
+                out.append(dict(rec, tables=rec.get("tables", {}),
+                                watermarks={},
+                                version=head + 1 + i))
+            log["txs"].extend(out)
+            try:
+                self._publish_txlog(log)
+                return
+            except FileExistsError:
+                continue
+        raise RuntimeError(
+            "clone failed after 50 CAS retries - writer storm?")
+
+    @staticmethod
+    def _clone_records(source: str, target: str, base: str, txs,
+                       as_of_version: int | None, reloc) -> list[dict]:
+        """The source's retained records (≤ the snapshot version)
+        rewritten to the clone target: every source-scoped portion —
+        file lists, REWRITE markers, DVs, stats, bloom entries,
+        schema ops, constraints, clustering — carried with paths
+        relocated and relative order preserved. The first record
+        binds ``clone_base``."""
         cloned: list[dict] = []
         for v, tx in txs:
             if as_of_version is not None and v > as_of_version:
@@ -1249,27 +1291,7 @@ class Warehouse:
                 f"{source} has no records at or before the requested "
                 "snapshot")
         cloned[0]["clone_base"] = {target: base}
-        # the empty table dir must exist: ..-relative references are
-        # resolved PHYSICALLY by the OS (cdc_dev/../src needs cdc_dev
-        # present), and driver-side footer/size reads go through it
-        os.makedirs(self.path(target), exist_ok=True)
-        for _ in range(50):
-            log = self._read_txlog()
-            head = (self._all_txs(log)[-1][0]
-                    if self._all_txs(log) else 0)
-            out = []
-            for i, rec in enumerate(cloned):
-                out.append(dict(rec, tables=rec.get("tables", {}),
-                                watermarks={},
-                                version=head + 1 + i))
-            log["txs"].extend(out)
-            try:
-                self._publish_txlog(log)
-                return
-            except FileExistsError:
-                continue
-        raise RuntimeError(
-            "clone failed after 50 CAS retries - writer storm?")
+        return cloned
 
     def _read_with_dvs(self, table: str, txs, schema, dvs,
                        as_of_version: int | None,
