@@ -225,3 +225,70 @@ def test_clone_rederives_on_cas_race(spark, tmp_path):
     # concurrent target-name taker: second clone raises
     with pytest.raises(ValueError, match="already exists"):
         wh.clone_table("cdc_mirror", "cdc_dev")
+
+
+def test_clone_model_random_walk(spark, tmp_path):
+    """Model-based stress over the clone surface: a seeded walk
+    interleaving commits, merges, row-level deletes, clones (of
+    sources AND of clones), compaction, checkpoint folds, and vacuum
+    across a growing family of tables — after EVERY op, EVERY table
+    must equal its pure-Python model. This is the cross-table
+    isolation property stated once per dedicated test above, checked
+    here under arbitrary interleavings."""
+    import random
+
+    wh = _wh(spark, tmp_path)
+    rng = random.Random(23)
+    model: dict[str, dict[int, float]] = {"cdc_mirror": {}}
+    next_key = 0
+    next_clone = 0
+
+    def df_of(d):
+        rows = [(k, "s", w) for k, w in sorted(d.items())] or None
+        return spark.createDataFrame(
+            rows or [], "cust_id long, segment string, balance double")
+
+    def check_all():
+        for t, want in model.items():
+            got = {r["cust_id"]: r["balance"]
+                   for r in wh.read_committed_tx(t).collect()}
+            assert got == want, f"{t}: {got} != {want}"
+
+    wh.commit_tx({"cdc_mirror": df_of({0: 1.0, 1: 2.0})})
+    model["cdc_mirror"] = {0: 1.0, 1: 2.0}
+    next_key = 2
+
+    for step in range(18):
+        op = rng.choice(["commit", "commit", "merge", "delete",
+                         "clone", "clone", "compact", "checkpoint",
+                         "vacuum"])
+        t = rng.choice(sorted(model))
+        cur = model[t]
+        if op == "commit":
+            fresh = {next_key + i: float(rng.randint(1, 9))
+                     for i in range(rng.randint(1, 2))}
+            next_key += len(fresh)
+            wh.commit_tx({t: df_of(fresh)})
+            cur.update(fresh)
+        elif op == "merge" and cur:
+            upd = {k: cur[k] + 100.0
+                   for k in rng.sample(sorted(cur), 1)}
+            wh.merge_tx(t, df_of(upd), ["cust_id"])
+            cur.update(upd)
+        elif op == "delete" and cur:
+            k = rng.choice(sorted(cur))
+            wh.delete_tx(t, f"cust_id = {k}")
+            cur.pop(k)
+        elif op == "clone":
+            tgt = f"c{next_clone}"
+            next_clone += 1
+            wh.clone_table(t, tgt)
+            model[tgt] = dict(cur)
+        elif op == "compact" and cur:
+            wh.compact(t)
+        elif op == "checkpoint":
+            wh.checkpoint_txlog(retain_last=3)
+        elif op == "vacuum":
+            wh.expire_snapshots(retain_last=3)
+        check_all()
+    assert next_clone >= 2, "walk must have exercised clones"
