@@ -223,3 +223,28 @@ def test_compact_reindexes_and_lookup_stays_pruned(spark, tmp_path):
     assert len(got) == 1 and got[0]["segment"] == "seg3"
     cand, total = wh.last_point_lookup
     assert total > 1 and cand < total, (cand, total)
+
+
+def test_bloom_on_string_key(spark, tmp_path):
+    """The index is type-generic through Spark-side xxhash64 — a
+    STRING key builds, probes, and prunes the same way (the probe
+    literal is cast to the column's schema type before hashing, so
+    build and probe agree)."""
+    wh = _wh(spark, tmp_path,
+             bloom_cols={"cdc_mirror": ["segment"]})
+    base = spark.range(0, 400).select(
+        F.col("id").alias("cust_id"),
+        F.concat(F.lit("user-"), F.col("id").cast("string"))
+        .alias("segment"),
+        (F.col("id") * 1.5).alias("balance"))
+    for i in range(4):
+        wh.commit_tx({"cdc_mirror":
+                      base.filter(F.col("cust_id") % 4 == i)
+                      .coalesce(1)})
+    got = wh.point_lookup("cdc_mirror", {"segment": "user-123"}).collect()
+    assert len(got) == 1 and got[0]["cust_id"] == 123
+    cand, total = wh.last_point_lookup
+    assert total == 4 and cand < total, (cand, total)
+    assert wh.point_lookup(
+        "cdc_mirror", {"segment": "user-9999"}).count() == 0
+    assert wh.last_point_lookup[0] == 0

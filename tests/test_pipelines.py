@@ -2886,3 +2886,34 @@ def test_pipeline_tables_get_txlog_stats_by_default(spark, tmp_path,
     keep, touched = wh._prune_merge_files("square_trans", files,
                                           ["payment_id"], upd)
     assert len(keep) == 2 and len(touched) == 1
+
+
+def test_timestamp_time_travel(spark, wh):
+    """Delta timestampAsOf parity: commits stamp wall-clock times and
+    as_of_timestamp resolves to the LAST commit at or before the
+    instant; a pre-history timestamp raises; pairing it with a
+    version is rejected."""
+    import time as _time
+
+    import pytest as _pytest
+    from zolo_spark.schemas import WAREHOUSE_TABLES
+
+    def frame(n):
+        return spark.createDataFrame(
+            [(f"p{i}", "v", i, "sq", "qb", "sh", "cat", "whole",
+              1.0, 1) for i in range(n)],
+            WAREHOUSE_TABLES["items"])
+
+    wh.commit_tx({"items": frame(2)})
+    t1 = _time.time()
+    _time.sleep(0.05)
+    wh.commit_tx({"items": frame(5)})
+    assert wh.read_committed_tx(
+        "items", as_of_timestamp=t1).count() == 2
+    assert wh.read_committed_tx(
+        "items", as_of_timestamp=_time.time()).count() == 7
+    with _pytest.raises(ValueError, match="no commit at or before"):
+        wh.read_committed_tx("items", as_of_timestamp=1.0)
+    with _pytest.raises(ValueError, match="OR as_of_timestamp"):
+        wh.read_committed_tx("items", as_of_version=1,
+                             as_of_timestamp=t1)

@@ -20,6 +20,7 @@ import math
 import os
 import re
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.errors import AnalysisException
@@ -950,6 +951,9 @@ class Warehouse:
                             "state")
             rec: dict = {"tables": tables,
                          "watermarks": watermarks or {},
+                         # wall-clock commit time: Delta
+                         # timestampAsOf-style time travel
+                         "ts": time.time(),
                          "version": (raw[-1][0] if raw else 0) + 1}
             if branch:
                 rec["branch"] = branch
@@ -998,6 +1002,7 @@ class Warehouse:
     def read_committed_tx(self, table: str,
                           as_of_version: int | None = None,
                           as_of_tag: str | None = None,
+                          as_of_timestamp: float | None = None,
                           branch: str | None = None) -> DataFrame:
         """The tx-log-defined contents of ``table`` — staged batches
         from unfinished commits are invisible by construction.
@@ -1009,14 +1014,24 @@ class Warehouse:
         the log still holds is reconstructible; an expired version
         raises. ``as_of_tag`` resolves a named ref
         (:meth:`create_tag`) — a live tag's version never expires.
-        ``branch`` reads a named branch's lineage: main as of the
-        fork plus the branch's own commits (:meth:`create_branch`)."""
+        ``as_of_timestamp`` (epoch seconds) resolves to the LAST
+        commit at or before that wall-clock instant (Delta's
+        ``timestampAsOf``; commit times are the writer's clock, so
+        the usual skew caveat applies). ``branch`` reads a named
+        branch's lineage: main as of the fork plus the branch's own
+        commits (:meth:`create_branch`)."""
         txs = self._effective_txs(self._read_txlog(), branch)
         if as_of_tag is not None:
             tags = self._tx_tags(txs)
             if as_of_tag not in tags:
                 raise ValueError(f"no tag {as_of_tag}")
             as_of_version = tags[as_of_tag]
+        if as_of_timestamp is not None:
+            if as_of_version is not None:
+                raise ValueError(
+                    "pass as_of_version/as_of_tag OR as_of_timestamp")
+            as_of_version = self._resolve_timestamp(
+                txs, as_of_timestamp)
         self._check_retained(as_of_version, txs)
         fields = self._tx_fields(table, txs, as_of_version)
         files = self._replay_files(txs, table, as_of_version)
@@ -1231,7 +1246,7 @@ class Warehouse:
             out = []
             for i, rec in enumerate(cloned):
                 out.append(dict(rec, tables=rec.get("tables", {}),
-                                watermarks={},
+                                watermarks={}, ts=time.time(),
                                 version=head + 1 + i))
             log["txs"].extend(out)
             try:
@@ -1336,6 +1351,22 @@ class Warehouse:
                             & (F.col("_fv") < F.lit(v_dv))))
                   .drop("_dvhit"))
         return df.drop("_fv")
+
+    @staticmethod
+    def _resolve_timestamp(txs: list[tuple[int, dict]],
+                           ts: float) -> int:
+        """The last version whose commit time is ≤ ``ts``. Records
+        from logs written before commit times existed count as
+        arbitrarily old (always eligible) — resolution can only be
+        as precise as the recorded history."""
+        best = None
+        for v, tx in txs:
+            if tx.get("ts", 0.0) <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no commit at or before timestamp {ts}")
+        return best
 
     @staticmethod
     def _clone_base_of(table: str, records) -> str:
