@@ -31,6 +31,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from ..ops.partitioning import fan_out
+
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("content", T.BinaryType(), True),
@@ -299,7 +301,8 @@ def documents_png(documents: DataFrame) -> DataFrame:
                 "meta": metas,
             })
 
-    return documents.select("doc_id").mapInPandas(kernel, schema=MEDIA_SCHEMA)
+    return fan_out(documents.select("doc_id")).mapInPandas(
+        kernel, schema=MEDIA_SCHEMA)
 
 
 IMAGE_STATS_SCHEMA = (
@@ -463,7 +466,8 @@ def documents_wav(documents: DataFrame, rate: int = 8000) -> DataFrame:
                 "media_id": pdf["doc_id"], "content": contents, "meta": metas,
             })
 
-    return documents.select("doc_id").mapInPandas(kernel, schema=MEDIA_SCHEMA)
+    return fan_out(documents.select("doc_id")).mapInPandas(
+        kernel, schema=MEDIA_SCHEMA)
 
 
 AUDIO_STATS_SCHEMA = (
@@ -855,7 +859,8 @@ def documents_jpeg(documents: DataFrame, quality: int = 50) -> DataFrame:
                 "media_id": pdf["doc_id"], "content": contents, "meta": metas,
             })
 
-    return documents.select("doc_id").mapInPandas(kernel, schema=MEDIA_SCHEMA)
+    return fan_out(documents.select("doc_id")).mapInPandas(
+        kernel, schema=MEDIA_SCHEMA)
 
 
 JPEG_STATS_SCHEMA = (
@@ -1185,7 +1190,8 @@ def documents_jpeg_color(documents: DataFrame, quality: int = 50) -> DataFrame:
                 "media_id": pdf["doc_id"], "content": contents, "meta": metas,
             })
 
-    return documents.select("doc_id").mapInPandas(kernel, schema=MEDIA_SCHEMA)
+    return fan_out(documents.select("doc_id")).mapInPandas(
+        kernel, schema=MEDIA_SCHEMA)
 
 
 JPEG_COLOR_STATS_SCHEMA = (
@@ -1352,7 +1358,8 @@ def documents_zvid(documents: DataFrame) -> DataFrame:
                 "meta": metas,
             })
 
-    return documents.select("doc_id").mapInPandas(kernel, schema=MEDIA_SCHEMA)
+    return fan_out(documents.select("doc_id")).mapInPandas(
+        kernel, schema=MEDIA_SCHEMA)
 
 
 VIDEO_FRAME_STATS_SCHEMA = (
@@ -1669,7 +1676,8 @@ def documents_gif(documents: DataFrame) -> DataFrame:
                 "meta": metas,
             })
 
-    return documents.select("doc_id").mapInPandas(kernel, schema=MEDIA_SCHEMA)
+    return fan_out(documents.select("doc_id")).mapInPandas(
+        kernel, schema=MEDIA_SCHEMA)
 
 
 def gif_stats(media: DataFrame) -> DataFrame:
