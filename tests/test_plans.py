@@ -146,6 +146,32 @@ def test_fan_out_widens_narrow_never_narrows_wide(spark):
     assert fan_out(wide) is wide
 
 
+def test_fan_out_small_pins_width_of_tiny_wide_frames(spark):
+    """fan_out_small (r14): a statically-wide but TINY frame (the
+    post-shuffle shape AQE coalesces below session parallelism at
+    runtime) is force-repartitioned to the target so downstream
+    per-row compute keeps full width; a frame whose optimizer
+    estimate is big passes through untouched."""
+    from zolo_spark.ops.partitioning import fan_out_small, plan_size_estimate
+
+    target = spark.sparkContext.defaultParallelism
+    # narrow input: same contract as fan_out
+    narrow = spark.range(1000).coalesce(1)
+    assert fan_out_small(narrow).rdd.getNumPartitions() == target
+
+    # tiny but statically wide: estimate ~8 KB < target MB -> repinned
+    tiny_wide = spark.range(1000).repartition(target * 2)
+    out = fan_out_small(tiny_wide)
+    assert out is not tiny_wide
+    assert out.rdd.getNumPartitions() == target
+
+    # big estimate (> min_partitions MB): untouched even though its
+    # static width equals the floor
+    big = spark.range(2_000_000).repartition(2)
+    assert plan_size_estimate(big) > 2 * (1 << 20)
+    assert fan_out_small(big, min_partitions=2) is big
+
+
 def test_q3_pushdown_prune_broadcast(spark):
     p = plan_of(q(spark, "tpch_q3_shipping_priority"))
     # every filter reaches its own scan

@@ -55,15 +55,26 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
         best = None
-        for _ in range(args.reps):
-            spark.sparkContext.setJobDescription(f"{name} timed")
+        jobs = tasks = 0
+        for rep in range(args.reps):
+            group = f"{name}-r{rep}"
+            spark.sparkContext.setJobGroup(group, f"{name} timed")
             t0 = time.perf_counter()
             spec.fn(spark, args.sf_dir).write.format(
                 "noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            if rep == 0:
+                st = spark.sparkContext.statusTracker()
+                jids = st.getJobIdsForGroup(group)
+                jobs = len(jids)
+                sids = {s for j in jids
+                        for s in (st.getJobInfo(j).stageIds
+                                  if st.getJobInfo(j) else [])}
+                tasks = sum(st.getStageInfo(s).numTasks for s in sids
+                            if st.getStageInfo(s))
             spark.catalog.clearCache()
-        print(f"{name}: {best:.3f} s")
+        print(f"{name}: {best:.3f} s  jobs={jobs} tasks={tasks}")
     spark.stop()
 
 

@@ -344,10 +344,10 @@ def decontaminate(df: DataFrame, n: int = 5, min_shared: int = 2,
     Returns (train_doc, test_doc, n_shared) sorted semantics-free;
     split assignment is :func:`hash_split`'s deterministic bucketing.
     """
-    from ..ops.partitioning import fan_out
+    from ..ops.partitioning import fan_out_small
     from .dedup import shingles_from_tokens
 
-    tokens = fan_out(hash_split(df, id_col=id_col)).select(
+    tokens = fan_out_small(hash_split(df, id_col=id_col)).select(
         F.col(id_col).alias("doc_id"), "split",
         F.split(F.lower(F.col(text_col)), " ").alias("t"),
     )
@@ -699,7 +699,14 @@ def corpus_pipeline(docs: DataFrame, emb: DataFrame, *,
         # anti-join the DROPPED side: unembedded survivors can't be
         # in it, so they pass through (a left-semi on the kept side
         # would silently discard every doc without an embedding row)
-        surv3 = surv2.join(dropped, id_col, "left_anti")
+        # Persisted like surv2: surv3 is the next stage hand-off and
+        # has TWO consumers below (the quality-filter lineage and the
+        # semi-join back onto it) — unpersisted, each consumer replays
+        # the whole SemDeDup assignment (a pandas-UDF pass + the
+        # pairwise in-cell filter), measured as the dominant block of
+        # the capstone's tail.
+        surv3 = cachereg.persist(
+            surv2.join(dropped, id_col, "left_anti"), "corpus_pipeline")
     else:  # no surviving embeddings (empty corpus / unembedded docs)
         surv3 = surv2
     kept_q = _text.text_stats(surv3, id_col=id_col).filter(
@@ -708,9 +715,16 @@ def corpus_pipeline(docs: DataFrame, emb: DataFrame, *,
         & (F.col("punct_ratio") <= max_punct)
     ).select(id_col)
     surv4 = surv3.join(kept_q, id_col, "left_semi")
-    return source_cap(
+    # source_cap consumes its input THREE times (per-source counts,
+    # the within-cap anti-join branch, the over-cap window branch);
+    # persist the NARROW 4-column projection — no text payload, so
+    # the materialization stays key-sized at any scale — instead of
+    # replaying the quality-filter lineage per branch.
+    kept_narrow = cachereg.persist(
         surv4.select(id_col, "lang", source_col, "n_chars"),
-        cap=cap, source_col=source_col,
+        "corpus_pipeline")
+    return source_cap(
+        kept_narrow, cap=cap, source_col=source_col,
     ).select(id_col, "lang", source_col, "n_chars")
 
 

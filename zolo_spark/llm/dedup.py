@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from ..ops.partitioning import fan_out
+from ..ops.partitioning import fan_out_small
 from . import cachereg
 from .text import fingerprint
 
@@ -70,7 +70,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Exact dedup by content fingerprint: one survivor (min id) per
     fingerprint group, with the duplicate count."""
     return (
-        fan_out(df).select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        fan_out_small(df).select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
         .groupBy("fp")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
     )
@@ -81,7 +81,7 @@ def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """(id, shingle) exploded distinct-shingle relation. Tokenization
     is its own projection step so the split runs once per doc, not
     once per gram."""
-    tokens = fan_out(df).select(
+    tokens = fan_out_small(df).select(
         F.col(id_col).alias("doc_id"),
         F.split(F.lower(F.col(text_col)), " ").alias("t"),
     )
@@ -307,7 +307,7 @@ def _content_classes(df: DataFrame, text_col: str, id_col: str):
     signature-level computation done once per class representative is
     valid for every member.  ``members`` = (doc_id, rep);
     ``reps`` = the representative rows of ``df`` (min doc_id)."""
-    classed = fan_out(df).select(
+    classed = fan_out_small(df).select(
         F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("_cls")
     )
     rep_of = classed.groupBy("_cls").agg(F.min("doc_id").alias("rep"))
@@ -810,7 +810,7 @@ def simhash_neardup(df: DataFrame, text_col: str = "text",
             return simhash_neardup_pairwise(
                 df, text_col, id_col, bits, max_hamming)
     members, reps = _content_classes(df, text_col, id_col)
-    hashed = fan_out(reps).select(
+    hashed = fan_out_small(reps).select(
         F.col(id_col).alias("doc_id"),
         token_hashes(F.col(text_col), hex_chars=max(4, (bits + 3) // 4))
         .alias("th"),
@@ -877,7 +877,7 @@ def simhash_neardup_pairwise(df: DataFrame, text_col: str = "text",
                              max_hamming: int = 2) -> DataFrame:
     """The naive all-docs pairwise form — the semantic reference the
     collapse-first implementation is pinned against."""
-    hashed = fan_out(df).select(
+    hashed = fan_out_small(df).select(
         F.col(id_col).alias("doc_id"),
         token_hashes(F.col(text_col), hex_chars=max(4, (bits + 3) // 4))
         .alias("th"),
@@ -925,7 +925,7 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
     near-dup banding over signature halves is the scale extension).
     Token hashes are projected in their own step so the md5 transform
     runs once, not once per bit-fold."""
-    hashed = fan_out(df).select(
+    hashed = fan_out_small(df).select(
         F.col(id_col).alias("doc_id"), token_hashes(F.col(text_col)).alias("th")
     )
     return (
@@ -981,7 +981,7 @@ def embedding_near_dup(df: DataFrame, vec_col: str = "embedding",
     # dot/(na*nb) evaluates the exact expression trees the inline form
     # did, so results are bit-identical (oracle unchanged).
     dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    keyed = fan_out(df).select(
+    keyed = fan_out_small(df).select(
         F.col(id_col).alias("vid"),
         dv.alias("v"),
         F.sqrt(F.aggregate(F.transform(dv, lambda x: x * x),
@@ -1032,7 +1032,7 @@ def duplicate_spans(df: DataFrame, n: int = 10, min_count: int = 2,
     because each position appears exactly once regardless of how hot
     its gram is.  All-integer output.
     """
-    toks = fan_out(df).select(
+    toks = fan_out_small(df).select(
         F.col(id_col).alias("doc_id"),
         F.split(F.lower(F.col(text_col)), " ").alias("t"),
     )
@@ -1319,7 +1319,7 @@ def remove_duplicate_spans(df: DataFrame, n: int = 10,
         F.collect_list(
             F.struct(F.col("start_tok").alias("s"),
                      F.col("end_tok").alias("e"))).alias("spans"))
-    toks = fan_out(df).select(
+    toks = fan_out_small(df).select(
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), " ").alias("t"),
     )

@@ -17,7 +17,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
-from ..ops.partitioning import fan_out
+from ..ops.partitioning import fan_out_small
 from . import cachereg
 from .dedup import cosine
 
@@ -49,7 +49,7 @@ def brute_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = fan_out(corpus).select(
+    c = fan_out_small(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     scored = (
@@ -181,7 +181,7 @@ def kmeans_train(corpus: DataFrame, k: int = 8, iters: int = 2,
                            F.lit(0.0), lambda acc, x: acc + x)),
         F.lit(1e-12),
     )
-    base = fan_out(corpus).select(
+    base = fan_out_small(corpus).select(
         F.col(id_col).alias("vec_id"),
         F.transform(dv, lambda x: x / nrm).alias("v"),
     ).persist()

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..ops.partitioning import fan_out
+from ..ops.partitioning import fan_out_small
 
 # BPE-ish pretokenizer: letter runs, digit runs, single non-space symbols
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -110,7 +110,7 @@ def fingerprint(col) -> Column:
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass document statistics table."""
     c = F.col(text_col)
-    return fan_out(df).select(
+    return fan_out_small(df).select(
         id_col,
         F.length(c).alias("n_chars"),
         token_count_ws(c).alias("n_tokens_ws"),
@@ -161,7 +161,7 @@ def pii_redact(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Per-doc PII counts + the redacted text."""
     c = F.col(text_col)
-    return fan_out(df).select(
+    return fan_out_small(df).select(
         id_col,
         *[cnt.alias(name) for name, cnt in pii_counts(c)],
         mask_pii(c).alias("masked_text"),
@@ -195,7 +195,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     partial aggregation, no per-doc maps held in memory, so a 100 TB
     corpus streams through. All ratios are exact integer divisions.
     """
-    base = fan_out(df).select(
+    base = fan_out_small(df).select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
     )
 

@@ -20,6 +20,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def plan_size_estimate(df: DataFrame) -> int:
+    """Catalyst's sizeInBytes estimate of the optimized plan — FREE
+    (no Spark job). Used only to pick between bit-identical plans, so
+    estimate error costs time, never correctness."""
+    return int(df._jdf.queryExecution().optimizedPlan()
+               .stats().sizeInBytes())
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition ``df`` up to ``min_partitions`` (default: the
     session's ``defaultParallelism``) iff it currently plans fewer —
@@ -29,6 +37,36 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def fan_out_small(df: DataFrame,
+                  min_partitions: int | None = None) -> DataFrame:
+    """:func:`fan_out` for CPU-bound per-row operators: ALSO pins the
+    width of a statically-wide but TINY frame.
+
+    A post-shuffle frame statically plans ``shuffle.partitions``-wide,
+    but AQE's runtime coalescing (``parallelismFirst`` floors at
+    ``minPartitionSize`` = 1 MB) merges a small frame far below the
+    session parallelism — and then every downstream per-row operator
+    (regex stats, codec kernels, hash folds, shingle hashing)
+    executes on a handful of cores no matter what the static plan
+    said. A frame whose optimizer estimate is under ``target``
+    advisory-floor partitions is therefore force-repartitioned: a
+    false positive costs one sub-MB exchange, a false negative keeps
+    the existing layout, and at real scale the estimate is
+    corpus-sized so the branch never fires. Unlike :func:`fan_out`
+    this may override a deliberately wider layout, so it belongs
+    directly above expensive per-row compute, not in generic plumbing.
+    """
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    if plan_size_estimate(df) < target * (1 << 20):
         return df.repartition(target)
     return df
 
