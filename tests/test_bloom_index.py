@@ -248,3 +248,44 @@ def test_bloom_on_string_key(spark, tmp_path):
     assert wh.point_lookup(
         "cdc_mirror", {"segment": "user-9999"}).count() == 0
     assert wh.last_point_lookup[0] == 0
+
+
+def test_driver_side_xxh64_matches_spark(spark):
+    """r14 optimization pin: point-lookup probe positions hash
+    driver-side through the pure-Python XXH64 port; every branch
+    (8-byte long path, 4-byte int path, bytes path incl. the
+    stride-32 accumulator rounds, 4-byte tail and per-byte tail,
+    and the multi-column seed chaining through the F.lit(seed)
+    IntegerType literal) must stay bit-equal to Spark's xxhash64."""
+    import random
+
+    from zolo_spark.warehouse import _xxh64_bytes, _xxh64_int, _xxh64_long
+
+    random.seed(11)
+    longs = [0, 1, -1, 58, 2**63 - 1, -2**63] + [
+        random.randrange(-2**63, 2**63) for _ in range(5)]
+    ints = [0, -1, 58, 2**31 - 1, -2**31] + [
+        random.randrange(-2**31, 2**31) for _ in range(5)]
+    strs = ["", "a", "abcdefg", "abcdefgh", "abcdefghi", "x" * 31,
+            "x" * 32, "x" * 40, "Grüße-鍵-✓", "cust-58"] + [
+        "".join(random.choice("abcdef gh") for _ in range(
+            random.randrange(0, 50))) for _ in range(5)]
+    seeds = list(range(5))
+    row = spark.range(1).select(
+        *[F.xxhash64(F.lit(v).cast("bigint"), F.lit(s)).alias(f"l{i}_{s}")
+          for i, v in enumerate(longs) for s in seeds],
+        *[F.xxhash64(F.lit(v).cast("int"), F.lit(s)).alias(f"i{i}_{s}")
+          for i, v in enumerate(ints) for s in seeds],
+        *[F.xxhash64(F.lit(v).cast("string"), F.lit(s)).alias(f"s{i}_{s}")
+          for i, v in enumerate(strs) for s in seeds],
+    ).first()
+    for i, v in enumerate(longs):
+        for s in seeds:
+            assert _xxh64_int(s, _xxh64_long(v, 42)) == row[f"l{i}_{s}"]
+    for i, v in enumerate(ints):
+        for s in seeds:
+            assert _xxh64_int(s, _xxh64_int(v, 42)) == row[f"i{i}_{s}"]
+    for i, v in enumerate(strs):
+        for s in seeds:
+            assert (_xxh64_int(s, _xxh64_bytes(v.encode("utf-8"), 42))
+                    == row[f"s{i}_{s}"])

@@ -53,6 +53,105 @@ _BUCKETED = {
 # disable via the ``stats_cols`` constructor arg.
 _DEFAULT_STATS_COLS = {t: [k] for t, k in _BUCKETED.items()}
 
+# --- driver-side xxhash64 (XXH64, Collet's published spec; the port
+# mirrors Spark's catalyst XXH64 so bloom point-lookup probes hash
+# WITHOUT a Spark job — pytest pins every branch bit-equal to
+# F.xxhash64 over value/seed/length grids) -------------------------
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxfmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _signed64(h: int) -> int:
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _xxh64_long(v: int, seed: int) -> int:
+    """Spark XXH64.hashLong: the 8-byte primitive path."""
+    h = (seed + _XXP5 + 8) & _M64
+    k1 = _rotl64((v & _M64) * _XXP2 & _M64, 31) * _XXP1 & _M64
+    h ^= k1
+    h = (_rotl64(h, 27) * _XXP1 + _XXP4) & _M64
+    return _signed64(_xxfmix(h))
+
+
+def _xxh64_int(v: int, seed: int) -> int:
+    """Spark XXH64.hashInt: the 4-byte primitive path (int, short,
+    byte are all widened to this by catalyst)."""
+    h = (seed + _XXP5 + 4) & _M64
+    h ^= ((v & 0xFFFFFFFF) * _XXP1) & _M64
+    h = (_rotl64(h, 23) * _XXP2 + _XXP3) & _M64
+    return _signed64(_xxfmix(h))
+
+
+def _xxh64_bytes(data: bytes, seed: int) -> int:
+    """Spark XXH64.hashUnsafeBytes (strings hash their UTF-8 bytes):
+    stride-32 accumulator rounds over the 8-byte-aligned prefix, then
+    one 4-byte step, then per-byte steps."""
+    length = len(data)
+    nwords = length - (length % 8)
+    off = 0
+    if nwords >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXP1) & _M64
+        end32 = nwords - (nwords % 32)
+        while off < end32:
+            v1 = (_rotl64((v1 + int.from_bytes(
+                data[off:off + 8], "little") * _XXP2) & _M64, 31)
+                * _XXP1) & _M64
+            v2 = (_rotl64((v2 + int.from_bytes(
+                data[off + 8:off + 16], "little") * _XXP2) & _M64, 31)
+                * _XXP1) & _M64
+            v3 = (_rotl64((v3 + int.from_bytes(
+                data[off + 16:off + 24], "little") * _XXP2) & _M64, 31)
+                * _XXP1) & _M64
+            v4 = (_rotl64((v4 + int.from_bytes(
+                data[off + 24:off + 32], "little") * _XXP2) & _M64, 31)
+                * _XXP1) & _M64
+            off += 32
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7)
+             + _rotl64(v3, 12) + _rotl64(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl64((v * _XXP2) & _M64, 31) * _XXP1) & _M64
+            h = (h * _XXP1 + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + length) & _M64
+    while off < nwords:
+        k1 = _rotl64((int.from_bytes(data[off:off + 8], "little")
+                      * _XXP2) & _M64, 31) * _XXP1 & _M64
+        h ^= k1
+        h = (_rotl64(h, 27) * _XXP1 + _XXP4) & _M64
+        off += 8
+    if off + 4 <= length:
+        h ^= (int.from_bytes(data[off:off + 4], "little")
+              * _XXP1) & _M64
+        h = (_rotl64(h, 23) * _XXP2 + _XXP3) & _M64
+        off += 4
+    while off < length:
+        h ^= (data[off] * _XXP5) & _M64
+        h = (_rotl64(h, 11) * _XXP1) & _M64
+        off += 1
+    return _signed64(_xxfmix(h))
+
 
 class ConcurrentWriteError(RuntimeError):
     """A REWRITE (merge / compact / restore) was built from a snapshot
@@ -2833,20 +2932,49 @@ class Warehouse:
         return out
 
     def _bloom_probe_positions(self, pairs: list) -> list[list[int]]:
-        """Bloom positions for probe values, computed with the SAME
-        Spark-side ``xxhash64`` the index build used (one
-        ``spark.range(1)`` job — hashing driver-side would require a
-        bit-exact Python reimplementation). ``pairs`` is
-        ``[(value, DataType)]``; each value is cast to its table
-        column's type first, because ``xxhash64`` is type-sensitive
-        and the index hashed the column at its schema type."""
+        """Bloom positions for probe values, with the SAME ``xxhash64``
+        the index build used. Long/int/string probes hash DRIVER-SIDE
+        through the bit-exact Python port below (pinned against
+        Spark's ``xxhash64`` by pytest over value/seed/length grids) —
+        a point lookup then costs zero Spark jobs for hashing. Any
+        other type falls back to the original one-row Spark job, which
+        is definitionally bit-exact. ``pairs`` is
+        ``[(value, DataType)]``; each value is hashed at its table
+        column's type because ``xxhash64`` is type-sensitive."""
+        from pyspark.sql.types import (ByteType, IntegerType, LongType,
+                                       ShortType, StringType)
+
         m, k = self.bloom_bits, self.bloom_hashes
-        row = self.spark.range(1).select(*[
-            F.array(*[F.pmod(F.xxhash64(F.lit(v).cast(dt), F.lit(s)),
-                             F.lit(m))
-                      for s in range(k)]).alias(f"_p{i}")
-            for i, (v, dt) in enumerate(pairs)]).first()
-        return [list(row[f"_p{i}"]) for i in range(len(pairs))]
+        out: list = [None] * len(pairs)
+        spark_side = []
+        for i, (v, dt) in enumerate(pairs):
+            # F.xxhash64(value, lit(s)) is Spark's MULTI-column hash
+            # at its fixed default seed 42: the value's hash becomes
+            # the seed for hashing the IntegerType literal ``s``.
+            if v is not None and isinstance(dt, LongType):
+                out[i] = [_xxh64_int(s, _xxh64_long(int(v), 42)) % m
+                          for s in range(k)]
+            elif v is not None and isinstance(
+                    dt, (IntegerType, ShortType, ByteType)):
+                # sub-long integrals hash through the 4-byte path
+                out[i] = [_xxh64_int(s, _xxh64_int(int(v), 42)) % m
+                          for s in range(k)]
+            elif v is not None and isinstance(dt, StringType):
+                out[i] = [_xxh64_int(
+                    s, _xxh64_bytes(str(v).encode("utf-8"), 42)) % m
+                    for s in range(k)]
+            else:
+                spark_side.append(i)
+        if spark_side:
+            row = self.spark.range(1).select(*[
+                F.array(*[F.pmod(
+                    F.xxhash64(F.lit(pairs[i][0]).cast(pairs[i][1]),
+                               F.lit(s)), F.lit(m))
+                    for s in range(k)]).alias(f"_p{i}")
+                for i in spark_side]).first()
+            for i in spark_side:
+                out[i] = list(row[f"_p{i}"])
+        return out
 
     @staticmethod
     def _bloom_might_contain(bits: dict, positions: list[int]) -> bool:
