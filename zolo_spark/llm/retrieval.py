@@ -40,10 +40,8 @@ def bm25_topk(df: DataFrame, terms: list[str], k: int = 10,
     if not terms:
         raise ValueError("need at least one query term")
     toks = F.split(F.lower(F.col(text_col)), " ")
-    from ..ops.partitioning import fan_out_small
-
-    base = fan_out_small(df).select(F.col(id_col), F.size(toks).alias("dl"),
-                                    F.explode(toks).alias("token"))
+    base = df.select(F.col(id_col), F.size(toks).alias("dl"),
+                     F.explode(toks).alias("token"))
     stats = df.select(F.size(toks).alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_dl"),

@@ -111,7 +111,7 @@ def ivf_index(corpus: DataFrame, centroids: np.ndarray,
     0 of a 1-probe assignment). At scale this is written out
     partitioned by ``cell`` so probes prune partitions."""
     assign = _assign_udf(centroids, 1)
-    return fan_out_small(corpus).select(
+    return corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         F.element_at(assign(F.col(vec_col)), 1).alias("cell"),
     )
@@ -366,7 +366,7 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding",
             v, lambda x: F.floor(x.cast("double") * F.lit(127.0) / m)
         )
     )
-    return fan_out_small(df).select(
+    return df.select(
         F.col(id_col), q.alias("qvec"), F.size(v).alias("n_dims")
     )
 
