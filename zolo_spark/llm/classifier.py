@@ -166,12 +166,17 @@ def logreg_train(labeled: DataFrame, label_col: str = "label",
     the deterministic choice: no minibatch RNG, no per-partition
     order dependence. (On a cluster with lossy executors, set a
     checkpoint dir and use ``checkpoint()`` — see dup_clusters.)"""
-    from ..ops.partitioning import fan_out_small
+    from ..ops.partitioning import fan_out
 
     # the training frame usually derives from a narrow scan (one file
     # at gate scale): widen it so the checkpoint fill (regex-heavy
-    # stats) and every iteration's scan run at cluster parallelism
-    labeled = fan_out_small(labeled).localCheckpoint()
+    # stats) and every iteration's scan run at cluster parallelism.
+    # fan_out, NOT fan_out_small: a 20-40-iteration driver loop over a
+    # checkpointed tiny frame pays 32 scheduled tasks per iteration
+    # where 1-4 would do (r14 driver bench: logreg_minibatch 0.63x,
+    # 8-core/32-core scaling ratio 0.81 — per-iteration feature
+    # arithmetic is cheap, so forcing width is pure overhead).
+    labeled = fan_out(labeled).localCheckpoint()
     w = [0.0] * len(FEATURE_COLS)
     with _gd_session(labeled, "_zs_gd_binary") as gd:
         for _ in range(iters):
@@ -209,9 +214,10 @@ def logreg_train_minibatch(labeled: DataFrame, label_col: str = "label",
     bucket = (F.conv(F.substring(
         F.md5(F.concat(F.lit("mb-v1"), F.col(id_col).cast("string"))),
         1, 4), 16, 10).cast("long") % n_buckets)
-    from ..ops.partitioning import fan_out_small
+    from ..ops.partitioning import fan_out
 
-    labeled = fan_out_small(labeled.withColumn("_mb", bucket)).localCheckpoint()
+    # fan_out, not fan_out_small — see logreg_train
+    labeled = fan_out(labeled.withColumn("_mb", bucket)).localCheckpoint()
     w = [0.0] * len(FEATURE_COLS)
     with _gd_session(labeled, "_zs_gd_minibatch") as gd:
         for k in range(iters):
@@ -240,9 +246,10 @@ def train_ovr(labeled: DataFrame, n_classes: int, class_col: str = "cls",
     size. localCheckpoint (not persist) truncates the stats lineage
     so each iteration's ``n_classes · d``-component aggregate
     analyzes a leaf scan — see :func:`logreg_train`."""
-    from ..ops.partitioning import fan_out_small
+    from ..ops.partitioning import fan_out
 
-    labeled = fan_out_small(labeled).localCheckpoint()
+    # fan_out, not fan_out_small — see logreg_train
+    labeled = fan_out(labeled).localCheckpoint()
     d = len(FEATURE_COLS)
     ws = [[0.0] * d for _ in range(n_classes)]
     with _gd_session(labeled, "_zs_gd_ovr") as gd:

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from ..ops.partitioning import fan_out_small
+from ..ops.partitioning import fan_out, fan_out_small
 from . import cachereg
 from .text import fingerprint
 
@@ -81,7 +81,14 @@ def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """(id, shingle) exploded distinct-shingle relation. Tokenization
     is its own projection step so the split runs once per doc, not
     once per gram."""
-    tokens = fan_out_small(df).select(
+    # fan_out, NOT fan_out_small: doc_shingles feeds build_dedup_index,
+    # whose five persisted consumers each materialize the frame —
+    # forcing 32 partitions on a kilobyte batch multiplied ~30 jobs ×
+    # 32 tasks through the incremental-dedup gate (r14 driver bench:
+    # 4.45 → 15.28 s full-suite, 8-core run 3× FASTER than 32-core).
+    # The shingle explode below the select still fans out at real
+    # scale because the scan is already wide there.
+    tokens = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.split(F.lower(F.col(text_col)), " ").alias("t"),
     )
@@ -307,7 +314,10 @@ def _content_classes(df: DataFrame, text_col: str, id_col: str):
     signature-level computation done once per class representative is
     valid for every member.  ``members`` = (doc_id, rep);
     ``reps`` = the representative rows of ``df`` (min doc_id)."""
-    classed = fan_out_small(df).select(
+    # fan_out (see doc_shingles): one md5 per row is cheap compute;
+    # the forced 32-wide exchange cost more than it parallelized in
+    # the r14 driver bench (incremental-dedup persisted-index path).
+    classed = fan_out(df).select(
         F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("_cls")
     )
     rep_of = classed.groupBy("_cls").agg(F.min("doc_id").alias("rep"))

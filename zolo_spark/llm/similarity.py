@@ -17,7 +17,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
-from ..ops.partitioning import fan_out_small
+from ..ops.partitioning import fan_out, fan_out_small
 from . import cachereg
 from .dedup import cosine
 
@@ -181,7 +181,13 @@ def kmeans_train(corpus: DataFrame, k: int = 8, iters: int = 2,
                            F.lit(0.0), lambda acc, x: acc + x)),
         F.lit(1e-12),
     )
-    base = fan_out_small(corpus).select(
+    # fan_out, NOT fan_out_small: ``base`` is persisted and re-scanned
+    # once per Lloyd iteration from a driver loop — forcing 32
+    # partitions on a tiny persisted frame schedules 32 tasks per
+    # iteration for sub-MB blocks (r14 driver bench: ivf_trained_topk
+    # 0.80×, scaling ratio 0.97). The normalize transform is cheap
+    # per row; real corpora arrive wide at the scan.
+    base = fan_out(corpus).select(
         F.col(id_col).alias("vec_id"),
         F.transform(dv, lambda x: x / nrm).alias("v"),
     ).persist()
