@@ -289,3 +289,35 @@ def test_driver_side_xxh64_matches_spark(spark):
         for s in seeds:
             assert (_xxh64_int(s, _xxh64_bytes(v.encode("utf-8"), 42))
                     == row[f"s{i}_{s}"])
+
+
+def test_probe_positions_type_mismatch_routes_spark_side(spark, tmp_path):
+    """r15 hardening (ADVICE): the driver-side XXH64 fast path fires
+    ONLY when the probe's Python type matches the column type exactly
+    — a coercing int(v)/str(v) would diverge from the Spark-side
+    ``lit(v).cast(dt)`` the index build used (str(True) = 'True' vs
+    Spark 'true') and silently prune files that hold matching rows.
+    Every mismatched pair must produce positions identical to the
+    Spark fallback computed directly. (An out-of-range int also
+    routes Spark-side, where ANSI cast raises exactly as the pure
+    Spark path always did — not assertable here without expecting
+    the raise on both sides.)"""
+    from pyspark.sql.types import LongType, StringType
+
+    wh = _wh(spark, tmp_path)
+    m, k = wh.bloom_bits, wh.bloom_hashes
+    pairs = [
+        (True, LongType()),        # bool vs integral column
+        (1.0, StringType()),       # float vs string column
+        ("58", LongType()),        # numeric string vs long column
+        (58, LongType()),          # matched: fast path (control)
+        ("seg3", StringType()),    # matched: fast path (control)
+    ]
+    got = wh._bloom_probe_positions(pairs)
+    row = spark.range(1).select(*[
+        F.array(*[F.pmod(F.xxhash64(F.lit(v).cast(dt), F.lit(s)),
+                         F.lit(m)) for s in range(k)]).alias(f"_e{i}")
+        for i, (v, dt) in enumerate(pairs)])
+    expected = row.first()
+    for i in range(len(pairs)):
+        assert got[i] == list(expected[f"_e{i}"]), pairs[i]

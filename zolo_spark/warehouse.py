@@ -2951,17 +2951,34 @@ class Warehouse:
             # F.xxhash64(value, lit(s)) is Spark's MULTI-column hash
             # at its fixed default seed 42: the value's hash becomes
             # the seed for hashing the IntegerType literal ``s``.
-            if v is not None and isinstance(dt, LongType):
-                out[i] = [_xxh64_int(s, _xxh64_long(int(v), 42)) % m
+            # The fast path is taken ONLY when the Python type matches
+            # the column type exactly (type(v) is int/str — note bool
+            # is an int subclass, so ``type is`` excludes it): a
+            # coercing int(v)/str(v) would diverge from the Spark-side
+            # ``F.lit(v).cast(dt)`` the index build used (str(True) =
+            # 'True' vs Spark 'true'; str(1e-07) = '1e-07' vs
+            # '1.0E-7'; int('5.8') raises), and a divergent hash makes
+            # the bloom silently prune files that DO contain the rows.
+            # Everything else routes to the Spark fallback, which is
+            # bit-exact by construction.
+            # Range guard mirrors ANSI cast bounds: the Python
+            # routines mask-wrap where Spark's cast would raise, so an
+            # out-of-range probe must take the Spark path too.
+            _rng = {LongType: 63, IntegerType: 31,
+                    ShortType: 15, ByteType: 7}.get(type(dt))
+            _in_rng = (type(v) is int and _rng is not None
+                       and -(1 << _rng) <= v < (1 << _rng))
+            if _in_rng and isinstance(dt, LongType):
+                out[i] = [_xxh64_int(s, _xxh64_long(v, 42)) % m
                           for s in range(k)]
-            elif v is not None and isinstance(
+            elif _in_rng and isinstance(
                     dt, (IntegerType, ShortType, ByteType)):
                 # sub-long integrals hash through the 4-byte path
-                out[i] = [_xxh64_int(s, _xxh64_int(int(v), 42)) % m
+                out[i] = [_xxh64_int(s, _xxh64_int(v, 42)) % m
                           for s in range(k)]
-            elif v is not None and isinstance(dt, StringType):
+            elif type(v) is str and isinstance(dt, StringType):
                 out[i] = [_xxh64_int(
-                    s, _xxh64_bytes(str(v).encode("utf-8"), 42)) % m
+                    s, _xxh64_bytes(v.encode("utf-8"), 42)) % m
                     for s in range(k)]
             else:
                 spark_side.append(i)
