@@ -164,26 +164,30 @@ def png_encode(pixels: np.ndarray) -> bytes:
     if px.ndim != 2:
         raise ValueError("png_encode expects an (H, W) grayscale array")
     h, w = px.shape
-    raw = bytearray()
-    prior = np.zeros(w, dtype=np.int32)
-    for r in range(h):
-        row = px[r].astype(np.int32)
-        left = np.concatenate(([0], row[:-1]))
-        ul = np.concatenate(([0], prior[:-1]))
-        ftype = r % 5
-        if ftype == 0:
-            f = row
-        elif ftype == 1:
-            f = row - left
-        elif ftype == 2:
-            f = row - prior
-        elif ftype == 3:
-            f = row - (left + prior) // 2
-        else:
-            f = row - _paeth(left, prior, ul)
-        raw.append(ftype)
-        raw.extend((f % 256).astype(np.uint8).tobytes())
-        prior = row
+    # All five filters computed for the WHOLE image in ~a dozen numpy
+    # ops, then each scanline picks its r % 5 variant: the per-row
+    # numpy loop cost ~10 tiny-array ops per scanline, which dominated
+    # wall time on the kilobyte-sized gate images (filter math itself
+    # is exact int32 either way, so the emitted bytes are identical).
+    rows = px.astype(np.int32)
+    left = np.zeros_like(rows)
+    left[:, 1:] = rows[:, :-1]
+    prior = np.zeros_like(rows)
+    prior[1:] = rows[:-1]
+    ul = np.zeros_like(rows)
+    ul[1:, 1:] = rows[:-1, :-1]
+    variants = (rows, rows - left, rows - prior,
+                rows - (left + prior) // 2, rows - _paeth(left, prior, ul))
+    ftypes = np.arange(h, dtype=np.int64) % 5
+    filtered = np.empty((h, w), dtype=np.int32)
+    for t in range(5):
+        sel = ftypes == t
+        if sel.any():
+            filtered[sel] = variants[t][sel]
+    lines = np.empty((h, w + 1), dtype=np.uint8)
+    lines[:, 0] = ftypes
+    lines[:, 1:] = filtered % 256
+    raw = lines.tobytes()
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
     return (
         _PNG_SIG
@@ -240,30 +244,47 @@ def png_decode(data: bytes) -> dict:
     raw = zlib.decompress(bytes(idat))
     if len(raw) != h * (w + 1):
         raise ValueError("IDAT length does not match dimensions")
+    lines = np.frombuffer(raw, np.uint8).reshape(h, w + 1)
+    ftypes = lines[:, 0]
+    fs = lines[:, 1:].astype(np.int32)
     out = np.empty((h, w), dtype=np.int32)
     prior = np.zeros(w, dtype=np.int32)
     for r in range(h):
-        line = raw[r * (w + 1): (r + 1) * (w + 1)]
-        ftype, f = line[0], np.frombuffer(line[1:], np.uint8).astype(np.int32)
+        ftype, f = int(ftypes[r]), fs[r]
         if ftype == 0:
             row = f
         elif ftype == 2:
             row = (f + prior) % 256
-        elif ftype in (1, 3, 4):
-            # left-dependent filters are a sequential recurrence
-            row = np.empty(w, dtype=np.int32)
+        elif ftype == 1:
+            # Sub is a prefix sum: row[x] = (Σ f[0..x]) % 256 — the
+            # mod distributes, so one cumsum replaces the per-pixel
+            # recurrence (int64 accumulator: no wrap before the mod).
+            row = (np.cumsum(f, dtype=np.int64) % 256).astype(np.int32)
+        elif ftype in (3, 4):
+            # Average/Paeth recurrences stay sequential, but run on
+            # plain Python ints: the old per-pixel numpy scalar
+            # indexing + 3 array constructions per Paeth step cost
+            # ~100x the arithmetic on the gate's ≤16px scanlines.
+            fl = f.tolist()
+            pl = prior.tolist()
+            rl = [0] * w
             left = 0
-            for x in range(w):
-                if ftype == 1:
-                    row[x] = (f[x] + left) % 256
-                elif ftype == 3:
-                    row[x] = (f[x] + (left + prior[x]) // 2) % 256
-                else:
-                    ul = prior[x - 1] if x else 0
-                    row[x] = (f[x] + int(_paeth(
-                        np.array([left]), prior[x: x + 1], np.array([ul])
-                    )[0])) % 256
-                left = row[x]
+            if ftype == 3:
+                for x in range(w):
+                    left = (fl[x] + (left + pl[x]) // 2) % 256
+                    rl[x] = left
+            else:
+                ulv = 0
+                for x in range(w):
+                    b = pl[x]
+                    p = left + b - ulv
+                    pa, pb, pc = abs(p - left), abs(p - b), abs(p - ulv)
+                    pred = (left if pa <= pb and pa <= pc
+                            else (b if pb <= pc else ulv))
+                    left = (fl[x] + pred) % 256
+                    rl[x] = left
+                    ulv = b
+            row = np.array(rl, dtype=np.int32)
         else:
             raise ValueError(f"bad filter type {ftype}")
         out[r] = row
