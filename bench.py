@@ -45,7 +45,7 @@ TAIL_LIMIT = 1900
 # throwaway worktree and records both sides in BENCH_full.json, so a
 # reader can separate environment drift from real regression without
 # re-running anything. Update the commit each round.
-PREV_ROUND_COMMIT = "2b16c05"  # round-13 record (VERDICT/BENCH_r13 final HEAD)
+PREV_ROUND_COMMIT = "4d91fce"  # round-14 record (end-of-round snapshot)
 PREV_PROBES = [
     "flagship_weekly_demand", "j1_left_join_header_details",
     "w2_group_count_filter", "sessionize_events",
