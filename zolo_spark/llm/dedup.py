@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from ..ops.partitioning import fan_out, fan_out_small
+from ..ops.partitioning import fan_out, fan_out_small, plan_size_estimate
 from . import cachereg
 from .text import fingerprint
 
@@ -203,9 +203,9 @@ def _plan_size_estimate(df: DataFrame) -> int:
     error costs time, never correctness. A frame whose cache already
     materialized reports real cached bytes (~50-100× the scan
     estimate) and flips to the prune path early — the scale-safe
-    direction; every engine caller decides before materializing."""
-    return int(df._jdf.queryExecution().optimizedPlan()
-               .stats().sizeInBytes())
+    direction; every engine caller decides before materializing.
+    Canonical implementation lives in :mod:`..ops.partitioning`."""
+    return plan_size_estimate(df)
 
 
 def jaccard_verify(pairs: DataFrame, shingles: DataFrame,

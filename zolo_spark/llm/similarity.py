@@ -292,8 +292,16 @@ def semdedup(corpus: DataFrame, centroids: np.ndarray,
     # trick); dot/(n1*n2) evaluates the same f64 expression trees the
     # inline cosine did, so results are bit-identical.
     dv = F.transform(F.col("cv"), lambda x: x.cast("double"))
+    # fan_out the corpus BEFORE the assignment/pairwise stage: with a
+    # broadcastable cell index the planner picks BroadcastHashJoin for
+    # the block self-join, so there is NO exchange and the probe side
+    # keeps the SCAN's partitioning — a single-file corpus then runs
+    # the pandas-UDF assignment AND the whole O(N²/C) dot-fold on ONE
+    # task (measured 13 s of single-core CPU inside the capstone's
+    # broadcast build; pair_blocks only helps when the join shuffles).
+    # At real scale the scan is already wide and this is a no-op.
     idx = (
-        ivf_index(corpus, centroids, vec_col, id_col)
+        ivf_index(fan_out(corpus), centroids, vec_col, id_col)
         .select(
             "neighbor_id", "cell", dv.alias("v"),
             F.sqrt(F.aggregate(F.transform(dv, lambda x: x * x),

@@ -74,7 +74,15 @@ def bpe_train(df: DataFrame, n_merges: int = 50,
               text_col: str = "text",
               checkpoint_every: int = 1) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns ``[(left, right,
-    pair_count), ...]`` in learned order."""
+    pair_count), ...]`` in learned order.
+
+    NOT thread-safe: the merge loop runs with session-global conf
+    overrides (AQE off, ``shuffle.partitions`` pinned to the
+    checkpointed relation's width), restored in ``finally`` — a
+    concurrent query on the SAME SparkSession would plan under those
+    overrides while training runs. Callers that share a session
+    across threads should train on ``spark.newSession()`` (separate
+    runtime conf, shared context) so the window cannot leak."""
     words = word_freqs(df, text_col).select(
         _initial_symbols().alias("syms"), "freq"
     )
