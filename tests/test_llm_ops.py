@@ -1552,24 +1552,36 @@ def test_generational_cache_release(spark):
          for i in range(40)],
         "doc_id long, text string")
     jsc = spark.sparkContext._jsc
+
+    def live_ids() -> set:
+        return {int(k) for k in jsc.getPersistentRDDs().keySet()
+                .toArray()}
+
+    # Track RDD-ID SETS, not counts: earlier tests may leave
+    # localCheckpoint RDDs that ContextCleaner collects mid-test on
+    # GC timing — absolute counts drift, the id algebra does not.
     cachereg.release()  # start clean: earlier tests hold generations
-    baseline = len(jsc.getPersistentRDDs())
+    base_ids = live_ids()
     dedup.minhash_lsh_dedup(docs).count()
-    after_one = len(jsc.getPersistentRDDs())
-    assert after_one > baseline  # the shingle index IS cached
+    gen1 = live_ids() - base_ids
+    assert gen1  # the shingle index IS cached
     dedup.minhash_lsh_dedup(docs).count()
-    assert len(jsc.getPersistentRDDs()) == after_one  # generation swap
+    gen2 = live_ids() - base_ids
+    assert not (gen1 & gen2)        # generation swap: gen1 released
+    assert len(gen2) == len(gen1)   # ... and replaced like for like
     emb = spark.createDataFrame(
         [(i, [float((i >> d) & 1) + 0.5 for d in range(16)])
          for i in range(20)],
         "vec_id long, embedding array<double>")
     dedup.embedding_near_dup(emb, threshold=0.1).count()
-    grew = len(jsc.getPersistentRDDs())
-    assert grew > after_one  # distinct scope tracks separately
+    grew = live_ids() - base_ids
+    assert grew > gen2  # distinct scope tracks separately
     dedup.embedding_near_dup(emb, threshold=0.1).count()
-    assert len(jsc.getPersistentRDDs()) == grew
+    emb2 = live_ids() - base_ids
+    assert len(emb2) == len(grew)   # embedding scope swapped in place
+    assert gen2 <= emb2             # minhash generation untouched
     cachereg.release()
-    assert len(jsc.getPersistentRDDs()) == baseline
+    assert not (live_ids() & (gen1 | gen2 | grew | emb2))
 
 
 def test_incremental_dedup_digest_mode_equivalent(spark):

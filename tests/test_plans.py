@@ -146,6 +146,38 @@ def test_fan_out_widens_narrow_never_narrows_wide(spark):
     assert fan_out(wide) is wide
 
 
+def test_fan_out_heavy_estimate_branch_scale_pin(spark):
+    """fan_out_heavy (r15): widening decided purely by Catalyst's
+    free estimate — no df.rdd (which under AQE materializes upstream
+    stages). Pins BOTH directions, especially the scale invariant:
+    a frame whose estimate clears target × maxPartitionBytes — the
+    corpus-sized shape every real deployment input has — passes
+    through UNTOUCHED (the force-repartition branch must never fire
+    at scale; r14 VERDICT caveat #3)."""
+    from zolo_spark.ops.partitioning import (fan_out_heavy,
+                                             plan_size_estimate)
+
+    target = spark.sparkContext.defaultParallelism
+    # small estimate: widened regardless of current layout
+    small = spark.range(1000).coalesce(1)
+    assert fan_out_heavy(small).rdd.getNumPartitions() == target
+    # estimate over the threshold: same plan object back, no exchange
+    # (range rows estimate at 8 bytes each; 2 partitions stands in
+    # for "already as wide as its bytes warrant")
+    thr = 2 * 128 * (1 << 20)
+    big = spark.range(thr // 8 + 1_000_000).repartition(2)
+    assert plan_size_estimate(big) > thr
+    assert fan_out_heavy(big, min_partitions=2) is big
+    # calibration guard for the extrapolation the no-op branch relies
+    # on: the real corpus tables' per-row estimate stays large enough
+    # that a 100 TB-scale frame lands far beyond any plausible
+    # target × maxPartitionBytes threshold
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    est = plan_size_estimate(docs)
+    n = docs.count()
+    assert est / max(n, 1) > 100  # ≥100 B/row ⇒ 10^9 rows ≫ 4 GB
+
+
 def test_fan_out_small_pins_width_of_tiny_wide_frames(spark):
     """fan_out_small (r14): a statically-wide but TINY frame (the
     post-shuffle shape AQE coalesces below session parallelism at
@@ -170,6 +202,31 @@ def test_fan_out_small_pins_width_of_tiny_wide_frames(spark):
     big = spark.range(2_000_000).repartition(2)
     assert plan_size_estimate(big) > 2 * (1 << 20)
     assert fan_out_small(big, min_partitions=2) is big
+
+
+def test_q7_q10_dim_broadcasts_survive(spark):
+    """r15 (r14 VERDICT #10): q7/q10 broadcast every dimension by
+    EXPLICIT hint, so the only shuffle join is the fact⋈fact
+    (orders⋈lineitem) — the shape that keeps the sf3 rehearsal's
+    growth bounded by the fact shuffle, never a dim estimate flip.
+    Pins the hint's effect: 4 (q7) / 2 (q10) broadcast joins, exactly
+    one SortMergeJoin/ShuffledHashJoin, and the date filters pushed
+    into the fact scans."""
+    p7 = plan_of(q(spark, "tpch_q7_volume_shipping"))
+    # all four dims broadcast; at most the fact⋈fact join may shuffle
+    # (at gate scale even orders fits the broadcast threshold)
+    assert p7.count("BroadcastHashJoin") >= 4
+    assert (p7.count("SortMergeJoin")
+            + p7.count("ShuffledHashJoin")) <= 1
+    assert "CartesianProduct" not in p7
+    assert "GreaterThanOrEqual(l_shipdate" in p7
+    p10 = plan_of(q(spark, "tpch_q10_returned_items"))
+    assert p10.count("BroadcastHashJoin") >= 2
+    assert (p10.count("SortMergeJoin")
+            + p10.count("ShuffledHashJoin")) <= 1
+    assert "CartesianProduct" not in p10
+    assert "GreaterThanOrEqual(o_orderdate" in p10
+    assert "EqualTo(l_returnflag,R)" in p10
 
 
 def test_q3_pushdown_prune_broadcast(spark):
@@ -360,11 +417,14 @@ def test_dsir_topk_no_global_sort_and_broadcast_ratios(spark):
     assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    # r9: ratios + weights = exactly TWO passes over the exploded
-    # feature lineage. Three Generates = a marginal or totals stage
-    # re-scanning the corpus-sized feature table (the r8 shape that
-    # cost 148.7 s at sf10).
-    assert plan.count("Generate") <= 2
+    # r9/r15: ratios + weights = exactly TWO scans of the CACHED
+    # feature relation — the corpus-sized explode lineage executes
+    # once (r15: eagerly, so concurrent broadcast builds can't race
+    # the lazy cache). A third scan = a marginal or totals stage
+    # re-reading the feature table (the r8 shape that cost 148.7 s at
+    # sf10). Generate counts are not pinned: a materialized
+    # InMemoryRelation ECHOES its cached plan per scan in the print.
+    assert plan.count("InMemoryTableScan") == 2
 
 
 def test_hll_plan_two_level_aggregate_no_udf(spark):
@@ -529,7 +589,9 @@ def test_dsir_sample_plan_matches_select_shape(spark):
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan
-    assert plan.count("Generate") <= 2
+    # two scans of the cached feature relation — see
+    # test_dsir_topk_no_global_sort_and_broadcast_ratios
+    assert plan.count("InMemoryTableScan") == 2
     for bad in ("BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan
 

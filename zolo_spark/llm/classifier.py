@@ -121,7 +121,14 @@ class _gd_session:
     one-exchange aggregate over an already-checkpointed frame —
     measured 2× of sub-second iteration latency — and there is no
     join or skew in the loop for it to re-plan; correctness is
-    untouched (same plan, fewer scheduler round-trips)."""
+    untouched (same plan, fewer scheduler round-trips). (Disabling
+    whole-stage codegen for the loop — fresh weight literals compile
+    a throwaway janino class per iteration — was probed in r15 and
+    measured a wash on the real gates, so it stays ON: interpreted
+    evaluation would cost per-row overhead on the at-scale feature
+    table for no local win.) Like bpe_train, NOT thread-safe:
+    concurrent queries on the same SparkSession plan under the AQE
+    override while training runs."""
 
     def __init__(self, labeled: DataFrame, view: str):
         self.spark = labeled.sparkSession

@@ -717,12 +717,19 @@ def corpus_pipeline(docs: DataFrame, emb: DataFrame, *,
     surv4 = surv3.join(kept_q, id_col, "left_semi")
     # source_cap consumes its input THREE times (per-source counts,
     # the within-cap anti-join branch, the over-cap window branch);
-    # persist the NARROW 4-column projection — no text payload, so
-    # the materialization stays key-sized at any scale — instead of
-    # replaying the quality-filter lineage per branch.
-    kept_narrow = cachereg.persist(
-        surv4.select(id_col, "lang", source_col, "n_chars"),
-        "corpus_pipeline")
+    # materialize the NARROW 4-column projection — no text payload,
+    # so it stays key-sized at any scale — instead of replaying the
+    # quality-filter lineage per branch. localCheckpoint (not
+    # persist): by this point the lineage is the WHOLE pipeline, and
+    # a cached plan does not truncate it — every consumer's analysis/
+    # canonicalization and each AQE stage re-optimization of the
+    # final windowed query walks the full tree (measured ~6 s of
+    # driver gaps on the capped plan at sf0.1). Checkpointing cuts
+    # the final plan to a leaf; the trade is lineage-free blocks
+    # (executor loss ⇒ query retry instead of recompute), the
+    # standard deal for a key-sized frame this deep into a pipeline.
+    kept_narrow = surv4.select(
+        id_col, "lang", source_col, "n_chars").localCheckpoint()
     return source_cap(
         kept_narrow, cap=cap, source_col=source_col,
     ).select(id_col, "lang", source_col, "n_chars")

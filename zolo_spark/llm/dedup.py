@@ -30,7 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from ..ops.partitioning import fan_out, fan_out_small, plan_size_estimate
+from ..ops.partitioning import (fan_out, fan_out_heavy, fan_out_small,
+                                plan_size_estimate)
 from . import cachereg
 from .text import fingerprint
 
@@ -105,11 +106,12 @@ def minhash_signatures(shingles: DataFrame, k: int = N_MINHASH) -> DataFrame:
     ``h`` is engine-portable (no murmur seeds)."""
     h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
     hashed = shingles.select("doc_id", h.alias("_h"))
+    # One F.expr per slot, not a Column tree per slot: identical
+    # expressions, ~7× fewer py4j round trips per call (driver-time
+    # cost measured on the incremental-dedup gate's build phase).
     aggs = [
-        F.min(
-            (F.lit(MINHASH_A[i]) * F.col("_h") + F.lit(MINHASH_B[i]))
-            % F.lit(MINHASH_PRIME)
-        ).alias(f"sig{i}")
+        F.expr(f"min(({MINHASH_A[i]} * _h + {MINHASH_B[i]}) "
+               f"% {MINHASH_PRIME})").alias(f"sig{i}")
         for i in range(k)
     ]
     return hashed.groupBy("doc_id").agg(*aggs)
@@ -123,10 +125,12 @@ def banded_keys(sigs: DataFrame, k: int = N_MINHASH,
     and DuckDB)."""
     bands = []
     for b in range(0, k, band_size):
-        key = F.md5(F.concat_ws("-", *[F.col(f"sig{i}") for i in range(b, b + band_size)]))
-        bands.append(F.struct(F.lit(b).alias("band_id"), key.alias("band_key")))
+        cols = ", ".join(f"sig{i}" for i in range(b, b + band_size))
+        bands.append(f"named_struct('band_id', {b}, "
+                     f"'band_key', md5(concat_ws('-', {cols})))")
     return sigs.select(
-        "doc_id", F.explode(F.array(*bands)).alias("band")
+        "doc_id",
+        F.explode(F.expr(f"array({', '.join(bands)})")).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key")
 
 
@@ -547,6 +551,9 @@ def shingle_set_key(sh) -> Column:
     64 hex chars regardless of set size and is injective up to md5
     collisions: each element contributes a fixed-width 32-char block,
     so no split ambiguity exists."""
+    if isinstance(sh, str):   # one parse instead of a lambda tree
+        return F.expr(f"aggregate(sort_array({sh}), '', "
+                      "(acc, x) -> md5(concat(acc, md5(x))))")
     return F.aggregate(
         F.sort_array(sh), F.lit(""),
         lambda acc, x: F.md5(F.concat(acc, F.md5(x))),
@@ -1236,52 +1243,60 @@ def edit_distance_pairs_pairwise(df: DataFrame, str_col: str = "text",
     (e.g. after :func:`exact_dedup`)."""
     d = max_dist
     k = d + 1
-    base = (
+    # fan_out_heavy: the index/probe builds explode every row into
+    # d+1 / O(d²·(2d+1)) substring keys — heavy per-row compute that
+    # otherwise runs on the scan's layout (a single-file corpus = ONE
+    # task, measured as the gate's two 0.7–1.4 s single-task
+    # broadcast builds). Estimate-decided, so no df.rdd probe on the
+    # collapse-first caller's join lineage.
+    base = fan_out_heavy(
         df.select(F.col(id_col).alias("doc_id"),
                   F.col(str_col).alias("s"))
         .filter(F.col("s").isNotNull())
-        .withColumn("m", F.length("s"))
-    )
+    ).withColumn("m", F.length("s"))
 
-    def seg_bounds(length_col, i: int):
-        """(start0, len) of segment i under the even partition of
-        ``length_col`` into k parts — first (L % k) parts get +1."""
-        b = F.floor(length_col / k).cast("int")
-        r = (length_col % k).cast("int")
-        ln = b + F.when(F.lit(i) < r, 1).otherwise(0)
-        st = F.lit(i) * b + F.least(F.lit(i), r)
+    def seg_sql(lexpr: str, i: int) -> tuple[str, str]:
+        """(start0, len) SQL of segment i under the even partition of
+        ``lexpr`` into k parts — first (L % k) parts get +1. Strings,
+        not Columns: the 45-element probe array built one Column at a
+        time was ~2.6 s of py4j chatter per call; one F.expr parses
+        JVM-side in one hop, to the identical expression tree."""
+        b = f"CAST(FLOOR(({lexpr}) / {k}) AS INT)"
+        r = f"CAST(({lexpr}) % {k} AS INT)"
+        ln = f"({b} + (CASE WHEN {i} < {r} THEN 1 ELSE 0 END))"
+        st = f"({i} * {b} + LEAST({i}, {r}))"
         return st, ln
 
     idx_segs = []
     for i in range(k):
-        st, ln = seg_bounds(F.col("m"), i)
-        idx_segs.append(F.struct(
-            F.lit(i).alias("i"),
-            F.col("s").substr(st + 1, ln).alias("c"),
-        ))
+        st, ln = seg_sql("m", i)
+        idx_segs.append(f"named_struct('i', {i}, "
+                        f"'c', substring(s, {st} + 1, {ln}))")
     idx = base.select(
         F.col("doc_id").alias("id_a"), F.col("m").alias("L"),
-        F.explode(F.array(*idx_segs)).alias("g"),
+        F.explode(F.expr(f"array({','.join(idx_segs)})")).alias("g"),
     ).select("id_a", "L", F.col("g.i").alias("i"), F.col("g.c").alias("c"))
 
     probe_keys = []
     for delta in range(d + 1):
-        lp = F.col("m") - delta  # candidate partner length (≤ m)
+        lp = f"(m - {delta})"  # candidate partner length (≤ m)
         for i in range(k):
-            st, ln = seg_bounds(lp, i)
+            st, ln = seg_sql(lp, i)
             for sh in range(-d, d + 1):
-                p = st + sh
+                p = f"({st} + {sh})"
                 # lp == 0 is a legal partner (the empty string: its
                 # distance to s is m, a true pair whenever m ≤ d)
-                ok = (lp >= 0) & (p >= 0) & (p + ln <= F.col("m"))
-                probe_keys.append(F.when(ok, F.struct(
-                    lp.cast("int").alias("L"), F.lit(i).alias("i"),
-                    F.col("s").substr(p + 1, ln).alias("c"),
-                )))
+                ok = (f"({lp} >= 0 AND {p} >= 0 "
+                      f"AND ({p} + {ln}) <= m)")
+                probe_keys.append(
+                    f"CASE WHEN {ok} THEN named_struct("
+                    f"'L', CAST({lp} AS INT), 'i', {i}, "
+                    f"'c', substring(s, {p} + 1, {ln})) END")
     probe = base.select(
         F.col("doc_id").alias("id_b"), F.col("m").alias("mb"),
-        F.explode(F.array_distinct(F.array_compact(
-            F.array(*probe_keys)))).alias("g"),
+        F.explode(F.expr(
+            "array_distinct(array_compact(array("
+            + ",".join(probe_keys) + ")))")).alias("g"),
     ).select("id_b", "mb", F.col("g.L").alias("L"),
              F.col("g.i").alias("i"), F.col("g.c").alias("c"))
 

@@ -159,7 +159,8 @@ def dsir_select(df: DataFrame, target_ids: DataFrame, k: int = 100,
     # at sf10 (50k docs), hash unchanged.
     cachereg.begin("dsir")
     feats = cachereg.persist(
-        hashed_ngram_features(df, text_col, id_col, buckets), "dsir")
+        hashed_ngram_features(df, text_col, id_col, buckets), "dsir",
+        eager=True)   # first consumers are concurrent broadcast jobs
     ratios = dsir_log_ratios(feats, target_ids, buckets)
     w = dsir_weights(feats, ratios)
     rank = F.row_number().over(
@@ -191,7 +192,8 @@ def dsir_sample(df: DataFrame, target_ids: DataFrame, k: int = 100,
     """
     cachereg.begin("dsir")
     feats = cachereg.persist(
-        hashed_ngram_features(df, text_col, id_col, buckets), "dsir")
+        hashed_ngram_features(df, text_col, id_col, buckets), "dsir",
+        eager=True)   # first consumers are concurrent broadcast jobs
     ratios = dsir_log_ratios(feats, target_ids, buckets)
     w = dsir_weights(feats, ratios)
     h = F.conv(F.substring(
@@ -292,7 +294,8 @@ def dsir_domain_select(df: DataFrame, domain_targets: DataFrame,
     cachereg.begin("dsir_domain")
     feats = cachereg.persist(
         hashed_ngram_features(df, text_col, id_col, buckets),
-        "dsir_domain")
+        "dsir_domain",
+        eager=True)   # first consumers are concurrent broadcast jobs
     targets = domain_targets.filter(F.col("domain").isin(domains))
     ratios = dsir_domain_ratios(feats, targets, buckets)
     w = dsir_domain_weights(feats, ratios, domains)

@@ -17,7 +17,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
-from ..ops.partitioning import fan_out, fan_out_small
+from ..ops.partitioning import fan_out_heavy, fan_out_small
 from . import cachereg
 from .dedup import cosine
 
@@ -181,13 +181,15 @@ def kmeans_train(corpus: DataFrame, k: int = 8, iters: int = 2,
                            F.lit(0.0), lambda acc, x: acc + x)),
         F.lit(1e-12),
     )
-    # fan_out, NOT fan_out_small: ``base`` is persisted and re-scanned
-    # once per Lloyd iteration from a driver loop — forcing 32
-    # partitions on a tiny persisted frame schedules 32 tasks per
-    # iteration for sub-MB blocks (r14 driver bench: ivf_trained_topk
-    # 0.80×, scaling ratio 0.97). The normalize transform is cheap
-    # per row; real corpora arrive wide at the scan.
-    base = fan_out(corpus).select(
+    # fan_out_heavy, NOT fan_out_small: ``base`` is persisted and
+    # re-scanned once per Lloyd iteration from a driver loop — forcing
+    # 32 partitions on a tiny ALREADY-WIDE persisted frame schedules
+    # 32 tasks per iteration for sub-MB blocks (r14 driver bench:
+    # ivf_trained_topk 0.80×, scaling ratio 0.97). The estimate-based
+    # widening only rescues narrow layouts (same decision plain
+    # fan_out made here) without fan_out's df.rdd probe, which under
+    # AQE materializes the corpus lineage's stages as throwaway jobs.
+    base = fan_out_heavy(corpus).select(
         F.col(id_col).alias("vec_id"),
         F.transform(dv, lambda x: x / nrm).alias("v"),
     ).persist()
@@ -292,16 +294,18 @@ def semdedup(corpus: DataFrame, centroids: np.ndarray,
     # trick); dot/(n1*n2) evaluates the same f64 expression trees the
     # inline cosine did, so results are bit-identical.
     dv = F.transform(F.col("cv"), lambda x: x.cast("double"))
-    # fan_out the corpus BEFORE the assignment/pairwise stage: with a
+    # Widen the corpus BEFORE the assignment/pairwise stage: with a
     # broadcastable cell index the planner picks BroadcastHashJoin for
     # the block self-join, so there is NO exchange and the probe side
     # keeps the SCAN's partitioning — a single-file corpus then runs
     # the pandas-UDF assignment AND the whole O(N²/C) dot-fold on ONE
     # task (measured 13 s of single-core CPU inside the capstone's
     # broadcast build; pair_blocks only helps when the join shuffles).
-    # At real scale the scan is already wide and this is a no-op.
+    # fan_out_heavy: estimate-decided, so no df.rdd stage
+    # materialization; at real scale the estimate is corpus-sized and
+    # this is a no-op.
     idx = (
-        ivf_index(fan_out(corpus), centroids, vec_col, id_col)
+        ivf_index(fan_out_heavy(corpus), centroids, vec_col, id_col)
         .select(
             "neighbor_id", "cell", dv.alias("v"),
             F.sqrt(F.aggregate(F.transform(dv, lambda x: x * x),

@@ -41,6 +41,43 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
+def fan_out_heavy(df: DataFrame,
+                  min_partitions: int | None = None) -> DataFrame:
+    """:func:`fan_out` for frames feeding HEAVY compute (pairwise
+    folds, Arrow-UDF matmuls), decided purely from Catalyst's FREE
+    ``sizeInBytes`` estimate — never ``df.rdd``, which under AQE
+    materializes every upstream shuffle/broadcast stage just to read
+    the partition count (measured: one ``fan_out`` on a semi-join
+    lineage = three concurrent ~0.5 s jobs in the capstone, thrown
+    away and re-run by the real action).
+
+    Decision: estimate under ``target × maxPartitionBytes`` ⇒
+    repartition. Why that threshold is safe in both directions: a
+    frame estimated LARGER necessarily executes wide already — scans
+    split files at ``maxPartitionBytes``, and AQE's parallelism-first
+    coalescing keeps post-shuffle frames that size near the session
+    parallelism — so skipping the repartition never strands a big
+    frame narrow. A frame estimated smaller gets one sub-
+    ``target×128 MB`` exchange, trivial next to the compute these
+    sites feed (a false positive costs that exchange; at 100 TB the
+    estimate is corpus-sized, so the branch never fires). NOT for
+    cheap-per-row sites: there the forced width costs more than it
+    buys (the r14 ``fan_out_small`` lesson) — use :func:`fan_out`.
+    """
+    if df.isStreaming:
+        return df
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    try:   # exact byte value however the conf string spells it
+        max_pb = int(spark._jsparkSession.sessionState().conf()
+                     .filesMaxPartitionBytes())
+    except Exception:
+        max_pb = 128 * 1024 * 1024
+    if plan_size_estimate(df) < target * max_pb:
+        return df.repartition(target)
+    return df
+
+
 def fan_out_small(df: DataFrame,
                   min_partitions: int | None = None) -> DataFrame:
     """:func:`fan_out` for CPU-bound per-row operators: ALSO pins the

@@ -23,6 +23,7 @@ import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
 from pyspark.errors import AnalysisException
 
 from . import schemas
@@ -1441,7 +1442,16 @@ class Warehouse:
             df = (self.spark.createDataFrame([], schema)
                   .withColumn("_fv", F.lit(0)))
         for v_dv, keys, dv_files in dvs:
-            dvk = (self.spark.read
+            # explicit key schema (projected from the table's physical
+            # schema): a schemaless read runs one footer-inference job
+            # per DV per read — measured ~0.35 s each on the row-level
+            # twins, pure driver latency the key types already answer
+            dv_schema = StructType(
+                [schema[k] for k in keys if k in schema.fieldNames()])
+            reader = self.spark.read
+            if len(dv_schema) == len(keys):
+                reader = reader.schema(dv_schema)
+            dvk = (reader
                    .parquet(*[os.path.join(root, rel) for rel in dv_files])
                    .select(*keys).distinct()
                    .withColumn("_dvhit", F.lit(True)))
@@ -2706,6 +2716,25 @@ class Warehouse:
             os.path.join(batch_dir, fn) for fn in os.listdir(out)
             if fn.endswith(".parquet"))
 
+    def _staged_rows(self, table: str, rels: list[str]) -> int:
+        """Total row count of staged files, from parquet footers
+        driver-side — the no-op checks of the row-level ops read this
+        off the batch they just wrote instead of running a whole
+        ``isEmpty`` Spark job against the pre-staging plan."""
+        import pyarrow.parquet as pq
+
+        root = self.path(table)
+        return sum(
+            pq.ParquetFile(os.path.join(root, rel)).metadata.num_rows
+            for rel in rels)
+
+    def _discard_staged(self, table: str, rels: list[str]) -> None:
+        """Remove the batch dir(s) of never-committed staged files
+        (the no-op path of a row-level op)."""
+        root = self.path(table)
+        for d in {os.path.dirname(rel) for rel in rels}:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
     # cap on distinct update-key tuples collected to the driver for
     # exact per-file pruning; above it, pruning falls back to the
     # per-column min/max envelope (one tiny agg job)
@@ -2808,8 +2837,8 @@ class Warehouse:
                 continue
             m, k = self.bloom_bits, self.bloom_hashes
             root = self.path(t)
-            sample = self.spark.read.parquet(os.path.join(root, new[0]))
-            present = [c for c in pcols if c in sample.columns]
+            pschema = self._physical_schema(fields)
+            present = [c for c in pcols if c in pschema.fieldNames()]
             if not present:
                 continue
             # Per-file INT ids via a union of single-file scans, and
@@ -2818,19 +2847,18 @@ class Warehouse:
             # with input_file_name() and string column names measured
             # ~2× the job cost, and the URI mapping was the fragile
             # part. The sidecar speaks (_fi, _ci) resolved through
-            # the entry's "files"/"cols" lists.
-            dt_of = {ph: dt for _, ph, dt in fields}
+            # the entry's "files"/"cols" lists. Reads carry the known
+            # key schema explicitly: no footer-inference job per
+            # staged file, and a kept file from before an add-column
+            # (missing the physical column) reads as all-NULL, so its
+            # bloom is legitimately empty for that column — the same
+            # semantics the old per-file column check spelled out.
+            read_schema = StructType([pschema[c] for c in present])
             df = None
             for fi, rel in enumerate(new):
-                pdf = self.spark.read.parquet(os.path.join(root, rel))
-                # a kept file from before an add-column lacks that
-                # physical column: it reads as all-NULL, so its bloom
-                # is legitimately empty for that column
-                part = pdf.select(
-                    F.lit(fi).alias("_fi"),
-                    *[F.col(c) if c in pdf.columns
-                      else F.lit(None).cast(dt_of[c]).alias(c)
-                      for c in present])
+                part = (self.spark.read.schema(read_schema)
+                        .parquet(os.path.join(root, rel))
+                        .select(F.lit(fi).alias("_fi"), *present))
                 df = part if df is None else df.unionByName(part)
             probes = [F.struct(
                 F.lit(ci).alias("_ci"),
@@ -3371,9 +3399,17 @@ class Warehouse:
                   for rel in want}
         affected: set = set()
         for keys, entries in by_keys.items():
+            # explicit key schema: skip the per-DV footer-inference
+            # job (same as the _read_with_dvs read path)
+            dv_schema = StructType(
+                [pschema[k] for k in keys
+                 if k in pschema.fieldNames()])
             dvk = None
             for v_dv, dv_files in entries:
-                part = (self.spark.read
+                reader = self.spark.read
+                if len(dv_schema) == len(keys):
+                    reader = reader.schema(dv_schema)
+                part = (reader
                         .parquet(*[os.path.join(root, rel)
                                    for rel in dv_files])
                         .select(*keys)
@@ -3457,11 +3493,14 @@ class Warehouse:
                        .filter(F.expr(condition))
                        .select(*[F.col(k).alias(p_of[k]) for k in keys])
                        .distinct())
-            if matched.isEmpty():
-                return   # no match: no-op, matching the cow contract
-                # (an empty DV sidecar would cost every later read a
-                # dead anti-join and count toward auto_compact_dvs)
             dv_files = self._stage_batch(matched, table)
+            if self._staged_rows(table, dv_files) == 0:
+                # no match: no-op, matching the cow contract (an empty
+                # DV sidecar would cost every later read a dead
+                # anti-join and count toward auto_compact_dvs) — the
+                # check reads the staged footers, not an isEmpty job
+                self._discard_staged(table, dv_files)
+                return
             self._append_tx_record({table: []},
                                    dv={table: dv_files},
                                    dv_keys={table: [p_of[k]
@@ -3564,13 +3603,16 @@ class Warehouse:
             matched = self.read_committed_tx(table, branch=branch) \
                 .filter(hit) \
                 .localCheckpoint()   # one evaluation: DV == postimage
-            if matched.isEmpty():
-                return   # no match: no-op, matching the cow contract
-            dv_df = matched.select(
-                *[F.col(k).alias(p_of[k]) for k in keys]).distinct()
             post = self._to_physical(apply_set(matched, True), fields) \
                 .sortWithinPartitions(*[p_of[k] for k in keys])
             new_files = self._stage_batch(post, table)
+            if self._staged_rows(table, new_files) == 0:
+                # no match: no-op, matching the cow contract — read
+                # off the staged footers, not a separate isEmpty job
+                self._discard_staged(table, new_files)
+                return
+            dv_df = matched.select(
+                *[F.col(k).alias(p_of[k]) for k in keys]).distinct()
             cons = self._validate_staged(table, new_files, fields, txs)
             dv_files = self._stage_batch(dv_df, table)
             self._append_tx_record({table: new_files},
