@@ -113,6 +113,30 @@ def _grad_components_sql(weights: list[float], label_sql: str,
         for j, c in enumerate(FEATURE_COLS))
 
 
+def _grad_select_sql(weight_sets: list[list[float]],
+                     label_sqls: list[str], prefixes: list[str],
+                     view: str, where: str = "") -> str:
+    """One GD step's full SELECT with each model's sigmoid computed
+    ONCE in a sub-select instead of inlined into all d aggregates —
+    the per-iteration SQL text shrinks ~6×, and with it the parse
+    cost the loop pays every iteration (~0.15 s/iter measured on the
+    OvR gate at 24 inlined sigmoids). The arithmetic is the same
+    expression DAG — ``round((_p − _y)·x_j, 6)`` over the identical
+    double ``_p`` — so weights stay bit-identical (pytest-pinned)."""
+    proj = [", ".join(FEATURE_COLS)]
+    comps = []
+    for i, (w, y, pre) in enumerate(
+            zip(weight_sets, label_sqls, prefixes)):
+        proj.append(f"{_sigmoid_sql(_logit_sql(w))} AS _p{i}")
+        proj.append(f"{y} AS _y{i}")
+        comps.extend(
+            f"CAST(SUM(CAST(round((_p{i} - _y{i}) * {c}, 6) "
+            f"AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS {pre}{j}"
+            for j, c in enumerate(FEATURE_COLS))
+    return (f"SELECT {', '.join(comps)} FROM "
+            f"(SELECT {', '.join(proj)} FROM {view}{where})")
+
+
 class _gd_session:
     """Context for the GD hot loop: registers the checkpointed
     training frame as a temp view and disables AQE for the loop's
@@ -188,8 +212,7 @@ def logreg_train(labeled: DataFrame, label_col: str = "label",
     with _gd_session(labeled, "_zs_gd_binary") as gd:
         for _ in range(iters):
             row = gd.grad(  # d-vector, never rows
-                f"SELECT {_grad_components_sql(w, label_col, 'g')} "
-                f"FROM {gd.view}")
+                _grad_select_sql([w], [label_col], ["g"], gd.view))
             if l2:
                 # ridge penalty: w_j -= lr·(g_j + λ·w_j); the λ=0
                 # branch stays byte-identical to the original update
@@ -228,9 +251,9 @@ def logreg_train_minibatch(labeled: DataFrame, label_col: str = "label",
     w = [0.0] * len(FEATURE_COLS)
     with _gd_session(labeled, "_zs_gd_minibatch") as gd:
         for k in range(iters):
-            row = gd.grad(
-                f"SELECT {_grad_components_sql(w, label_col, 'g')} "
-                f"FROM {gd.view} WHERE _mb = {k % n_buckets}")
+            row = gd.grad(_grad_select_sql(
+                [w], [label_col], ["g"], gd.view,
+                where=f" WHERE _mb = {k % n_buckets}"))
             # an empty bucket (possible at tiny scale) contributes a
             # zero update — mirrored by COALESCE(g, 0) in the replay
             w = [w[j] - lr * (row[f"g{j}"]
@@ -261,13 +284,12 @@ def train_ovr(labeled: DataFrame, n_classes: int, class_col: str = "cls",
     ws = [[0.0] * d for _ in range(n_classes)]
     with _gd_session(labeled, "_zs_gd_ovr") as gd:
         for _ in range(iters):
-            comps = ", ".join(
-                _grad_components_sql(
-                    ws[c], f"CAST(({class_col} = {c}) AS DOUBLE)",
-                    f"g{c}_")
-                for c in range(n_classes))
             row = gd.grad(  # n_classes·d components, never rows
-                f"SELECT {comps} FROM {gd.view}")
+                _grad_select_sql(
+                    ws,
+                    [f"CAST(({class_col} = {c}) AS DOUBLE)"
+                     for c in range(n_classes)],
+                    [f"g{c}_" for c in range(n_classes)], gd.view))
             for c in range(n_classes):
                 if l2:
                     ws[c] = [ws[c][j]

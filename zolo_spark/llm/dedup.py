@@ -82,14 +82,18 @@ def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """(id, shingle) exploded distinct-shingle relation. Tokenization
     is its own projection step so the split runs once per doc, not
     once per gram."""
-    # fan_out, NOT fan_out_small: doc_shingles feeds build_dedup_index,
-    # whose five persisted consumers each materialize the frame —
-    # forcing 32 partitions on a kilobyte batch multiplied ~30 jobs ×
-    # 32 tasks through the incremental-dedup gate (r14 driver bench:
-    # 4.45 → 15.28 s full-suite, 8-core run 3× FASTER than 32-core).
-    # The shingle explode below the select still fans out at real
-    # scale because the scan is already wide there.
-    tokens = fan_out(df).select(
+    # fan_out_heavy (r15), NOT fan_out_small: doc_shingles feeds
+    # build_dedup_index, whose five persisted consumers each
+    # materialize the frame — r14's forced 32-wide layout on kilobyte
+    # batches multiplied ~30 jobs × 32 tasks through the
+    # incremental-dedup gate (4.45 → 15.28 s full-suite). The
+    # estimate-only variant makes the decision plain fan_out made on
+    # every input this site actually sees (narrow scans and
+    # AQE-coalesced tiny join outputs both widen; corpus-scale inputs
+    # pass untouched) WITHOUT fan_out's df.rdd probe, which on the
+    # capstone's derived survivor frames materializes their join
+    # stages as throwaway jobs under AQE.
+    tokens = fan_out_heavy(df).select(
         F.col(id_col).alias("doc_id"),
         F.split(F.lower(F.col(text_col)), " ").alias("t"),
     )
@@ -159,6 +163,10 @@ def lsh_candidate_pairs(sigs: DataFrame, k: int = N_MINHASH,
         # unpersisted the whole sigs→bands lineage replans for it —
         # the measured 15→19 s capped-vs-uncapped capstone gap.
         # ``scope`` is the caller's :mod:`cachereg` generation.
+        # (eager=True probed in r15 and REVERTED: unlike the DSIR
+        # race, these concurrent rebuilds overlap on idle cores, so
+        # serializing the fill upfront ADDED wall time — capped
+        # capstone 12 → 16-19 s paired.)
         if scope is not None:
             banded = cachereg.persist(banded, scope)
         # ANTI-join against the OVER-cap bucket list: it is bounded
@@ -318,10 +326,12 @@ def _content_classes(df: DataFrame, text_col: str, id_col: str):
     signature-level computation done once per class representative is
     valid for every member.  ``members`` = (doc_id, rep);
     ``reps`` = the representative rows of ``df`` (min doc_id)."""
-    # fan_out (see doc_shingles): one md5 per row is cheap compute;
-    # the forced 32-wide exchange cost more than it parallelized in
-    # the r14 driver bench (incremental-dedup persisted-index path).
-    classed = fan_out(df).select(
+    # fan_out_heavy (see doc_shingles): one md5 per row is cheap
+    # compute, but the inputs here are whole documents (the md5 reads
+    # every byte) and several callers pass DERIVED frames whose
+    # df.rdd probe would materialize join stages; the estimate-only
+    # decision matches plain fan_out's on every input this site sees.
+    classed = fan_out_heavy(df).select(
         F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("_cls")
     )
     rep_of = classed.groupBy("_cls").agg(F.min("doc_id").alias("rep"))

@@ -28,14 +28,38 @@ def plan_size_estimate(df: DataFrame) -> int:
                .stats().sizeInBytes())
 
 
+def _max_partition_bytes(spark) -> int:
+    """``spark.sql.files.maxPartitionBytes`` as an exact byte count
+    however the conf string spells it."""
+    try:
+        return int(spark._jsparkSession.sessionState().conf()
+                   .filesMaxPartitionBytes())
+    except Exception:
+        return 128 * 1024 * 1024
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition ``df`` up to ``min_partitions`` (default: the
     session's ``defaultParallelism``) iff it currently plans fewer —
-    never narrows an already-wide plan."""
+    never narrows an already-wide plan.
+
+    A frame whose FREE Catalyst estimate clears
+    ``target × maxPartitionBytes`` short-circuits untouched: at that
+    size it necessarily executes wide (scans split files at
+    ``maxPartitionBytes``; AQE's parallelism-first coalescing keeps
+    post-shuffle frames that big near session parallelism), and the
+    short-circuit avoids ``df.rdd`` — which under AQE MATERIALIZES
+    every upstream shuffle/broadcast stage just to read the partition
+    count. On a derived frame at deploy scale that would run most of
+    the query twice; the estimate check caps the probe's cost at one
+    small materialization by construction."""
     if df.isStreaming:  # partition shape is the source's concern
         return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
+    if plan_size_estimate(df) >= target * _max_partition_bytes(
+            df.sparkSession):
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
@@ -68,12 +92,7 @@ def fan_out_heavy(df: DataFrame,
         return df
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    try:   # exact byte value however the conf string spells it
-        max_pb = int(spark._jsparkSession.sessionState().conf()
-                     .filesMaxPartitionBytes())
-    except Exception:
-        max_pb = 128 * 1024 * 1024
-    if plan_size_estimate(df) < target * max_pb:
+    if plan_size_estimate(df) < target * _max_partition_bytes(spark):
         return df.repartition(target)
     return df
 
@@ -101,6 +120,11 @@ def fan_out_small(df: DataFrame,
         return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
+    # same big-estimate short-circuit as fan_out: definitely wide, and
+    # df.rdd on a big derived frame would materialize upstream stages
+    if plan_size_estimate(df) >= target * _max_partition_bytes(
+            df.sparkSession):
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     if plan_size_estimate(df) < target * (1 << 20):
